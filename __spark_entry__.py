@@ -1,38 +1,984 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2
+plus the north-star extensions (dedup / similarity / text analysis /
+multimodal); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
+each. Cross-engine exactness strategy:
+
+- money/ratio rounding uses the portable primitive
+  ``floor(x·10^s + 0.5)/10^s`` (functions/money.py pround — Spark round
+  and DuckDB round disagree on boundary doubles);
+- every sum/window runs over DECIMAL so results are independent of
+  partial-aggregation order (floats are not);
+- embedding math is quantized to int64 (functions/vectors.py) so dot
+  products are exact on both engines;
+- every window/dedup has a total ordering (deterministic survivor/rank).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# --- portable-rounding SQL renderers (mirror functions/money.py) ----------
+
+
+def _r2(e: str, p: int = 15) -> str:
+    return f"CAST(FLOOR(({e}) * 100 + 0.5) / 100 AS DECIMAL({p},2))"
+
+
+def _r6(e: str) -> str:
+    return f"CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6))"
+
+
+# --- entry -----------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the fact_ventas star build at sf0.001."""
+    return queries()["fact_ventas"](spark, SF_SMOKE)
+
+
+# --- queries ---------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from data_warehouse_punta_fina_spark.functions.money import pround2
+    from data_warehouse_punta_fina_spark.functions.strings import (
+        coded_id,
+        contains_ci,
+        extract_int,
+        first_token,
+    )
+    from data_warehouse_punta_fina_spark.functions.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+    from data_warehouse_punta_fina_spark.operators.dedup import (
+        duplicate_groups,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash64,
+    )
+    from data_warehouse_punta_fina_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+        ivf_topk,
+    )
+    from data_warehouse_punta_fina_spark.operators.validation import (
+        ColumnRule,
+        TableRules,
+        validate_and_populate,
+    )
+    from data_warehouse_punta_fina_spark.plans.dims import (
+        build_dim_almacen,
+        build_dim_cliente,
+        build_dim_cuenta_contable,
+        build_dim_fecha,
+        build_dim_producto,
+        build_dim_promocion,
+        build_dim_proveedor,
+        build_dim_usuario,
+    )
+    from data_warehouse_punta_fina_spark.plans.facts import (
+        build_fact_balance,
+        build_fact_estado_resultados,
+        build_fact_inventario,
+        build_fact_transacciones,
+        build_fact_ventas,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.file_stream import tumbling_window_agg
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def fact_ventas(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_fact_ventas(
+            spark,
+            sf_dir,
+            build_dim_producto(spark, sf_dir),
+            build_dim_cliente(spark, sf_dir),
+            build_dim_almacen(spark, sf_dir),
+        )
+
+    def fact_transacciones(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_fact_transacciones(spark, sf_dir)
+
+    def fact_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_fact_balance(
+            build_fact_transacciones(spark, sf_dir), build_dim_cuenta_contable(spark, sf_dir)
+        )
+
+    def fact_estado_resultados(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_fact_estado_resultados(build_fact_transacciones(spark, sf_dir))
+
+    def ventas_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        fv = fact_ventas(spark, sf_dir)
+        return fv.groupBy("fecha_id").agg(
+            F.sum("subtotal").cast("decimal(18,2)").alias("subtotal_total"),
+            F.sum("descuento").cast("decimal(18,2)").alias("descuento_total"),
+            F.count("*").alias("n_lineas"),
+            F.countDistinct("orden_id").alias("n_ordenes"),
+        )
+
+    def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        li = li.filter(F.col("l_shipdate") <= "2000-12-31")
+        disc_price = pround2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        charge = pround2(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+        agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(pround2("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(pround2("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,2)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,2)").alias("sum_charge"),
+            F.count("*").alias("n_rows"),
+        )
+        return agg.withColumn(
+            "avg_qty", pround2(F.col("sum_qty").cast("double") / F.col("n_rows"))
+        ).withColumn("avg_price", pround2(F.col("sum_base_price").cast("double") / F.col("n_rows")))
+
+    def discount_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        per_order = li.groupBy("l_orderkey").agg(
+            F.sum(pround2(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("decimal(18,2)")
+            .alias("descuento_total")
+        )
+        return orders.join(per_order, orders["o_orderkey"] == per_order["l_orderkey"], "left").select(
+            F.col("o_orderkey").alias("orden_id"),
+            pround2("o_totalprice").alias("total"),
+            F.coalesce(F.col("descuento_total"), F.lit(0).cast("decimal(18,2)")).alias("descuento_total"),
+        )
+
+    def top_discount_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.windows import top_n_per_group
+
+        li = load_table(spark, sf_dir, "lineitem").withColumn(
+            "descuento", pround2(F.col("l_extendedprice") * F.col("l_discount"))
+        )
+        top = top_n_per_group(
+            li,
+            "l_orderkey",
+            [
+                F.desc("descuento"),
+                F.asc("l_linenumber"),
+                F.asc("l_partkey"),
+                F.asc("l_suppkey"),
+                F.asc("l_extendedprice"),
+                F.asc("l_shipdate"),
+            ],
+            n=1,
+        )
+        return top.select(
+            F.col("l_orderkey").alias("orden_id"),
+            F.col("l_linenumber").alias("linea"),
+            F.col("l_partkey").alias("producto_externo_id"),
+            F.col("descuento"),
+        )
+
+    def dup_grain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return duplicate_groups(li, ["l_orderkey", "l_linenumber"]).select(
+            F.col("l_orderkey").alias("orden_id"), F.col("l_linenumber").alias("linea"), F.col("n")
+        )
+
+    def dedup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.dedup import dedupe_by_grain
+
+        li = load_table(spark, sf_dir, "lineitem")
+        deduped = dedupe_by_grain(
+            li,
+            ["l_orderkey", "l_linenumber"],
+            [
+                F.col("l_partkey"),
+                F.col("l_suppkey"),
+                F.col("l_quantity"),
+                F.col("l_extendedprice"),
+                F.col("l_discount"),
+                F.col("l_tax"),
+                F.col("l_returnflag"),
+                F.col("l_linestatus"),
+                F.col("l_shipdate"),
+            ],
+        )
+        return deduped.select(
+            F.col("l_orderkey").alias("orden_id"),
+            F.col("l_linenumber").alias("linea"),
+            F.col("l_partkey").alias("producto_externo_id"),
+            pround2("l_quantity").alias("cantidad"),
+            pround2("l_extendedprice").alias("precio"),
+        )
+
+    def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        part = load_table(spark, sf_dir, "part")
+        supplier = load_table(spark, sf_dir, "supplier")
+        customer = load_table(spark, sf_dir, "customer")
+        checks = [
+            ("lineitem.l_partkey->part", li.filter(F.col("l_partkey").isNotNull()).join(
+                F.broadcast(part.select("p_partkey")), li["l_partkey"] == part["p_partkey"], "left_anti"
+            )),
+            ("lineitem.l_suppkey->supplier", li.filter(F.col("l_suppkey").isNotNull()).join(
+                F.broadcast(supplier.select("s_suppkey")), li["l_suppkey"] == supplier["s_suppkey"], "left_anti"
+            )),
+            ("orders.o_custkey->customer", orders.filter(F.col("o_custkey").isNotNull()).join(
+                F.broadcast(customer.select("c_custkey")), orders["o_custkey"] == customer["c_custkey"], "left_anti"
+            )),
+        ]
+        out = None
+        for name, anti in checks:
+            row = anti.agg(F.count("*").alias("orphans")).select(F.lit(name).alias("fk"), "orphans")
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_table(spark, sf_dir, "events")
+        agg = tumbling_window_agg(events, "1 hour")
+        return agg.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+
+    def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_table(spark, sf_dir, "events")
+        k = F.get_json_object("props", "$.k").cast("int")
+        return events.withColumn("k", k).groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+
+    def scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        part = load_table(spark, sf_dir, "part")
+        return part.select(
+            F.col("p_partkey"),
+            coded_id("PRD-", "p_partkey", 8).alias("codigo"),
+            first_token("p_name").alias("primera_palabra"),
+            extract_int("p_brand").alias("marca_num"),
+            contains_ci("p_type", "brass").alias("es_brass"),
+            F.upper(F.trim("p_type")).alias("tipo_norm"),
+            F.when(F.col("p_size") >= 30, "grande")
+            .when(F.col("p_size") >= 15, "mediano")
+            .otherwise("pequeño")
+            .alias("clase_talla"),
+            F.format_string("P%07d", F.col("p_partkey")).alias("codigo_fmt"),
+        )
+
+    def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars_calc"),
+            token_count("text").alias("n_tokens"),
+            bpe_ish_token_count("text").alias("n_bpe_tokens"),
+            punct_ratio("text").alias("punct_ratio"),
+            stopword_ratio("text").alias("stopword_ratio"),
+            quality_score("text").alias("quality"),
+            fingerprint("text").alias("fingerprint"),
+        )
+
+    def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+    def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+    def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), num_hashes=12, bands=4)
+
+    def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+    def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return simhash64(load_table(spark, sf_dir, "documents"), bits=32)
+
+    def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+    def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, bits=4)
+
+    def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return embedding_near_dup_pairs(emb, threshold=0.8, bits=4)
+
+    def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return extract_features(media_from_documents(docs))
+
+    def events_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_table(spark, sf_dir, "events")
+        rules = TableRules(
+            columns={
+                "event_id": ColumnRule(type="int", required=True),
+                "user_id": ColumnRule(type="int", required=True, default=-1),
+                "event_type": ColumnRule(type="string", default="unknown"),
+                "value": ColumnRule(type="float", min=0.0, max=250.0),
+            },
+            primary_key=["event_id"],
+        )
+        clean, _report = validate_and_populate(events.drop("props", "ts"), rules)
+        return clean.select("event_id", "user_id", "event_type", "value")
+
+    return {
+        # star-schema dimensions (SURVEY §2.1 S7/S8, §2.2, §2.3 J2, §2.8)
+        "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
+        "dim_producto": build_dim_producto,
+        "dim_cliente": build_dim_cliente,
+        "dim_usuario": build_dim_usuario,
+        "dim_almacen": build_dim_almacen,
+        "dim_proveedor": build_dim_proveedor,
+        "dim_cuenta_contable": build_dim_cuenta_contable,
+        "dim_promocion": build_dim_promocion,
+        # facts (SURVEY §2.3 J1/J3/J4, §2.4, §2.5, §2.9)
+        "fact_ventas": fact_ventas,
+        "fact_inventario": build_fact_inventario,
+        "fact_transacciones": fact_transacciones,
+        "fact_balance": fact_balance,
+        "fact_estado_resultados": fact_estado_resultados,
+        # relational operator probes
+        "ventas_daily_summary": ventas_daily_summary,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "discount_order_rollup": discount_order_rollup,
+        "top_discount_line_per_order": top_discount_line_per_order,
+        "dup_grain_check": dup_grain_check,
+        "dedup_lineitem": dedup_lineitem,
+        "fk_orphan_check": fk_orphan_check,
+        "events_tumbling_window": events_tumbling_window,
+        "events_json_stats": events_json_stats,
+        "scalar_showcase": scalar_showcase,
+        "events_validated": events_validated,
+        # north-star: text analysis / dedup / similarity / multimodal
+        "doc_text_stats": doc_text_stats,
+        "doc_lang_id": doc_lang_id,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_minhash_lsh": doc_minhash_lsh,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_simhash": doc_simhash,
+        "ann_brute_topk": ann_brute_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "emb_near_dup": emb_near_dup,
+        "media_features": media_features,
+    }
+
+
+# --- oracle SQL ------------------------------------------------------------
+
+_SPANISH_DAY_CASE = (
+    "CASE isodow(fecha) WHEN 1 THEN 'Lunes' WHEN 2 THEN 'Martes' WHEN 3 THEN 'Miércoles' "
+    "WHEN 4 THEN 'Jueves' WHEN 5 THEN 'Viernes' WHEN 6 THEN 'Sábado' ELSE 'Domingo' END"
+)
+_SPANISH_MONTH_CASE = (
+    "CASE month(fecha) WHEN 1 THEN 'Enero' WHEN 2 THEN 'Febrero' WHEN 3 THEN 'Marzo' "
+    "WHEN 4 THEN 'Abril' WHEN 5 THEN 'Mayo' WHEN 6 THEN 'Junio' WHEN 7 THEN 'Julio' "
+    "WHEN 8 THEN 'Agosto' WHEN 9 THEN 'Septiembre' WHEN 10 THEN 'Octubre' "
+    "WHEN 11 THEN 'Noviembre' ELSE 'Diciembre' END"
+)
+
+_DIM_PRODUCTO_SQL = f"""
+SELECT CAST(1 AS INT) AS producto_id, CAST(-1 AS BIGINT) AS producto_externo_id,
+       'PRD-00000000' AS codigo, 'Sin Producto' AS nombre, 'Sin Marca' AS marca,
+       'Sin Categoría' AS categoria, CAST(0 AS INT) AS talla,
+       CAST(NULL AS DECIMAL(15,2)) AS precio_base, CAST(NULL AS DECIMAL(15,2)) AS costo_estandar,
+       FALSE AS activo, CAST(NULL AS DECIMAL(10,2)) AS margen_pct
+UNION ALL
+SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY p_partkey) AS INT),
+       p_partkey,
+       'PRD-' || lpad(CAST(p_partkey AS VARCHAR), 8, '0'),
+       COALESCE(NULLIF(TRIM(p_name), ''), 'Producto ' || CAST(p_partkey AS VARCHAR)),
+       string_split(p_brand, '#')[1],
+       COALESCE(p_type, 'Sin Categoría'),
+       p_size,
+       {_r2("p_retailprice")},
+       {_r2("p_retailprice * 0.4")},
+       TRUE,
+       {"CAST(FLOOR(((CAST(" + _r2("p_retailprice") + " AS DOUBLE) - CAST(" + _r2("p_retailprice * 0.4") + " AS DOUBLE)) / CAST(" + _r2("p_retailprice") + " AS DOUBLE) * 100) * 100 + 0.5) / 100 AS DECIMAL(10,2))"}
+FROM part
+"""
+
+_DIM_CLIENTE_SQL = f"""
+SELECT CAST(1 AS INT) AS cliente_id, CAST(-1 AS BIGINT) AS cliente_externo_id,
+       'CLI-000000' AS codigo, 'Sin Cliente' AS nombre, 'Sin Segmento' AS segmento,
+       'Sin País' AS pais, CAST(NULL AS DECIMAL(15,2)) AS saldo, FALSE AS activo
+UNION ALL
+SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT),
+       c_custkey,
+       'CLI-' || lpad(CAST(c_custkey AS VARCHAR), 6, '0'),
+       COALESCE(NULLIF(TRIM(c_name), ''), 'Cliente ' || CAST(c_custkey AS VARCHAR)),
+       COALESCE(c_mktsegment, 'Sin Segmento'),
+       COALESCE(n_name, 'Sin País'),
+       {_r2("c_acctbal")},
+       TRUE
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+_DIM_ALMACEN_SQL = """
+SELECT CAST(1 AS INT) AS almacen_id, CAST(-1 AS BIGINT) AS almacen_externo_id,
+       'ALM-0000' AS codigo, 'Sin Almacén' AS nombre, 'Sin País' AS pais, FALSE AS activo
+UNION ALL
+SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY s_suppkey) AS INT),
+       s_suppkey,
+       'ALM-' || lpad(CAST(s_suppkey AS VARCHAR), 4, '0'),
+       COALESCE(NULLIF(TRIM(s_name), ''), 'Almacén ' || CAST(s_suppkey AS VARCHAR)),
+       COALESCE(n_name, 'Sin País'),
+       TRUE
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+"""
+
+# shared fact_ventas oracle (also reused by ventas_daily_summary)
+_FACT_VENTAS_SQL = f"""
+WITH dp AS (
+  SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY p_partkey) AS INT) AS producto_id,
+         p_partkey, {_r2("p_retailprice * 0.4")} AS costo_estandar
+  FROM part
+), dc AS (
+  SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS cliente_id, c_custkey FROM customer
+), da AS (
+  SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY s_suppkey) AS INT) AS almacen_id, s_suppkey FROM supplier
+), grain AS (
+  SELECT l.*, o.o_orderdate, o.o_custkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate IS NOT NULL AND l.l_partkey IS NOT NULL AND l.l_quantity > 0
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY l.l_orderkey, l.l_linenumber
+    ORDER BY l.l_partkey, l.l_suppkey, l.l_quantity, l.l_extendedprice, l.l_discount,
+             l.l_tax, l.l_returnflag, l.l_linestatus, l.l_shipdate
+  ) = 1
+), m AS (
+  SELECT l_orderkey * 10 + l_linenumber AS venta_id,
+         l_orderkey AS orden_id, l_linenumber AS linea,
+         CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS fecha_id,
+         o_custkey, l_partkey, l_suppkey,
+         {_r2("l_quantity")} AS cantidad,
+         {_r2("l_extendedprice / l_quantity")} AS precio_unitario,
+         {_r2("l_extendedprice")} AS subtotal_bruto,
+         {_r2("l_extendedprice * l_discount")} AS descuento
+  FROM grain
+), m2 AS (
+  SELECT *, subtotal_bruto - descuento AS subtotal_con_iva FROM m
+), m3 AS (
+  SELECT *, {_r2("CAST(subtotal_con_iva AS DOUBLE) / 1.13")} AS subtotal FROM m2
+), m4 AS (
+  SELECT *, subtotal_con_iva - subtotal AS impuesto FROM m3
+), joined AS (
+  SELECT m4.*, COALESCE(dc.cliente_id, 1) AS cliente_id, COALESCE(dp.producto_id, 1) AS producto_id,
+         COALESCE(da.almacen_id, 1) AS almacen_id,
+         {_r2("COALESCE(CAST(dp.costo_estandar AS DOUBLE), 0) * CAST(m4.cantidad AS DOUBLE)")} AS costo_total
+  FROM m4
+  LEFT JOIN dc ON m4.o_custkey = dc.c_custkey
+  LEFT JOIN dp ON m4.l_partkey = dp.p_partkey
+  LEFT JOIN da ON m4.l_suppkey = da.s_suppkey
+)
+SELECT venta_id, orden_id, linea, fecha_id, cliente_id, producto_id, almacen_id,
+       CASE WHEN impuesto > 0 THEN 1 ELSE 3 END AS impuesto_id,
+       CAST(cantidad AS DECIMAL(10,2)) AS cantidad,
+       CAST(precio_unitario AS DECIMAL(15,2)) AS precio_unitario,
+       CAST(subtotal_bruto AS DECIMAL(15,2)) AS subtotal_bruto,
+       CAST(descuento AS DECIMAL(15,2)) AS descuento,
+       CAST(subtotal AS DECIMAL(15,2)) AS subtotal,
+       CAST(impuesto AS DECIMAL(15,2)) AS impuesto,
+       CAST(subtotal_con_iva AS DECIMAL(15,2)) AS total,
+       CAST(costo_total AS DECIMAL(15,2)) AS costo_total,
+       CAST(subtotal - costo_total AS DECIMAL(15,2)) AS margen
+FROM joined
+"""
+
+# shared journal oracle (fact_transacciones; reused by balance / P&L)
+_JOURNAL_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS orden_id,
+         'AST-' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS numero_asiento,
+         CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS fecha_id,
+         {_r2("o_totalprice")} AS total
+  FROM orders
+), b2 AS (
+  SELECT *, {_r2("CAST(total AS DOUBLE) / 1.13")} AS subtotal FROM base
+), b3 AS (
+  SELECT *, total - subtotal AS iva, {_r2("CAST(subtotal AS DOUBLE) * 0.4")} AS costo FROM b2
+), entries AS (
+  SELECT orden_id, numero_asiento, fecha_id, 1102 AS cuenta_id, 'DEBITO' AS tipo_movimiento,
+         CAST(total AS DECIMAL(15,2)) AS monto, 'Cobro de venta' AS descripcion FROM b3
+   WHERE CAST(total AS DECIMAL(15,2)) > 0
+  UNION ALL
+  SELECT orden_id, numero_asiento, fecha_id, 4101, 'CREDITO',
+         CAST(subtotal AS DECIMAL(15,2)), 'Venta de mercadería' FROM b3
+   WHERE CAST(subtotal AS DECIMAL(15,2)) > 0
+  UNION ALL
+  SELECT orden_id, numero_asiento, fecha_id, 2102, 'CREDITO',
+         CAST(iva AS DECIMAL(15,2)), 'IVA débito fiscal' FROM b3
+   WHERE CAST(iva AS DECIMAL(15,2)) > 0
+  UNION ALL
+  SELECT orden_id, numero_asiento, fecha_id, 5101, 'DEBITO',
+         CAST(costo AS DECIMAL(15,2)), 'Costo de ventas' FROM b3
+   WHERE CAST(costo AS DECIMAL(15,2)) > 0
+  UNION ALL
+  SELECT orden_id, numero_asiento, fecha_id, 1103, 'CREDITO',
+         CAST(costo AS DECIMAL(15,2)), 'Salida de inventario' FROM b3
+   WHERE CAST(costo AS DECIMAL(15,2)) > 0
+)
+SELECT orden_id, numero_asiento, fecha_id,
+       CAST(FLOOR(fecha_id / 100) AS INT) AS periodo_id,
+       cuenta_id, tipo_movimiento, monto, descripcion
+FROM entries
+"""
+
+_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+_SHINGLES = f"""
+CASE WHEN len({_TOKENS}) >= 3
+     THEN list_distinct([array_to_string(({_TOKENS})[j:j+2], ' ') FOR j IN generate_series(1, len({_TOKENS}) - 2)])
+     ELSE [array_to_string({_TOKENS}, ' ')]
+END
+"""
+
+_QUANT_VEC = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+
+def _cosine_sql(qa: str, ca: str) -> str:
+    dot = f"CAST(list_sum(list_transform(generate_series(1, 64), i -> {qa}[i] * {ca}[i])) AS DOUBLE)"
+    na = f"CAST(list_sum(list_transform(generate_series(1, 64), i -> {qa}[i] * {qa}[i])) AS DOUBLE)"
+    nb = f"CAST(list_sum(list_transform(generate_series(1, 64), i -> {ca}[i] * {ca}[i])) AS DOUBLE)"
+    return _r6(f"{dot} / sqrt({na} * {nb})")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = {
+        "en": ["the", "and", "of", "to", "is", "with"],
+        "es": ["el", "la", "los", "de", "que", "y"],
+        "fr": ["le", "les", "des", "et", "est", "une"],
+        "de": ["der", "die", "das", "und", "ist", "ein"],
+    }
+
+    def marker_count(words: list[str]) -> str:
+        in_list = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter({_TOKENS}, t -> t IN ({in_list})))"
+
+    lang_scores = {lang: marker_count(words) for lang, words in langs.items()}
+    best = f"greatest({lang_scores['en']}, {lang_scores['es']}, {lang_scores['fr']}, {lang_scores['de']})"
+    lang_case = (
+        f"CASE WHEN {best} > 0 AND {lang_scores['en']} = {best} THEN 'en' "
+        f"WHEN {best} > 0 AND {lang_scores['es']} = {best} THEN 'es' "
+        f"WHEN {best} > 0 AND {lang_scores['fr']} = {best} THEN 'fr' "
+        f"WHEN {best} > 0 AND {lang_scores['de']} = {best} THEN 'de' "
+        f"ELSE 'und' END"
+    )
+
+    stop_en = ", ".join(f"'{w}'" for w in ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"])
+    punct_raw = "CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"
+    alpha_raw = "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)"
+    n_tok = f"len({_TOKENS})"
+    quality = (
+        f"(least(CAST({n_tok} AS DOUBLE) / 64.0, 1.0) "
+        f"+ (1.0 - least(({punct_raw}) * 5.0, 1.0)) "
+        f"+ ({alpha_raw})) / 3.0"
+    )
+    bpe = (
+        "CAST(ceil(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / 4) "
+        "+ length(regexp_replace(text, '[^0-9]', '', 'g')) "
+        "+ length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT)"
+    )
+    fingerprint = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+
+    return {
+        "dim_fecha": f"""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2005-12-31', INTERVAL 1 DAY)) AS DATE) AS fecha
+)
+SELECT CAST(strftime(fecha, '%Y%m%d') AS INT) AS fecha_id, fecha,
+       CAST(year(fecha) AS INT) AS anio, CAST(month(fecha) AS INT) AS mes,
+       CAST(day(fecha) AS INT) AS dia, CAST(quarter(fecha) AS INT) AS trimestre,
+       CAST(weekofyear(fecha) AS INT) AS semana, CAST(isodow(fecha) AS INT) AS dia_semana,
+       {_SPANISH_DAY_CASE} AS nombre_dia, {_SPANISH_MONTH_CASE} AS nombre_mes,
+       isodow(fecha) IN (6, 7) AS es_fin_semana
+FROM days
+""",
+        "dim_producto": _DIM_PRODUCTO_SQL,
+        "dim_cliente": _DIM_CLIENTE_SQL,
+        "dim_usuario": """
+SELECT CAST(1 AS INT) AS usuario_id, CAST(-1 AS BIGINT) AS usuario_externo_id,
+       'sin_usuario' AS username, 'sin_usuario@puntafina.sv' AS email, 'Sin Usuario' AS nombre_completo
+UNION ALL
+SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY user_id) AS INT), user_id,
+       'user' || CAST(user_id AS VARCHAR),
+       'user' || CAST(user_id AS VARCHAR) || '@puntafina.sv',
+       'user' || CAST(user_id AS VARCHAR)
+FROM (SELECT DISTINCT user_id FROM events)
+""",
+        "dim_almacen": _DIM_ALMACEN_SQL,
+        "dim_proveedor": f"""
+SELECT CAST(1 AS INT) AS proveedor_id, CAST(-1 AS BIGINT) AS proveedor_externo_id,
+       'PROV-0000' AS codigo, 'Sin Proveedor' AS nombre, 'Sin País' AS pais,
+       'Sin Región' AS region, CAST(NULL AS DECIMAL(15,2)) AS saldo, FALSE AS activo
+UNION ALL
+SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY s_suppkey) AS INT),
+       s_suppkey,
+       'PROV-' || lpad(CAST(s_suppkey AS VARCHAR), 4, '0'),
+       COALESCE(NULLIF(TRIM(s_name), ''), 'Proveedor ' || CAST(s_suppkey AS VARCHAR)),
+       COALESCE(n_name, 'Sin País'),
+       COALESCE(r_name, 'Sin Región'),
+       {_r2("s_acctbal")},
+       TRUE
+FROM supplier
+LEFT JOIN nation ON s_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+""",
+        "dim_cuenta_contable": """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), CAST(0 AS INT), 'Sin Cuenta', 'na', 'na', FALSE),
+  (2, 1102, 'Bancos', 'activo', 'deudora', TRUE),
+  (3, 1103, 'Inventario', 'activo', 'deudora', TRUE),
+  (4, 2102, 'IVA por Pagar', 'pasivo', 'acreedora', TRUE),
+  (5, 4101, 'Ventas', 'ingreso', 'acreedora', TRUE),
+  (6, 5101, 'Costo de Ventas', 'costo', 'deudora', TRUE),
+  (7, 6101, 'Gastos de Operación', 'gasto', 'deudora', TRUE)
+) AS t(cuenta_id, codigo, nombre, tipo_cuenta, naturaleza, activa)
+""",
+        "dim_promocion": """
+WITH promos AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS INT) AS promo_k
+  FROM events
+  WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
+)
+SELECT CAST(1 AS INT) AS promocion_id, CAST(-1 AS INT) AS promo_externo_id,
+       'PROMO-0000' AS codigo, 'Sin Promoción' AS nombre, FALSE AS usa_cupones
+UNION ALL
+SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY promo_k) AS INT), promo_k,
+       'PROMO-' || lpad(CAST(promo_k AS VARCHAR), 4, '0'),
+       'Promoción ' || CAST(promo_k AS VARCHAR), TRUE
+FROM promos
+""",
+        "fact_ventas": _FACT_VENTAS_SQL,
+        "fact_inventario": f"""
+WITH m AS (
+  SELECT event_id AS movimiento_id,
+         CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS INT) AS fecha_id,
+         user_id AS usuario_externo_id,
+         event_type AS tipo_movimiento,
+         CAST(CASE WHEN event_type IN ('purchase', 'signup') THEN {_r2("value")}
+                   ELSE -{_r2("value")} END AS DECIMAL(15,2)) AS cantidad
+  FROM events
+), w AS (
+  SELECT *, SUM(cantidad) OVER (
+           PARTITION BY usuario_externo_id ORDER BY fecha_id, movimiento_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stock_resultante
+  FROM m
+)
+SELECT movimiento_id, fecha_id, usuario_externo_id, tipo_movimiento, cantidad,
+       CAST(COALESCE(LAG(stock_resultante) OVER (
+              PARTITION BY usuario_externo_id ORDER BY fecha_id, movimiento_id), 0) AS DECIMAL(15,2)) AS stock_anterior,
+       CAST(stock_resultante AS DECIMAL(15,2)) AS stock_resultante
+FROM w
+""",
+        "fact_transacciones": _JOURNAL_SQL,
+        "fact_balance": f"""
+WITH journal AS ({_JOURNAL_SQL}),
+rolled AS (
+  SELECT periodo_id, cuenta_id,
+         SUM(CASE WHEN tipo_movimiento = 'DEBITO' THEN monto ELSE 0 END) AS debitos,
+         SUM(CASE WHEN tipo_movimiento = 'CREDITO' THEN monto ELSE 0 END) AS creditos
+  FROM journal GROUP BY periodo_id, cuenta_id
+), signed AS (
+  SELECT *, CASE WHEN cuenta_id IN (2102, 4101) THEN creditos - debitos
+                 ELSE debitos - creditos END AS movimiento_neto
+  FROM rolled
+), run AS (
+  SELECT *, SUM(movimiento_neto) OVER (
+           PARTITION BY cuenta_id ORDER BY periodo_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS saldo_final
+  FROM signed
+)
+SELECT periodo_id, cuenta_id,
+       CAST(debitos AS DECIMAL(15,2)) AS debitos,
+       CAST(creditos AS DECIMAL(15,2)) AS creditos,
+       CAST(movimiento_neto AS DECIMAL(15,2)) AS movimiento_neto,
+       CAST(COALESCE(LAG(saldo_final) OVER (PARTITION BY cuenta_id ORDER BY periodo_id), 0) AS DECIMAL(15,2)) AS saldo_inicial,
+       CAST(saldo_final AS DECIMAL(15,2)) AS saldo_final
+FROM run
+""",
+        "fact_estado_resultados": f"""
+WITH journal AS ({_JOURNAL_SQL}),
+classified AS (
+  SELECT *, CASE substr(CAST(cuenta_id AS VARCHAR), 1, 1)
+              WHEN '4' THEN 'ingreso' WHEN '5' THEN 'costo' WHEN '6' THEN 'gasto' END AS tipo_cuenta
+  FROM journal
+  WHERE substr(CAST(cuenta_id AS VARCHAR), 1, 1) IN ('4', '5', '6')
+), signed AS (
+  SELECT *, CASE WHEN tipo_cuenta = 'ingreso'
+                 THEN CASE WHEN tipo_movimiento = 'CREDITO' THEN monto ELSE -monto END
+                 ELSE CASE WHEN tipo_movimiento = 'DEBITO' THEN monto ELSE -monto END
+            END AS monto_clasificado
+  FROM classified
+), pivoted AS (
+  SELECT periodo_id,
+         SUM(CASE WHEN tipo_cuenta = 'ingreso' THEN monto_clasificado ELSE 0 END) AS ingresos,
+         SUM(CASE WHEN tipo_cuenta = 'costo' THEN monto_clasificado ELSE 0 END) AS costos,
+         SUM(CASE WHEN tipo_cuenta = 'gasto' THEN monto_clasificado ELSE 0 END) AS gastos
+  FROM signed GROUP BY periodo_id
+)
+SELECT periodo_id,
+       CAST(ingresos AS DECIMAL(15,2)) AS ingresos,
+       CAST(costos AS DECIMAL(15,2)) AS costos,
+       CAST(gastos AS DECIMAL(15,2)) AS gastos,
+       CAST(ingresos - costos AS DECIMAL(15,2)) AS utilidad_bruta,
+       CAST(ingresos - costos - gastos AS DECIMAL(15,2)) AS utilidad_neta
+FROM pivoted
+WHERE ingresos <> 0 OR costos <> 0 OR gastos <> 0
+""",
+        "ventas_daily_summary": f"""
+WITH fact_ventas AS ({_FACT_VENTAS_SQL})
+SELECT fecha_id,
+       CAST(SUM(subtotal) AS DECIMAL(18,2)) AS subtotal_total,
+       CAST(SUM(descuento) AS DECIMAL(18,2)) AS descuento_total,
+       COUNT(*) AS n_lineas,
+       COUNT(DISTINCT orden_id) AS n_ordenes
+FROM fact_ventas GROUP BY fecha_id
+""",
+        "lineitem_pricing_summary": f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM({_r2("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(SUM({_r2("l_extendedprice")}) AS DECIMAL(18,2)) AS sum_base_price,
+         CAST(SUM({_r2("l_extendedprice * (1 - l_discount)")}) AS DECIMAL(18,2)) AS sum_disc_price,
+         CAST(SUM({_r2("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS DECIMAL(18,2)) AS sum_charge,
+         COUNT(*) AS n_rows
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT *, {_r2("CAST(sum_qty AS DOUBLE) / n_rows")} AS avg_qty,
+       {_r2("CAST(sum_base_price AS DOUBLE) / n_rows")} AS avg_price
+FROM agg
+""",
+        "discount_order_rollup": f"""
+WITH per_order AS (
+  SELECT l_orderkey, CAST(SUM({_r2("l_extendedprice * l_discount")}) AS DECIMAL(18,2)) AS descuento_total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey AS orden_id, {_r2("o_totalprice")} AS total,
+       COALESCE(descuento_total, CAST(0 AS DECIMAL(18,2))) AS descuento_total
+FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+""",
+        "top_discount_line_per_order": f"""
+SELECT l_orderkey AS orden_id, l_linenumber AS linea, l_partkey AS producto_externo_id,
+       {_r2("l_extendedprice * l_discount")} AS descuento
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY l_orderkey
+  ORDER BY {_r2("l_extendedprice * l_discount")} DESC, l_linenumber, l_partkey, l_suppkey,
+           l_extendedprice, l_shipdate
+) = 1
+""",
+        "dup_grain_check": """
+SELECT l_orderkey AS orden_id, l_linenumber AS linea, COUNT(*) AS n
+FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+""",
+        "dedup_lineitem": f"""
+SELECT l_orderkey AS orden_id, l_linenumber AS linea, l_partkey AS producto_externo_id,
+       {_r2("l_quantity")} AS cantidad, {_r2("l_extendedprice")} AS precio
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY l_orderkey, l_linenumber
+  ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax,
+           l_returnflag, l_linestatus, l_shipdate
+) = 1
+""",
+        "fk_orphan_check": """
+SELECT 'lineitem.l_partkey->part' AS fk,
+       (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL
+         AND l_partkey NOT IN (SELECT p_partkey FROM part)) AS orphans
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+         AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+""",
+        "events_tumbling_window": f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM({_r2("value")}) AS DECIMAL(18,2)) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "events_json_stats": """
+WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM e GROUP BY event_type
+""",
+        "scalar_showcase": """
+SELECT p_partkey,
+       'PRD-' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS codigo,
+       string_split(p_name, ' ')[1] AS primera_palabra,
+       CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS marca_num,
+       contains(upper(p_type), 'BRASS') AS es_brass,
+       upper(trim(p_type)) AS tipo_norm,
+       CASE WHEN p_size >= 30 THEN 'grande' WHEN p_size >= 15 THEN 'mediano' ELSE 'pequeño' END AS clase_talla,
+       'P' || lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS codigo_fmt
+FROM part
+""",
+        "events_validated": """
+SELECT event_id,
+       CAST(COALESCE(user_id, -1) AS BIGINT) AS user_id,
+       COALESCE(event_type, 'unknown') AS event_type,
+       LEAST(GREATEST(value, 0.0), 250.0) AS value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY event_id) = 1
+""",
+        "doc_text_stats": f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_calc,
+       CAST({n_tok} AS INT) AS n_tokens,
+       {bpe} AS n_bpe_tokens,
+       {_r6(punct_raw)} AS punct_ratio,
+       {_r6(f"CAST(len(list_filter({_TOKENS}, t -> t IN ({stop_en}))) AS DOUBLE) / greatest({n_tok}, 1)")} AS stopword_ratio,
+       {_r6(quality)} AS quality,
+       {fingerprint} AS fingerprint
+FROM documents
+""",
+        "doc_lang_id": f"""
+SELECT doc_id, lang, {lang_case} AS lang_pred FROM documents
+""",
+        "doc_exact_dedup": """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+        "doc_minhash_lsh": f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+  FROM sh CROSS JOIN range(12) t(i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(i / 3) AS INT) AS band, string_agg(h, '|' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, CAST(FLOOR(i / 3) AS INT)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+        "doc_ngram_jaccard": f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} >= 0.2
+""",
+        "doc_simhash": """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, substr(md5(tok), 1, 8) AS hx FROM toks
+), votes AS (
+  SELECT doc_id, j,
+         SUM(((strpos('0123456789abcdef', substr(hx, CAST(FLOOR(j / 4) AS INT) + 1, 1)) - 1)
+              >> (3 - (j % 4))) % 2 * 2 - 1) AS vote
+  FROM h CROSS JOIN range(32) t(j)
+  GROUP BY doc_id, j
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+""",
+        "ann_brute_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_QUANT_VEC} AS qv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, {_QUANT_VEC} AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_cosine_sql("q.qv", "c.cv")} AS cosine
+  FROM q, c WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "ann_ivf_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_QUANT_VEC} AS qv,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, {_QUANT_VEC} AS cv,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_cosine_sql("q.qv", "c.cv")} AS cosine
+  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "emb_near_dup": f"""
+WITH p AS (
+  SELECT vec_id, {_QUANT_VEC} AS qv,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql("a.qv", "b.qv")} AS cosine
+FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cosine_sql("a.qv", "b.qv")} >= 0.8
+""",
+        "media_features": """
+SELECT doc_id AS asset_id, 'image' AS modality,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN strlen(text) >= 4
+                 THEN ascii(substr(text, 1, 1)) * 16777216 + ascii(substr(text, 2, 1)) * 65536
+                      + ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1))
+                 ELSE 0 END AS BIGINT) AS header_word,
+       CAST(list_sum(list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))) % 1000000007 AS BIGINT) AS checksum
+FROM documents
+""",
+    }

@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect). Session startup is excluded — the reference baseline
+(BASELINE.md: 71-81 s for ~1.13M DW rows, pandas) measures transform
+time, not interpreter boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "fact_ventas",
+    "ventas_daily_summary",
+    "fact_inventario",
+    "fact_transacciones",
+    "fact_balance",
+    "fact_estado_resultados",
+    "lineitem_pricing_summary",
+    "top_discount_line_per_order",
+    "dedup_lineitem",
+    "events_tumbling_window",
+    "doc_text_stats",
+    "doc_exact_dedup",
+    "doc_minhash_lsh",
+    "ann_brute_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from data_warehouse_punta_fina_spark import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + file listing outside the measured window
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

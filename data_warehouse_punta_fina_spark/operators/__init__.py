@@ -1,0 +1,29 @@
+from data_warehouse_punta_fina_spark.operators.dedup import (  # noqa: F401
+    dedupe_by_grain,
+    duplicate_count,
+    duplicate_groups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from data_warehouse_punta_fina_spark.operators.journal import explode_journal_entries  # noqa: F401
+from data_warehouse_punta_fina_spark.operators.pivots import (  # noqa: F401
+    conditional_sum,
+    debit_credit_rollup,
+    pivot_sum,
+)
+from data_warehouse_punta_fina_spark.operators.sk_lookup import scalar_lookup, sk_lookup  # noqa: F401
+from data_warehouse_punta_fina_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    sign_bucket,
+)
+from data_warehouse_punta_fina_spark.operators.windows import (  # noqa: F401
+    lag_prev,
+    partitioned_sequential_id,
+    running_total,
+    sequential_id,
+    top_n_per_group,
+)

@@ -1,0 +1,189 @@
+"""Deduplication operators.
+
+Covers the reference's ``drop_duplicates(keep='first')`` family (SURVEY.md
+§2.7 U2, §2.4 A8/A10) plus the north-star large-scale dedup suite (exact
+hash, MinHash+LSH, SimHash, n-gram Jaccard) used by training-data
+pipelines. All are expressed as shuffles on content keys — the natural
+scale-out shape — never driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_punta_fina_spark.functions.text import tokens, word_shingles
+
+
+def dedupe_by_grain(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """Deterministic keep-first dedup: the reference's pandas
+    ``drop_duplicates(subset=keys, keep='first')`` follows its extraction
+    ``ORDER BY id`` (`complete_fact_builder.py:241`); Spark's dropDuplicates
+    keeps an arbitrary row, so we pin the survivor with row_number over an
+    explicit order (SURVEY.md §7.4)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def duplicate_groups(df: DataFrame, keys: list[str]) -> DataFrame:
+    """HAVING COUNT(*)>1 duplicate detection (A8: `main.py:839-867`)."""
+    return df.groupBy(*keys).agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+
+
+def duplicate_count(df: DataFrame, keys: list[str]) -> int:
+    """`duplicated().sum()` equivalent (A10: `complete_fact_builder.py:236-242`)."""
+    total = df.count()
+    distinct = df.select(*keys).distinct().count()
+    return total - distinct
+
+
+# ---------------------------------------------------------------------------
+# Large-scale text dedup (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate clustering by content hash: one row per distinct
+    text with the canonical (min) id and the duplicate count. A single
+    hash-shuffle on md5(text) — at 100 TB this is the cheapest possible
+    grouping key (16 bytes) vs shuffling full documents."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature columns h0..h{k-1}.
+
+    min(md5(salt_i || shingle)) is the permutation proxy: md5 is universal
+    (engine-portable oracle) and the min is a plain aggregate. Shape:
+    explode shingles (map) → groupBy doc (shuffle on doc id with map-side
+    combine) — each md5 is computed exactly once, unlike a per-row
+    array<min> expression which re-evaluates the shingle pipeline per hash.
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH.
+
+    Pipeline shape (the standard scale-out design): signature (map +
+    combine-agg) → explode to ``bands`` band keys (map) → self-join on
+    band key (shuffle on small string keys) → distinct pairs. Full
+    documents are never shuffled; only (band_key, id). Returns
+    (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Inverted-index join: explode distinct shingles → self-join on shingle
+    → count common shingles per pair → Jaccard = common/(|A|+|B|-common).
+    The shuffle key is the shingle string; hot shingles fan out, so at
+    scale this is used AFTER LSH candidate generation (compose with
+    :func:`minhash_lsh_pairs`) — standalone it is the exact oracle.
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint (default 32 bits for portable arithmetic).
+
+    Per token, md5 hex chars supply the bit source; each bit votes ±1;
+    the sign of the vote sum sets the fingerprint bit. Pure map-side —
+    one pass, no shuffle. Near-dup candidates = fingerprints grouped by
+    rotated prefixes (not included here; compose with groupBy on
+    ``simhash`` bands)."""
+    hex_chars = bits // 4
+    toks = tokens(text_col)
+    hashed = F.transform(toks, lambda t: F.substring(F.md5(t), 1, hex_chars))
+    digits = "0123456789abcdef"
+
+    def vote_for_bit(j: int) -> Column:
+        # hex char at position j//4, bit j%4 within it; each occurrence votes ±1
+        def step(acc: Column, hx: Column) -> Column:
+            ch = F.substring(hx, j // 4 + 1, 1)
+            val = F.instr(F.lit(digits), ch) - 1
+            bit = F.shiftright(val, 3 - (j % 4)) % 2
+            return acc + (bit * 2 - 1)
+
+        return F.aggregate(hashed, F.lit(0).cast("long"), step)
+
+    fingerprint = F.lit(0).cast("long")
+    for j in range(bits):
+        votes = vote_for_bit(j)
+        fingerprint = fingerprint + F.when(votes > 0, F.lit(1 << (bits - 1 - j)).cast("long")).otherwise(F.lit(0))
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (north-star extensions).
+
+Two tiers, matching how a 100 TB corpus is actually searched:
+
+- :func:`brute_force_topk` — exact cosine top-k. O(|Q|·|N|) pairs; fine
+  when the query set is small (broadcast) even if the corpus is huge:
+  the corpus is scanned once, map-side, and only the per-partition top-k
+  survive the shuffle (window over small candidate set).
+- :func:`ivf_topk` — IVF/LSH-bucketed approximate search: vectors are
+  assigned to a coarse bucket (sign-bit code over leading dims); search
+  touches only the query's bucket. Recall < 1.0, cost ~1/2^bits.
+
+All arithmetic uses the quantized-int scheme from functions/vectors.py so
+results are deterministic under any partitioning (see that module's note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_punta_fina_spark.functions.vectors import cosine_q, norm_sq_q, quantize
+
+
+def _prepare(df: DataFrame, id_col: str, vec_col: str, bucket_bits: int | None = None) -> DataFrame:
+    """One projection: quantized vector + squared norm (+ optional coarse
+    bucket) — computed together so later stages never re-touch the raw
+    embedding column."""
+    q = quantize(vec_col)
+    cols = [F.col(id_col), q.alias("qvec"), norm_sq_q(q).alias("nsq")]
+    if bucket_bits is not None:
+        cols.append(sign_bucket(vec_col, bucket_bits).alias("bucket"))
+    return df.select(*cols)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for every row of ``queries``.
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches excluded.
+    The small side (queries) is broadcast; the corpus is never shuffled
+    until the per-query candidate reduction.
+    """
+    qid = query_id_col or id_col
+    c = _prepare(corpus, id_col, vec_col).alias("c")
+    q = _prepare(queries, qid, vec_col).withColumnRenamed(qid, "query_id").alias("q")
+    pairs = c.join(F.broadcast(q), F.col(f"c.{id_col}") != F.col("query_id"))
+    scored = pairs.select(
+        F.col("query_id"),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        cosine_q(F.col("q.qvec"), F.col("c.qvec"), F.col("q.nsq"), F.col("c.nsq")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sign_bucket(vec_col: Column | str, bits: int = 4) -> Column:
+    """Coarse LSH bucket id: sign bits of the first ``bits`` components.
+    A stand-in for trained IVF centroids that stays deterministic and
+    engine-portable; 2^bits buckets."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(v.getItem(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's coarse bucket.
+
+    At scale the corpus is written bucketed/partitioned by ``bucket`` so a
+    query probes one partition (partition pruning) instead of the full
+    scan — the IVF index pattern expressed relationally.
+    """
+    c = _prepare(corpus, id_col, vec_col, bucket_bits=bits).alias("c")
+    q = (
+        _prepare(queries, id_col, vec_col, bucket_bits=bits)
+        .withColumnRenamed(id_col, "query_id")
+        .alias("q")
+    )
+    pairs = c.join(F.broadcast(q), (F.col("c.bucket") == F.col("q.bucket")) & (F.col(f"c.{id_col}") != F.col("query_id")))
+    scored = pairs.select(
+        F.col("query_id"),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        cosine_q(F.col("q.qvec"), F.col("c.qvec"), F.col("q.nsq"), F.col("c.nsq")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+) -> DataFrame:
+    """Near-duplicate detection by embedding cosine ≥ threshold, bucketed
+    by the coarse code so the self-join is block-diagonal rather than a
+    full cross product (the standard blocking trick for pairwise dedup)."""
+    p = _prepare(df, id_col, vec_col, bucket_bits=bits)
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_q(F.col("a.qvec"), F.col("b.qvec"), F.col("a.nsq"), F.col("b.nsq")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,92 @@
+"""Window/analytic operators (reference SURVEY.md §2.5 W1-W4).
+
+All windows are partitioned by a business key, so at 100 TB each group is
+small and the shuffle is a standard hash repartition on the key — no
+global sort. The one exception, dense global id assignment, is documented
+on :func:`sequential_id`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_total(
+    df: DataFrame,
+    value: str,
+    partition_by: str | list[str],
+    order_by: str | list[str],
+    out: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum per group (W1: `complete_fact_builder.py:941-947` —
+    cumulative account balance)."""
+    pb = [partition_by] if isinstance(partition_by, str) else partition_by
+    ob = [order_by] if isinstance(order_by, str) else order_by
+    w = Window.partitionBy(*pb).orderBy(*ob).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out, F.sum(value).over(w))
+
+
+def lag_prev(
+    df: DataFrame,
+    value: str,
+    partition_by: str | list[str],
+    order_by: str | list[str],
+    default: float = 0,
+    out: str = "prev",
+) -> DataFrame:
+    """Prior-row value per group with default (W2:
+    `complete_fact_builder.py:948` — prior-period closing balance)."""
+    pb = [partition_by] if isinstance(partition_by, str) else partition_by
+    ob = [order_by] if isinstance(order_by, str) else order_by
+    w = Window.partitionBy(*pb).orderBy(*ob)
+    return df.withColumn(out, F.lag(value, 1, default).over(w))
+
+
+def top_n_per_group(
+    df: DataFrame,
+    partition_by: str | list[str],
+    order_by: list[Column],
+    n: int = 1,
+    rank_col: str = "_rn",
+) -> DataFrame:
+    """Top-N per group via row_number (W3: the reference's
+    ``SELECT DISTINCT ON (line_item_id) ... ORDER BY amount DESC``,
+    `complete_fact_builder.py:272-280`). Pass a deterministic tie-break in
+    ``order_by`` (e.g. the natural id) for reproducible output."""
+    pb = [partition_by] if isinstance(partition_by, str) else partition_by
+    w = Window.partitionBy(*pb).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n).drop(rank_col)
+
+
+def sequential_id(
+    df: DataFrame,
+    order_by: str | list[str],
+    out: str = "id",
+    start: int = 1,
+) -> DataFrame:
+    """Dense sequential ids 1..n ordered by a natural key (W4: reference
+    `df.insert(0, 'line_item_id', range(1, len(df)+1))`,
+    `complete_dimension_builder.py:560-561`).
+
+    Scale note: a global row_number funnels through one partition — fine
+    for dimension tables (≤ millions of rows). For 100 TB facts prefer
+    :func:`partitioned_sequential_id`, which computes per-partition counts
+    and offsets (two passes, no single-partition bottleneck), or drop the
+    density requirement and use ``monotonically_increasing_id``.
+    """
+    ob = [order_by] if isinstance(order_by, str) else order_by
+    w = Window.orderBy(*ob)
+    return df.withColumn(out, F.row_number().over(w) + F.lit(start - 1))
+
+
+def partitioned_sequential_id(df: DataFrame, out: str = "id", start: int = 1) -> DataFrame:
+    """Dense global ids without a global sort: zipWithIndex semantics via
+    per-partition offsets. Order follows the current partition layout (not
+    a business key) — use when density matters but a specific order does
+    not. Scales linearly: one count per partition + one map."""
+    spark = df.sparkSession
+    rdd = df.rdd.zipWithIndex()
+    new_schema = df.schema.add(out, "long")
+    out_rdd = rdd.map(lambda pair: (*pair[0], pair[1] + start))
+    return spark.createDataFrame(out_rdd, new_schema)

@@ -1,0 +1,17 @@
+from data_warehouse_punta_fina_spark.sources.readers import (  # noqa: F401
+    load_all_tables,
+    load_table,
+    read_csv,
+    read_jdbc,
+    read_parquet,
+)
+from data_warehouse_punta_fina_spark.sources.generators import (  # noqa: F401
+    date_range_source,
+    literal_table,
+    monthly_periods,
+)
+from data_warehouse_punta_fina_spark.sources.writers import (  # noqa: F401
+    write_csv,
+    write_jdbc,
+    write_parquet,
+)

@@ -1,0 +1,120 @@
+"""Schema-enforced readers (reference SURVEY.md §2.1 S1-S6).
+
+The reference reads PostgreSQL with psycopg2 (`extractors/database_extractor.py:23-110`)
+and CSV with pandas (`extractors/csv_extractor.py:22-68`). Here every source
+is declarative: Catalyst pushes filters/projections into the scan (JDBC
+pushdown, Parquet predicate pushdown + column pruning), which covers the
+reference's hand-written WHERE/column-list SQL (S2/S3) for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_warehouse_punta_fina_spark.schemas import SOURCE_SCHEMAS, TABLE_NAMES
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Parquet scan (S6). Schema optional — parquet is self-describing."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan (S4/S5). Prefer an explicit schema; inference is a 2nd full scan.
+
+    Large files are split across partitions natively
+    (``spark.sql.files.maxPartitionBytes``), which replaces the reference's
+    chunked ``pd.read_csv(chunksize=...)`` loop (`core/batch_processor.py:345-354`).
+    """
+    reader = spark.read.option("header", str(header).lower()).option("encoding", "UTF-8")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan (S1-S3). Filters/projections push down to the database.
+
+    ``partition_column`` + bounds gives a parallel read (the reference reads
+    single-threaded; on a cluster a single-connection JDBC read is the
+    bottleneck, so bound-partitioned reads are the default posture).
+    """
+    reader = spark.read.format("jdbc").option("url", url)
+    if query is not None:
+        reader = reader.option("query", query)
+    elif table is not None:
+        reader = reader.option("dbtable", table)
+    else:
+        raise ValueError("either table or query is required")
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table with its declared schema.
+
+    The testdata parquet stores timestamps as TIMESTAMP(NANOS), which Spark
+    reads as raw int64 nanos under ``spark.sql.legacy.parquet.nanosAsLong``.
+    Columns declared TimestampType in SOURCE_SCHEMAS are converted here
+    (micros = nanos/1000 — a cheap projection, stays in codegen).
+    """
+    if name not in SOURCE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # runtime-settable SQL conf: required for TIMESTAMP(NANOS) parquet even
+    # when the caller supplies its own SparkSession (e.g. the driver)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    declared = {f.name: f.dataType for f in SOURCE_SCHEMAS[name].fields}
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    fixes = [
+        name_
+        for name_, want in declared.items()
+        if isinstance(want, T.TimestampType) and isinstance(actual.get(name_), T.LongType)
+    ]
+    for c in fixes:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name, df in load_all_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

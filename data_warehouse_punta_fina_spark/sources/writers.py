@@ -1,0 +1,73 @@
+"""Sinks (reference SURVEY.md §2.1 S9-S14).
+
+The reference writes snappy parquet + CSV per table (`main.py:996-1010`)
+and batch-inserts into PostgreSQL with truncate-and-load
+(`loaders/database_loader.py:24-92`). Spark-first equivalents below;
+parquet (optionally partitioned) is the canonical sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink (S9). ``partition_by`` (e.g. ["fecha_id"]) enables
+    partition pruning for date-ranged reads at scale — the reference
+    declared ``enable_partitioning (by fecha)`` but never implemented it
+    (`etl_config.yaml:284-359`)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (S10)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 1000,
+    truncate: bool = False,
+    **options: str,
+) -> None:
+    """JDBC sink (S11/S12). ``mode='overwrite', truncate=True`` reproduces
+    the reference's truncate-and-load strategy; ``batchsize`` maps its
+    ``execute_values(page_size=1000)`` batching (`main.py:414`)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    if truncate:
+        writer = writer.option("truncate", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def idempotent_append_jdbc(
+    df: DataFrame,
+    existing_keys: DataFrame,
+    keys: list[str],
+    url: str,
+    table: str,
+    **options: str,
+) -> None:
+    """Conflict-ignoring insert (S13): Spark JDBC has no ON CONFLICT, so
+    dedupe-before-write via left_anti against the target's current keys
+    (reference `main.py:408-414`)."""
+    fresh = df.join(existing_keys.select(*keys), on=keys, how="left_anti")
+    write_jdbc(fresh, url, table, mode="append", **options)

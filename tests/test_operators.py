@@ -1,0 +1,210 @@
+"""Unit tests for the reusable operator library (SURVEY.md §2 inventory).
+
+Small in-memory DataFrames; every invariant the reference enforces at
+runtime (SURVEY.md §5.2) is asserted here as a first-class test.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+
+def test_sk_lookup_default_member(spark):
+    from data_warehouse_punta_fina_spark.operators.sk_lookup import sk_lookup
+
+    fact = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "id int, nk int")
+    dim = spark.createDataFrame([(2, 10), (3, 20)], "sk int, nk int")
+    out = sk_lookup(fact, dim, "nk", sk="sk").orderBy("id").collect()
+    assert [r["sk"] for r in out] == [2, 3, 1]  # 99 falls back to default member 1
+    assert len(out) == 3  # row count preserved (1:1 join)
+
+
+def test_sk_lookup_preserves_rowcount_on_dup_dim(spark):
+    from data_warehouse_punta_fina_spark.operators.sk_lookup import sk_lookup
+
+    fact = spark.createDataFrame([(1, 10)], "id int, nk int")
+    dim = spark.createDataFrame([(2, 10), (3, 10)], "sk int, nk int")  # dirty dim
+    assert sk_lookup(fact, dim, "nk", sk="sk").count() == 1
+
+
+def test_running_total_and_lag(spark):
+    from data_warehouse_punta_fina_spark.operators.windows import lag_prev, running_total
+
+    df = spark.createDataFrame(
+        [("a", 1, Decimal("10.00")), ("a", 2, Decimal("5.00")), ("b", 1, Decimal("7.00"))],
+        "k string, t int, v decimal(15,2)",
+    )
+    out = running_total(df, "v", "k", "t", out="run")
+    out = lag_prev(out, "run", "k", "t", default=0, out="prev")
+    rows = {(r["k"], r["t"]): (r["run"], r["prev"]) for r in out.collect()}
+    assert rows[("a", 1)] == (Decimal("10.00"), Decimal("0.00"))
+    assert rows[("a", 2)] == (Decimal("15.00"), Decimal("10.00"))
+    assert rows[("b", 1)] == (Decimal("7.00"), Decimal("0.00"))
+
+
+def test_top_n_per_group_deterministic_ties(spark):
+    from data_warehouse_punta_fina_spark.operators.windows import top_n_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 5), ("b", 3, 1)], "k string, id int, v int"
+    )
+    out = top_n_per_group(df, "k", [F.desc("v"), F.asc("id")], n=1)
+    assert {(r["k"], r["id"]) for r in out.collect()} == {("a", 1), ("b", 3)}
+
+
+def test_dedupe_by_grain_keeps_first_by_order(spark):
+    from data_warehouse_punta_fina_spark.operators.dedup import dedupe_by_grain
+
+    df = spark.createDataFrame(
+        [(1, "z", 30), (1, "a", 10), (2, "m", 20)], "k int, payload string, v int"
+    )
+    out = dedupe_by_grain(df, ["k"], [F.asc("payload")])
+    assert {(r["k"], r["payload"]) for r in out.collect()} == {(1, "a"), (2, "m")}
+
+
+def test_journal_explode_double_entry_invariant(spark):
+    """Σ débitos == Σ créditos (reference `complete_fact_builder.py:973-980`)."""
+    from data_warehouse_punta_fina_spark.operators.journal import explode_journal_entries
+
+    base = spark.createDataFrame(
+        [
+            (1, Decimal("113.00"), Decimal("100.00"), Decimal("13.00"), Decimal("40.00")),
+            (2, Decimal("226.00"), Decimal("200.00"), Decimal("26.00"), Decimal("0.00")),
+        ],
+        "orden_id int, total decimal(15,2), subtotal decimal(15,2), iva decimal(15,2), costo decimal(15,2)",
+    )
+    j = explode_journal_entries(base)
+    agg = j.groupBy().agg(
+        F.sum(F.when(F.col("tipo_movimiento") == "DEBITO", F.col("monto")).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("tipo_movimiento") == "CREDITO", F.col("monto")).otherwise(0)).alias("c"),
+    ).collect()[0]
+    assert agg["d"] == agg["c"]
+    # order 1: 5 entries (iva>0, costo>0); order 2: 3 entries (no costo rows... iva only)
+    counts = {r["orden_id"]: r["n"] for r in j.groupBy("orden_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 5, 2: 3}
+
+
+def test_pivot_sum_explicit_values(spark):
+    from data_warehouse_punta_fina_spark.operators.pivots import pivot_sum
+
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "y", 5.0), (2, "x", 1.0)], "g int, p string, v double"
+    )
+    out = pivot_sum(df, ["g"], "p", ["x", "y", "z"], "v")
+    rows = {r["g"]: (r["x"], r["y"], r["z"]) for r in out.collect()}
+    assert rows[1] == (10.0, 5.0, 0.0)
+    assert rows[2] == (1.0, 0.0, 0.0)
+
+
+def test_validate_and_populate_pipeline(spark):
+    from data_warehouse_punta_fina_spark.operators.validation import (
+        ColumnRule,
+        TableRules,
+        validate_and_populate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, 500.0), (1, "b", -3.0), (2, "c", 50.0)], "id int, name string, v double"
+    )
+    rules = TableRules(
+        columns={
+            "id": ColumnRule(type="int", required=True),
+            "name": ColumnRule(type="string", default="unknown"),
+            "v": ColumnRule(type="float", min=0.0, max=100.0),
+            "added_col": ColumnRule(type="string", default="x"),
+        },
+        primary_key=["id"],
+    )
+    clean, report = validate_and_populate(df, rules)
+    rows = {r["id"]: r for r in clean.collect()}
+    assert len(rows) == 2  # PK dedup
+    assert report["rows_deduped"] == 1
+    assert rows[2]["v"] == 50.0
+    assert all(r["added_col"] == "x" for r in rows.values())
+    assert 0.0 <= rows[1]["v"] <= 100.0
+    assert report["structure"]["added_col"] == "added"
+
+
+def test_exact_dedup_clusters(spark):
+    from data_warehouse_punta_fina_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["canonical_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_duplicates(spark):
+    from data_warehouse_punta_fina_spark.operators.dedup import minhash_lsh_pairs
+
+    a = "the quick brown fox jumps over the lazy dog again and again every day"
+    b = a + " tonight"
+    c = "completely different words about spark and large scale data processing here"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact(spark):
+    from data_warehouse_punta_fina_spark.operators.dedup import ngram_jaccard_pairs
+
+    a = "one two three four five"
+    df = spark.createDataFrame([(1, a), (2, a), (3, "unrelated totally other words")], "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert out[(1, 2)] == Decimal("1.000000")
+    assert len(out) == 1
+
+
+def test_brute_force_topk_self_excluded(spark):
+    from data_warehouse_punta_fina_spark.operators.similarity import brute_force_topk
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 1), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [2, 3]
+    assert rows[0]["cosine"] > Decimal("0.99")
+
+
+def test_media_feature_stub_shapes(spark):
+    from data_warehouse_punta_fina_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "abcd"), (2, "")], "doc_id long, text string")
+    out = {r["asset_id"]: r for r in extract_features(media_from_documents(docs)).collect()}
+    assert out[1]["n_bytes"] == 4
+    assert out[1]["header_word"] == int.from_bytes(b"abcd", "big")
+    assert out[2]["n_bytes"] == 0
+
+
+def test_quality_checks(spark):
+    from data_warehouse_punta_fina_spark.operators.quality import (
+        check_double_entry,
+        check_fk_orphans,
+        check_grain_unique,
+    )
+
+    fact = spark.createDataFrame([(1, 10), (2, 10), (3, 99)], "id int, fk int")
+    dim = spark.createDataFrame([(10,), (20,)], "pk int")
+    r = check_fk_orphans(fact, "f", {"fk": (dim, "pk")}).collect()[0]
+    assert r["value"] == 1 and not r["passed"]
+
+    g = check_grain_unique(fact, "f", ["fk"]).collect()[0]
+    assert g["value"] == 1 and not g["passed"]
+
+    j = spark.createDataFrame(
+        [("DEBITO", Decimal("10.00")), ("CREDITO", Decimal("10.00"))],
+        "tipo_movimiento string, monto decimal(15,2)",
+    )
+    d = check_double_entry(j).collect()[0]
+    assert d["passed"]

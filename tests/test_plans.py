@@ -1,0 +1,133 @@
+"""Star-schema plan tests on the sf0.001 testdata: the reference's runtime
+invariants (SURVEY.md §5.2) as assertions over the real builders."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_dim_fecha_shape(spark, sf_dir):
+    from data_warehouse_punta_fina_spark.plans.dims import build_dim_fecha
+
+    df = build_dim_fecha(spark, sf_dir)
+    assert df.count() == 4018  # 1995-01-01..2005-12-31
+    assert df.filter(~F.col("dia_semana").between(1, 7)).count() == 0
+    # default calendar covers every orderdate in the testdata
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    missing = orders.join(
+        df, F.date_format("o_orderdate", "yyyyMMdd").cast("int") == df["fecha_id"], "left_anti"
+    )
+    assert missing.count() == 0
+
+
+def test_dims_have_default_member_and_unique_sks(spark, sf_dir):
+    from data_warehouse_punta_fina_spark.plans.dims import (
+        build_dim_almacen,
+        build_dim_cliente,
+        build_dim_producto,
+        build_dim_promocion,
+        build_dim_proveedor,
+        build_dim_usuario,
+    )
+
+    for build, sk in [
+        (build_dim_producto, "producto_id"),
+        (build_dim_cliente, "cliente_id"),
+        (build_dim_usuario, "usuario_id"),
+        (build_dim_almacen, "almacen_id"),
+        (build_dim_proveedor, "proveedor_id"),
+        (build_dim_promocion, "promocion_id"),
+    ]:
+        dim = build(spark, sf_dir)
+        n = dim.count()
+        assert dim.select(sk).distinct().count() == n, sk
+        assert dim.filter(F.col(sk) == 1).count() == 1, sk  # default member
+
+
+def test_fact_ventas_invariants(spark, sf_dir):
+    from data_warehouse_punta_fina_spark.plans.dims import (
+        build_dim_almacen,
+        build_dim_cliente,
+        build_dim_producto,
+    )
+    from data_warehouse_punta_fina_spark.plans.facts import build_fact_ventas
+
+    dp = build_dim_producto(spark, sf_dir)
+    dc = build_dim_cliente(spark, sf_dir)
+    da = build_dim_almacen(spark, sf_dir)
+    fv = build_fact_ventas(spark, sf_dir, dp, dc, da)
+
+    n = fv.count()
+    assert n > 0
+    # grain uniqueness after defensive dedup
+    assert fv.select("venta_id").distinct().count() == n
+    # FK closure after default-member fallback
+    for fk, dim, pk in [
+        ("producto_id", dp, "producto_id"),
+        ("cliente_id", dc, "cliente_id"),
+        ("almacen_id", da, "almacen_id"),
+    ]:
+        orphans = fv.join(dim.select(pk), fv[fk] == dim[pk], "left_anti").count()
+        assert orphans == 0, fk
+    # money identity: total = subtotal + impuesto (cent-exact, decimal)
+    bad = fv.filter(F.col("total") != F.col("subtotal") + F.col("impuesto")).count()
+    assert bad == 0
+
+
+def test_financial_chain_invariants(spark, sf_dir):
+    from data_warehouse_punta_fina_spark.operators.quality import check_double_entry
+    from data_warehouse_punta_fina_spark.plans.dims import build_dim_cuenta_contable
+    from data_warehouse_punta_fina_spark.plans.facts import (
+        build_fact_balance,
+        build_fact_estado_resultados,
+        build_fact_transacciones,
+    )
+
+    journal = build_fact_transacciones(spark, sf_dir).cache()
+    # 3-5 journal rows per order
+    per_order = journal.groupBy("orden_id").agg(F.count("*").alias("n"))
+    assert per_order.filter(~F.col("n").between(3, 5)).count() == 0
+    # double-entry invariant
+    assert check_double_entry(journal).collect()[0]["passed"]
+
+    balance = build_fact_balance(journal, build_dim_cuenta_contable(spark, sf_dir))
+    # saldo_final - saldo_inicial == movimiento_neto per row
+    bad = balance.filter(
+        F.col("saldo_final") - F.col("saldo_inicial") != F.col("movimiento_neto")
+    ).count()
+    assert bad == 0
+
+    pnl = build_fact_estado_resultados(journal)
+    bad2 = pnl.filter(
+        (F.col("utilidad_bruta") != F.col("ingresos") - F.col("costos"))
+        | (F.col("utilidad_neta") != F.col("utilidad_bruta") - F.col("gastos"))
+    ).count()
+    assert bad2 == 0
+    journal.unpersist()
+
+
+def test_pipeline_runs_end_to_end(spark, sf_dir, tmp_path):
+    from data_warehouse_punta_fina_spark.plans.pipeline import run_star_build
+
+    result = run_star_build(spark, sf_dir, warehouse_dir=str(tmp_path / "wh"))
+    assert set(result.counts) == {
+        "dim_fecha",
+        "dim_producto",
+        "dim_cliente",
+        "dim_usuario",
+        "dim_almacen",
+        "dim_proveedor",
+        "dim_cuenta_contable",
+        "dim_promocion",
+        "fact_ventas",
+        "fact_inventario",
+        "fact_transacciones",
+        "fact_balance",
+        "fact_estado_resultados",
+    }
+    assert all(v > 0 for v in result.counts.values())
+    # parquet written and re-readable
+    reread = spark.read.parquet(str(tmp_path / "wh" / "fact_ventas"))
+    assert reread.count() == result.counts["fact_ventas"]

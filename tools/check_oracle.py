@@ -1,0 +1,111 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
+on DuckDB over the same sf dir, then compares row count, column names, and
+the order-insensitive multiset of row values (exact string normalization
+of every cell). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        return str(v.normalize())
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    return str(v)
+
+
+def df_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["\x01".join(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from data_warehouse_punta_fina_spark import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP  {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sm = df_to_multiset(scols, [[r[c] for c in scols] for r in srows])
+            dm = df_to_multiset(dcols, drows)
+            if sm != dm:
+                diff = sum(1 for a, b in zip(sm, dm) if a != b)
+                problems.append(f"values differ ({diff} of {len(sm)} rows)")
+                for a, b in list(zip(sm, dm))[:200]:
+                    if a != b:
+                        problems.append(f"  spark: {a[:200]}")
+                        problems.append(f"  duck : {b[:200]}")
+                        break
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
