@@ -327,6 +327,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return extract_features(media_from_documents(docs))
 
+    def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.asof import asof_join
+
+        events = load_table(spark, sf_dir, "events")
+        orders = load_table(spark, sf_dir, "orders")
+        left = events.select("event_id", "user_id", F.to_date("ts").alias("event_date"))
+        right = orders.select(F.col("o_custkey"), F.to_date("o_orderdate").alias("o_date"))
+        return asof_join(
+            left, right, "user_id", "o_custkey", "event_date", "o_date", out="last_order_date"
+        )
+
+    def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.asof import sessionize
+
+        events = load_table(spark, sf_dir, "events")
+        out = sessionize(events, "user_id", "ts", gap_seconds=6 * 3600, order_tiebreak=["event_id"])
+        return out.select(
+            "event_id",
+            "user_id",
+            "session_seq",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+
+    def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.reconcile import reconcile_full_outer
+
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        primary = orders.select(
+            F.col("o_orderkey").alias("orden_id"),
+            pround2("o_totalprice").cast("decimal(18,2)").alias("total"),
+        )
+        secondary = li.groupBy(F.col("l_orderkey").alias("orden_id")).agg(
+            F.sum(pround2("l_extendedprice")).cast("decimal(18,2)").alias("total")
+        )
+        return reconcile_full_outer(primary, secondary, ["orden_id"], ["total"])
+
+    def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(pround2("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    def user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_table(spark, sf_dir, "events")
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.max_by(pround2("value"), F.struct("ts", "event_id")).alias("last_value"),
+            F.min_by(pround2("value"), F.struct("ts", "event_id")).alias("first_value"),
+            F.sum(pround2("value")).cast("decimal(18,2)").alias("total_value"),
+        )
+
+    def custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.reconcile import symmetry_counts
+
+        orders = load_table(spark, sf_dir, "orders")
+        customer = load_table(spark, sf_dir, "customer")
+        return symmetry_counts(
+            orders.select(F.col("o_custkey").alias("k")),
+            customer.select(F.col("c_custkey").alias("k")),
+            ["k"],
+        )
+
+    def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # HLL sketch — approximate by design, so no external oracle; the
+        # driver records a rows-only check (documented weaker gate)
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+
     def events_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = load_table(spark, sf_dir, "events")
         rules = TableRules(
@@ -369,6 +445,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": events_json_stats,
         "scalar_showcase": scalar_showcase,
         "events_validated": events_validated,
+        # custom operators beyond the reference's surface
+        "asof_last_order": asof_last_order,
+        "events_sessionized": events_sessionized,
+        "order_reconciliation": order_reconciliation,
+        "lineitem_rollup": lineitem_rollup,
+        "user_last_event": user_last_event,
+        "custkey_set_ops": custkey_set_ops,
+        "approx_distinct_parts": approx_distinct_parts,
         # north-star: text analysis / dedup / similarity / multimodal
         "doc_text_stats": doc_text_stats,
         "doc_lang_id": doc_lang_id,
@@ -842,6 +926,80 @@ SELECT p_partkey,
        CASE WHEN p_size >= 30 THEN 'grande' WHEN p_size >= 15 THEN 'mediano' ELSE 'pequeño' END AS clase_talla,
        'P' || lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS codigo_fmt
 FROM part
+""",
+        "asof_last_order": """
+WITH l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),
+     r AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS o_date FROM orders)
+SELECT l.event_id, l.user_id, l.event_date, r.o_date AS last_order_date
+FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.event_date >= r.o_date
+""",
+        "events_sessionized": """
+WITH w1 AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER win IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER win > 21600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+), w2 AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+  FROM w1
+)
+SELECT event_id, user_id, session_seq,
+       strftime(MIN(ts) OVER (PARTITION BY user_id, session_seq), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM w2
+""",
+        "order_reconciliation": f"""
+WITH a AS (
+  SELECT o_orderkey AS orden_id, CAST({_r2("o_totalprice")} AS DECIMAL(18,2)) AS total_db, 1 AS in_a
+  FROM orders
+), b AS (
+  SELECT l_orderkey AS orden_id,
+         CAST(SUM({_r2("l_extendedprice")}) AS DECIMAL(18,2)) AS total_csv, 1 AS in_b
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT COALESCE(a.orden_id, b.orden_id) AS orden_id,
+       a.total_db, b.total_csv,
+       CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL THEN 'both'
+            WHEN in_a IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS presence,
+       COALESCE(a.total_db, b.total_csv) AS total,
+       CASE WHEN a.total_db IS NOT NULL AND b.total_csv IS NOT NULL
+            THEN a.total_db = b.total_csv END AS total_match
+FROM a FULL OUTER JOIN b ON a.orden_id = b.orden_id
+""",
+        "lineitem_rollup": f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({_r2("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "user_last_event": f"""
+WITH ordered AS (
+  SELECT user_id, {_r2("value")} AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn_first
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MAX(CASE WHEN rn_last = 1 THEN v END) AS last_value,
+       MAX(CASE WHEN rn_first = 1 THEN v END) AS first_value,
+       CAST(SUM(v) AS DECIMAL(18,2)) AS total_value
+FROM ordered GROUP BY user_id
+""",
+        "custkey_set_ops": """
+SELECT 'left_only' AS side,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))) AS n
+UNION ALL
+SELECT 'right_only',
+       (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)))
+UNION ALL
+SELECT 'common',
+       (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer)))
 """,
         "events_validated": """
 SELECT event_id,

@@ -1,3 +1,8 @@
+from data_warehouse_punta_fina_spark.operators.asof import asof_join, sessionize  # noqa: F401
+from data_warehouse_punta_fina_spark.operators.reconcile import (  # noqa: F401
+    reconcile_full_outer,
+    symmetry_counts,
+)
 from data_warehouse_punta_fina_spark.operators.dedup import (  # noqa: F401
     dedupe_by_grain,
     duplicate_count,

@@ -1,0 +1,91 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+Composition of built-ins (preference (a) from the build rules): tag and
+union both sides, then one window per key carries the most recent right-
+side time forward onto left rows. One shuffle on the join key, no UDF,
+no driver loop — the classic scalable formulation (an `applyInPandas`
+`pd.merge_asof` per key group would be the (b) fallback; this stays fully
+JVM-side).
+
+At 100 TB: the shuffle key is the equi-key (e.g. user id); skew on a hot
+key is handled by AQE skew-join on the underlying exchange. The window is
+a linear scan per key — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    out: str = "asof_time",
+) -> DataFrame:
+    """For each left row, attach the greatest ``right_time`` ≤ ``left_time``
+    among right rows with the same key (inclusive, like DuckDB/pandas
+    ``merge_asof`` backward mode). Right side is reduced to distinct
+    (key, time) so the result is deterministic.
+
+    Returns ``left`` + one extra column ``out`` (null when no prior right
+    row exists).
+    """
+    r = (
+        right.select(F.col(right_on).alias("_k"), F.col(right_time).alias("_t"))
+        .distinct()
+        .withColumn("_is_left", F.lit(0))
+    )
+    l_ = left.withColumn("_k", F.col(left_on)).withColumn("_t", F.col(left_time)).withColumn(
+        "_is_left", F.lit(1)
+    )
+    # align schemas for the union: right contributes only key/time
+    for c in l_.columns:
+        if c not in ("_k", "_t", "_is_left"):
+            r = r.withColumn(c, F.lit(None).cast(l_.schema[c].dataType))
+    unioned = l_.unionByName(r.select(*l_.columns))
+    # right rows sort before left rows at equal time → inclusive match
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        out,
+        F.last(F.when(F.col("_is_left") == 0, F.col("_t")), ignorenulls=True).over(w),
+    )
+    return matched.filter(F.col("_is_left") == 1).drop("_k", "_t", "_is_left")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    gap_seconds: int,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds ``gap_seconds``.
+
+    Pure window composition (lag → boundary flag → running sum), the
+    standard batch formulation; Structured Streaming's ``session_window``
+    is the incremental equivalent. Time arithmetic uses exact integer
+    microseconds (``unix_micros``) so results are engine-portable. Adds
+    ``session_seq`` (1-based per key) and ``session_start``.
+    """
+    tb = order_tiebreak or []
+    micros = F.unix_micros(F.col(time_col))
+    w = Window.partitionBy(key).orderBy(time_col, *tb)
+    prev = F.lag(micros).over(w)
+    new_session = F.when(
+        prev.isNull() | (micros - prev > F.lit(gap_seconds * 1_000_000)), F.lit(1)
+    ).otherwise(F.lit(0))
+    df2 = df.withColumn("_new", new_session)
+    run = Window.partitionBy(key).orderBy(time_col, *tb).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df3 = df2.withColumn("session_seq", F.sum("_new").over(run).cast("int")).drop("_new")
+    sw = Window.partitionBy(key, "session_seq")
+    return df3.withColumn("session_start", F.min(time_col).over(sw))

@@ -1,0 +1,110 @@
+"""Tests for the custom operators beyond the reference's surface:
+as-of join, sessionization, reconciliation, set-op symmetry."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    from data_warehouse_punta_fina_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", datetime.date(2024, 1, 10)),
+            (2, "u1", datetime.date(2024, 1, 5)),   # exactly on a right row
+            (3, "u1", datetime.date(2024, 1, 1)),   # before any right row
+            (4, "u2", datetime.date(2024, 1, 10)),  # key with no right rows
+        ],
+        "id int, k string, t date",
+    )
+    right = spark.createDataFrame(
+        [("u1", datetime.date(2024, 1, 5)), ("u1", datetime.date(2024, 1, 8))],
+        "k string, rt date",
+    )
+    out = {r["id"]: r["asof_time"] for r in asof_join(left, right, "k", "k", "t", "rt").collect()}
+    assert out[1] == datetime.date(2024, 1, 8)
+    assert out[2] == datetime.date(2024, 1, 5)  # inclusive
+    assert out[3] is None
+    assert out[4] is None
+    assert len(out) == 4  # left rows preserved
+
+
+def test_sessionize_gap_boundaries(spark):
+    from data_warehouse_punta_fina_spark.operators.asof import sessionize
+
+    rows = [
+        (1, "u", _ts("2024-01-01 10:00:00")),
+        (2, "u", _ts("2024-01-01 10:30:00")),   # same session (gap 30min < 1h)
+        (3, "u", _ts("2024-01-01 12:00:00")),   # new session (gap 1.5h)
+        (4, "v", _ts("2024-01-01 10:00:00")),   # separate key
+    ]
+    df = spark.createDataFrame(rows, "event_id int, k string, ts timestamp")
+    out = {r["event_id"]: r for r in sessionize(df, "k", "ts", gap_seconds=3600, order_tiebreak=["event_id"]).collect()}
+    assert out[1]["session_seq"] == 1 and out[2]["session_seq"] == 1
+    assert out[3]["session_seq"] == 2
+    assert out[4]["session_seq"] == 1
+    assert out[2]["session_start"] == _ts("2024-01-01 10:00:00")
+    assert out[3]["session_start"] == _ts("2024-01-01 12:00:00")
+
+
+def test_reconcile_full_outer_priority(spark):
+    from data_warehouse_punta_fina_spark.operators.reconcile import reconcile_full_outer
+
+    a = spark.createDataFrame([(1, 100.0), (2, 200.0)], "k int, v double")
+    b = spark.createDataFrame([(2, 999.0), (3, 300.0)], "k int, v double")
+    out = {r["k"]: r for r in reconcile_full_outer(a, b, ["k"], ["v"]).collect()}
+    assert out[1]["presence"] == "left_only" and out[1]["v"] == 100.0 and out[1]["v_match"] is None
+    assert out[2]["presence"] == "both" and out[2]["v"] == 200.0  # priority: primary
+    assert out[2]["v_match"] is False
+    assert out[3]["presence"] == "right_only" and out[3]["v"] == 300.0
+
+
+def test_symmetry_counts(spark):
+    from data_warehouse_punta_fina_spark.operators.reconcile import symmetry_counts
+
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(3,), (4,)], "k int")
+    out = {r["side"]: r["n"] for r in symmetry_counts(a, b, ["k"]).collect()}
+    assert out == {"left_only": 2, "right_only": 1, "common": 1}
+
+
+def test_sources_roundtrip(spark, tmp_path):
+    from data_warehouse_punta_fina_spark.sources.readers import read_csv, read_parquet
+    from data_warehouse_punta_fina_spark.sources.writers import write_csv, write_parquet
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id int, s string, v double")
+    pq = str(tmp_path / "pq")
+    write_parquet(df, pq)
+    assert read_parquet(spark, pq).count() == 2
+
+    csv = str(tmp_path / "csv")
+    write_csv(df, csv)
+    back = read_csv(spark, csv, schema=df.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    # partitioned parquet: partition pruning path exists
+    pq2 = str(tmp_path / "pq2")
+    write_parquet(df, pq2, partition_by=["s"])
+    pruned = read_parquet(spark, pq2).filter(F.col("s") == "a")
+    assert pruned.count() == 1
+
+
+def test_generated_sources(spark):
+    from data_warehouse_punta_fina_spark.sources.generators import (
+        date_range_source,
+        literal_table,
+        monthly_periods,
+    )
+
+    assert date_range_source(spark, "2024-01-01", "2024-01-31").count() == 31
+    mp = monthly_periods(spark, "2024-01-01", "2024-03-31").collect()
+    assert [r["periodo_id"] for r in sorted(mp, key=lambda r: r["periodo_id"])] == [202401, 202402, 202403]
+    lt = literal_table(spark, [{"a": 1}, {"a": 2}], "a int")
+    assert lt.count() == 2
