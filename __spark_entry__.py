@@ -24,6 +24,27 @@ from pyspark.sql import functions as F
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# ANSI SQL executed VERBATIM by both Spark SQL and DuckDB (shared dialect)
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name AS nacion,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+       COUNT(*) AS n_lineas
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _catalog(builder_name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.plans import dims_catalog
+
+        return getattr(dims_catalog, builder_name)(spark, sf_dir)
+
+    return run
+
 
 # --- portable-rounding SQL renderers (mirror functions/money.py) ----------
 
@@ -327,6 +348,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return extract_features(media_from_documents(docs))
 
+    def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the SQL front end: one ANSI string, executed verbatim by BOTH
+        # engines (Catalyst plans it like the DataFrame API would)
+        from data_warehouse_punta_fina_spark.sources.readers import register_views
+
+        register_views(spark, sf_dir)
+        return spark.sql(_REVENUE_BY_NATION_SQL)
+
+    def salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.skew import salted_agg
+
+        li = load_table(spark, sf_dir, "lineitem")
+        out = salted_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "sum_qty": ("sum", pround2("l_quantity")),
+                "n_rows": ("count", F.lit(1)),
+                "max_price": ("max", pround2("l_extendedprice")),
+            },
+            buckets=16,
+        )
+        return out.select(
+            "l_returnflag",
+            F.col("sum_qty").cast("decimal(18,2)").alias("sum_qty"),
+            "n_rows",
+            "max_price",
+        )
+
+    def batch_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # §2.10 arbitrary pandas-callable contract via Arrow-batched
+        # mapInPandas — oracle-checked against the JVM-side tokenizer
+        import re as _re
+
+        import pandas as pd
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def per_batch(it):
+            pat = _re.compile(r"[a-z0-9]+")
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_tokens_py": pdf["text"].map(lambda t: len(pat.findall(t.lower()))),
+                    }
+                )
+
+        return docs.mapInPandas(per_batch, schema="doc_id long, n_tokens_py long")
+
     def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_warehouse_punta_fina_spark.operators.asof import asof_join
 
@@ -427,6 +498,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_proveedor": build_dim_proveedor,
         "dim_cuenta_contable": build_dim_cuenta_contable,
         "dim_promocion": build_dim_promocion,
+        "dim_orden": _catalog("build_dim_orden"),
+        "dim_categoria_producto": _catalog("build_dim_categoria_producto"),
+        "dim_periodo_contable": _catalog("build_dim_periodo_contable"),
+        "dim_tipo_movimiento": _catalog("build_dim_tipo_movimiento"),
+        "dim_centro_costo": _catalog("build_dim_centro_costo"),
+        "dim_tipo_transaccion": _catalog("build_dim_tipo_transaccion"),
+        "dim_impuestos": _catalog("build_dim_impuestos"),
+        "dim_estado_orden": _catalog("build_dim_estado_orden"),
+        "dim_envio": _catalog("build_dim_envio"),
         # facts (SURVEY §2.3 J1/J3/J4, §2.4, §2.5, §2.9)
         "fact_ventas": fact_ventas,
         "fact_inventario": build_fact_inventario,
@@ -446,6 +526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_showcase": scalar_showcase,
         "events_validated": events_validated,
         # custom operators beyond the reference's surface
+        "sql_revenue_by_nation": sql_revenue_by_nation,
+        "salted_revenue_by_flag": salted_revenue_by_flag,
+        "batch_token_stats": batch_token_stats,
         "asof_last_order": asof_last_order,
         "events_sessionized": events_sessionized,
         "order_reconciliation": order_reconciliation,
@@ -926,6 +1009,107 @@ SELECT p_partkey,
        CASE WHEN p_size >= 30 THEN 'grande' WHEN p_size >= 15 THEN 'mediano' ELSE 'pequeño' END AS clase_talla,
        'P' || lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS codigo_fmt
 FROM part
+""",
+        "dim_orden": f"""
+SELECT o_orderkey AS orden_id,
+       'ORD-' || CAST(o_orderkey AS VARCHAR) AS numero_orden,
+       CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS fecha_id,
+       CASE o_orderstatus WHEN 'O' THEN 'abierta' WHEN 'F' THEN 'completada'
+            WHEN 'P' THEN 'pendiente' ELSE 'desconocido' END AS estado,
+       CAST(regexp_extract(o_orderpriority, '(\\d+)', 1) AS INT) AS prioridad_nivel,
+       COALESCE(NULLIF(TRIM(string_split(o_orderpriority, '-')[2]), ''), 'SIN PRIORIDAD') AS prioridad,
+       'USD' AS moneda,
+       {_r2("o_totalprice")} AS total
+FROM orders
+""",
+        "dim_categoria_producto": """
+SELECT CAST(1 AS INT) AS categoria_id, 'Sin Categoría' AS nombre, FALSE AS activa
+UNION ALL
+SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY nombre) AS INT), nombre, TRUE
+FROM (SELECT DISTINCT p_type AS nombre FROM part WHERE p_type IS NOT NULL)
+""",
+        "dim_periodo_contable": """
+WITH months AS (
+  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2005-12-01', INTERVAL 1 MONTH)) AS DATE) AS inicio
+)
+SELECT CAST(strftime(inicio, '%Y%m') AS INT) AS periodo_id,
+       CAST(year(inicio) AS INT) AS anio, CAST(month(inicio) AS INT) AS mes,
+       inicio AS fecha_inicio, last_day(inicio) AS fecha_fin,
+       CAST(day(last_day(inicio)) AS INT) AS dias_en_mes,
+       CAST(FLOOR((month(inicio) - 1) / 3) + 1 AS INT) AS trimestre
+FROM months
+""",
+        "dim_tipo_movimiento": """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), 'SIN_MOV', 'Sin Tipo', 'na', 'na', FALSE),
+  (2, 'MOV_ENTRADA', 'Entrada por Compra', 'entrada', 'suma', TRUE),
+  (3, 'MOV_SALIDA_VENTA', 'Salida por Venta', 'salida', 'resta', TRUE),
+  (4, 'MOV_AJUSTE_POS', 'Ajuste Positivo', 'ajuste', 'suma', TRUE),
+  (5, 'MOV_AJUSTE_NEG', 'Ajuste Negativo', 'ajuste', 'resta', TRUE),
+  (6, 'MOV_DEVOLUCION', 'Devolución de Cliente', 'entrada', 'suma', TRUE),
+  (7, 'MOV_TRASLADO_IN', 'Traslado Entrada', 'traslado', 'suma', TRUE),
+  (8, 'MOV_TRASLADO_OUT', 'Traslado Salida', 'traslado', 'resta', TRUE),
+  (9, 'MOV_MERMA', 'Merma', 'salida', 'resta', TRUE),
+  (10, 'MOV_INICIAL', 'Inventario Inicial', 'entrada', 'suma', TRUE)
+) AS t(tipo_movimiento_id, codigo, nombre, categoria, afecta_stock, activo)
+""",
+        "dim_centro_costo": """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), 'SIN_CC', 'Sin Centro', 'na', FALSE),
+  (2, 'CC_TIENDA_01', 'Tienda Centro Comercial Metrocentro', 'ventas', TRUE),
+  (3, 'CC_TIENDA_02', 'Tienda Plaza Mundo', 'ventas', TRUE),
+  (4, 'CC_ONLINE', 'Canal Digital', 'ventas', TRUE),
+  (5, 'CC_BODEGA', 'Bodega Central', 'logistica', TRUE),
+  (6, 'CC_ADMIN', 'Administración', 'administracion', TRUE)
+) AS t(centro_costo_id, codigo, nombre, tipo_centro, activo)
+""",
+        "dim_tipo_transaccion": """
+SELECT *, contains(upper(codigo), 'VENTA') AS es_venta FROM (VALUES
+  (CAST(1 AS INT), 'SIN_TRX', 'Sin Tipo', 'na', FALSE),
+  (2, 'TRX_VENTA', 'Registro de Venta', 'ingreso', TRUE),
+  (3, 'TRX_COMPRA', 'Registro de Compra', 'egreso', TRUE),
+  (4, 'TRX_PAGO', 'Pago a Proveedor', 'egreso', TRUE),
+  (5, 'TRX_COBRO', 'Cobro a Cliente', 'ingreso', TRUE),
+  (6, 'TRX_AJUSTE', 'Ajuste Contable', 'ajuste', TRUE)
+) AS t(tipo_transaccion_id, codigo, nombre, categoria, activo)
+""",
+        "dim_impuestos": f"""
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), 'IVA', 'Impuesto al Valor Agregado', CAST({_r2("13.00")} AS DECIMAL(5,2)), TRUE),
+  (2, 'RENTA', 'Retención de Renta', CAST({_r2("10.00")} AS DECIMAL(5,2)), TRUE),
+  (3, 'EXENTO', 'Exento de Impuestos', CAST({_r2("0.00")} AS DECIMAL(5,2)), TRUE)
+) AS t(impuesto_id, codigo, nombre, tasa, activo)
+""",
+        "dim_estado_orden": """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), 'open', 'Abierta', 1, FALSE),
+  (2, 'processing', 'En Proceso', 2, FALSE),
+  (3, 'shipped', 'Enviada', 3, FALSE),
+  (4, 'delivered', 'Entregada', 4, TRUE),
+  (5, 'cancelled', 'Cancelada', 5, TRUE)
+) AS t(estado_orden_id, codigo_estado, nombre_estado, orden_flujo, es_estado_final)
+""",
+        "dim_envio": f"""
+SELECT envio_id, codigo, metodo_envio, tiempo_entrega,
+       CAST(regexp_extract(tiempo_entrega, '(\\d+)', 1) AS INT) AS dias_entrega_min,
+       {_r2("costo_raw")} AS costo
+FROM (VALUES
+  (CAST(1 AS INT), 'ENV001', 'Entrega Express', '1-2 días hábiles', 5.99),
+  (2, 'ENV002', 'Entrega Estándar', '3-5 días hábiles', 2.99),
+  (3, 'ENV003', 'Entrega Económica', '5-7 días hábiles', 0.99),
+  (4, 'ENV004', 'Retiro en Tienda', '0 días', 0.00)
+) AS t(envio_id, codigo, metodo_envio, tiempo_entrega, costo_raw)
+""",
+        "sql_revenue_by_nation": _REVENUE_BY_NATION_SQL,
+        "salted_revenue_by_flag": f"""
+SELECT l_returnflag,
+       CAST(SUM({_r2("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty,
+       COUNT(*) AS n_rows,
+       MAX({_r2("l_extendedprice")}) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+        "batch_token_stats": f"""
+SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens_py FROM documents
 """,
         "asof_last_order": """
 WITH l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),

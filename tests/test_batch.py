@@ -1,0 +1,56 @@
+"""Batch-harness and skew-operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_process_dataframe_contract_and_report(spark):
+    import pandas as pd
+
+    from data_warehouse_punta_fina_spark.batch import process_dataframe
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("g"))
+
+    def double_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": pdf["id"], "doubled": pdf["id"] * 2})
+
+    result, report = process_dataframe(df, double_ids, "double_ids", "id long, doubled long")
+    assert report.total_rows_in == 1000
+    assert report.total_rows_out == 1000
+    assert report.n_batches >= 1
+    assert report.job_name == "double_ids"
+    # result is a reusable lazy DataFrame
+    assert result.filter(F.col("doubled") == F.col("id") * 2).count() == 1000
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    from data_warehouse_punta_fina_spark.functions.money import pround2
+    from data_warehouse_punta_fina_spark.operators.skew import salted_agg
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"sum_qty": ("sum", pround2("l_quantity")), "n": ("count", F.lit(1)), "mx": ("max", F.col("l_partkey"))},
+        buckets=8,
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum(pround2("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("l_partkey").alias("mx"),
+    )
+    s = {r["l_returnflag"]: (r["sum_qty"], r["n"], r["mx"]) for r in salted.collect()}
+    d = {r["l_returnflag"]: (r["sum_qty"], r["n"], r["mx"]) for r in direct.collect()}
+    assert s == d
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.skew import salted_agg
+
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        salted_agg(df, [], {"bad": ("avg", F.col("id"))})
