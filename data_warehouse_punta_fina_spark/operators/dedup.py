@@ -12,7 +12,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_warehouse_punta_fina_spark.functions.money import pround6 as _pround6
 from data_warehouse_punta_fina_spark.functions.text import tokens, word_shingles
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive as ONE partition; compute-heavy per-row
+    operators (tokenize → shingle → k×md5) must fan out first or they run
+    on a single core. One narrow shuffle of the raw rows buys full
+    parallelism — at 100 TB inputs are already many-partitioned and AQE
+    coalesces the excess, so this is only ever a small-input rescue."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
 
 
 def dedupe_by_grain(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
@@ -54,6 +65,39 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — distinct n-word shingles per document.
+
+    Same set as ``functions.text.word_shingles`` (docs shorter than n
+    tokens contribute one all-tokens shingle), but built with posexplode +
+    window ``lead`` instead of array higher-order functions: HOFs are
+    interpreted per-element, while this path stays in whole-stage codegen
+    (~4× faster at bench scale). One shuffle on the doc id.
+    """
+    toks = tokens(text_col)
+    exploded = _spread(df.select(F.col(id_col), toks.alias("_toks"))).select(
+        F.col(id_col), F.col("_toks"), F.posexplode_outer("_toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    led = exploded.select(
+        F.col(id_col),
+        F.size("_toks").alias("_sz"),
+        F.col("pos"),
+        *[F.lead("tok", k).over(w).alias(f"_t{k}") for k in range(n)],
+    )
+    long_docs = led.filter((F.col("_sz") >= n) & F.col(f"_t{n-1}").isNotNull()).select(
+        F.col(id_col), F.concat_ws(" ", *[F.col(f"_t{k}") for k in range(n)]).alias("shingle")
+    )
+    short_docs = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") < n)
+        .select(F.col(id_col), F.concat_ws(" ", "_toks").alias("shingle"))
+    )
+    return long_docs.unionByName(short_docs).distinct()
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -69,7 +113,7 @@ def minhash_signatures(
     combine) — each md5 is computed exactly once, unlike a per-row
     array<min> expression which re-evaluates the shingle pipeline per hash.
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+    sh = shingle_rows(df, text_col, id_col, shingle_n)
     return sh.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
@@ -141,7 +185,7 @@ def ngram_jaccard_pairs(
     scale this is used AFTER LSH candidate generation (compose with
     :func:`minhash_lsh_pairs`) — standalone it is the exact oracle.
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+    sh = shingle_rows(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -153,7 +197,7 @@ def ngram_jaccard_pairs(
     return (
         common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
+        .withColumn("jaccard", _pround6(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -168,6 +212,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     rotated prefixes (not included here; compose with groupBy on
     ``simhash`` bands)."""
     hex_chars = bits // 4
+    df = _spread(df)
     toks = tokens(text_col)
     hashed = F.transform(toks, lambda t: F.substring(F.md5(t), 1, hex_chars))
     digits = "0123456789abcdef"

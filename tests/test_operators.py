@@ -149,6 +149,32 @@ def test_minhash_finds_near_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_shingle_rows_matches_word_shingles(spark):
+    """The codegen'd posexplode+lead path must produce the same shingle
+    SET as the array-expression path, including the short/empty-doc
+    fallbacks."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.functions.text import word_shingles
+    from data_warehouse_punta_fina_spark.operators.dedup import shingle_rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five"),
+            (2, "short doc"),          # < n tokens → single all-tokens shingle
+            (3, ""),                    # empty → single "" shingle
+            (4, "a b c a b c a b c"),  # repeated shingles → distinct
+        ],
+        "doc_id long, text string",
+    )
+    fast = {(r["doc_id"], r["shingle"]) for r in shingle_rows(docs).collect()}
+    slow = {
+        (r["doc_id"], r["s"])
+        for r in docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("s")).collect()
+    }
+    assert fast == slow
+
+
 def test_ngram_jaccard_exact(spark):
     from data_warehouse_punta_fina_spark.operators.dedup import ngram_jaccard_pairs
 
