@@ -46,6 +46,15 @@ def _catalog(builder_name: str):
     return run
 
 
+def _legacy(builder_name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.plans import dims_legacy
+
+        return getattr(dims_legacy, builder_name)(spark, sf_dir)
+
+    return run
+
+
 # --- portable-rounding SQL renderers (mirror functions/money.py) ----------
 
 
@@ -342,7 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
-        return embedding_near_dup_pairs(emb, threshold=0.8, bits=4)
+        return embedding_near_dup_pairs(emb, threshold=0.35, bits=4)
 
     def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
@@ -507,6 +516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_impuestos": _catalog("build_dim_impuestos"),
         "dim_estado_orden": _catalog("build_dim_estado_orden"),
         "dim_envio": _catalog("build_dim_envio"),
+        "dim_direccion": _legacy("build_dim_direccion"),
+        "dim_detalle_venta": _legacy("build_dim_detalle_venta"),
+        "dim_canal": _legacy("build_dim_canal"),
+        "dim_estado_pago": _legacy("build_dim_estado_pago"),
+        "dim_pago": _legacy("build_dim_pago"),
+        "dim_sitio_web": _legacy("build_dim_sitio_web"),
         # facts (SURVEY §2.3 J1/J3/J4, §2.4, §2.5, §2.9)
         "fact_ventas": fact_ventas,
         "fact_inventario": build_fact_inventario,
@@ -1100,6 +1115,67 @@ FROM (VALUES
   (4, 'ENV004', 'Retiro en Tienda', '0 días', 0.00)
 ) AS t(envio_id, codigo, metodo_envio, tiempo_entrega, costo_raw)
 """,
+        "dim_direccion": """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS direccion_id,
+       c_custkey AS cliente_externo_id,
+       'Calle ' || CAST(c_custkey AS VARCHAR) AS calle,
+       COALESCE(n_name, 'Sin Ciudad') AS ciudad,
+       COALESCE(r_name, 'Sin Región') AS region,
+       concat_ws(', ', 'Calle ' || CAST(c_custkey AS VARCHAR),
+                 COALESCE(n_name, 'Sin Ciudad'), COALESCE(r_name, 'Sin Región')) AS direccion_completa
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+""",
+        "dim_detalle_venta": """
+WITH ded AS (
+  SELECT * FROM lineitem
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY l_orderkey, l_linenumber
+    ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax,
+             l_returnflag, l_linestatus, l_shipdate
+  ) = 1
+)
+SELECT l_orderkey * 10 + l_linenumber AS detalle_id,
+       l_orderkey AS orden_id, l_linenumber AS linea,
+       'SKU-' || lpad(CAST(l_partkey AS VARCHAR), 8, '0') AS codigo,
+       COALESCE(NULLIF(TRIM(p_name), ''), 'Detalle ' || CAST(l_partkey AS VARCHAR)) AS descripcion
+FROM ded LEFT JOIN part ON l_partkey = p_partkey
+""",
+        "dim_canal": """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), 'SIN_CANAL', 'Sin Canal', 'na', FALSE),
+  (2, 'WEB', 'Tienda en Línea', 'online', TRUE),
+  (3, 'TIENDA', 'Tienda Física', 'retail', TRUE),
+  (4, 'DISTRIBUIDOR', 'Canal Mayorista', 'wholesale', TRUE),
+  (5, 'TELEFONO', 'Ventas Telefónicas', 'direct', TRUE)
+) AS t(canal_id, codigo, nombre, tipo, activo)
+""",
+        "dim_estado_pago": """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), 'pending', 'Pendiente', FALSE),
+  (2, 'authorized', 'Autorizado', FALSE),
+  (3, 'paid_partially', 'Pago Parcial', FALSE),
+  (4, 'paid_in_full', 'Pagado', TRUE),
+  (5, 'refunded', 'Reembolsado', TRUE),
+  (6, 'declined', 'Rechazado', TRUE)
+) AS t(estado_pago_id, codigo, nombre, es_final)
+""",
+        "dim_pago": """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), 'EFECTIVO', 'Efectivo', FALSE, 0),
+  (2, 'TARJETA_CREDITO', 'Tarjeta de Crédito', TRUE, 2),
+  (3, 'TARJETA_DEBITO', 'Tarjeta de Débito', TRUE, 1),
+  (4, 'TRANSFERENCIA', 'Transferencia Bancaria', TRUE, 3),
+  (5, 'CHEQUE', 'Cheque', TRUE, 5)
+) AS t(pago_id, metodo_pago, nombre, requiere_validacion, plazo_dias)
+""",
+        "dim_sitio_web": """
+SELECT * FROM (VALUES
+  (CAST(1 AS INT), 'PF_SV', 'puntafina.sv', 'production'),
+  (2, 'PF_STAGE', 'stage.puntafina.sv', 'staging')
+) AS t(sitio_web_id, codigo, url, entorno)
+""",
         "sql_revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "salted_revenue_by_flag": f"""
 SELECT l_returnflag,
@@ -1311,7 +1387,7 @@ WITH p AS (
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql("a.qv", "b.qv")} AS cosine
 FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cosine_sql("a.qv", "b.qv")} >= 0.8
+WHERE {_cosine_sql("a.qv", "b.qv")} >= 0.35
 """,
         "media_features": """
 SELECT doc_id AS asset_id, 'image' AS modality,

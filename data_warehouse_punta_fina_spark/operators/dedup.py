@@ -156,6 +156,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    # a DataFrame self-join re-executes the whole subplan per branch;
+    # a lazy local checkpoint materializes the band table once and both
+    # sides read it (at warehouse scale: write the signature table instead)
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -185,7 +189,8 @@ def ngram_jaccard_pairs(
     scale this is used AFTER LSH candidate generation (compose with
     :func:`minhash_lsh_pairs`) — standalone it is the exact oracle.
     """
-    sh = shingle_rows(df, text_col, id_col, shingle_n)
+    # consumed three times (sizes + both join branches) → materialize once
+    sh = shingle_rows(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -111,7 +111,8 @@ def embedding_near_dup_pairs(
     """Near-duplicate detection by embedding cosine ≥ threshold, bucketed
     by the coarse code so the self-join is block-diagonal rather than a
     full cross product (the standard blocking trick for pairwise dedup)."""
-    p = _prepare(df, id_col, vec_col, bucket_bits=bits)
+    # self-join: materialize the quantized projection once for both branches
+    p = _prepare(df, id_col, vec_col, bucket_bits=bits).localCheckpoint(eager=False)
     a, b = p.alias("a"), p.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

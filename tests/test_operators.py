@@ -200,6 +200,24 @@ def test_brute_force_topk_self_excluded(spark):
     assert rows[0]["cosine"] > Decimal("0.99")
 
 
+def test_scalar_lookup_broadcast_constant(spark):
+    from data_warehouse_punta_fina_spark.operators.sk_lookup import scalar_lookup
+
+    fact = spark.createDataFrame([(1,), (2,)], "id int")
+    one = spark.createDataFrame([(99, "x")], "const_id int, const_name string")
+    out = scalar_lookup(fact, one).collect()
+    assert len(out) == 2 and all(r["const_id"] == 99 for r in out)
+
+
+def test_frame_sample_plan(spark):
+    from data_warehouse_punta_fina_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame([(1, 3500), (2, 0)], "asset_id long, duration_ms long")
+    out = frame_sample_plan(media, every_ms=1000).collect()
+    frames = {(r["asset_id"], r["frame_ms"]) for r in out}
+    assert frames == {(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0)}
+
+
 def test_media_feature_stub_shapes(spark):
     from data_warehouse_punta_fina_spark.operators.multimodal import (
         extract_features,

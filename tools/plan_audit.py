@@ -1,0 +1,51 @@
+"""Regenerate the physical-plan evidence behind docs/PLANS.md.
+
+Prints, for each audited query: exchange/join counts and the FileScan
+lines with their PushedFilters / ReadSchema (pushdown + pruning proof).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AUDITED = [
+    "fact_ventas",
+    "lineitem_pricing_summary",
+    "doc_minhash_lsh",
+    "ann_brute_topk",
+    "fact_balance",
+    "events_tumbling_window",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from data_warehouse_punta_fina_spark import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("plan_audit")
+    qs = entrymod.queries()
+    for name in AUDITED:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        print(f"\n##### {name}")
+        print(
+            "Exchanges:",
+            sum(plan.count(k) for k in ("Exchange hashpartitioning", "Exchange SinglePartition", "Exchange RoundRobin")),
+            "| BroadcastHashJoin:", plan.count("BroadcastHashJoin"),
+            "| SortMergeJoin:", plan.count("SortMergeJoin"),
+        )
+        for line in plan.splitlines():
+            s = line.strip().lstrip(":+- ")
+            if s.startswith("FileScan parquet"):
+                pf = line[line.index("PushedFilters"):][:140] if "PushedFilters" in line else ""
+                rs = line[line.index("ReadSchema"):][:140] if "ReadSchema" in line else ""
+                print("  SCAN:", s[:58], "|", pf, "|", rs)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
