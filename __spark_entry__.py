@@ -353,6 +353,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = load_table(spark, sf_dir, "embeddings")
         return embedding_near_dup_pairs(emb, threshold=0.35, bits=4)
 
+    def corpus_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = _spread(docs).select(F.explode(_tokens("text")).alias("term"))
+        freq = toks.groupBy("term").agg(F.count("*").alias("freq"))
+        w = Window.orderBy(F.desc("freq"), F.asc("term"))
+        return freq.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= 20)
+
     def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return extract_features(media_from_documents(docs))
@@ -562,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "emb_near_dup": emb_near_dup,
         "media_features": media_features,
+        "corpus_term_freq": corpus_term_freq,
     }
 
 
@@ -1388,6 +1399,12 @@ WITH p AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql("a.qv", "b.qv")} AS cosine
 FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cosine_sql("a.qv", "b.qv")} >= 0.35
+""",
+        "corpus_term_freq": f"""
+WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents),
+f AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY term)
+SELECT term, freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS INT) AS rank
+FROM f QUALIFY rank <= 20
 """,
         "media_features": """
 SELECT doc_id AS asset_id, 'image' AS modality,

@@ -34,7 +34,15 @@ HEADLINE = [
     "doc_text_stats",
     "doc_exact_dedup",
     "doc_minhash_lsh",
+    "doc_ngram_jaccard",
+    "doc_simhash",
     "ann_brute_topk",
+    "ann_ivf_topk",
+    "emb_near_dup",
+    "sql_revenue_by_nation",
+    "asof_last_order",
+    "events_sessionized",
+    "corpus_term_freq",
 ]
 
 

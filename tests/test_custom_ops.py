@@ -96,6 +96,28 @@ def test_sources_roundtrip(spark, tmp_path):
     assert pruned.count() == 1
 
 
+def test_bucketed_write_avoids_join_shuffle(spark, tmp_path):
+    from data_warehouse_punta_fina_spark.sources.writers import write_bucketed
+
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+    write_bucketed(a, "bucketed_a", ["k"], n_buckets=4, path=str(tmp_path / "ba"))
+    write_bucketed(b, "bucketed_b", ["k"], n_buckets=4, path=str(tmp_path / "bb"))
+    ta = spark.table("bucketed_a")
+    tb = spark.table("bucketed_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: the join runs with ZERO exchanges
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
 def test_generated_sources(spark):
     from data_warehouse_punta_fina_spark.sources.generators import (
         date_range_source,
