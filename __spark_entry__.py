@@ -365,6 +365,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = load_table(spark, sf_dir, "embeddings")
         return embedding_near_dup_pairs(emb, threshold=0.35, bits=4)
 
+    def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the reference's FASE-5 post-load validation (SURVEY §5.3) over the
+        # built star: grain uniqueness, FK closure, double-entry, row counts
+        fv = fact_ventas(spark, sf_dir)
+        journal = build_fact_transacciones(spark, sf_dir)
+        dims = {
+            "cliente_id": _memo_dim("cliente", build_dim_cliente, spark, sf_dir),
+            "producto_id": _memo_dim("producto", build_dim_producto, spark, sf_dir),
+            "almacen_id": _memo_dim("almacen", build_dim_almacen, spark, sf_dir),
+        }
+        rows = []
+        n = fv.count()
+        rows.append(("count_gt_zero", "fact_ventas", n))
+        dup = fv.groupBy("venta_id").count().filter(F.col("count") > 1).count()
+        rows.append(("grain_unique", "fact_ventas", dup))
+        for fk, dim in dims.items():
+            orphans = fv.join(dim.select(F.col(fk)), fk, "left_anti").count()
+            rows.append(("fk_orphans", f"fact_ventas.{fk}", orphans))
+        de = journal.agg(
+            F.sum(F.when(F.col("tipo_movimiento") == "DEBITO", F.col("monto")).otherwise(0)).alias("d"),
+            F.sum(F.when(F.col("tipo_movimiento") == "CREDITO", F.col("monto")).otherwise(0)).alias("c"),
+        ).collect()[0]
+        diff_cents = int(abs((de["d"] or 0) - (de["c"] or 0)) * 100)
+        rows.append(("double_entry", "fact_transacciones", diff_cents))
+        return spark.createDataFrame(rows, "check string, target string, value long")
+
+    def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.scd import scd2_merge
+
+        customer = load_table(spark, sf_dir, "customer")
+        current = customer.select(
+            F.col("c_custkey").alias("cliente_key"),
+            F.col("c_mktsegment").alias("segmento"),
+            F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+            F.to_date(F.lit("9999-12-31")).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        updates = (
+            customer.filter(F.col("c_custkey") % 10 == 0)
+            .select(F.col("c_custkey").alias("cliente_key"), F.lit("SEGMENTO_NUEVO").alias("segmento"))
+            .unionByName(
+                customer.filter(F.col("c_custkey") % 97 == 0).select(
+                    (F.col("c_custkey") + F.lit(1000000)).alias("cliente_key"),
+                    F.lit("NUEVO").alias("segmento"),
+                )
+            )
+        )
+        return scd2_merge(
+            current, updates, "cliente_key", ["segmento"], F.to_date(F.lit("2024-06-01"))
+        )
+
     def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_warehouse_punta_fina_spark.operators.dedup import dedup_clusters
 
@@ -593,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "corpus_term_freq": corpus_term_freq,
         "doc_dedup_clusters": doc_dedup_clusters,
+        "scd2_customer_segment": scd2_customer_segment,
+        "dq_report": dq_report,
     }
 
 
@@ -1436,6 +1489,56 @@ WITH p AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql("a.qv", "b.qv")} AS cosine
 FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cosine_sql("a.qv", "b.qv")} >= 0.35
+""",
+        "dq_report": f"""
+WITH fv AS ({_FACT_VENTAS_SQL}),
+journal AS ({_JOURNAL_SQL}),
+dc AS (SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS sk FROM customer UNION ALL SELECT 1),
+dp AS (SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY p_partkey) AS INT) AS sk FROM part UNION ALL SELECT 1),
+da AS (SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY s_suppkey) AS INT) AS sk FROM supplier UNION ALL SELECT 1)
+SELECT 'count_gt_zero' AS check, 'fact_ventas' AS target, (SELECT COUNT(*) FROM fv) AS value
+UNION ALL
+SELECT 'grain_unique', 'fact_ventas',
+       (SELECT COUNT(*) FROM (SELECT venta_id FROM fv GROUP BY venta_id HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'fk_orphans', 'fact_ventas.cliente_id',
+       (SELECT COUNT(*) FROM fv WHERE cliente_id NOT IN (SELECT sk FROM dc))
+UNION ALL
+SELECT 'fk_orphans', 'fact_ventas.producto_id',
+       (SELECT COUNT(*) FROM fv WHERE producto_id NOT IN (SELECT sk FROM dp))
+UNION ALL
+SELECT 'fk_orphans', 'fact_ventas.almacen_id',
+       (SELECT COUNT(*) FROM fv WHERE almacen_id NOT IN (SELECT sk FROM da))
+UNION ALL
+SELECT 'double_entry', 'fact_transacciones',
+       (SELECT CAST(ABS(SUM(CASE WHEN tipo_movimiento = 'DEBITO' THEN monto ELSE 0 END)
+                       - SUM(CASE WHEN tipo_movimiento = 'CREDITO' THEN monto ELSE 0 END)) * 100 AS BIGINT)
+        FROM journal)
+""",
+        "scd2_customer_segment": """
+WITH cur AS (
+  SELECT c_custkey AS cliente_key, c_mktsegment AS segmento,
+         DATE '2020-01-01' AS valid_from, DATE '9999-12-31' AS valid_to, TRUE AS is_current
+  FROM customer
+), upd AS (
+  SELECT c_custkey AS cliente_key, 'SEGMENTO_NUEVO' AS segmento FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NUEVO' FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT c.cliente_key, c.segmento, c.valid_from, c.valid_to, c.is_current
+FROM cur c LEFT JOIN upd u ON c.cliente_key = u.cliente_key
+WHERE u.cliente_key IS NULL OR c.segmento IS NOT DISTINCT FROM u.segmento
+UNION ALL
+SELECT c.cliente_key, c.segmento, c.valid_from, DATE '2024-06-01', FALSE
+FROM cur c JOIN upd u ON c.cliente_key = u.cliente_key
+WHERE c.segmento IS DISTINCT FROM u.segmento
+UNION ALL
+SELECT c.cliente_key, u.segmento, DATE '2024-06-01', DATE '9999-12-31', TRUE
+FROM cur c JOIN upd u ON c.cliente_key = u.cliente_key
+WHERE c.segmento IS DISTINCT FROM u.segmento
+UNION ALL
+SELECT u.cliente_key, u.segmento, DATE '2024-06-01', DATE '9999-12-31', TRUE
+FROM upd u WHERE u.cliente_key NOT IN (SELECT cliente_key FROM cur)
 """,
         "corpus_term_freq": f"""
 WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents),

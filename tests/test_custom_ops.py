@@ -96,6 +96,33 @@ def test_sources_roundtrip(spark, tmp_path):
     assert pruned.count() == 1
 
 
+def test_scd2_merge_versions(spark):
+    from data_warehouse_punta_fina_spark.operators.scd import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            (1, "A", datetime.date(2020, 1, 1), datetime.date(9999, 12, 31), True),
+            (2, "B", datetime.date(2020, 1, 1), datetime.date(9999, 12, 31), True),
+            # key 3 already has history: one closed + one current row
+            (3, "old", datetime.date(2019, 1, 1), datetime.date(2020, 1, 1), False),
+            (3, "C", datetime.date(2020, 1, 1), datetime.date(9999, 12, 31), True),
+        ],
+        "k int, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "A2"), (2, "B"), (4, "D")], "k int, attr string"
+    )  # 1 changes, 2 unchanged, 4 brand new
+    out = scd2_merge(current, updates, "k", ["attr"], F.to_date(F.lit("2024-06-01")))
+    rows = {(r["k"], r["attr"], r["is_current"]): r for r in out.collect()}
+    assert out.count() == 6
+    # key 1: closed old + new current version
+    assert rows[(1, "A", False)]["valid_to"] == datetime.date(2024, 6, 1)
+    assert rows[(1, "A2", True)]["valid_from"] == datetime.date(2024, 6, 1)
+    # key 2 unchanged, key 3 history + current preserved, key 4 new
+    assert (2, "B", True) in rows and (3, "old", False) in rows and (3, "C", True) in rows
+    assert rows[(4, "D", True)]["valid_from"] == datetime.date(2024, 6, 1)
+
+
 def test_bucketed_write_avoids_join_shuffle(spark, tmp_path):
     from data_warehouse_punta_fina_spark.sources.writers import write_bucketed
 
