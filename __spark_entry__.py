@@ -433,6 +433,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = Window.orderBy(F.desc("freq"), F.asc("term"))
         return freq.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= 20)
 
+    def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # tf-idf-style salience with exact rational arithmetic
+        # (tf · N / df) — transcendental idf would differ in the last ulp
+        # across engines, the ratio form is bit-portable. df comes from the
+        # WHOLE corpus; output restricted to doc_id < 20, top-5 per doc.
+        from data_warehouse_punta_fina_spark.functions.money import pround6
+        from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = _spread(docs).select("doc_id", F.explode(_tokens("text")).alias("term"))
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+        n_docs = docs.agg(F.count("*").alias("n_docs"))
+        scored = (
+            tf.filter(F.col("doc_id") < 20)
+            .join(df_, "term")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn("salience", pround6(F.col("tf") * F.col("n_docs") / F.col("df")))
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("salience"), F.asc("term"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 5)
+            .select("doc_id", "term", "tf", "df", "salience", "rank")
+        )
+
+    def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # position-wise vector aggregation: centroid per class label.
+        # exact int64 sums over quantized components; ONE double division at
+        # the end — deterministic under any partitioning (vectors.py note)
+        from data_warehouse_punta_fina_spark.functions.money import pround6
+        from data_warehouse_punta_fina_spark.functions.vectors import quantize
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exploded = emb.select(
+            "label", F.posexplode(quantize("embedding")).alias("pos", "q")
+        )
+        return exploded.groupBy("label", "pos").agg(
+            F.count("*").alias("n"),
+            pround6(F.sum("q").cast("double") / F.count("*") / F.lit(1000.0)).alias("centroid"),
+        )
+
     def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return extract_features(media_from_documents(docs))
@@ -646,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": doc_dedup_clusters,
         "scd2_customer_segment": scd2_customer_segment,
         "dq_report": dq_report,
+        "emb_label_centroids": emb_label_centroids,
+        "doc_top_terms": doc_top_terms,
     }
 
 
@@ -1545,6 +1590,31 @@ WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents),
 f AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY term)
 SELECT term, freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS INT) AS rank
 FROM f QUALIFY rank <= 20
+""",
+        "doc_top_terms": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         {_r6("tf.tf * n.n_docs / df.df")} AS salience
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 20
+)
+SELECT doc_id, term, tf, df, salience, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY salience DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "emb_label_centroids": f"""
+WITH q AS (
+  SELECT label, i - 1 AS pos, ({_QUANT_VEC})[i] AS qv
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+)
+SELECT label, CAST(pos AS INT) AS pos, COUNT(*) AS n,
+       {_r6("CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 1000.0")} AS centroid
+FROM q GROUP BY label, pos
 """,
         "media_features": """
 SELECT doc_id AS asset_id, 'image' AS modality,
