@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 SF_SMOKE = "/root/testdata/sf0.001"
 
 # ANSI SQL executed VERBATIM by both Spark SQL and DuckDB (shared dialect)
+_TOP_CUSTOMER_PER_NATION_SQL = """
+SELECT nacion, cliente, saldo FROM (
+  SELECT n_name AS nacion, c_name AS cliente,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(15,2)) AS saldo,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) ranked WHERE rn = 1
+"""
+
 _REVENUE_BY_NATION_SQL = """
 SELECT n_name AS nacion,
        CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
@@ -488,6 +497,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         register_views(spark, sf_dir)
         return spark.sql(_REVENUE_BY_NATION_SQL)
 
+    def sql_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # SQL window functions through the SQL front end — same string runs
+        # verbatim on both engines
+        from data_warehouse_punta_fina_spark.sources.readers import register_views
+
+        register_views(spark, sf_dir)
+        return spark.sql(_TOP_CUSTOMER_PER_NATION_SQL)
+
+    def events_value_band_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # theta/range join: events.value BETWEEN band.lo AND band.hi.
+        # the band table is tiny → broadcast nested-loop, no shuffle of the
+        # fact side; at scale with many bands, bucketize the range key into
+        # an equi-join (the standard range-join rewrite)
+        events = load_table(spark, sf_dir, "events")
+        bands = spark.createDataFrame(
+            [("B0_50", 0.0, 50.0), ("B50_100", 50.0, 100.0), ("B100_250", 100.0, 250.0),
+             ("B250_INF", 250.0, 1e18)],
+            "band string, lo double, hi double",
+        )
+        joined = events.join(
+            F.broadcast(bands), (events["value"] >= bands["lo"]) & (events["value"] < bands["hi"]), "inner"
+        )
+        return joined.groupBy("band", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(pround2("value")).cast("decimal(18,2)").alias("total_value"),
+        )
+
     def salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_warehouse_punta_fina_spark.operators.skew import salted_agg
 
@@ -665,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_validated": events_validated,
         # custom operators beyond the reference's surface
         "sql_revenue_by_nation": sql_revenue_by_nation,
+        "sql_top_customer_per_nation": sql_top_customer_per_nation,
+        "events_value_band_rangejoin": events_value_band_rangejoin,
         "salted_revenue_by_flag": salted_revenue_by_flag,
         "batch_token_stats": batch_token_stats,
         "asof_last_order": asof_last_order,
@@ -1321,6 +1359,19 @@ SELECT * FROM (VALUES
 ) AS t(sitio_web_id, codigo, url, entorno)
 """,
         "sql_revenue_by_nation": _REVENUE_BY_NATION_SQL,
+        "sql_top_customer_per_nation": _TOP_CUSTOMER_PER_NATION_SQL,
+        "events_value_band_rangejoin": f"""
+WITH bands AS (
+  SELECT * FROM (VALUES
+    ('B0_50', 0.0, 50.0), ('B50_100', 50.0, 100.0),
+    ('B100_250', 100.0, 250.0), ('B250_INF', 250.0, 1e18)
+  ) AS t(band, lo, hi)
+)
+SELECT band, event_type, COUNT(*) AS n,
+       CAST(SUM({_r2("value")}) AS DECIMAL(18,2)) AS total_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band, event_type
+""",
         "salted_revenue_by_flag": f"""
 SELECT l_returnflag,
        CAST(SUM({_r2("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty,

@@ -57,6 +57,60 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     assert want.exceptAll(got).count() == 0
 
 
+def test_watermark_drops_late_data_in_append(spark, tmp_path):
+    """Append-mode watermark conformance: a second micro-batch carrying
+    events far older than the advanced watermark must NOT resurrect or
+    create windows below it."""
+    import datetime
+
+    from data_warehouse_punta_fina_spark.streaming.file_stream import (
+        read_file_stream,
+        tumbling_window_agg,
+    )
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    staged = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once(_qname):
+        stream = read_file_stream(spark, staged, _events_schema())
+        agg = tumbling_window_agg(stream, "1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["window_start"].hour, float(r["total_value"]))
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # execution 1: watermark advances to 22:00 → the 10:00 window finalizes
+    batch1 = spark.createDataFrame([(1, ts(10), 1, "a", 1.0), (2, ts(23), 1, "a", 1.0)], schema)
+    batch1.coalesce(1).write.mode("overwrite").parquet(staged)
+    got1 = run_once("late_out_1")
+    assert (10, 1.0) in got1
+
+    # execution 2 (same checkpoint): a 10:30 event is now LATE and must be
+    # dropped; the 23:30 event is on time
+    batch2 = spark.createDataFrame([(3, ts(10, 30), 1, "a", 5.0), (4, ts(23, 30), 1, "a", 1.0)], schema)
+    batch2.coalesce(1).write.mode("append").parquet(staged)
+    got2 = run_once("late_out_2")
+    assert not any(v in (5.0, 6.0) for _, v in got2)  # late row never surfaces
+    # nothing new finalizes in exec 2 (watermark 22:30 < 23:00 window end) —
+    # the cumulative sink is unchanged: the late event updated no window
+    assert got2 == got1
+
+
 def test_available_now_checkpoint_resume(spark, sf_dir, tmp_path):
     from data_warehouse_punta_fina_spark.sources.readers import load_table
     from data_warehouse_punta_fina_spark.streaming.file_stream import (
