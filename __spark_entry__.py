@@ -524,6 +524,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(pround2("value")).cast("decimal(18,2)").alias("total_value"),
         )
 
+    def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # exact interpolated percentiles: Spark `percentile` and DuckDB
+        # `quantile_cont` share the (n-1)·p linear-interpolation definition
+        # and agree bit-for-bit on doubles (probed before adopting)
+        events = load_table(spark, sf_dir, "events")
+        return events.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+            F.count("*").alias("n"),
+        )
+
     def salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_warehouse_punta_fina_spark.operators.skew import salted_agg
 
@@ -703,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_revenue_by_nation": sql_revenue_by_nation,
         "sql_top_customer_per_nation": sql_top_customer_per_nation,
         "events_value_band_rangejoin": events_value_band_rangejoin,
+        "events_value_percentiles": events_value_percentiles,
         "salted_revenue_by_flag": salted_revenue_by_flag,
         "batch_token_stats": batch_token_stats,
         "asof_last_order": asof_last_order,
@@ -1371,6 +1384,14 @@ SELECT band, event_type, COUNT(*) AS n,
        CAST(SUM({_r2("value")}) AS DECIMAL(18,2)) AS total_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band, event_type
+""",
+        "events_value_percentiles": """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
 """,
         "salted_revenue_by_flag": f"""
 SELECT l_returnflag,
