@@ -157,13 +157,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _DIM_MEMO[key]
 
     def fact_ventas(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return build_fact_ventas(
-            spark,
-            sf_dir,
-            _memo_dim("producto", build_dim_producto, spark, sf_dir),
-            _memo_dim("cliente", build_dim_cliente, spark, sf_dir),
-            _memo_dim("almacen", build_dim_almacen, spark, sf_dir),
-        )
+        # the fact itself is also materialized once per session — downstream
+        # consumers (daily rollup, DQ report) read it like the warehouse
+        # table the pipeline would have written
+        key = (spark.sparkContext.applicationId, sf_dir, "fact_ventas")
+        if key not in _DIM_MEMO:
+            _DIM_MEMO[key] = build_fact_ventas(
+                spark,
+                sf_dir,
+                _memo_dim("producto", build_dim_producto, spark, sf_dir),
+                _memo_dim("cliente", build_dim_cliente, spark, sf_dir),
+                _memo_dim("almacen", build_dim_almacen, spark, sf_dir),
+            ).localCheckpoint(eager=False)
+        return _DIM_MEMO[key]
 
     def fact_transacciones(spark: SparkSession, sf_dir: str) -> DataFrame:
         return build_fact_transacciones(spark, sf_dir)
@@ -524,6 +530,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(pround2("value")).cast("decimal(18,2)").alias("total_value"),
         )
 
+    def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # 1-hour windows sliding every 30 min: each event lands in exactly 2
+        # windows (duration/slide). Same plan runs incrementally as a stream.
+        events = load_table(spark, sf_dir, "events")
+        agg = events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(pround2("value")).cast("decimal(18,2)").alias("total_value"),
+        )
+        return agg.select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+
     def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact interpolated percentiles: Spark `percentile` and DuckDB
         # `quantile_cont` share the (n-1)·p linear-interpolation definition
@@ -715,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_revenue_by_nation": sql_revenue_by_nation,
         "sql_top_customer_per_nation": sql_top_customer_per_nation,
         "events_value_band_rangejoin": events_value_band_rangejoin,
+        "events_sliding_window": events_sliding_window,
         "events_value_percentiles": events_value_percentiles,
         "salted_revenue_by_flag": salted_revenue_by_flag,
         "batch_token_stats": batch_token_stats,
@@ -1384,6 +1408,18 @@ SELECT band, event_type, COUNT(*) AS n,
        CAST(SUM({_r2("value")}) AS DECIMAL(18,2)) AS total_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band, event_type
+""",
+        "events_sliding_window": f"""
+WITH grid AS (
+  SELECT e.*, date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS slot
+  FROM events e
+), expanded AS (
+  SELECT *, unnest([slot, slot - INTERVAL 30 MINUTE]) AS window_start FROM grid
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({_r2("value")}) AS DECIMAL(18,2)) AS total_value
+FROM expanded GROUP BY window_start, event_type
 """,
         "events_value_percentiles": """
 SELECT event_type,

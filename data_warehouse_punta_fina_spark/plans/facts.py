@@ -58,19 +58,17 @@ def build_fact_ventas(
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
 
-    grain = (
-        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "inner")
-        .filter(
-            F.col("o_orderdate").isNotNull()
-            & F.col("l_partkey").isNotNull()
-            & (F.col("l_quantity") > 0)
-        )
-    )
     # the synthetic source intentionally carries colliding (orderkey, lineno)
     # keys with different content — order by the full row so the survivor is
-    # deterministic (reference keep-first follows its ORDER BY id intake)
-    grain = dedupe_by_grain(
-        grain,
+    # deterministic (reference keep-first follows its ORDER BY id intake).
+    # Dedup runs BEFORE the join: the row-level filters (partkey, quantity)
+    # are applied first so the survivor choice is identical to dedup-after-
+    # join, while the order-side filter and the inner join only remove
+    # whole (orderkey, lineno) groups — shuffling 10 lineitem columns
+    # instead of the 16-column join output.
+    line_filtered = lineitem.filter(F.col("l_partkey").isNotNull() & (F.col("l_quantity") > 0))
+    line_dedup = dedupe_by_grain(
+        line_filtered,
         ["l_orderkey", "l_linenumber"],
         [
             F.col("l_partkey"),
@@ -83,6 +81,11 @@ def build_fact_ventas(
             F.col("l_linestatus"),
             F.col("l_shipdate"),
         ],
+    )
+    grain = line_dedup.join(
+        orders.filter(F.col("o_orderdate").isNotNull()),
+        line_dedup["l_orderkey"] == orders["o_orderkey"],
+        "inner",
     )
 
     measured = grain.select(
