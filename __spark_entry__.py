@@ -182,6 +182,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fact_estado_resultados(spark: SparkSession, sf_dir: str) -> DataFrame:
         return build_fact_estado_resultados(build_fact_transacciones(spark, sf_dir))
 
+    def star_revenue_by_pais_trimestre(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the dimensional query the warehouse exists for: fact ⨝ dim_fecha ⨝
+        # dim_cliente, rolled up by year/quarter/country. Both dims broadcast.
+        fv = fact_ventas(spark, sf_dir)
+        fecha = build_dim_fecha(spark, sf_dir).select("fecha_id", "anio", "trimestre")
+        cliente = _memo_dim("cliente", build_dim_cliente, spark, sf_dir).select("cliente_id", "pais")
+        return (
+            fv.join(F.broadcast(fecha), "fecha_id")
+            .join(F.broadcast(cliente), "cliente_id")
+            .groupBy("anio", "trimestre", "pais")
+            .agg(
+                F.sum("subtotal").cast("decimal(18,2)").alias("ventas_netas"),
+                F.sum("margen").cast("decimal(18,2)").alias("margen_total"),
+                F.count("*").alias("n_lineas"),
+                F.countDistinct("orden_id").alias("n_ordenes"),
+            )
+        )
+
     def ventas_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         fv = fact_ventas(spark, sf_dir)
         return fv.groupBy("fecha_id").agg(
@@ -723,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_balance": fact_balance,
         "fact_estado_resultados": fact_estado_resultados,
         # relational operator probes
+        "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
         "ventas_daily_summary": ventas_daily_summary,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "discount_order_rollup": discount_order_rollup,
@@ -1149,6 +1168,24 @@ SELECT periodo_id,
        CAST(ingresos - costos - gastos AS DECIMAL(15,2)) AS utilidad_neta
 FROM pivoted
 WHERE ingresos <> 0 OR costos <> 0 OR gastos <> 0
+""",
+        "star_revenue_by_pais_trimestre": f"""
+WITH fv AS ({_FACT_VENTAS_SQL}),
+dc AS (
+  SELECT CAST(1 AS INT) AS cliente_id, 'Sin País' AS pais
+  UNION ALL
+  SELECT CAST(1 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT), COALESCE(n_name, 'Sin País')
+  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT CAST(FLOOR(fv.fecha_id / 10000) AS INT) AS anio,
+       CAST(FLOOR((FLOOR(fv.fecha_id / 100) % 100 - 1) / 3) + 1 AS INT) AS trimestre,
+       dc.pais,
+       CAST(SUM(fv.subtotal) AS DECIMAL(18,2)) AS ventas_netas,
+       CAST(SUM(fv.margen) AS DECIMAL(18,2)) AS margen_total,
+       COUNT(*) AS n_lineas,
+       COUNT(DISTINCT fv.orden_id) AS n_ordenes
+FROM fv JOIN dc ON fv.cliente_id = dc.cliente_id
+GROUP BY 1, 2, 3
 """,
         "ventas_daily_summary": f"""
 WITH fact_ventas AS ({_FACT_VENTAS_SQL})

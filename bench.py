@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "fact_ventas",
+    "star_revenue_by_pais_trimestre",
     "ventas_daily_summary",
     "fact_inventario",
     "fact_transacciones",
