@@ -386,6 +386,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return simhash64(load_table(spark, sf_dir, "documents"), bits=32)
 
+    def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.dedup import simhash_near_dup_pairs
+
+        return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
+
     def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
@@ -775,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": doc_minhash_lsh,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_simhash": doc_simhash,
+        "doc_simhash_near_dup": doc_simhash_near_dup,
         "ann_brute_topk": ann_brute_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "emb_near_dup": emb_near_dup,
@@ -975,6 +981,27 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.d
 """
 
 
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, substr(md5(tok), 1, 8) AS hx FROM toks
+), votes AS (
+  SELECT doc_id, j,
+         SUM(((strpos('0123456789abcdef', substr(hx, CAST(FLOOR(j / 4) AS INT) + 1, 1)) - 1)
+              >> (3 - (j % 4))) % 2 * 2 - 1) AS vote
+  FROM h CROSS JOIN range(32) t(j)
+  GROUP BY doc_id, j
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
+
 def _cosine_sql(qa: str, ca: str) -> str:
     dot = f"CAST(list_sum(list_transform(generate_series(1, 64), i -> {qa}[i] * {ca}[i])) AS DOUBLE)"
     na = f"CAST(list_sum(list_transform(generate_series(1, 64), i -> {qa}[i] * {qa}[i])) AS DOUBLE)"
@@ -1099,6 +1126,8 @@ WITH m AS (
          CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS INT) AS fecha_id,
          user_id AS usuario_externo_id,
          event_type AS tipo_movimiento,
+         CASE event_type WHEN 'purchase' THEN 2 WHEN 'click' THEN 3 WHEN 'error' THEN 5
+              WHEN 'signup' THEN 6 WHEN 'view' THEN 9 ELSE 1 END AS tipo_movimiento_id,
          CAST(CASE WHEN event_type IN ('purchase', 'signup') THEN {_r2("value")}
                    ELSE -{_r2("value")} END AS DECIMAL(15,2)) AS cantidad
   FROM events
@@ -1108,7 +1137,7 @@ WITH m AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stock_resultante
   FROM m
 )
-SELECT movimiento_id, fecha_id, usuario_externo_id, tipo_movimiento, cantidad,
+SELECT movimiento_id, fecha_id, usuario_externo_id, tipo_movimiento, tipo_movimiento_id, cantidad,
        CAST(COALESCE(LAG(stock_resultante) OVER (
               PARTITION BY usuario_externo_id ORDER BY fecha_id, movimiento_id), 0) AS DECIMAL(15,2)) AS stock_anterior,
        CAST(stock_resultante AS DECIMAL(15,2)) AS stock_resultante
@@ -1609,25 +1638,20 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} >= 0.2
 """,
-        "doc_simhash": """
-WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
-  FROM documents
-), h AS (
-  SELECT doc_id, substr(md5(tok), 1, 8) AS hx FROM toks
-), votes AS (
-  SELECT doc_id, j,
-         SUM(((strpos('0123456789abcdef', substr(hx, CAST(FLOOR(j / 4) AS INT) + 1, 1)) - 1)
-              >> (3 - (j % 4))) % 2 * 2 - 1) AS vote
-  FROM h CROSS JOIN range(32) t(j)
-  GROUP BY doc_id, j
-), fp AS (
-  SELECT doc_id,
-         SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END) AS simhash
-  FROM votes GROUP BY doc_id
+        "doc_simhash": _SIMHASH_SQL,
+        "doc_simhash_near_dup": f"""
+WITH fp AS ({_SIMHASH_SQL}),
+banded AS (
+  SELECT doc_id, simhash, k AS band, (simhash >> (8 * CAST(k AS INT))) & 255 AS band_val
+  FROM fp CROSS JOIN range(4) t(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
-SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash
-FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
 """,
         "ann_brute_topk": f"""
 WITH q AS (

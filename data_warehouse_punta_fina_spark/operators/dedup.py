@@ -208,6 +208,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-duplicate pairs within a Hamming radius.
+
+    Pigeonhole blocking: with 4 byte-bands, any pair within distance ≤ 2
+    shares at least 2 bands — joining on ANY shared band is a complete
+    candidate set. Candidates then verify with bit_count(xor) ≤ radius.
+    Fingerprints (one int64 per doc) are the only shuffled payload.
+    """
+    fp = simhash64(df, text_col, id_col, bits).localCheckpoint(eager=False)
+    n_bands = bits // 8
+    banded = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright("simhash", 8 * k).bitwiseAND(F.lit(255)).alias("val"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def dedup_clusters(
     ids: DataFrame,
     pairs: DataFrame,

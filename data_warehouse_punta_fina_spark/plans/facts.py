@@ -157,16 +157,33 @@ def build_fact_ventas(
     )
 
 
+# event_type → movement-code mapping (stand-in for the CSV's id_tipo_movimiento)
+EVENT_TIPO_MAP = {
+    "purchase": "MOV_ENTRADA",
+    "click": "MOV_SALIDA_VENTA",
+    "error": "MOV_AJUSTE_NEG",
+    "signup": "MOV_DEVOLUCION",
+    "view": "MOV_MERMA",
+}
+
+
 def build_fact_inventario(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → fact_inventario (reference `complete_fact_builder.py:558-646`):
     signed movement quantities + running stock per user (W1 on a second
-    domain). entrada = purchase/signup, salida = everything else."""
+    domain) + tipo_movimiento SK lookup with default member (J3).
+    entrada = purchase/signup, salida = everything else."""
+    from data_warehouse_punta_fina_spark.plans.dims_catalog import build_dim_tipo_movimiento
+
     events = load_table(spark, sf_dir, "events")
-    moves = events.select(
+    tipo_expr = F.lit(None).cast("string")
+    for ev, code in reversed(list(EVENT_TIPO_MAP.items())):
+        tipo_expr = F.when(F.col("event_type") == ev, F.lit(code)).otherwise(tipo_expr)
+    moves = events.withColumn("codigo", tipo_expr).select(
         F.col("event_id").alias("movimiento_id"),
         date_key(F.to_date("ts")).alias("fecha_id"),
         F.col("user_id").alias("usuario_externo_id"),
         F.col("event_type").alias("tipo_movimiento"),
+        F.col("codigo"),
         # decimal BEFORE the window: a float running sum is accumulation-order
         # sensitive; decimal is exact under any partitioning/engine
         F.when(F.col("event_type").isin("purchase", "signup"), pround2("value"))
@@ -174,6 +191,10 @@ def build_fact_inventario(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(MONEY)
         .alias("cantidad"),
     )
+    dim_tipo = build_dim_tipo_movimiento(spark)
+    moves = sk_lookup(
+        moves, dim_tipo, "codigo", sk="tipo_movimiento_id", default=1
+    ).drop("codigo")
     stocked = running_total(
         moves, "cantidad", partition_by="usuario_externo_id", order_by=["fecha_id", "movimiento_id"], out="stock_resultante"
     )
@@ -190,6 +211,7 @@ def build_fact_inventario(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fecha_id",
         "usuario_externo_id",
         "tipo_movimiento",
+        "tipo_movimiento_id",
         F.col("cantidad").cast(MONEY).alias("cantidad"),
         F.col("stock_anterior").cast(MONEY).alias("stock_anterior"),
         F.col("stock_resultante").cast(MONEY).alias("stock_resultante"),
