@@ -570,6 +570,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "total_value",
         )
 
+    def pnl_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # unpivot/melt: the P&L wide columns back to long (periodo, concepto,
+        # monto) via stack() — the inverse of the A6 pivot
+        pnl = build_fact_estado_resultados(build_fact_transacciones(spark, sf_dir))
+        return pnl.selectExpr(
+            "periodo_id",
+            "stack(5, 'ingresos', ingresos, 'costos', costos, 'gastos', gastos, "
+            "'utilidad_bruta', utilidad_bruta, 'utilidad_neta', utilidad_neta) AS (concepto, monto)",
+        )
+
+    def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # numerically-portable mean/stddev: exact decimal moment sums
+        # (Σx, Σx²), one double division/sqrt at the end. A naive float
+        # stddev is partial-aggregation-order dependent — this is not.
+        events = load_table(spark, sf_dir, "events")
+        v = pround2("value")
+        agg = events.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(v).cast("decimal(20,2)").alias("sum_x"),
+            F.sum((v * v).cast("decimal(25,4)")).cast("decimal(25,4)").alias("sum_x2"),
+        )
+        from data_warehouse_punta_fina_spark.functions.money import pround6
+
+        mean = F.col("sum_x").cast("double") / F.col("n")
+        var = (
+            F.col("sum_x2").cast("double")
+            - F.col("sum_x").cast("double") * F.col("sum_x").cast("double") / F.col("n")
+        ) / (F.col("n") - 1)
+        return agg.select(
+            "event_type",
+            "n",
+            pround6(mean).alias("media"),
+            pround6(F.sqrt(var)).alias("desv_estandar"),
+        )
+
+    def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        customer = load_table(spark, sf_dir, "customer")
+        w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+        quartiled = customer.withColumn("cuartil", F.ntile(4).over(w))
+        return quartiled.groupBy("cuartil").agg(
+            F.count("*").alias("n"),
+            F.sum(pround2("c_acctbal")).cast("decimal(18,2)").alias("saldo_total"),
+            F.min(pround2("c_acctbal")).alias("saldo_min"),
+            F.max(pround2("c_acctbal")).alias("saldo_max"),
+        )
+
     def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact interpolated percentiles: Spark `percentile` and DuckDB
         # `quantile_cont` share the (n-1)·p linear-interpolation definition
@@ -764,6 +810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_band_rangejoin": events_value_band_rangejoin,
         "events_sliding_window": events_sliding_window,
         "events_value_percentiles": events_value_percentiles,
+        "pnl_unpivot": pnl_unpivot,
+        "events_value_stats": events_value_stats,
+        "customer_balance_quartiles": customer_balance_quartiles,
         "salted_revenue_by_flag": salted_revenue_by_flag,
         "batch_token_stats": batch_token_stats,
         "asof_last_order": asof_last_order,
