@@ -55,7 +55,10 @@ def main() -> None:
     from data_warehouse_punta_fina_spark import get_spark
 
     spark = get_spark("bench")
-    qs = entrymod.queries()
+    # headline set spans both registries (driver window + extras) so the
+    # per-query series stays comparable across rounds
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
 
     # warm the JVM outside the measured window: file listing + codegen
     # compilation + shuffle machinery (join/window/agg/explode on tiny data)
@@ -90,6 +93,15 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # per-query regression tracking: ratio vs the round-1 floor (>1 slower)
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    if os.path.exists(floor_path):
+        with open(floor_path) as fh:
+            raw = json.load(fh)
+        floor = (raw.get("parsed") or raw).get("queries", {})
+        out["vs_r01"] = {
+            name: round(t / floor[name], 2) for name, t in times.items() if floor.get(name)
+        }
     print(json.dumps(out))
     spark.stop()
 

@@ -40,6 +40,15 @@ def pround(col: Column | str, scale: int = 2, precision: int = 15) -> Column:
     pure IEEE multiply/add/floor — bit-identical on every engine — and the
     final double→decimal cast is exact because n/10^s round-trips.
     Verified row-exact vs DuckDB over the sf0.01 testdata.
+
+    Known divergence (documented, not a bug for this pipeline): for
+    NEGATIVE inputs ``floor(x·10^s + 0.5)`` rounds halves toward +inf
+    (-2.345 → -2.34), while PostgreSQL ROUND(numeric) — the reference's
+    semantics — rounds half away from zero (-2.345 → -2.35). Every
+    monetary quantity in this pipeline is rounded while non-negative
+    (fact_inventario negates AFTER pround2), so the divergence is
+    unreachable; cross-engine parity with the DuckDB oracle holds for all
+    inputs by construction since both sides evaluate this same formula.
     """
     c = F.col(col) if isinstance(col, str) else col
     factor = F.lit(10**scale)

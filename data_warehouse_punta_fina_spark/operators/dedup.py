@@ -138,6 +138,11 @@ def minhash_lsh_pairs(
     documents are never shuffled; only (band_key, id). Returns
     (id_a, id_b) with id_a < id_b.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing hash columns would be silently dropped"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
@@ -180,17 +185,37 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+    """N-gram Jaccard similarity pairs ≥ threshold over an inverted index.
 
     Inverted-index join: explode distinct shingles → self-join on shingle
     → count common shingles per pair → Jaccard = common/(|A|+|B|-common).
-    The shuffle key is the shingle string; hot shingles fan out, so at
-    scale this is used AFTER LSH candidate generation (compose with
-    :func:`minhash_lsh_pairs`) — standalone it is the exact oracle.
+    The shuffle key is the shingle string, so a shingle appearing in d
+    documents fans out to d·(d-1)/2 candidate rows — quadratic in the
+    hottest key.
+
+    ``max_shingle_df`` is the scale guard: shingles whose document
+    frequency exceeds it are dropped from the universe before sizes and
+    intersections (stopword-shingle removal — a shingle in thousands of
+    documents carries no near-duplicate signal, exactly like a stopword in
+    retrieval). This bounds the per-key fan-out to max_shingle_df²/2 and
+    makes the standalone operator safe at corpus scale; ``None`` keeps the
+    exact all-shingles semantics (the oracle form — or compose with
+    :func:`minhash_lsh_pairs` for candidate generation instead).
     """
     # consumed three times (sizes + both join branches) → materialize once
-    sh = shingle_rows(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
+    sh = shingle_rows(df, text_col, id_col, shingle_n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        # hot set is tiny by construction (only keys above the cap) → broadcast anti-join
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -222,8 +247,16 @@ def simhash_near_dup_pairs(
     candidate set. Candidates then verify with bit_count(xor) ≤ radius.
     Fingerprints (one int64 per doc) are the only shuffled payload.
     """
-    fp = simhash64(df, text_col, id_col, bits).localCheckpoint(eager=False)
+    if bits % 8 != 0:
+        raise ValueError(f"bits ({bits}) must be a multiple of 8 (byte-band blocking)")
     n_bands = bits // 8
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bits//8 ({n_bands}): the pigeonhole "
+            "guarantee (every pair within the radius shares a band) only holds below "
+            "the band count — a larger radius would silently return an incomplete set"
+        )
+    fp = simhash64(df, text_col, id_col, bits).localCheckpoint(eager=False)
     banded = fp.select(
         F.col(id_col),
         F.col("simhash"),

@@ -63,7 +63,13 @@ def brute_force_topk(
 def sign_bucket(vec_col: Column | str, bits: int = 4) -> Column:
     """Coarse LSH bucket id: sign bits of the first ``bits`` components.
     A stand-in for trained IVF centroids that stays deterministic and
-    engine-portable; 2^bits buckets."""
+    engine-portable; 2^bits buckets.
+
+    Occupancy bound: with b bits, the expected within-bucket pair count of
+    a self-join is ~N²/2^b (uniform signs) — bits must grow with corpus
+    size. 4 bits = 16 buckets is test-scale only; at 100 TB use ≥ 16 bits
+    (65k buckets) or trained centroids, plus multiprobe on the query side
+    to recover recall."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     out = F.lit(0)
     for i in range(bits):
@@ -78,19 +84,26 @@ def ivf_topk(
     bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's coarse bucket.
+    """Approximate top-k: compare only within the query's coarse bucket(s).
 
     At scale the corpus is written bucketed/partitioned by ``bucket`` so a
     query probes one partition (partition pruning) instead of the full
     scan — the IVF index pattern expressed relationally.
+
+    ``multiprobe`` additionally probes every Hamming-1 neighbor of the
+    query's bucket (``bits`` extra probes — the standard multi-probe LSH
+    recall recovery): a query near a sign boundary still reaches the
+    adjacent cell, so ``bits`` can be raised (smaller buckets, cheaper
+    scan) without the recall cliff of single-probe.
     """
     c = _prepare(corpus, id_col, vec_col, bucket_bits=bits).alias("c")
-    q = (
-        _prepare(queries, id_col, vec_col, bucket_bits=bits)
-        .withColumnRenamed(id_col, "query_id")
-        .alias("q")
-    )
+    q = _prepare(queries, id_col, vec_col, bucket_bits=bits).withColumnRenamed(id_col, "query_id")
+    if multiprobe:
+        probes = F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)])
+        q = q.withColumn("bucket", F.explode(probes))
+    q = q.alias("q")
     pairs = c.join(F.broadcast(q), (F.col("c.bucket") == F.col("q.bucket")) & (F.col(f"c.{id_col}") != F.col("query_id")))
     scored = pairs.select(
         F.col("query_id"),

@@ -23,6 +23,7 @@ def sk_lookup(
     out: str | None = None,
     default: int | None = 1,
     broadcast: bool = True,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Resolve a fact natural key to a dimension surrogate key.
 
@@ -30,11 +31,17 @@ def sk_lookup(
     to the default member (SK=1 'Sin …' row in the reference,
     `main.py:419-437`). Row count of ``fact`` is preserved (1:1 join —
     callers must pass a deduped dimension).
+
+    ``carry`` attaches extra dimension attributes in the SAME broadcast
+    join — one dim build + one broadcast instead of a second enrichment
+    join against the same dimension (e.g. fact_ventas pulls
+    ``costo_estandar`` alongside ``producto_id``).
     """
     nk = [natural_key] if isinstance(natural_key, str) else list(natural_key)
     fk = [fact_key] if isinstance(fact_key, str) else list(fact_key or nk)
     out = out or sk
-    lookup = dim.select(F.col(sk).alias(out), *[F.col(k) for k in nk]).dropDuplicates(nk)
+    extra = [F.col(c) for c in (carry or [])]
+    lookup = dim.select(F.col(sk).alias(out), *[F.col(k) for k in nk], *extra).dropDuplicates(nk)
     if broadcast:
         lookup = F.broadcast(lookup)
     cond = None

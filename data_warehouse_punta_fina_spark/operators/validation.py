@@ -118,9 +118,13 @@ def validate_and_populate(df: DataFrame, rules: TableRules) -> tuple[DataFrame, 
         )
         report["fk"][fk_col] = {"orphans": orphans}
 
-    # 7. PK dedup (`data_validator.py:299-331`) — deterministic survivor
+    # 7. PK dedup (`data_validator.py:299-331`) — deterministic survivor.
+    # Order by the NON-key payload columns: within a PK group the key
+    # columns are constant, so ordering by them would leave the survivor
+    # arbitrary when duplicate PKs carry different payloads.
     if rules.primary_key:
-        order = [F.col(c) for c in rules.primary_key]
+        payload = [c for c in df.columns if c not in rules.primary_key]
+        order = [F.col(c) for c in payload] or [F.col(c) for c in rules.primary_key]
         df = dedupe_by_grain(df, rules.primary_key, order)
 
     out_rows = df.count()

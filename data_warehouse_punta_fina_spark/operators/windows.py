@@ -80,6 +80,53 @@ def sequential_id(
     return df.withColumn(out, F.row_number().over(w) + F.lit(start - 1))
 
 
+def ranked_sequential_id(
+    df: DataFrame,
+    order_by: str | list[str],
+    out: str = "id",
+    start: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dense ids 1..n ordered by a key, WITHOUT a global window.
+
+    Semantics identical to ``ROW_NUMBER() OVER (ORDER BY key)`` + start-1
+    (assumes unique keys), but computed scalably in two passes:
+
+    1. ``repartitionByRange(key)`` → per-range ``row_number`` (windows are
+       per-partition, fully parallel);
+    2. per-partition row counts → cumulative offsets (one tiny window over
+       ≤ #partitions rows, bounded by cluster width not data size) →
+       broadcast-joined back.
+
+    Correct for ANY range boundaries the sampler picks: partitions are
+    non-overlapping ordered key ranges, so offset + local rank = global
+    rank. This is the scale-safe replacement for a dim-builder global
+    window: at sf100 dim_producto/dim_cliente are tens of millions of
+    rows, far past the single-partition sort a global window forces.
+    """
+    ob = [order_by] if isinstance(order_by, str) else list(order_by)
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *[F.col(c) for c in ob]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = parted.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*ob))
+    ).localCheckpoint(eager=False)  # counts + join both read the ranked rows once
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # constant partition key: the offsets table is ≤ #partitions rows by
+    # construction, so a single-partition window here is intentional (and
+    # shouldn't trip the WindowExec global-window warning)
+    w_off = Window.partitionBy(F.lit(0)).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).select(
+        "_pid", "_off"
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.col("_rn") + F.col("_off") + F.lit(start - 1))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def partitioned_sequential_id(df: DataFrame, out: str = "id", start: int = 1) -> DataFrame:
     """Dense global ids without a global sort: zipWithIndex semantics via
     per-partition offsets. Order follows the current partition layout (not

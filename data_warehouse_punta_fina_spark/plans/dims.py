@@ -7,13 +7,17 @@ calendar→dim_fecha, literal chart of accounts→dim_cuenta_contable.
 
 Surrogate keys: every dimension reserves SK=1 for the default member
 ('Sin …' row, reference `main.py:419-437`); real rows get dense SKs from 2
-via row_number over the natural key. The global window is fine here —
-dimensions are small by definition; facts never get global windows.
+ordered by the natural key. SK assignment uses the two-pass range-
+partitioned rank (operators.windows.ranked_sequential_id) — same values
+as ``ROW_NUMBER() OVER (ORDER BY key)`` but no global window, so
+part/customer-derived dims stay scale-safe at sf100 where they are tens
+of millions of rows. Facts never get dense-sequence SKs at all
+(venta_id is key-derived).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_punta_fina_spark.functions.dates import (
@@ -33,9 +37,12 @@ CALENDAR_END = "2005-12-31"
 
 
 def _dense_sk(df: DataFrame, order_col: str, sk_name: str) -> DataFrame:
-    """SK = 1 + row_number ordered by the natural key (SK 1 = default member)."""
-    w = Window.orderBy(order_col)
-    return df.withColumn(sk_name, (F.row_number().over(w) + F.lit(1)).cast("int"))
+    """SK = 1 + rank over the natural key (SK 1 = default member),
+    computed without a global window (ranked_sequential_id)."""
+    from data_warehouse_punta_fina_spark.operators.windows import ranked_sequential_id
+
+    out = ranked_sequential_id(df, order_col, out=sk_name, start=2)
+    return out.withColumn(sk_name, F.col(sk_name).cast("int"))
 
 
 def build_dim_fecha(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:

@@ -9,7 +9,7 @@ dim_envio (regex time-extraction, `:623-653`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_punta_fina_spark.functions.dates import date_key
@@ -45,10 +45,13 @@ def build_dim_orden(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_dim_categoria_producto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct product categories (reference `complete_dimension_builder.py:945-1006`)."""
     part = load_table(spark, sf_dir, "part")
+    from data_warehouse_punta_fina_spark.operators.windows import ranked_sequential_id
+
     cats = part.select(F.col("p_type").alias("nombre")).filter(F.col("nombre").isNotNull()).distinct()
-    w = Window.orderBy("nombre")
-    with_sk = cats.withColumn("categoria_id", (F.row_number().over(w) + F.lit(1)).cast("int")).withColumn(
-        "activa", F.lit(True)
+    with_sk = (
+        ranked_sequential_id(cats, "nombre", out="categoria_id", start=2)
+        .withColumn("categoria_id", F.col("categoria_id").cast("int"))
+        .withColumn("activa", F.lit(True))
     )
     default_row = spark.createDataFrame(
         [(1, "Sin Categoría", False)], "categoria_id int, nombre string, activa boolean"

@@ -5,7 +5,7 @@ dim_estado_pago, dim_pago. Completes the reference's full catalog."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_punta_fina_spark.functions.strings import name_or_default
@@ -30,8 +30,10 @@ def build_dim_direccion(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.withColumn(
         "direccion_completa", F.concat_ws(", ", "calle", "ciudad", "region")
     )
-    w = Window.orderBy("cliente_externo_id")
-    return base.withColumn("direccion_id", F.row_number().over(w).cast("int")).select(
+    from data_warehouse_punta_fina_spark.operators.windows import ranked_sequential_id
+
+    ranked = ranked_sequential_id(base, "cliente_externo_id", out="direccion_id", start=1)
+    return ranked.withColumn("direccion_id", F.col("direccion_id").cast("int")).select(
         "direccion_id", "cliente_externo_id", "calle", "ciudad", "region", "direccion_completa"
     )
 

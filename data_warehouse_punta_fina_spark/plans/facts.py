@@ -112,21 +112,24 @@ def build_fact_ventas(
         .withColumn("impuesto_id", F.when(F.col("impuesto") > 0, F.lit(1)).otherwise(F.lit(3)))
     )
 
-    # SK lookups (J3) — broadcast dims, default member 1
+    # SK lookups (J3) — broadcast dims, default member 1. The producto
+    # lookup carries costo_estandar in the same broadcast join (the
+    # reference's separate producto-costo lookup, `:353-388`) — one
+    # BroadcastHashJoin against dim_producto instead of two.
     resolved = sk_lookup(
         measured, dim_cliente, "cliente_externo_id", sk="cliente_id", default=1
     )
-    resolved = sk_lookup(resolved, dim_producto, "producto_externo_id", sk="producto_id", default=1)
-    resolved = sk_lookup(resolved, dim_almacen, "almacen_externo_id", sk="almacen_id", default=1)
-
-    # costo/margen from the product dim (producto-costo lookup, `:353-388`)
-    costo = dim_producto.select(
-        F.col("producto_externo_id").alias("_pid"), F.col("costo_estandar")
+    resolved = sk_lookup(
+        resolved,
+        dim_producto,
+        "producto_externo_id",
+        sk="producto_id",
+        default=1,
+        carry=["costo_estandar"],
     )
+    resolved = sk_lookup(resolved, dim_almacen, "almacen_externo_id", sk="almacen_id", default=1)
     resolved = (
-        resolved.join(F.broadcast(costo), resolved["producto_externo_id"] == costo["_pid"], "left")
-        .drop("_pid")
-        .withColumn(
+        resolved.withColumn(
             "costo_total",
             pround2(
                 F.coalesce(F.col("costo_estandar").cast("double"), F.lit(0.0))

@@ -90,7 +90,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The testdata parquet stores timestamps as TIMESTAMP(NANOS), which Spark
     reads as raw int64 nanos under ``spark.sql.legacy.parquet.nanosAsLong``.
     Columns declared TimestampType in SOURCE_SCHEMAS are converted here
-    (micros = nanos/1000 — a cheap projection, stays in codegen).
+    (micros = nanos div 1000 — a cheap projection, stays in codegen).
+    Integer division, NOT ``/1000``: long→double loses precision above
+    2^53, so a float divide corrupts micros by ±1 on large epochs.
     """
     if name not in SOURCE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -106,7 +108,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(want, T.TimestampType) and isinstance(actual.get(name_), T.LongType)
     ]
     for c in fixes:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -1,9 +1,17 @@
 """Local mirror of the driver's t2 correctness gate.
 
-Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
-on DuckDB over the same sf dir, then compares row count, column names, and
-the order-insensitive multiset of row values (exact string normalization
-of every cell). Usage:
+Runs every __spark_entry__.queries() entry (and extra_queries()) on Spark
+and its oracle_sql() on DuckDB over the same sf dir, then compares row
+count, column names, and the order-insensitive multiset of row values.
+
+STRICT canonicalization (round-2 fix): round 1's mirror normalized
+decimals (``Decimal.normalize()``) and rounded floats to 9 places, which
+was MORE lenient than the driver — the mirror said 0 failures while the
+driver reported 23. Cells now compare by exact repr: floats bit-exact,
+decimals full-scale. Queries must not emit DecimalType at all (the
+_dbl_out boundary); any decimal in an output is flagged loudly.
+
+Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -27,9 +35,9 @@ def norm_cell(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, Decimal):
-        return str(v.normalize())
+        return f"DECIMAL:{v}"  # full scale, no normalize — decimals should never reach an output
     if isinstance(v, float):
-        return repr(round(v, 9))
+        return repr(v)  # bit-exact: repr round-trips doubles
     return str(v)
 
 
@@ -52,21 +60,29 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    n_driver = len(qs)
+    qs.update(entrymod.extra_queries())
     oracles = entrymod.oracle_sql()
     failures = []
-    for name, fn in qs.items():
+    for pos, (name, fn) in enumerate(qs.items()):
+        tier = "driver" if pos < n_driver else "extra"
         if only and name not in only:
             continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = sdf.collect()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
+        problems = []
+        dec_cols = [c for c, t in stypes.items() if t.startswith("decimal")]
+        if dec_cols:
+            problems.append(f"DECIMAL output columns (must be double at the boundary): {dec_cols}")
         if name not in oracles:
             print(f"SKIP  {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
@@ -78,7 +94,6 @@ def main() -> None:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             continue
-        problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
@@ -91,16 +106,16 @@ def main() -> None:
                 problems.append(f"values differ ({diff} of {len(sm)} rows)")
                 for a, b in list(zip(sm, dm))[:200]:
                     if a != b:
-                        problems.append(f"  spark: {a[:200]}")
-                        problems.append(f"  duck : {b[:200]}")
+                        problems.append(f"  spark: {a[:220]}")
+                        problems.append(f"  duck : {b[:220]}")
                         break
         if problems:
             failures.append(name)
-            print(f"FAIL  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"FAIL  {name} [{tier}] ({len(srows)} rows, {time.time()-t0:.1f}s)")
             for p in problems:
                 print(f"      {p}")
         else:
-            print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"OK    {name} [{tier}] ({len(srows)} rows, {time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
