@@ -15,8 +15,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_MERGE = {"sum": F.sum, "count": "count_merge", "min": F.min, "max": F.max}
-
 
 def salted_agg(
     df: DataFrame,

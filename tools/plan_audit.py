@@ -28,8 +28,29 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("plan_audit")
     qs = entrymod.queries()
+
+    def build(name):
+        if name == "fact_ventas":
+            # bypass the session memo (lazy localCheckpoint collapses the
+            # executed plan to an RDD scan) — audit the real builder plan
+            from data_warehouse_punta_fina_spark.plans.dims import (
+                build_dim_almacen,
+                build_dim_cliente,
+                build_dim_producto,
+            )
+            from data_warehouse_punta_fina_spark.plans.facts import build_fact_ventas
+
+            return build_fact_ventas(
+                spark,
+                sf_dir,
+                build_dim_producto(spark, sf_dir),
+                build_dim_cliente(spark, sf_dir),
+                build_dim_almacen(spark, sf_dir),
+            )
+        return qs[name](spark, sf_dir)
+
     for name in AUDITED:
-        df = qs[name](spark, sf_dir)
+        df = build(name)
         plan = df._jdf.queryExecution().executedPlan().toString()
         print(f"\n##### {name}")
         print(
