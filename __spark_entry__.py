@@ -159,6 +159,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "doc_ngram_jaccard": ["jaccard"],
     "ann_brute_topk": ["cosine"],
     "ann_ivf_topk": ["cosine"],
+    "ann_ivf_trained_topk": ["cosine"],
     "emb_near_dup": ["cosine"],
     "emb_label_centroids": ["centroid"],
     "doc_top_terms": ["salience"],
@@ -517,6 +518,17 @@ def _build_registries():
         # round-1 verdict flagged
         emb = load_table(spark, sf_dir, "embeddings")
         return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, bits=6, multiprobe=True)
+
+    def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the trained-quantizer tier above sign buckets: deterministic
+        # 2-iteration Lloyd k-means (integer-rounded centroids keep every
+        # distance exact int64 cross-engine), then cell-local search
+        from data_warehouse_punta_fina_spark.operators.similarity import ivf_trained_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return ivf_trained_topk(
+            emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, iters=2
+        )
 
     def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 8 sign bits → 256 blocks: within-block pair count ~N²/256 (vs
@@ -1039,6 +1051,7 @@ def _build_registries():
         "events_sliding_window": events_sliding_window,
         "corpus_term_freq": corpus_term_freq,
         "doc_simhash": doc_simhash,
+        "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "dim_usuario": build_dim_usuario,
         "dim_proveedor": build_dim_proveedor,
         "dim_orden": _catalog("build_dim_orden"),
@@ -1278,6 +1291,52 @@ def _cosine_sql(qa: str, ca: str) -> str:
 def _bucket_sql(bits: int) -> str:
     """SQL twin of operators.similarity.sign_bucket."""
     return " + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+
+
+def _kmeans_ivf_sql(n_centroids: int = 16, iters: int = 2, k: int = 5) -> str:
+    """SQL twin of operators.similarity.ivf_trained_topk: Lloyd iterations
+    unrolled as CTEs. Distances are exact BIGINT sums (no float order
+    dependence); centroid means round to int64 via floor((2s+n)/(2n))."""
+
+    def dist(qv: str, cv: str) -> str:
+        return (
+            "list_sum(list_transform(generate_series(1, 64), "
+            f"i -> ({qv}[i] - {cv}[i]) * ({qv}[i] - {cv}[i])))"
+        )
+
+    parts = [
+        f"v AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < {n_centroids})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts += [
+            f"d{it} AS (SELECT v.vec_id, v.qv, {prev}.cid, {dist('v.qv', prev + '.cv')} AS dist "
+            f"FROM v CROSS JOIN {prev})",
+            f"a{it} AS (SELECT vec_id, qv, cid FROM d{it} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)",
+            f"u{it} AS (SELECT cid, i, SUM(qv[i]) AS s, COUNT(*) AS n "
+            f"FROM a{it} CROSS JOIN range(1, 65) t(i) GROUP BY cid, i)",
+            f"c{it} AS (SELECT cid, list(CAST(FLOOR((2 * s + n) / (2 * n)) AS BIGINT) ORDER BY i) AS cv "
+            f"FROM u{it} GROUP BY cid)",
+        ]
+        prev = f"c{it}"
+    parts += [
+        f"df AS (SELECT v.vec_id, v.qv, {prev}.cid, {dist('v.qv', prev + '.cv')} AS dist "
+        f"FROM v CROSS JOIN {prev})",
+        "af AS (SELECT vec_id, qv, cid FROM df "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)",
+        "qf AS (SELECT vec_id AS query_id, qv, cid FROM af WHERE vec_id < 8)",
+        "scored AS (SELECT qf.query_id, af.vec_id AS neighbor_id, "
+        f"{_cosine_sql('qf.qv', 'af.qv')} AS cosine "
+        "FROM qf JOIN af ON qf.cid = af.cid AND af.vec_id <> qf.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (\n"
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank\n"
+        f"  FROM scored\n) WHERE rank <= {k}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2087,6 +2146,8 @@ SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_wi
 FROM lineitem GROUP BY l_returnflag
 """,
     }
+
+    o["ann_ivf_trained_topk"] = _kmeans_ivf_sql(n_centroids=16, iters=2, k=5)
 
     # unpivot oracle reuses the P&L oracle as a CTE (stack() twin)
     o["pnl_unpivot"] = f"""

@@ -114,6 +114,120 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _sq_dist_q(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two quantized int64 vectors.
+    Integer arithmetic end-to-end — no float summation order to disagree
+    on across engines (same design as functions.vectors.cosine_q)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over quantized vectors → (cid, cvec).
+
+    The trained-centroid upgrade over :func:`sign_bucket` (round-1 verdict:
+    sign bits are a stand-in; real IVF trains centroids). Every step is
+    engine-portable and partition-order independent:
+
+    - init: the ``k`` vectors with the smallest ids (no RNG);
+    - assign: exact int64 squared-L2 argmin, ties to the smaller cid;
+    - update: component-wise mean ROUNDED to int64 —
+      ``floor((2·sum + n) / (2n))`` — so the next iteration's distances
+      stay exact integers (quantized centroids, standard IVF practice);
+    - clusters that lose all members drop out (both engines agree).
+
+    Shape per iteration: one broadcast of k centroids + one shuffle of
+    (cid, pos, component) for the update agg — corpus vectors are never
+    shuffled whole, and nothing depends on a global sort.
+    """
+    v = corpus.select(F.col(id_col), quantize(vec_col).alias("qvec"))
+    cent = (
+        v.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cid"), F.col("qvec").alias("cvec"))
+    )
+    for _ in range(iters):
+        assigned = _assign(v, cent, id_col)
+        pos = assigned.select(
+            "cid", F.posexplode("qvec").alias("pos", "q")
+        )
+        stats = pos.groupBy("cid", "pos").agg(
+            F.sum("q").alias("s"), F.count("*").alias("n")
+        )
+        comp = stats.withColumn(
+            "c",
+            F.floor((2 * F.col("s") + F.col("n")) / (2 * F.col("n"))).cast("long"),
+        )
+        cent = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda t: t["c"]
+            ).alias("cvec")
+        )
+    return cent
+
+
+def _assign(v: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids, exact int64
+    argmin with deterministic (dist, cid) tie-break."""
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "dist", _sq_dist_q(F.col("qvec"), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "qvec", "cid")
+    )
+
+
+def ivf_trained_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over a TRAINED coarse quantizer: fit k-means on
+    the corpus, assign corpus and queries to their nearest centroid, and
+    search only within the query's cell. At warehouse scale the corpus is
+    written partitioned by ``cid`` so a query probes one partition — the
+    real IVF index, not the sign-bit stand-in."""
+    cent = kmeans_fit(corpus, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col)
+    cent = cent.localCheckpoint(eager=False)  # reused by both assigns
+    cv = corpus.select(F.col(id_col), quantize(vec_col).alias("qvec"))
+    c_assigned = _assign(cv, cent, id_col).withColumn("nsq", norm_sq_q(F.col("qvec")))
+    q_assigned = (
+        _assign(
+            queries.select(F.col(id_col), quantize(vec_col).alias("qvec")), cent, id_col
+        )
+        .withColumnRenamed(id_col, "query_id")
+        .withColumn("nsq", norm_sq_q(F.col("qvec")))
+    )
+    c = c_assigned.alias("c")
+    q = q_assigned.alias("q")
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("c.cid") == F.col("q.cid")) & (F.col(f"c.{id_col}") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        F.col("query_id"),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        cosine_q(F.col("q.qvec"), F.col("c.qvec"), F.col("q.nsq"), F.col("c.nsq")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

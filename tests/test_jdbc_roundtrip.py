@@ -1,0 +1,114 @@
+"""Live JDBC round-trip over embedded Derby (shipped in Spark's jars).
+
+Round 1 left the whole JDBC surface (S1-S3 scans, S11 batch insert, S12
+truncate-and-load, S13 conflict-ignoring insert) "untestable: no live DB".
+Derby's embedded driver needs no server, so the reference's
+PostgreSQL extract/load paths (`extractors/database_extractor.py:23-110`,
+`loaders/database_loader.py:24-92`) are exercised for real here: write →
+read back → filtered/pushdown read → partitioned parallel read → truncate
+reload → idempotent append.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_punta_fina_spark.sources.readers import read_jdbc
+from data_warehouse_punta_fina_spark.sources.writers import (
+    idempotent_append_jdbc,
+    write_jdbc,
+)
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db_dir = tmp_path_factory.mktemp("derby") / "db"
+    yield f"jdbc:derby:{db_dir};create=true"
+    shutil.rmtree(db_dir, ignore_errors=True)
+
+
+def _src(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("int").alias("grp"),
+        F.concat(F.lit("row-"), F.col("id").cast("string")).alias("name"),
+    )
+
+
+def test_jdbc_write_then_read_roundtrip(spark, derby_url):
+    df = _src(spark)
+    write_jdbc(df, derby_url, "t_round", mode="overwrite", driver=DRIVER)
+    back = read_jdbc(spark, derby_url, table="t_round", driver=DRIVER)
+    assert back.count() == 100
+    assert {r["k"] for r in back.collect()} == set(range(100))
+
+
+def test_jdbc_filter_pushdown_reaches_source(spark, derby_url):
+    write_jdbc(_src(spark), derby_url, "t_push", mode="overwrite", driver=DRIVER)
+    scan = read_jdbc(spark, derby_url, table="t_push", driver=DRIVER)
+    filtered = scan.filter(F.col("k") > 90).select("k")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # Catalyst pushes the predicate into the JDBC scan (S2) — visible as
+    # PushedFilters on the JDBCRelation — and prunes to the one column read
+    assert "PushedFilters" in plan and "GreaterThan" in plan
+    assert filtered.count() == 9
+
+
+def test_jdbc_query_option_join_pushdown(spark, derby_url):
+    # S3: the reference's hand-written SQL-with-join extract maps to the
+    # `query` option — the database computes the aggregate, Spark scans it
+    write_jdbc(_src(spark), derby_url, "t_query", mode="overwrite", driver=DRIVER)
+    agg = read_jdbc(
+        spark,
+        derby_url,
+        # Spark creates the table with quoted (case-sensitive) identifiers,
+        # so the hand-written extract SQL must quote them too
+        query='SELECT "grp", COUNT(*) AS "n" FROM t_query GROUP BY "grp"',
+        driver=DRIVER,
+    )
+    got = {r["grp"]: r["n"] for r in agg.collect()}
+    assert sum(got.values()) == 100 and len(got) == 7
+
+
+def test_jdbc_partitioned_parallel_read(spark, derby_url):
+    write_jdbc(_src(spark, 200), derby_url, "t_part", mode="overwrite", driver=DRIVER)
+    parallel = read_jdbc(
+        spark,
+        derby_url,
+        table="t_part",
+        partition_column="k",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=200,
+        driver=DRIVER,
+    )
+    assert parallel.rdd.getNumPartitions() == 4
+    assert parallel.count() == 200
+
+
+def test_jdbc_truncate_and_load(spark, derby_url):
+    write_jdbc(_src(spark, 50), derby_url, "t_trunc", mode="overwrite", driver=DRIVER)
+    # S12: truncate keeps the table, replaces the rows
+    write_jdbc(
+        _src(spark, 20), derby_url, "t_trunc", mode="overwrite", truncate=True, driver=DRIVER
+    )
+    back = read_jdbc(spark, derby_url, table="t_trunc", driver=DRIVER)
+    assert back.count() == 20
+
+
+def test_jdbc_idempotent_append_skips_existing_keys(spark, derby_url):
+    write_jdbc(_src(spark, 30), derby_url, "t_idem", mode="overwrite", driver=DRIVER)
+    existing = read_jdbc(spark, derby_url, table="t_idem", driver=DRIVER)
+    # 10 overlapping keys (20..29) + 10 fresh (30..39): only fresh land
+    incoming = _src(spark, 40).filter(F.col("k") >= 20)
+    idempotent_append_jdbc(
+        incoming, existing, ["k"], derby_url, "t_idem", driver=DRIVER
+    )
+    back = read_jdbc(spark, derby_url, table="t_idem", driver=DRIVER)
+    assert back.count() == 40
+    assert back.groupBy("k").count().filter(F.col("count") > 1).count() == 0

@@ -358,3 +358,40 @@ def test_ivf_multiprobe_superset_of_single_probe(spark):
     # single-probe top-3 may be displaced by better multiprobe finds, so
     # check via scores: multiprobe's worst kept score >= single's best dropped
     assert len(reach) >= len(s) or s <= reach
+
+
+def test_kmeans_fit_deterministic_and_partition_invariant(spark):
+    """Trained quantizer: same centroids under any input partitioning
+    (integer-exact distances + rounded-int centroid means)."""
+    import random
+
+    from data_warehouse_punta_fina_spark.operators.similarity import kmeans_fit
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["cid"]: r["cvec"] for r in kmeans_fit(emb.repartition(3), k=4).collect()}
+    b = {r["cid"]: r["cvec"] for r in kmeans_fit(emb.repartition(17), k=4).collect()}
+    assert a == b and len(a) >= 1
+    assert all(isinstance(v, int) for vec in a.values() for v in vec)  # int64 centroids
+
+
+def test_ivf_trained_cell_locality(spark):
+    """Every returned neighbor shares the query's trained cell, ranks are
+    dense 1..k' and self-matches are excluded."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.similarity import ivf_trained_topk
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_trained_topk(emb, emb.filter(F.col("vec_id") < 4), k=3, n_centroids=8).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
