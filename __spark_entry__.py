@@ -148,6 +148,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "dedup_lineitem": ["cantidad", "precio"],
     "events_tumbling_window": ["total_value"],
     "events_value_band_rangejoin": ["total_value"],
+    "events_value_band_rangejoin_bucketed": ["total_value"],
     "pnl_unpivot": ["monto"],
     "events_value_stats": ["media", "desv_estandar"],
     "customer_balance_quartiles": ["saldo_total", "saldo_min", "saldo_max"],
@@ -692,6 +693,26 @@ def _build_registries():
             F.sum(pround2("value")).cast("decimal(18,2)").alias("total_value"),
         )
 
+    def events_value_band_rangejoin_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the SCALE tier of the range join: grid both sides on value/step
+        # and equi-join on the cell (residual predicate re-verifies), with
+        # an overflow cell capping the open-ended band — same result as
+        # the broadcast nested-loop (same oracle proves it), but the band
+        # side can be arbitrarily large
+        from data_warehouse_punta_fina_spark.operators.rangejoin import bucketed_range_join
+
+        events = load_table(spark, sf_dir, "events")
+        bands = spark.createDataFrame(
+            [("B0_50", 0.0, 50.0), ("B50_100", 50.0, 100.0), ("B100_250", 100.0, 250.0),
+             ("B250_INF", 250.0, 1e18)],
+            "band string, lo double, hi double",
+        )
+        joined = bucketed_range_join(events, "value", bands, step=50.0, hi_cap=250.0)
+        return joined.groupBy("band", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(pround2("value")).cast("decimal(18,2)").alias("total_value"),
+        )
+
     def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1-hour windows sliding every 30 min: each event lands in exactly 2
         # windows (duration/slide). Same plan runs incrementally as a stream.
@@ -1052,6 +1073,7 @@ def _build_registries():
         "corpus_term_freq": corpus_term_freq,
         "doc_simhash": doc_simhash,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
+        "events_value_band_rangejoin_bucketed": events_value_band_rangejoin_bucketed,
         "dim_usuario": build_dim_usuario,
         "dim_proveedor": build_dim_proveedor,
         "dim_orden": _catalog("build_dim_orden"),
@@ -2148,6 +2170,9 @@ FROM lineitem GROUP BY l_returnflag
     }
 
     o["ann_ivf_trained_topk"] = _kmeans_ivf_sql(n_centroids=16, iters=2, k=5)
+    # the bucketized rewrite must produce EXACTLY the nested-loop result —
+    # one oracle proves both physical strategies
+    o["events_value_band_rangejoin_bucketed"] = o["events_value_band_rangejoin"]
 
     # unpivot oracle reuses the P&L oracle as a CTE (stack() twin)
     o["pnl_unpivot"] = f"""

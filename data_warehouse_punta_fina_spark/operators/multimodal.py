@@ -72,6 +72,71 @@ def extract_features(media: DataFrame, decode_stub: bool = True, batch_size_hint
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
+THUMB_SCHEMA = "asset_id long, height int, width int, thumb array<double>"
+
+
+def resize_images(
+    media: DataFrame,
+    out_hw: tuple[int, int] = (8, 8),
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Decode → resize each image to ``out_hw`` via Arrow-batched
+    mapInPandas, with REAL array shapes end-to-end.
+
+    The stub decode is deterministic: payload bytes become a row-major
+    grayscale image (h = isqrt(n), w = ceil(n/h), zero-padded) — exactly
+    the ndarray a real ``PIL.Image.open`` would hand over, so the resize
+    stage (area mean-pooling over an h×w → H×W block grid, the standard
+    thumbnail/downsample kernel) runs real numpy on real shapes and the
+    swap-in for a production codec is one function. Output rows carry the
+    source dims + a flattened H·W float vector ready for the embedding /
+    near-dup operators (similarity.py) downstream.
+    """
+    import math
+
+    import numpy as np
+
+    H, W = out_hw
+
+    def _decode(b: bytes) -> "np.ndarray":
+        if not decode_stub:
+            raise NotImplementedError(
+                "real media decoding requires PIL/librosa/ffmpeg — not available in this container"
+            )
+        arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
+        h = max(1, math.isqrt(arr.size))
+        w = math.ceil(arr.size / h)
+        padded = np.zeros(h * w, dtype=np.float64)
+        padded[: arr.size] = arr
+        return padded.reshape(h, w)
+
+    def _pool(img: "np.ndarray") -> "np.ndarray":
+        h, w = img.shape
+        # area interpolation: average each of the H×W target cells over its
+        # source block [floor(r·h/H), floor((r+1)·h/H)) × [... w/W ...)
+        rb = [(r * h) // H for r in range(H + 1)]
+        cb = [(c * w) // W for c in range(W + 1)]
+        out = np.empty((H, W), dtype=np.float64)
+        for r in range(H):
+            r0, r1 = rb[r], max(rb[r + 1], rb[r] + 1)
+            for c in range(W):
+                c0, c1 = cb[c], max(cb[c + 1], cb[c] + 1)
+                out[r, c] = img[r0:r1, c0:c1].mean()
+        return out
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                img = _decode(content)
+                rows.append(
+                    (asset_id, img.shape[0], img.shape[1], _pool(img).ravel().tolist())
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "height", "width", "thumb"])
+
+    return media.mapInPandas(_batches, schema=THUMB_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per planned frame via
     sequence+explode on metadata only — the heavy decode happens later in

@@ -395,3 +395,70 @@ def test_ivf_trained_cell_locality(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_resize_images_real_shapes_and_determinism(spark):
+    """Multimodal resize: real ndarray shapes through the Arrow batch path,
+    deterministic output, fixed 8x8 thumb regardless of source size."""
+    from data_warehouse_punta_fina_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 5), (2, "xyz" * 100), (3, "q"), (4, "m" * 1024)],
+        "doc_id long, text string",
+    )
+    media = media_from_documents(docs)
+    out1 = {r["asset_id"]: r for r in resize_images(media).collect()}
+    out2 = {r["asset_id"]: r for r in resize_images(media.repartition(3)).collect()}
+    assert set(out1) == {1, 2, 3, 4}
+    for aid, r in out1.items():
+        assert len(r["thumb"]) == 64
+        assert r["height"] * r["width"] >= 1
+        assert out2[aid]["thumb"] == r["thumb"]  # partition-invariant
+    # uniform square payload ('m'*1024 → 32x32, no padding) pools to a
+    # constant thumbnail
+    assert set(out1[4]["thumb"]) == {float(ord("m"))}
+    assert (out1[4]["height"], out1[4]["width"]) == (32, 32)
+
+
+def test_resize_images_stub_gate_raises(spark):
+    import pytest as _pytest
+
+    from data_warehouse_punta_fina_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(media_from_documents(docs), decode_stub=False).collect()
+
+
+def test_bucketed_range_join_equals_nested_loop(spark):
+    """Grid rewrite == broadcast nested-loop for random bands/values,
+    including boundary values and the open-ended overflow band."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.rangejoin import bucketed_range_join
+
+    rng = random.Random(3)
+    vals = [(i, rng.uniform(0, 500)) for i in range(400)]
+    vals += [(1000 + j, float(b)) for j, b in enumerate((0, 50, 100, 250, 499))]  # exact boundaries
+    vals += [(2000, 1e17)]  # deep overflow
+    facts = spark.createDataFrame(vals, "id long, value double")
+    band_rows = [(f"b{j}", float(j * 37 % 400), float(j * 37 % 400 + 5 + 60 * (j % 3))) for j in range(30)]
+    band_rows.append(("open", 250.0, 1e18))
+    bands = spark.createDataFrame(band_rows, "band string, lo double, hi double")
+
+    nested = facts.join(
+        F.broadcast(bands), (facts["value"] >= bands["lo"]) & (facts["value"] < bands["hi"])
+    ).select("id", "band")
+    for step, cap in ((50.0, 400.0), (7.0, 512.0), (100.0, 256.0)):
+        gridded = bucketed_range_join(
+            facts, "value", bands, step=step, hi_cap=cap
+        ).select("id", "band")
+        assert sorted(map(tuple, nested.collect())) == sorted(map(tuple, gridded.collect())), (step, cap)
