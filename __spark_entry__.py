@@ -169,6 +169,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "discount_order_rollup": ["total", "descuento_total"],
     "top_discount_line_per_order": ["descuento"],
     "events_sliding_window": ["total_value"],
+    "events_session_window": ["total_value"],
     "dim_proveedor": ["saldo"],
     "dim_orden": ["total"],
     "dim_impuestos": ["tasa"],
@@ -869,6 +870,27 @@ def _build_registries():
             F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         )
 
+    def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # native session_window aggregate — the Structured-Streaming
+        # sessionization operator (merging-gap semantics: a new session
+        # starts when the inter-event gap is >= 6h; window end = last
+        # event + gap). Complements the row-level sessionize() operator
+        # (events_sessionized) with the aggregated per-session view.
+        events = load_table(spark, sf_dir, "events")
+        agg = events.groupBy(
+            F.session_window("ts", "6 hours").alias("w"), F.col("user_id")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(pround2("value")).cast("decimal(18,2)").alias("total_value"),
+        )
+        return agg.select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+
     def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_warehouse_punta_fina_spark.operators.reconcile import reconcile_full_outer
 
@@ -1074,6 +1096,7 @@ def _build_registries():
         "doc_simhash": doc_simhash,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "events_value_band_rangejoin_bucketed": events_value_band_rangejoin_bucketed,
+        "events_session_window": events_session_window,
         "dim_usuario": build_dim_usuario,
         "dim_proveedor": build_dim_proveedor,
         "dim_orden": _catalog("build_dim_orden"),
@@ -1862,6 +1885,27 @@ WITH l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events)
      r AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS o_date FROM orders)
 SELECT l.event_id, l.user_id, l.event_date, r.o_date AS last_order_date
 FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.event_date >= r.o_date
+""",
+        "events_session_window": f"""
+WITH w1 AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER win IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER win >= 21600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+), w2 AS (
+  SELECT *, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM w1
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM({_r2("value")}) AS DECIMAL(18,2)) AS total_value
+FROM w2 GROUP BY user_id, seq
 """,
         "events_sessionized": """
 WITH w1 AS (

@@ -138,3 +138,40 @@ def test_available_now_checkpoint_resume(spark, sf_dir, tmp_path):
 
     shutil.rmtree(ckpt, ignore_errors=True)
     assert os.path.exists(out)
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Native session_window aggregation: identical results from the batch
+    plan and the checkpointed stream (the op exists FOR streaming; batch
+    twin is what the oracle checks)."""
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
+
+    events = load_table(spark, sf_dir, "events").drop("props")
+    staged = str(tmp_path / "events_in")
+    events.write.mode("overwrite").parquet(staged)
+
+    def sessions(df):
+        return df.groupBy(
+            F.session_window("ts", "6 hours").alias("w"), F.col("user_id")
+        ).agg(F.count("*").alias("n_events"))
+
+    stream = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=4)
+    q = (
+        sessions(stream.withWatermark("ts", "1 hour"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT user_id, w.start AS s, w.end AS e, n_events FROM session_out")
+    want = sessions(events).select(
+        "user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n_events"
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
