@@ -350,6 +350,92 @@ def dedup_clusters(
     )
 
 
+def dedup_clusters_star(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the web-scale variant of :func:`dedup_clusters`.
+
+    Min-label propagation converges in O(component diameter) rounds; a
+    path-shaped duplicate chain of length 10⁶ (common in scraped corpora:
+    A≈B≈C≈…) would need 10⁶ rounds. The star operations contract paths in
+    O(log n) rounds instead:
+
+    - large-star: every node's strictly-larger neighbors re-attach to the
+      minimum of its closed neighborhood;
+    - small-star: every node and its ≤ neighbors attach to that minimum.
+
+    Each round is two groupBy-min aggregations + joins on the edge list —
+    no per-node state, no driver data. Converges when the edge multiset
+    is a fixed point (all stars flat); labels then read directly off the
+    final edges. Output schema matches :func:`dedup_clusters`:
+    (id, cluster_id, is_canonical).
+    """
+    und = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+    def closed_min(adj: DataFrame) -> DataFrame:
+        return adj.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+    edges = und
+    for _ in range(max_iter):
+        adj = sym(edges)
+        mins = closed_min(adj)
+        # large-star: {u,v} with v > u  →  (v, min(Γ⁺(u)))
+        large = (
+            adj.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        adj2 = sym(large)
+        mins2 = closed_min(adj2)
+        # small-star: ≤ neighbors AND the node itself attach to the min
+        small_nbrs = (
+            adj2.filter(F.col("v") <= F.col("u"))
+            .join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_links = mins2.select(F.col("u"), F.col("m").alias("v"))
+        new_edges = (
+            small_nbrs.unionByName(self_links)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    # at the fixed point every edge is (node, component_min)
+    labels = sym(edges).groupBy("u").agg(F.min("v").alias("label"))
+    labels = labels.withColumn("label", F.least("label", "u"))
+    out = (
+        ids.select(F.col(id_col).alias("node"))
+        .join(labels, F.col("node") == F.col("u"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint (default 32 bits for portable arithmetic).
 

@@ -54,6 +54,32 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+EXCEL_MAX_ROWS = 1_048_576  # hard xlsx sheet limit
+
+
+def write_excel(df: DataFrame, path: str, sheet_name: str = "datos") -> None:
+    """Excel export (S15; reference `exportar_dimensiones_excel.py:25-171`).
+
+    Deliberately driver-side: xlsx is a REPORTING artifact with a hard
+    1,048,576-row sheet limit, so it is only ever produced from
+    dimension-sized results — the guard makes the contract explicit
+    instead of letting toPandas() OOM on a fact table. Gated on openpyxl
+    (not installed in this container; the plumbing and guard are tested,
+    the final write unlocks by installing the library)."""
+    n = df.count()
+    if n > EXCEL_MAX_ROWS:
+        raise ValueError(
+            f"Excel sheets cap at {EXCEL_MAX_ROWS} rows ({n} given) — export parquet/CSV instead"
+        )
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env without openpyxl
+        raise NotImplementedError(
+            "Excel export requires openpyxl — not available in this container"
+        ) from e
+    df.toPandas().to_excel(path, sheet_name=sheet_name, index=False)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -157,3 +157,26 @@ def test_generated_sources(spark):
     assert [r["periodo_id"] for r in sorted(mp, key=lambda r: r["periodo_id"])] == [202401, 202402, 202403]
     lt = literal_table(spark, [{"a": 1}, {"a": 2}], "a int")
     assert lt.count() == 2
+
+
+def test_write_excel_guards(spark, tmp_path):
+    """S15: the xlsx export enforces its sheet-size contract BEFORE any
+    driver materialization, and gates cleanly on the missing codec lib."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.sources import writers
+
+    small = spark.range(10).select(F.col("id"))
+    try:
+        import openpyxl  # noqa: F401
+
+        writers.write_excel(small, str(tmp_path / "out.xlsx"))
+        assert (tmp_path / "out.xlsx").exists()
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="openpyxl"):
+            writers.write_excel(small, str(tmp_path / "out.xlsx"))
+
+    too_big = spark.range(writers.EXCEL_MAX_ROWS + 1)
+    with _pytest.raises(ValueError, match="cap"):
+        writers.write_excel(too_big, str(tmp_path / "big.xlsx"))

@@ -462,3 +462,32 @@ def test_bucketed_range_join_equals_nested_loop(spark):
             facts, "value", bands, step=step, hi_cap=cap
         ).select("id", "band")
         assert sorted(map(tuple, nested.collect())) == sorted(map(tuple, gridded.collect())), (step, cap)
+
+
+def test_dedup_clusters_star_equals_label_propagation(spark):
+    """Large-star/small-star must produce the same components as min-label
+    propagation — including a long path (the case propagation is slow on)
+    and singletons."""
+    import random
+
+    from data_warehouse_punta_fina_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    rng = random.Random(5)
+    n = 120
+    edges = [(i, i + 1) for i in range(40)]  # path 0..40
+    edges += [(50 + rng.randrange(30), 50 + rng.randrange(30)) for _ in range(40)]  # random blob
+    edges = [(a, b) for a, b in edges if a != b]
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    want = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(ids, pairs, max_iter=200).collect()}
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters_star(ids, pairs).collect()}
+    assert got == want
+    # path collapses to its min
+    assert all(got[i] == 0 for i in range(41))
+    # untouched ids are their own singleton clusters
+    assert got[119] == 119
