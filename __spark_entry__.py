@@ -157,6 +157,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "lineitem_rollup": ["sum_qty"],
     "user_last_event": ["last_value", "first_value", "total_value"],
     "doc_text_stats": ["punct_ratio", "stopword_ratio", "quality"],
+    "doc_quality_gate": ["quality"],
     "doc_ngram_jaccard": ["jaccard"],
     "ann_brute_topk": ["cosine"],
     "ann_ivf_topk": ["cosine"],
@@ -481,6 +482,58 @@ def _build_registries():
             stopword_ratio("text").alias("stopword_ratio"),
             quality_score("text").alias("quality"),
             fingerprint("text").alias("fingerprint"),
+        )
+
+    def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # pretraining-corpus scrubbing: emails/URLs/digit-runs → typed
+        # placeholders, pure codegen regexp_replace chain
+        from data_warehouse_punta_fina_spark.functions.text import pii_hits, redact_pii
+
+        docs = load_table(spark, sf_dir, "documents")
+        red = redact_pii("text")
+        return docs.select(
+            "doc_id",
+            pii_hits("text").alias("n_pii"),
+            F.length(red).alias("n_chars_redacted"),
+            F.substring(red, 1, 80).alias("muestra"),
+        )
+
+    def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the corpus-filtering decision a training pipeline actually makes:
+        # keep/drop + first failing reason, thresholds on the shared
+        # oracle-reproducible quality metrics
+        docs = load_table(spark, sf_dir, "documents")
+        n_tok = token_count("text")
+        q = quality_score("text")
+        p = punct_ratio("text")
+        motivo = (
+            F.when(n_tok < 10, "too_short")
+            .when(q < 0.5, "low_quality")
+            .when(p > 0.2, "too_punct")
+            .otherwise("ok")
+        )
+        return docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            q.alias("quality"),
+            motivo.alias("motivo"),
+            (motivo == "ok").alias("keep"),
+        )
+
+    def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # token-length distribution in 32-token buckets — the length-mix
+        # report every corpus build runs before packing sequences
+        docs = load_table(spark, sf_dir, "documents")
+        n = token_count("text")
+        return (
+            docs.select(F.floor(n / F.lit(32)).cast("int").alias("bucket"), n.alias("n"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n").alias("total_tokens"),
+                F.min("n").alias("min_tokens"),
+                F.max("n").alias("max_tokens"),
+            )
         )
 
     def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,6 +1150,9 @@ def _build_registries():
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "events_value_band_rangejoin_bucketed": events_value_band_rangejoin_bucketed,
         "events_session_window": events_session_window,
+        "doc_pii_redaction": doc_pii_redaction,
+        "doc_quality_gate": doc_quality_gate,
+        "doc_length_histogram": doc_length_histogram,
         "dim_usuario": build_dim_usuario,
         "dim_proveedor": build_dim_proveedor,
         "dim_orden": _catalog("build_dim_orden"),
@@ -2212,6 +2268,47 @@ SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_wi
 FROM lineitem GROUP BY l_returnflag
 """,
     }
+
+    from data_warehouse_punta_fina_spark.functions.text import PII_PATTERNS
+
+    red_sql = "text"
+    for pat, tok in PII_PATTERNS:
+        red_sql = f"regexp_replace({red_sql}, '{pat}', '{tok}', 'g')"
+    hits_sql = " + ".join(
+        f"CAST((length(red) - length(replace(red, '{tok}', ''))) / {len(tok)} AS INT)"
+        for _, tok in PII_PATTERNS
+    )
+    o["doc_pii_redaction"] = f"""
+WITH r AS (SELECT doc_id, {red_sql} AS red FROM documents)
+SELECT doc_id, {hits_sql} AS n_pii,
+       CAST(length(red) AS INT) AS n_chars_redacted,
+       substr(red, 1, 80) AS muestra
+FROM r
+"""
+    o["doc_quality_gate"] = f"""
+WITH g AS (
+  SELECT doc_id, CAST({n_tok} AS INT) AS n_tokens,
+         {_r6(quality)} AS quality, {_r6(punct_raw)} AS punct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_tokens, quality,
+         CASE WHEN n_tokens < 10 THEN 'too_short'
+              WHEN quality < 0.5 THEN 'low_quality'
+              WHEN punct > 0.2 THEN 'too_punct'
+              ELSE 'ok' END AS motivo
+  FROM g
+)
+SELECT doc_id, n_tokens, quality, motivo, motivo = 'ok' AS keep FROM m
+"""
+    o["doc_length_histogram"] = f"""
+WITH t AS (
+  SELECT CAST(FLOOR(CAST({n_tok} AS INT) / 32) AS INT) AS bucket, CAST({n_tok} AS INT) AS n
+  FROM documents
+)
+SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+       MIN(n) AS min_tokens, MAX(n) AS max_tokens
+FROM t GROUP BY bucket
+"""
 
     o["ann_ivf_trained_topk"] = _kmeans_ivf_sql(n_centroids=16, iters=2, k=5)
     # the bucketized rewrite must produce EXACTLY the nested-loop result —

@@ -140,3 +140,38 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+# PII-ish patterns for pretraining-corpus scrubbing. Deliberately simple,
+# anchored, and engine-portable (same regex dialect in Spark and DuckDB):
+# emails, URLs, and long digit runs (phone/card/account numbers).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9][0-9 ().+-]{7,}[0-9]", "<NUMBER>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails / URLs / long digit runs to typed placeholder tokens —
+    the standard pretraining-data redaction pass, as a chain of codegen
+    ``regexp_replace`` calls (no Python in the row path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_hits(col: Column | str) -> Column:
+    """How many PII placeholder substitutions :func:`redact_pii` made —
+    length delta per pattern is avoided on purpose (overlaps); count the
+    placeholders in the redacted text instead (exact, order-independent)."""
+    red = redact_pii(col)
+    n = F.lit(0)
+    for _, token in PII_PATTERNS:
+        # occurrences = (len(x) - len(remove(x))) / len(token)
+        n = n + (
+            (F.length(red) - F.length(F.replace(red, F.lit(token), F.lit(""))))
+            / F.lit(len(token))
+        ).cast("int")
+    return n
