@@ -175,3 +175,59 @@ def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with an event-time interval condition and
+    watermarks on both sides — the §2.11 shape Spark bounds state with.
+    The same join expression on the static frames is the semantic oracle."""
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
+
+    events = load_table(spark, sf_dir, "events").drop("props")
+    staged = str(tmp_path / "events_in")
+    events.write.mode("overwrite").parquet(staged)
+
+    def join_clicks_to_errors(clicks, errors):
+        c = clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        e = errors.select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        # error follows the click by at most 1 hour, same user
+        return c.join(
+            e,
+            (F.col("c_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("click_id", "error_id")
+
+    s1 = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=8)
+    s2 = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=8)
+    streamed = join_clicks_to_errors(
+        s1.filter(F.col("event_type") == "click").withWatermark("ts", "2 hours"),
+        s2.filter(F.col("event_type") == "error").withWatermark("ts", "2 hours"),
+    )
+    q = (
+        streamed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.sql("SELECT * FROM ssj_out")
+    want = join_clicks_to_errors(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "error"),
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
