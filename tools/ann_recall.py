@@ -1,0 +1,65 @@
+"""Measure recall@k of the approximate ANN tiers against brute force.
+
+The blocking designs (sign buckets, multiprobe, trained k-means cells)
+trade scan fraction for recall; this prints the actual trade at the given
+SF so docs/SCALE.md claims stay measured, not asserted.
+
+    python tools/ann_recall.py [sf_dir] [k]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark import get_spark
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_trained_topk,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    spark = get_spark("ann_recall")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < 32)
+
+    def pair_set(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.select("query_id", "neighbor_id").collect()}
+
+    truth = pair_set(brute_force_topk(emb, queries, k=k))
+    tiers = {
+        "ivf_sign4": ivf_topk(emb, queries, k=k, bits=4),
+        "ivf_sign6": ivf_topk(emb, queries, k=k, bits=6),
+        "ivf_sign6_multiprobe": ivf_topk(emb, queries, k=k, bits=6, multiprobe=True),
+        "ivf_sign8": ivf_topk(emb, queries, k=k, bits=8),
+        "ivf_trained16": ivf_trained_topk(emb, queries, k=k, n_centroids=16, iters=2),
+    }
+    scan_fraction = {
+        "ivf_sign4": 1 / 16,
+        "ivf_sign6": 1 / 64,
+        "ivf_sign6_multiprobe": 7 / 64,
+        "ivf_sign8": 1 / 256,
+        "ivf_trained16": 1 / 16,
+    }
+    print(f"corpus={n_corpus} queries=32 k={k} sf_dir={sf_dir}")
+    print(f"{'tier':24s} {'recall@k':>9s} {'~scan':>7s}")
+    for name, df in tiers.items():
+        got = pair_set(df)
+        recall = len(got & truth) / max(len(truth), 1)
+        print(f"{name:24s} {recall:9.3f} {scan_fraction[name]:7.3f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
