@@ -174,16 +174,18 @@ def kmeans_fit(
     return cent
 
 
-def _assign(v: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+def _assign(v: DataFrame, cent: DataFrame, id_col: str, probes: int = 1) -> DataFrame:
     """Nearest-centroid assignment: broadcast the k centroids, exact int64
-    argmin with deterministic (dist, cid) tie-break."""
+    argmin with deterministic (dist, cid) tie-break. ``probes > 1`` keeps
+    the p nearest cells (multi-probe for the QUERY side of IVF search —
+    corpus rows always live in exactly one cell)."""
     scored = v.crossJoin(F.broadcast(cent)).withColumn(
         "dist", _sq_dist_q(F.col("qvec"), F.col("cvec"))
     )
     w = Window.partitionBy(id_col).orderBy("dist", "cid")
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= probes)
         .select(id_col, "qvec", "cid")
     )
 
@@ -196,19 +198,24 @@ def ivf_trained_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k over a TRAINED coarse quantizer: fit k-means on
     the corpus, assign corpus and queries to their nearest centroid, and
-    search only within the query's cell. At warehouse scale the corpus is
-    written partitioned by ``cid`` so a query probes one partition — the
-    real IVF index, not the sign-bit stand-in."""
+    search only within the query's cell(s). At warehouse scale the corpus
+    is written partitioned by ``cid`` so a query probes ``probes``
+    partitions — the real IVF index (with standard nprobe), not the
+    sign-bit stand-in. Recall/scan trade measured in tools/ann_recall.py."""
     cent = kmeans_fit(corpus, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col)
     cent = cent.localCheckpoint(eager=False)  # reused by both assigns
     cv = corpus.select(F.col(id_col), quantize(vec_col).alias("qvec"))
     c_assigned = _assign(cv, cent, id_col).withColumn("nsq", norm_sq_q(F.col("qvec")))
     q_assigned = (
         _assign(
-            queries.select(F.col(id_col), quantize(vec_col).alias("qvec")), cent, id_col
+            queries.select(F.col(id_col), quantize(vec_col).alias("qvec")),
+            cent,
+            id_col,
+            probes=probes,
         )
         .withColumnRenamed(id_col, "query_id")
         .withColumn("nsq", norm_sq_q(F.col("qvec")))

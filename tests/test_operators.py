@@ -491,3 +491,30 @@ def test_dedup_clusters_star_equals_label_propagation(spark):
     assert all(got[i] == 0 for i in range(41))
     # untouched ids are their own singleton clusters
     assert got[119] == 119
+
+
+def test_ivf_trained_multiprobe_recall_monotone(spark):
+    """nprobe widens the candidate set: every probes=1 hit stays reachable
+    and recall vs brute force never decreases."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_trained_topk,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 6)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(brute_force_topk(emb, q, k=4))
+    p1 = pairs(ivf_trained_topk(emb, q, k=4, n_centroids=8, probes=1))
+    p3 = pairs(ivf_trained_topk(emb, q, k=4, n_centroids=8, probes=3))
+    assert len(p3 & truth) >= len(p1 & truth)
+    assert len(p3) >= len(p1)

@@ -44,6 +44,7 @@ def main() -> None:
         "ivf_sign6_multiprobe": ivf_topk(emb, queries, k=k, bits=6, multiprobe=True),
         "ivf_sign8": ivf_topk(emb, queries, k=k, bits=8),
         "ivf_trained16": ivf_trained_topk(emb, queries, k=k, n_centroids=16, iters=2),
+        "ivf_trained16_p3": ivf_trained_topk(emb, queries, k=k, n_centroids=16, iters=2, probes=3),
     }
     scan_fraction = {
         "ivf_sign4": 1 / 16,
@@ -51,6 +52,7 @@ def main() -> None:
         "ivf_sign6_multiprobe": 7 / 64,
         "ivf_sign8": 1 / 256,
         "ivf_trained16": 1 / 16,
+        "ivf_trained16_p3": 3 / 16,
     }
     print(f"corpus={n_corpus} queries=32 k={k} sf_dir={sf_dir}")
     print(f"{'tier':24s} {'recall@k':>9s} {'~scan':>7s}")
