@@ -204,8 +204,11 @@ def ngram_jaccard_pairs(
     exact all-shingles semantics (the oracle form — or compose with
     :func:`minhash_lsh_pairs` for candidate generation instead).
     """
-    # consumed three times (sizes + both join branches) → materialize once
-    sh = shingle_rows(df, text_col, id_col, shingle_n)
+    # the tokenize→shingle subplan is the expensive part and is consumed by
+    # the df-cap derivation AND (sizes + both join branches) → materialize
+    # it FIRST; the cap's broadcast anti-join is cheap to re-apply per
+    # consumer compared to recomputing the shingling
+    sh = shingle_rows(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -214,8 +217,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         # hot set is tiny by construction (only keys above the cap) → broadcast anti-join
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.localCheckpoint(eager=False)
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
