@@ -231,3 +231,79 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_drop_duplicates_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once event feed: watermarked dropDuplicates on the stream
+    collapses replayed events to the batch-distinct result."""
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
+
+    events = load_table(spark, sf_dir, "events").drop("props").limit(500)
+    staged = str(tmp_path / "events_dup")
+    # write the feed TWICE: replayed/duplicated delivery
+    events.write.mode("overwrite").parquet(staged)
+    events.write.mode("append").parquet(staged)
+
+    stream = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=4)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT event_id FROM dedup_out")
+    assert got.count() == events.count()
+    assert got.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_foreach_batch_idempotent_jdbc_sink(spark, sf_dir, tmp_path):
+    """The warehouse-load pattern end to end: stream → foreachBatch →
+    conflict-ignoring JDBC insert (embedded Derby). Replayed input rows
+    land exactly once in the target table."""
+    from data_warehouse_punta_fina_spark.sources.readers import load_table, read_jdbc
+    from data_warehouse_punta_fina_spark.sources.writers import (
+        idempotent_append_jdbc,
+        write_jdbc,
+    )
+    from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
+
+    derby_url = f"jdbc:derby:{tmp_path / 'db'};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    events = load_table(spark, sf_dir, "events").drop("props").limit(300)
+    staged = str(tmp_path / "events_feed")
+    events.write.mode("overwrite").parquet(staged)
+    events.write.mode("append").parquet(staged)  # duplicated delivery
+
+    # seed the target so the anti-join has a real existing-keys side
+    write_jdbc(events.limit(50), derby_url, "t_sink", mode="overwrite", driver=driver)
+
+    def upsert(batch_df, batch_id):
+        existing = read_jdbc(batch_df.sparkSession, derby_url, table="t_sink", driver=driver)
+        idempotent_append_jdbc(
+            batch_df.dropDuplicates(["event_id"]),
+            existing,
+            ["event_id"],
+            derby_url,
+            "t_sink",
+            driver=driver,
+        )
+
+    stream = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=3)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = read_jdbc(spark, derby_url, table="t_sink", driver=driver)
+    assert final.count() == events.count()
+    assert final.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
