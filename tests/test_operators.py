@@ -518,3 +518,44 @@ def test_ivf_trained_multiprobe_recall_monotone(spark):
     p3 = pairs(ivf_trained_topk(emb, q, k=4, n_centroids=8, probes=3))
     assert len(p3 & truth) >= len(p1 & truth)
     assert len(p3) >= len(p1)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Scale posture: with AQE on, a hot-key sort-merge join gets its
+    skewed shuffle partition split at runtime (SortMergeJoin(skew=true) /
+    'AQEShuffleRead coalesced and skewed' in the final adaptive plan) —
+    the mechanism that absorbs hot keys at 100 TB without manual salting.
+    Thresholds are lowered so the effect triggers at test scale."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        joined = big.join(small, "k")
+        rows = joined.collect()  # executes THROUGH this plan object
+        assert len(rows) == 270_100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan and "skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
