@@ -197,8 +197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Same-family variants and individual catalog dims beyond the driver's
-    50-query window — mirror-checked by tools/check_oracle.py --all."""
+    """Same-family variants, individual catalog dims, and advanced tiers
+    beyond the driver's 50-query window — tools/check_oracle.py checks
+    them alongside queries() by default."""
     _, extra = _build_registries()
     return {name: _dbl_out(fn) for name, fn in extra.items()}
 

@@ -18,6 +18,8 @@ AUDITED = [
     "ann_brute_topk",
     "fact_balance",
     "events_tumbling_window",
+    "customer_balance_quartiles",
+    "doc_ngram_jaccard",
 ]
 
 
