@@ -20,9 +20,13 @@ def _spread(df: DataFrame) -> DataFrame:
     """Small-file inputs arrive as ONE partition; compute-heavy per-row
     operators (tokenize → shingle → k×md5) must fan out first or they run
     on a single core. One narrow shuffle of the raw rows buys full
-    parallelism — at 100 TB inputs are already many-partitioned and AQE
-    coalesces the excess, so this is only ever a small-input rescue."""
+    parallelism — and ONLY fires when the input is under-partitioned:
+    at 100 TB the scan is already thousands of splits and this is a
+    no-op, so raw document bytes never hit the wire (the round-1 version
+    repartitioned unconditionally, which would have)."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 
