@@ -159,6 +159,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "doc_text_stats": ["punct_ratio", "stopword_ratio", "quality"],
     "doc_quality_gate": ["quality"],
     "doc_ngram_jaccard": ["jaccard"],
+    "doc_lsh_verified": ["jaccard"],
     "ann_brute_topk": ["cosine"],
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
@@ -553,6 +554,15 @@ def _build_registries():
         # out quadratically at corpus scale
         return ngram_jaccard_pairs(
             load_table(spark, sf_dir, "documents"), threshold=0.2, max_shingle_df=64
+        )
+
+    def doc_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the at-scale dedup composition: LSH candidates → exact Jaccard
+        # verify on candidates only (never the all-pairs inverted index)
+        from data_warehouse_punta_fina_spark.operators.dedup import lsh_verified_pairs
+
+        return lsh_verified_pairs(
+            load_table(spark, sf_dir, "documents"), num_hashes=12, bands=4, threshold=0.2
         )
 
     def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1151,6 +1161,7 @@ def _build_registries():
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "events_value_band_rangejoin_bucketed": events_value_band_rangejoin_bucketed,
         "events_session_window": events_session_window,
+        "doc_lsh_verified": doc_lsh_verified,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_quality_gate": doc_quality_gate,
         "doc_length_histogram": doc_length_histogram,
@@ -2269,6 +2280,27 @@ SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_wi
 FROM lineitem GROUP BY l_returnflag
 """,
     }
+
+    o["doc_lsh_verified"] = f"""
+WITH cand AS ({_MINHASH_PAIRS_SQL}),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} >= 0.2
+"""
 
     from data_warehouse_punta_fina_spark.functions.text import PII_PATTERNS
 

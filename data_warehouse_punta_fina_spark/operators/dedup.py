@@ -239,6 +239,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup pipeline: MinHash+LSH candidate generation,
+    then EXACT Jaccard verification computed only for candidate pairs.
+
+    This is the composition the standalone operators document: the
+    all-pairs inverted-index join never happens — the shingle self-join is
+    constrained to the LSH candidate set, so the verify cost is
+    O(|candidates| · shingles-per-doc) instead of O(hot-shingle²).
+    Output: (id_a, id_b, jaccard) for candidates whose TRUE Jaccard ≥
+    threshold (LSH false positives are filtered; false negatives are the
+    documented recall trade of banding).
+    """
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    cand = cand.localCheckpoint(eager=False)
+    sh = shingle_rows(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("_shb"))
+    common = (
+        cand.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("_shb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", _pround6(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
