@@ -559,3 +559,29 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lsh_verified_pairs_subset_of_exact(spark):
+    """The LSH→verify composition returns a SUBSET of the exact Jaccard
+    pairs (banding may miss pairs, never invent them) with identical
+    jaccard values on the pairs it keeps."""
+    from data_warehouse_punta_fina_spark.operators.dedup import (
+        lsh_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again every day"
+    rows = [
+        (1, a),
+        (2, a + " tonight"),
+        (3, a.replace("lazy", "sleepy")),
+        (4, "completely different words about spark and large scale data processing"),
+        (5, "another unrelated string of tokens with no overlap whatsoever here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lsh_verified_pairs(docs, threshold=0.2).collect()}
+    assert verified  # near-dups found
+    assert set(verified) <= set(exact)
+    for pair, j in verified.items():
+        assert exact[pair] == j
