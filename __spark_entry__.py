@@ -164,6 +164,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
     "emb_near_dup": ["cosine"],
+    "emb_near_dup_trained": ["cosine"],
     "emb_label_centroids": ["centroid"],
     "doc_top_terms": ["salience"],
     # extra_queries() members (mirror-checked only)
@@ -595,6 +596,14 @@ def _build_registries():
         return ivf_trained_topk(
             emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, iters=2
         )
+
+    def emb_near_dup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            embedding_near_dup_pairs_trained,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return embedding_near_dup_pairs_trained(emb, threshold=0.35, n_centroids=16, iters=2)
 
     def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 8 sign bits → 256 blocks: within-block pair count ~N²/256 (vs
@@ -1159,6 +1168,7 @@ def _build_registries():
         "corpus_term_freq": corpus_term_freq,
         "doc_simhash": doc_simhash,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
+        "emb_near_dup_trained": emb_near_dup_trained,
         "events_value_band_rangejoin_bucketed": events_value_band_rangejoin_bucketed,
         "events_session_window": events_session_window,
         "doc_lsh_verified": doc_lsh_verified,
@@ -1406,10 +1416,11 @@ def _bucket_sql(bits: int) -> str:
     return " + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
 
 
-def _kmeans_ivf_sql(n_centroids: int = 16, iters: int = 2, k: int = 5) -> str:
-    """SQL twin of operators.similarity.ivf_trained_topk: Lloyd iterations
-    unrolled as CTEs. Distances are exact BIGINT sums (no float order
-    dependence); centroid means round to int64 via floor((2s+n)/(2n))."""
+def _kmeans_cells_sql(n_centroids: int, iters: int) -> list[str]:
+    """Shared CTE chain: Lloyd iterations unrolled, ending in ``af`` =
+    (vec_id, qv, cid) final cell assignments. Distances are exact BIGINT
+    sums (no float order dependence); centroid means round to int64 via
+    floor((2s+n)/(2n)) — mirrors operators.similarity.kmeans_fit."""
 
     def dist(qv: str, cv: str) -> str:
         return (
@@ -1439,6 +1450,13 @@ def _kmeans_ivf_sql(n_centroids: int = 16, iters: int = 2, k: int = 5) -> str:
         f"FROM v CROSS JOIN {prev})",
         "af AS (SELECT vec_id, qv, cid FROM df "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)",
+    ]
+    return parts
+
+
+def _kmeans_ivf_sql(n_centroids: int = 16, iters: int = 2, k: int = 5) -> str:
+    """SQL twin of operators.similarity.ivf_trained_topk."""
+    parts = _kmeans_cells_sql(n_centroids, iters) + [
         "qf AS (SELECT vec_id AS query_id, qv, cid FROM af WHERE vec_id < 8)",
         "scored AS (SELECT qf.query_id, af.vec_id AS neighbor_id, "
         f"{_cosine_sql('qf.qv', 'af.qv')} AS cosine "
@@ -1449,6 +1467,18 @@ def _kmeans_ivf_sql(n_centroids: int = 16, iters: int = 2, k: int = 5) -> str:
         "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (\n"
         "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank\n"
         f"  FROM scored\n) WHERE rank <= {k}"
+    )
+
+
+def _kmeans_near_dup_sql(n_centroids: int = 16, iters: int = 2, threshold: float = 0.35) -> str:
+    """SQL twin of operators.similarity.embedding_near_dup_pairs_trained."""
+    parts = _kmeans_cells_sql(n_centroids, iters)
+    cos = _cosine_sql("a.qv", "b.qv")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine\n"
+        "FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id\n"
+        f"WHERE {cos} >= {threshold}"
     )
 
 
@@ -2344,6 +2374,7 @@ FROM t GROUP BY bucket
 """
 
     o["ann_ivf_trained_topk"] = _kmeans_ivf_sql(n_centroids=16, iters=2, k=5)
+    o["emb_near_dup_trained"] = _kmeans_near_dup_sql(n_centroids=16, iters=2, threshold=0.35)
     # the bucketized rewrite must produce EXACTLY the nested-loop result —
     # one oracle proves both physical strategies
     o["events_value_band_rangejoin_bucketed"] = o["events_value_band_rangejoin"]

@@ -235,6 +235,38 @@ def ivf_trained_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
 
 
+def embedding_near_dup_pairs_trained(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs blocked by TRAINED k-means cells instead of
+    sign buckets: cells follow the data's density (measured 2.8× the
+    recall of sign buckets at equal scan fraction — tools/ann_recall.py),
+    so the within-cell self-join finds more true near-dups for the same
+    pair budget. Same deterministic Lloyd fit as :func:`ivf_trained_topk`."""
+    cent = kmeans_fit(df, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col)
+    v = df.select(F.col(id_col), quantize(vec_col).alias("qvec"))
+    assigned = (
+        _assign(v, cent.localCheckpoint(eager=False), id_col)
+        .withColumn("nsq", norm_sq_q(F.col("qvec")))
+        .localCheckpoint(eager=False)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_q(F.col("a.qvec"), F.col("b.qvec"), F.col("a.nsq"), F.col("b.nsq")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -42,3 +42,38 @@ def test_pround2_matches_duckdb_and_python(spark, values):
         ).fetchone()[0]
         assert got[i] == d, f"spark={got[i]} duck={d} x={v!r}"
         assert got[i] == _py_round2(v), f"spark={got[i]} py={_py_round2(v)} x={v!r}"
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.decimals(
+            min_value=Decimal("-9999999999999.99"),
+            max_value=Decimal("9999999999999.99"),
+            places=2,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_decimal_to_double_boundary_bit_identical(spark, values):
+    """The round-2 output contract rests on decimal→double being correctly
+    rounded everywhere: Spark's cast, DuckDB's cast, and Python's
+    float(Decimal) must produce the same bits for any DECIMAL(15,2)."""
+    import struct
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "i int, d decimal(15,2)")
+    spark_bits = {
+        r["i"]: struct.pack("<d", r["x"])
+        for r in df.selectExpr("i", "CAST(d AS DOUBLE) AS x").collect()
+    }
+    con = duckdb.connect()
+    duck_bits = {}
+    for i, v in rows:
+        (x,) = con.execute(f"SELECT CAST(CAST('{v}' AS DECIMAL(15,2)) AS DOUBLE)").fetchone()
+        duck_bits[i] = struct.pack("<d", x)
+    py_bits = {i: struct.pack("<d", float(v)) for i, v in rows}
+    assert spark_bits == duck_bits == py_bits
