@@ -557,6 +557,15 @@ def _build_registries():
             load_table(spark, sf_dir, "documents"), threshold=0.2, max_shingle_df=64
         )
 
+    def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # sequence packing: contiguous-greedy token bins per language shard
+        # (one PARTITIONED window — shards pack independently)
+        from data_warehouse_punta_fina_spark.operators.packing import pack_documents
+
+        docs = load_table(spark, sf_dir, "documents")
+        packed = pack_documents(docs, budget=512, shard_col="lang", order_col="doc_id")
+        return packed.select("doc_id", "lang", "n_tokens", "cum_before", "bin_id", "offset_in_bin")
+
     def doc_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the at-scale dedup composition: LSH candidates → exact Jaccard
         # verify on candidates only (never the all-pairs inverted index)
@@ -1172,6 +1181,7 @@ def _build_registries():
         "events_value_band_rangejoin_bucketed": events_value_band_rangejoin_bucketed,
         "events_session_window": events_session_window,
         "doc_lsh_verified": doc_lsh_verified,
+        "doc_pack_bins": doc_pack_bins,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_quality_gate": doc_quality_gate,
         "doc_length_histogram": doc_length_histogram,
@@ -2310,6 +2320,21 @@ SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_wi
 FROM lineitem GROUP BY l_returnflag
 """,
     }
+
+    o["doc_pack_bins"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST({n_tok} AS INT) AS n_tokens FROM documents
+), c AS (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_before,
+       CAST(FLOOR(cum_before / 512) AS INT) AS bin_id,
+       CAST(cum_before % 512 AS INT) AS offset_in_bin
+FROM c
+"""
 
     o["doc_lsh_verified"] = f"""
 WITH cand AS ({_MINHASH_PAIRS_SQL}),
