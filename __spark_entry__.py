@@ -557,6 +557,18 @@ def _build_registries():
             load_table(spark, sf_dir, "documents"), threshold=0.2, max_shingle_df=64
         )
 
+    def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # reproducible corpus splitting: bucket by the portable content
+        # fingerprint (NOT by row position/random — content-stable under
+        # re-shuffles, re-ingest, and engine changes), 80/10/10
+        docs = load_table(spark, sf_dir, "documents")
+        bucket = (fingerprint("text") % 10).cast("int")
+        return docs.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+        )
+
     def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sequence packing: contiguous-greedy token bins per language shard
         # (one PARTITIONED window — shards pack independently)
@@ -1182,6 +1194,7 @@ def _build_registries():
         "events_session_window": events_session_window,
         "doc_lsh_verified": doc_lsh_verified,
         "doc_pack_bins": doc_pack_bins,
+        "doc_split_assignment": doc_split_assignment,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_quality_gate": doc_quality_gate,
         "doc_length_histogram": doc_length_histogram,
@@ -2320,6 +2333,13 @@ SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_wi
 FROM lineitem GROUP BY l_returnflag
 """,
     }
+
+    o["doc_split_assignment"] = f"""
+WITH b AS (SELECT doc_id, CAST(({fingerprint}) % 10 AS INT) AS bucket FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
 
     o["doc_pack_bins"] = f"""
 WITH t AS (
