@@ -684,6 +684,29 @@ def _build_registries():
             current, updates, "cliente_key", ["segmento"], F.to_date(F.lit("2024-06-01"))
         )
 
+    def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # CDC first half: diff two snapshots into inserted/deleted/updated/
+        # unchanged (the incremental upgrade of the reference's
+        # truncate-and-load). New snapshot is a deterministic mutation:
+        # %13 keys deleted, %10 segments updated, %97 keys inserted.
+        from data_warehouse_punta_fina_spark.operators.scd import snapshot_diff
+
+        customer = load_table(spark, sf_dir, "customer")
+        old = customer.select("c_custkey", "c_mktsegment")
+        base_new = customer.filter(F.col("c_custkey") % 13 != 0).select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, "SEGMENTO_NUEVO")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        inserts = customer.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+            F.lit("NUEVO").alias("c_mktsegment"),
+        )
+        return snapshot_diff(
+            old, base_new.unionByName(inserts), ["c_custkey"], hash_compare=False
+        )
+
     def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_warehouse_punta_fina_spark.operators.dedup import dedup_clusters
 
@@ -1195,6 +1218,7 @@ def _build_registries():
         "doc_lsh_verified": doc_lsh_verified,
         "doc_pack_bins": doc_pack_bins,
         "doc_split_assignment": doc_split_assignment,
+        "customer_snapshot_diff": customer_snapshot_diff,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_quality_gate": doc_quality_gate,
         "doc_length_histogram": doc_length_histogram,
@@ -2333,6 +2357,23 @@ SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_wi
 FROM lineitem GROUP BY l_returnflag
 """,
     }
+
+    o["customer_snapshot_diff"] = """
+WITH oldt AS (SELECT c_custkey, c_mktsegment FROM customer),
+newt AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'SEGMENTO_NUEVO' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NUEVO' FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+            WHEN n.c_custkey IS NULL THEN 'deleted'
+            WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'updated'
+            ELSE 'unchanged' END AS change_type
+FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+"""
 
     o["doc_split_assignment"] = f"""
 WITH b AS (SELECT doc_id, CAST(({fingerprint}) % 10 AS INT) AS bucket FROM documents)

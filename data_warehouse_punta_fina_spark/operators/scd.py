@@ -75,3 +75,48 @@ def scd2_merge(
         .unionByName(new_versions.select(*cols))
         .unionByName(brand_new.select(*cols))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare: list[str] | None = None,
+    hash_compare: bool = True,
+) -> DataFrame:
+    """CDC-style diff of two table snapshots: per key, 'inserted' /
+    'deleted' / 'updated' / 'unchanged'.
+
+    The reference reloads every table in full each run
+    (`loaders/database_loader.py:204-212` stubs incremental to
+    truncate-and-load); this is the incremental upgrade's first half —
+    detect what changed — feeding :func:`scd2_merge` or an upsert writer
+    with only the delta. One full-outer join on the key.
+
+    ``hash_compare=True`` (the wide-row scale path) reduces each side to a
+    64-bit row hash before the join, so wide rows cost one comparison;
+    ``False`` compares the columns null-safely after the join — exact (no
+    collision risk) and what the external oracle mirrors with
+    ``IS NOT DISTINCT FROM``.
+    """
+    cols = compare or [c for c in new.columns if c not in keys]
+    if hash_compare:
+        o = old.select(*keys, F.lit(True).alias("_in_old"), F.hash(*[F.col(c) for c in cols]).alias("_h_old"))
+        n = new.select(*keys, F.lit(True).alias("_in_new"), F.hash(*[F.col(c) for c in cols]).alias("_h_new"))
+        changed = F.col("_h_old") != F.col("_h_new")
+    else:
+        o = old.select(*keys, F.lit(True).alias("_in_old"), *[F.col(c).alias(f"_o_{c}") for c in cols])
+        n = new.select(*keys, F.lit(True).alias("_in_new"), *[F.col(c).alias(f"_n_{c}") for c in cols])
+        changed = None
+        for c in cols:
+            neq = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+            changed = neq if changed is None else (changed | neq)
+    joined = o.join(n, keys, "full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("_in_old").isNull(), "inserted")
+        .when(F.col("_in_new").isNull(), "deleted")
+        .when(changed, "updated")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )

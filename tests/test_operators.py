@@ -585,3 +585,25 @@ def test_lsh_verified_pairs_subset_of_exact(spark):
     assert set(verified) <= set(exact)
     for pair, j in verified.items():
         assert exact[pair] == j
+
+
+def test_snapshot_diff_hash_and_exact_agree(spark):
+    """CDC diff: both comparison modes label every change class the same
+    (hash is the wide-row scale path, exact is the oracle semantics)."""
+    from data_warehouse_punta_fina_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", None), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    want = {1: "unchanged", 2: "updated", 3: "unchanged", 4: "deleted", 5: "inserted"}
+    for hash_compare in (True, False):
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(old, new, ["k"], hash_compare=hash_compare).collect()
+        }
+        assert got == want, hash_compare
