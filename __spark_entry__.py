@@ -557,6 +557,21 @@ def _build_registries():
             load_table(spark, sf_dir, "documents"), threshold=0.2, max_shingle_df=64
         )
 
+    def doc_lang_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # corpus mixing: deterministic per-language downsampling by content
+        # fingerprint (a doc's keep/drop is stable under reshuffles and
+        # re-ingest — the reproducible version of weighted sampling used
+        # when balancing a training mix)
+        weights = {"en": 1000, "es": 500, "fr": 250, "de": 250}  # per-mille keep rates
+        docs = load_table(spark, sf_dir, "documents")
+        mille = fingerprint("text") % 1000
+        thr = F.lit(100)  # unknown/other languages: 10%
+        for lang, w in weights.items():
+            thr = F.when(F.col("lang") == lang, F.lit(w)).otherwise(thr)
+        return docs.select(
+            "doc_id", "lang", mille.cast("int").alias("mille"), (mille < thr).alias("keep")
+        )
+
     def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reproducible corpus splitting: bucket by the portable content
         # fingerprint (NOT by row position/random — content-stable under
@@ -1219,6 +1234,7 @@ def _build_registries():
         "doc_pack_bins": doc_pack_bins,
         "doc_split_assignment": doc_split_assignment,
         "customer_snapshot_diff": customer_snapshot_diff,
+        "doc_lang_resample": doc_lang_resample,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_quality_gate": doc_quality_gate,
         "doc_length_histogram": doc_length_histogram,
@@ -2357,6 +2373,16 @@ SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_wi
 FROM lineitem GROUP BY l_returnflag
 """,
     }
+
+    o["doc_lang_resample"] = f"""
+WITH b AS (
+  SELECT doc_id, lang, CAST(({fingerprint}) % 1000 AS INT) AS mille FROM documents
+)
+SELECT doc_id, lang, mille,
+       mille < (CASE lang WHEN 'en' THEN 1000 WHEN 'es' THEN 500
+                          WHEN 'fr' THEN 250 WHEN 'de' THEN 250 ELSE 100 END) AS keep
+FROM b
+"""
 
     o["customer_snapshot_diff"] = """
 WITH oldt AS (SELECT c_custkey, c_mktsegment FROM customer),

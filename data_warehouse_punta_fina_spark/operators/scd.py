@@ -120,3 +120,13 @@ def snapshot_diff(
         .otherwise("unchanged")
         .alias("change_type"),
     )
+
+
+def type1_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Type-1 (overwrite-in-place) upsert: updates win on key collision,
+    unmatched target rows pass through — the reference's declared
+    ``upsert`` load strategy (`loaders/database_loader.py:204-212`,
+    stubbed there to truncate-and-load). One anti-join on the key; the
+    updates batch is normally the small side and broadcasts."""
+    survivors = target.join(updates.select(*keys), keys, "left_anti")
+    return survivors.unionByName(updates)

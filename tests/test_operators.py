@@ -607,3 +607,12 @@ def test_snapshot_diff_hash_and_exact_agree(spark):
             for r in snapshot_diff(old, new, ["k"], hash_compare=hash_compare).collect()
         }
         assert got == want, hash_compare
+
+
+def test_type1_upsert_updates_win(spark):
+    from data_warehouse_punta_fina_spark.operators.scd import type1_upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string")
+    got = {r["k"]: r["v"] for r in type1_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
