@@ -584,6 +584,34 @@ def _build_registries():
             F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
         )
 
+    def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # decontamination: test-split documents sharing ≥3 distinct
+        # 3-gram shingles with any train-split document (the leakage check
+        # every corpus build runs after splitting). Inverted-index join on
+        # the shingle, restricted across the split boundary.
+        from data_warehouse_punta_fina_spark.operators.dedup import shingle_rows
+
+        docs = load_table(spark, sf_dir, "documents")
+        bucket = fingerprint("text") % 10
+        tagged = docs.withColumn("split", F.when(bucket < 8, "train").otherwise("eval"))
+        sh = (
+            shingle_rows(tagged, "text", "doc_id")
+            .join(tagged.select("doc_id", "split"), "doc_id")
+            .localCheckpoint(eager=False)
+        )
+        test_sh = sh.filter(F.col("split") == "eval").select(
+            F.col("doc_id").alias("test_id"), "shingle"
+        )
+        train_sh = sh.filter(F.col("split") == "train").select(
+            F.col("doc_id").alias("train_id"), "shingle"
+        )
+        return (
+            test_sh.join(train_sh, "shingle")
+            .groupBy("test_id", "train_id")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= 3)
+        )
+
     def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sequence packing: contiguous-greedy token bins per language shard
         # (one PARTITIONED window — shards pack independently)
@@ -1235,6 +1263,7 @@ def _build_registries():
         "doc_split_assignment": doc_split_assignment,
         "customer_snapshot_diff": customer_snapshot_diff,
         "doc_lang_resample": doc_lang_resample,
+        "doc_contamination": doc_contamination,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_quality_gate": doc_quality_gate,
         "doc_length_histogram": doc_length_histogram,
@@ -2373,6 +2402,20 @@ SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_wi
 FROM lineitem GROUP BY l_returnflag
 """,
     }
+
+    o["doc_contamination"] = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         CASE WHEN ({fingerprint}) % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), sh AS (
+  SELECT doc_id, split, unnest({_SHINGLES}) AS shingle FROM tagged
+)
+SELECT t.doc_id AS test_id, tr.doc_id AS train_id, COUNT(*) AS n_shared
+FROM sh t JOIN sh tr ON t.shingle = tr.shingle AND t.split = 'eval' AND tr.split = 'train'
+GROUP BY t.doc_id, tr.doc_id
+HAVING COUNT(*) >= 3
+"""
 
     o["doc_lang_resample"] = f"""
 WITH b AS (
