@@ -165,6 +165,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "ann_ivf_trained_topk": ["cosine"],
     "emb_near_dup": ["cosine"],
     "emb_near_dup_trained": ["cosine"],
+    "semantic_near_dup_crosscheck": ["cosine", "jaccard"],
     "emb_label_centroids": ["centroid"],
     "doc_top_terms": ["salience"],
     # extra_queries() members (mirror-checked only)
@@ -727,6 +728,26 @@ def _build_registries():
             current, updates, "cliente_key", ["segmento"], F.to_date(F.lit("2024-06-01"))
         )
 
+    def semantic_near_dup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the SemDeDup pattern: candidates from EMBEDDING space (cheap,
+        # semantic), verification by exact text overlap — each candidate
+        # pair reports cosine AND n-gram Jaccard (0 when no shingle
+        # overlap: semantically close but textually distinct)
+        from data_warehouse_punta_fina_spark.operators.dedup import jaccard_on_candidates
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = load_table(spark, sf_dir, "documents")
+        cand = embedding_near_dup_pairs(emb, threshold=0.35, bits=8).localCheckpoint(
+            eager=False
+        )
+        j = jaccard_on_candidates(docs, cand.select("id_a", "id_b"), threshold=0.0)
+        return cand.join(j, ["id_a", "id_b"], "left").select(
+            "id_a",
+            "id_b",
+            "cosine",
+            F.coalesce(F.col("jaccard"), F.lit(0).cast("decimal(12,6)")).alias("jaccard"),
+        )
+
     def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         # CDC first half: diff two snapshots into inserted/deleted/updated/
         # unchanged (the incremental upgrade of the reference's
@@ -1264,6 +1285,7 @@ def _build_registries():
         "customer_snapshot_diff": customer_snapshot_diff,
         "doc_lang_resample": doc_lang_resample,
         "doc_contamination": doc_contamination,
+        "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_quality_gate": doc_quality_gate,
         "doc_length_histogram": doc_length_histogram,
@@ -2402,6 +2424,30 @@ SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_wi
 FROM lineitem GROUP BY l_returnflag
 """,
     }
+
+    o["semantic_near_dup_crosscheck"] = f"""
+WITH epairs AS ({o["emb_near_dup"]}),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT e.id_a, e.id_b, COUNT(*) AS common
+  FROM epairs e
+  JOIN sh a ON a.doc_id = e.id_a
+  JOIN sh b ON b.doc_id = e.id_b AND b.shingle = a.shingle
+  GROUP BY e.id_a, e.id_b
+), j AS (
+  SELECT c.id_a, c.id_b,
+         {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT e.id_a, e.id_b, e.cosine,
+       COALESCE(j.jaccard, CAST(0 AS DECIMAL(12,6))) AS jaccard
+FROM epairs e LEFT JOIN j ON e.id_a = j.id_a AND e.id_b = j.id_b
+"""
 
     o["doc_contamination"] = f"""
 WITH tagged AS (

@@ -260,7 +260,23 @@ def lsh_verified_pairs(
     documented recall trade of banding).
     """
     cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
-    cand = cand.localCheckpoint(eager=False)
+    return jaccard_on_candidates(df, cand, text_col, id_col, shingle_n, threshold)
+
+
+def jaccard_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given (id_a, id_b) candidate
+    pairs — the verify stage any blocking scheme (LSH bands, SimHash
+    bands, embedding cells) composes with. Shuffle cost is
+    O(|candidates| · shingles-per-doc); the all-pairs inverted index never
+    materializes."""
+    cand = candidates.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
     sh = shingle_rows(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
