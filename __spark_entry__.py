@@ -589,14 +589,24 @@ def _build_registries():
         # decontamination: test-split documents sharing ≥3 distinct
         # 3-gram shingles with any train-split document (the leakage check
         # every corpus build runs after splitting). Inverted-index join on
-        # the shingle, restricted across the split boundary.
+        # the shingle, restricted across the split boundary; stopword
+        # shingles (df > 64) are dropped — same hot-key bound as the
+        # Jaccard operator, or a ubiquitous trigram would fan out
+        # train×eval quadratically.
         from data_warehouse_punta_fina_spark.operators.dedup import shingle_rows
 
         docs = load_table(spark, sf_dir, "documents")
         bucket = fingerprint("text") % 10
         tagged = docs.withColumn("split", F.when(bucket < 8, "train").otherwise("eval"))
+        sh0 = shingle_rows(tagged, "text", "doc_id").localCheckpoint(eager=False)
+        hot = (
+            sh0.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > 64)
+            .select("shingle")
+        )
         sh = (
-            shingle_rows(tagged, "text", "doc_id")
+            sh0.join(F.broadcast(hot), "shingle", "left_anti")
             .join(tagged.select("doc_id", "split"), "doc_id")
             .localCheckpoint(eager=False)
         )
@@ -2454,8 +2464,11 @@ WITH tagged AS (
   SELECT doc_id, text,
          CASE WHEN ({fingerprint}) % 10 < 8 THEN 'train' ELSE 'eval' END AS split
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT doc_id, split, unnest({_SHINGLES}) AS shingle FROM tagged
+), sh AS (
+  SELECT * FROM sh0 WHERE shingle NOT IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 64)
 )
 SELECT t.doc_id AS test_id, tr.doc_id AS train_id, COUNT(*) AS n_shared
 FROM sh t JOIN sh tr ON t.shingle = tr.shingle AND t.split = 'eval' AND tr.split = 'train'

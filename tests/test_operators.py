@@ -616,3 +616,27 @@ def test_type1_upsert_updates_win(spark):
     updates = spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string")
     got = {r["k"]: r["v"] for r in type1_upsert(target, updates, ["k"]).collect()}
     assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_pack_documents_budget_boundaries(spark):
+    """Packing: exact-boundary docs start the next bin; oversize docs get
+    the bin their start falls in; shards pack independently."""
+    from data_warehouse_punta_fina_spark.operators.packing import pack_documents
+
+    rows = [
+        (1, "en", "w " * 256),   # 256 tokens → bin 0, offset 0
+        (2, "en", "w " * 256),   # cum_before 256 → bin 0, offset 256
+        (3, "en", "w " * 600),   # cum_before 512 → bin 1, offset 0 (oversize ok)
+        (4, "en", "w"),          # cum_before 1112 → bin 2
+        (5, "es", "w " * 100),   # other shard restarts at 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["offset_in_bin"], r["cum_before"])
+        for r in pack_documents(docs, budget=512).collect()
+    }
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (0, 256, 256)
+    assert got[3] == (1, 0, 512)
+    assert got[4] == (2, 1112 % 512, 1112)
+    assert got[5] == (0, 0, 0)
