@@ -799,8 +799,13 @@ def _build_registries():
         # top-k + driver merge), NOT a single-partition global window over
         # the whole vocabulary; the rank window then runs on 20 rows only
         top = freq.orderBy(F.desc("freq"), F.asc("term")).limit(20)
-        # constant partition: the window input is 20 rows by construction
-        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("term"))
+        # single-group rank over the 20 surviving rows. The partition key is
+        # constant (pmod(hash,1)=0) but non-foldable, so Catalyst can't
+        # reduce it to an empty partition spec — which would trip
+        # WindowExec's "No Partition Defined" warning on every run.
+        w = Window.partitionBy(F.pmod(F.xxhash64("term"), F.lit(1))).orderBy(
+            F.desc("freq"), F.asc("term")
+        )
         return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
     def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,7 +1559,7 @@ def _kmeans_cells_sql(n_centroids: int, iters: int) -> list[str]:
 
     parts = [
         f"v AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < {n_centroids})",
+        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM v ORDER BY vec_id LIMIT {n_centroids})",
     ]
     prev = "c0"
     for it in range(1, iters + 1):

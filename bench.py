@@ -77,14 +77,24 @@ def main() -> None:
     )
     # compile the actual query code paths once at the smallest SF
     for name in ("fact_ventas", "doc_minhash_lsh"):
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — warm-up must not kill the bench
+            print(f"bench: warm-up {name} failed: {exc}", file=sys.stderr)
 
+    # per-query fault isolation: one broken query must never zero the whole
+    # artifact — record its error, keep timing the rest, always print JSON
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -93,6 +103,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     # per-query regression tracking: ratio vs the round-1 floor (>1 slower)
     floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
     if os.path.exists(floor_path):
@@ -104,6 +116,9 @@ def main() -> None:
         }
     print(json.dumps(out))
     spark.stop()
+    # exit 0 iff at least one query produced a timing; the JSON line above
+    # is printed regardless
+    sys.exit(0 if times else 1)
 
 
 if __name__ == "__main__":

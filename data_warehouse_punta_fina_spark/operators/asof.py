@@ -78,7 +78,10 @@ def sessionize(
     ``session_seq`` (1-based per key) and ``session_start``.
     """
     tb = order_tiebreak or []
-    micros = F.unix_micros(F.col(time_col))
+    # defensive cast: unix_micros rejects TIMESTAMP_NTZ; the cast is a no-op
+    # for TIMESTAMP inputs and value-preserving for NTZ under the session's
+    # pinned UTC timezone
+    micros = F.unix_micros(F.col(time_col).cast("timestamp"))
     w = Window.partitionBy(key).orderBy(time_col, *tb)
     prev = F.lag(micros).over(w)
     new_session = F.when(

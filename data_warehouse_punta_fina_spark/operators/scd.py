@@ -101,8 +101,8 @@ def snapshot_diff(
     """
     cols = compare or [c for c in new.columns if c not in keys]
     if hash_compare:
-        o = old.select(*keys, F.lit(True).alias("_in_old"), F.hash(*[F.col(c) for c in cols]).alias("_h_old"))
-        n = new.select(*keys, F.lit(True).alias("_in_new"), F.hash(*[F.col(c) for c in cols]).alias("_h_new"))
+        o = old.select(*keys, F.lit(True).alias("_in_old"), F.xxhash64(*[F.col(c) for c in cols]).alias("_h_old"))
+        n = new.select(*keys, F.lit(True).alias("_in_new"), F.xxhash64(*[F.col(c) for c in cols]).alias("_h_new"))
         changed = F.col("_h_old") != F.col("_h_new")
     else:
         o = old.select(*keys, F.lit(True).alias("_in_old"), *[F.col(c).alias(f"_o_{c}") for c in cols])

@@ -150,8 +150,11 @@ def kmeans_fit(
     shuffled whole, and nothing depends on a global sort.
     """
     v = corpus.select(F.col(id_col), quantize(vec_col).alias("qvec"))
+    # orderBy+limit (TakeOrdered: per-partition top-k + driver merge, no
+    # global sort) — NOT filter(id < k), which silently yields < k centroids
+    # on sparse or 1-based id domains
     cent = (
-        v.filter(F.col(id_col) < k)
+        v.orderBy(id_col).limit(k)
         .select(F.col(id_col).alias("cid"), F.col("qvec").alias("cvec"))
     )
     for _ in range(iters):

@@ -90,47 +90,92 @@ def ranked_sequential_id(
     """Dense ids 1..n ordered by a key, WITHOUT a global window.
 
     Semantics identical to ``ROW_NUMBER() OVER (ORDER BY key)`` + start-1
-    (assumes unique keys), but computed scalably in two passes:
+    (assumes unique keys; reference
+    `complete_dimension_builder.py:560-561`), computed scalably:
 
-    1. ``repartitionByRange(key)`` → per-range ``row_number`` (windows are
-       per-partition, fully parallel);
-    2. per-partition row counts → cumulative offsets (one tiny window over
-       ≤ #partitions rows, bounded by cluster width not data size) →
-       broadcast-joined back.
+    1. a deterministic hash-sample of the keys → ≤ n-1 collected range
+       cutpoints → every row's bucket ``_pid`` = #cutpoints ≤ its key
+       (a pure function of the key — no materialization needed for
+       branch consistency, unlike range-shuffle partition ids);
+    2. per-bucket counts (≤ n rows, collected) → cumulative offsets as a
+       literal array;
+    3. per-bucket ``row_number`` + offset lookup — windows are
+       per-bucket, fully parallel, one shuffle.
 
-    Correct for ANY range boundaries the sampler picks: partitions are
+    Correct for ANY cutpoints the sample yields: buckets are
     non-overlapping ordered key ranges, so offset + local rank = global
-    rank. This is the scale-safe replacement for a dim-builder global
-    window: at sf100 dim_producto/dim_cliente are tens of millions of
-    rows, far past the single-partition sort a global window forces.
+    rank. Cluster-robust: every branch recomputes to the same answer (no
+    ``localCheckpoint`` — lost executors just recompute lineage). This is
+    the scale-safe replacement for a dim-builder global window: at sf100
+    dim_producto/dim_cliente are tens of millions of rows, far past the
+    single-partition sort a global window forces.
     """
     ob = [order_by] if isinstance(order_by, str) else list(order_by)
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *[F.col(c) for c in ob]).withColumn(
-        "_pid", F.spark_partition_id()
+    dtypes = {c: df.schema[c].dataType for c in ob}
+    key = F.struct(*[F.col(c).alias(c) for c in ob])
+
+    # Pass 1 (key columns only — Catalyst prunes the rest): a deterministic
+    # hash-sample of ~1/512 of the keys, collected and turned into ≤ n-1
+    # range cutpoints. xxhash64 is a pure function of the key, so this
+    # branch can re-execute freely and always yields the same sample —
+    # unlike repartitionByRange's random sampler, which is why the old
+    # implementation needed localCheckpoint as a correctness crutch.
+    sampled = [
+        tuple(r)
+        for r in df.select(*ob)
+        .filter(F.pmod(F.xxhash64(*[F.col(c) for c in ob]), F.lit(512)) == 0)
+        .collect()
+        if all(v is not None for v in r)
+    ]
+    sampled.sort()
+    cuts: list[tuple] = []
+    if len(sampled) >= 2 and n > 1:
+        step = len(sampled) / n
+        for i in range(1, n):
+            c = sampled[min(int(i * step), len(sampled) - 1)]
+            if not cuts or c != cuts[-1]:
+                cuts.append(c)
+
+    def _cut_lit(t: tuple) -> Column:
+        return F.struct(
+            *[F.lit(v).cast(dtypes[c]).alias(c) for v, c in zip(t, ob)]
+        )
+
+    # _pid is a PURE FUNCTION of the key: bucket = #cutpoints ≤ key. Rows
+    # with null key fields compare null → coalesce to 0 → bucket 0, which
+    # matches NULLS FIRST sort order, so offset + local rank = global rank.
+    # The pmod(hash,1) term is always 0 but non-foldable: it keeps Catalyst
+    # from folding a cut-less (single-bucket) partition spec into an empty
+    # one, which would both trip WindowExec's "No Partition Defined"
+    # warning and force a true global window.
+    pid = F.pmod(F.xxhash64(*[F.col(c) for c in ob]), F.lit(1)).cast("int")
+    for t in cuts:
+        pid = pid + F.coalesce((key >= _cut_lit(t)).cast("int"), F.lit(0))
+    withpid = df.withColumn("_pid", pid)
+
+    # Pass 2 (key columns only): per-bucket counts → cumulative offsets.
+    # ≤ n rows, collected on the driver; safe to recompute because _pid is
+    # deterministic. Replaces the old tiny constant-key window + broadcast
+    # join (and its WindowExec warning) with an O(1) array lookup.
+    counts = {
+        r["_pid"]: r["_cnt"]
+        for r in withpid.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    }
+    offs: list[int] = []
+    acc = 0
+    for p in range(len(cuts) + 1):
+        offs.append(acc)
+        acc += counts.get(p, 0)
+    off_expr = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offs]), F.col("_pid") + 1
     )
-    local = parted.withColumn(
-        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*ob))
-    ).localCheckpoint(eager=False)
-    # ^ the checkpoint is CORRECTNESS, not caching: counts and the final
-    # join both consume the ranked rows, and without materialization each
-    # branch re-executes the range shuffle independently — the range
-    # partitioner's sampled boundaries (and AQE's coalescing) can differ
-    # between executions, so _pid would not line up across branches and
-    # the offsets would be wrong (verified empirically: the un-checkpointed
-    # variant is ~2x faster and returns incorrect ranks).
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    # constant partition key: the offsets table is ≤ #partitions rows by
-    # construction, so a single-partition window here is intentional (and
-    # shouldn't trip the WindowExec global-window warning)
-    w_off = Window.partitionBy(F.lit(0)).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).select(
-        "_pid", "_off"
-    )
+
+    w = Window.partitionBy("_pid").orderBy(*ob)
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, F.col("_rn") + F.col("_off") + F.lit(start - 1))
-        .drop("_pid", "_rn", "_off")
+        withpid.withColumn("_rn", F.row_number().over(w))
+        .withColumn(out, (F.col("_rn") + off_expr + F.lit(start - 1)).cast("long"))
+        .drop("_pid", "_rn")
     )
 
 

@@ -87,12 +87,20 @@ def read_jdbc(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its declared schema.
 
-    The testdata parquet stores timestamps as TIMESTAMP(NANOS), which Spark
-    reads as raw int64 nanos under ``spark.sql.legacy.parquet.nanosAsLong``.
-    Columns declared TimestampType in SOURCE_SCHEMAS are converted here
-    (micros = nanos div 1000 — a cheap projection, stays in codegen).
-    Integer division, NOT ``/1000``: long→double loses precision above
-    2^53, so a float divide corrupts micros by ±1 on large epochs.
+    The testdata parquet has stored timestamps under two encodings across
+    rounds; columns declared TimestampType in SOURCE_SCHEMAS are normalized
+    here so downstream operators always see TIMESTAMP regardless of how the
+    files were written:
+
+    - ``TIMESTAMP(NANOS)``: Spark reads raw int64 nanos under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → converted via
+      micros = nanos div 1000 (integer division, NOT ``/1000``:
+      long→double loses precision above 2^53, corrupting micros by ±1).
+    - ``timestamp[us]`` without timezone: Spark reads TIMESTAMP_NTZ →
+      cast to TIMESTAMP (value-preserving under the session's pinned
+      UTC timezone; both are micros-since-epoch wall-clock UTC).
+
+    Both coercions are cheap projections that stay in codegen.
     """
     if name not in SOURCE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -102,13 +110,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     declared = {f.name: f.dataType for f in SOURCE_SCHEMAS[name].fields}
     actual = {f.name: f.dataType for f in df.schema.fields}
-    fixes = [
-        name_
-        for name_, want in declared.items()
-        if isinstance(want, T.TimestampType) and isinstance(actual.get(name_), T.LongType)
-    ]
-    for c in fixes:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, want in declared.items():
+        got = actual.get(c)
+        if not isinstance(want, T.TimestampType):
+            continue
+        if isinstance(got, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(got, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
