@@ -1223,7 +1223,6 @@ def _build_registries():
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
         "dim_cliente": build_dim_cliente,
-        "dim_almacen": build_dim_almacen,
         "dim_promocion": build_dim_promocion,
         "dim_direccion": _legacy("build_dim_direccion"),
         "dim_catalogs": dim_catalogs,
@@ -1248,9 +1247,7 @@ def _build_registries():
         "events_value_band_rangejoin": events_value_band_rangejoin,
         "events_value_percentiles": events_value_percentiles,
         "pnl_unpivot": pnl_unpivot,
-        "events_value_stats": events_value_stats,
         "customer_balance_quartiles": customer_balance_quartiles,
-        "salted_revenue_by_flag": salted_revenue_by_flag,
         "batch_token_stats": batch_token_stats,
         "asof_last_order": asof_last_order,
         "events_sessionized": events_sessionized,
@@ -1258,8 +1255,11 @@ def _build_registries():
         "lineitem_rollup": lineitem_rollup,
         "user_last_event": user_last_event,
         "custkey_set_ops": custkey_set_ops,
-        "approx_distinct_parts": approx_distinct_parts,
         # north-star: text analysis / dedup / similarity / multimodal
+        # (round-4 rotation: the advanced tier's hardest operators —
+        # trained IVF, LSH→exact-verify, sequence packing, decontamination
+        # — moved into the driver window; the demoted probes stay
+        # mirror-checked in extra_queries())
         "doc_text_stats": doc_text_stats,
         "doc_lang_id": doc_lang_id,
         "doc_exact_dedup": doc_exact_dedup,
@@ -1275,6 +1275,10 @@ def _build_registries():
         "dq_report": dq_report,
         "emb_label_centroids": emb_label_centroids,
         "doc_top_terms": doc_top_terms,
+        "ann_ivf_trained_topk": ann_ivf_trained_topk,
+        "doc_lsh_verified": doc_lsh_verified,
+        "doc_pack_bins": doc_pack_bins,
+        "doc_contamination": doc_contamination,
     }
     assert len(reg) == 50, f"driver window must hold exactly 50 queries, got {len(reg)}"
 
@@ -1290,17 +1294,17 @@ def _build_registries():
         "events_sliding_window": events_sliding_window,
         "corpus_term_freq": corpus_term_freq,
         "doc_simhash": doc_simhash,
-        "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "emb_near_dup_trained": emb_near_dup_trained,
         "events_value_band_rangejoin_bucketed": events_value_band_rangejoin_bucketed,
         "events_session_window": events_session_window,
-        "doc_lsh_verified": doc_lsh_verified,
-        "doc_pack_bins": doc_pack_bins,
         "doc_split_assignment": doc_split_assignment,
         "customer_snapshot_diff": customer_snapshot_diff,
         "doc_lang_resample": doc_lang_resample,
-        "doc_contamination": doc_contamination,
         "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
+        "dim_almacen": build_dim_almacen,
+        "events_value_stats": events_value_stats,
+        "salted_revenue_by_flag": salted_revenue_by_flag,
+        "approx_distinct_parts": approx_distinct_parts,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_quality_gate": doc_quality_gate,
         "doc_length_histogram": doc_length_histogram,
@@ -2556,12 +2560,15 @@ WHERE {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} >= 0.2
     red_sql = "text"
     for pat, tok in PII_PATTERNS:
         red_sql = f"regexp_replace({red_sql}, '{pat}', '{tok}', 'g')"
+    # mirrors functions.text.pii_hits: placeholders in the redacted text
+    # minus placeholder literals already present in the raw text
     hits_sql = " + ".join(
-        f"CAST((length(red) - length(replace(red, '{tok}', ''))) / {len(tok)} AS INT)"
+        f"(CAST((length(red) - length(replace(red, '{tok}', ''))) / {len(tok)} AS INT)"
+        f" - CAST((length(text) - length(replace(text, '{tok}', ''))) / {len(tok)} AS INT))"
         for _, tok in PII_PATTERNS
     )
     o["doc_pii_redaction"] = f"""
-WITH r AS (SELECT doc_id, {red_sql} AS red FROM documents)
+WITH r AS (SELECT doc_id, text, {red_sql} AS red FROM documents)
 SELECT doc_id, {hits_sql} AS n_pii,
        CAST(length(red) AS INT) AS n_chars_redacted,
        substr(red, 1, 80) AS muestra

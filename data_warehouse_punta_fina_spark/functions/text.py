@@ -162,16 +162,25 @@ def redact_pii(col: Column | str) -> Column:
     return c
 
 
+def _placeholder_count(c: Column, token: str) -> Column:
+    # occurrences = (len(x) - len(remove(x))) / len(token)
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(token), F.lit(""))))
+        / F.lit(len(token))
+    ).cast("int")
+
+
 def pii_hits(col: Column | str) -> Column:
     """How many PII placeholder substitutions :func:`redact_pii` made —
     length delta per pattern is avoided on purpose (overlaps); count the
-    placeholders in the redacted text instead (exact, order-independent)."""
-    red = redact_pii(col)
+    placeholders in the redacted text instead, MINUS any placeholder
+    literals already present in the raw text (those are not
+    substitutions, and they survive redaction unchanged because no PII
+    pattern matches '<EMAIL>'/'<URL>'/'<NUMBER>'). Exact and
+    order-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    red = redact_pii(c)
     n = F.lit(0)
     for _, token in PII_PATTERNS:
-        # occurrences = (len(x) - len(remove(x))) / len(token)
-        n = n + (
-            (F.length(red) - F.length(F.replace(red, F.lit(token), F.lit(""))))
-            / F.lit(len(token))
-        ).cast("int")
+        n = n + _placeholder_count(red, token) - _placeholder_count(c, token)
     return n

@@ -63,6 +63,20 @@ def _coerce(col: Column, rule: ColumnRule) -> Column:
     return col.cast(target)
 
 
+def _orderable(dt) -> bool:
+    """Whether a data type supports ORDER BY: maps don't, and neither do
+    arrays/structs with a map anywhere inside."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def validate_and_populate(df: DataFrame, rules: TableRules) -> tuple[DataFrame, dict]:
     """Apply the rule pipeline; return (clean_df, nested report dict)."""
     report: dict[str, Any] = {"structure": {}, "nulls_filled": {}, "range_clamped": {}, "fk": {}}
@@ -121,9 +135,15 @@ def validate_and_populate(df: DataFrame, rules: TableRules) -> tuple[DataFrame, 
     # 7. PK dedup (`data_validator.py:299-331`) — deterministic survivor.
     # Order by the NON-key payload columns: within a PK group the key
     # columns are constant, so ordering by them would leave the survivor
-    # arbitrary when duplicate PKs carry different payloads.
+    # arbitrary when duplicate PKs carry different payloads. Unorderable
+    # columns (maps, or arrays/structs containing them) are excluded —
+    # sorting by a MapType raises in Spark.
     if rules.primary_key:
-        payload = [c for c in df.columns if c not in rules.primary_key]
+        payload = [
+            c
+            for c in df.columns
+            if c not in rules.primary_key and _orderable(df.schema[c].dataType)
+        ]
         order = [F.col(c) for c in payload] or [F.col(c) for c in rules.primary_key]
         df = dedupe_by_grain(df, rules.primary_key, order)
 

@@ -104,8 +104,8 @@ def ranked_sequential_id(
 
     Correct for ANY cutpoints the sample yields: buckets are
     non-overlapping ordered key ranges, so offset + local rank = global
-    rank. Cluster-robust: every branch recomputes to the same answer (no
-    ``localCheckpoint`` — lost executors just recompute lineage). This is
+    rank. Cluster-robust: every branch recomputes to the same answer, so
+    nothing needs materializing — lost executors just replay lineage. This is
     the scale-safe replacement for a dim-builder global window: at sf100
     dim_producto/dim_cliente are tens of millions of rows, far past the
     single-partition sort a global window forces.
@@ -119,8 +119,8 @@ def ranked_sequential_id(
     # hash-sample of ~1/512 of the keys, collected and turned into ≤ n-1
     # range cutpoints. xxhash64 is a pure function of the key, so this
     # branch can re-execute freely and always yields the same sample —
-    # unlike repartitionByRange's random sampler, which is why the old
-    # implementation needed localCheckpoint as a correctness crutch.
+    # unlike repartitionByRange's random sampler, whose boundaries can
+    # differ between executions of the same plan.
     sampled = [
         tuple(r)
         for r in df.select(*ob)
@@ -180,12 +180,34 @@ def ranked_sequential_id(
 
 
 def partitioned_sequential_id(df: DataFrame, out: str = "id", start: int = 1) -> DataFrame:
-    """Dense global ids without a global sort: zipWithIndex semantics via
-    per-partition offsets. Order follows the current partition layout (not
-    a business key) — use when density matters but a specific order does
-    not. Scales linearly: one count per partition + one map."""
+    """Dense global ids without a global sort, via per-partition offsets,
+    fully JVM-side (no Python row round-trip).
+
+    ``monotonically_increasing_id`` encodes (partition id << 33) +
+    consecutive-from-0 record number; per-partition counts (≤ #partitions
+    rows) collect to the driver and become cumulative offsets, broadcast
+    back for ``id = offset + record#``. Order follows the current
+    partition layout (not a business key) — use when density matters but
+    a specific order does not; like any layout-dependent id, the input
+    should be a deterministic lineage (e.g. a file scan), not the
+    unordered output of a shuffle fetch. Scales linearly: one count pass
+    + one map, no shuffle of the data itself."""
     spark = df.sparkSession
-    rdd = df.rdd.zipWithIndex()
-    new_schema = df.schema.add(out, "long")
-    out_rdd = rdd.map(lambda pair: (*pair[0], pair[1] + start))
-    return spark.createDataFrame(out_rdd, new_schema)
+    rec_mask = (1 << 33) - 1
+    df2 = df.withColumn("_mid", F.monotonically_increasing_id())
+    counts = (
+        df2.groupBy(F.shiftrightunsigned("_mid", 33).alias("_pid"))
+        .agg(F.count("*").alias("_cnt"))
+        .collect()
+    )
+    offs, acc = [], start
+    for p, c in sorted((r["_pid"], r["_cnt"]) for r in counts):
+        offs.append((p, acc))
+        acc += c
+    odf = spark.createDataFrame(offs or [(0, start)], "_pid long, _off long")
+    return (
+        df2.withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .join(F.broadcast(odf), "_pid")
+        .withColumn(out, F.col("_mid").bitwiseAND(F.lit(rec_mask)) + F.col("_off"))
+        .drop("_pid", "_mid", "_off")
+    )

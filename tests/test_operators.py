@@ -350,14 +350,23 @@ def test_ivf_multiprobe_superset_of_single_probe(spark):
     q = emb.filter(F.col("vec_id") < 3)
     single = ivf_topk(emb, q, k=3, bits=6)
     multi = ivf_topk(emb, q, k=3, bits=6, multiprobe=True)
-    s = {(r["query_id"], r["neighbor_id"]) for r in single.collect()}
-    m_scored = multi.select("query_id", "neighbor_id", "cosine").collect()
-    # every single-probe candidate is still reachable under multiprobe
-    # (multiprobe probes a superset of cells), and ranks stay deterministic
-    reach = {(r["query_id"], r["neighbor_id"]) for r in m_scored}
-    # single-probe top-3 may be displaced by better multiprobe finds, so
-    # check via scores: multiprobe's worst kept score >= single's best dropped
-    assert len(reach) >= len(s) or s <= reach
+    # multiprobe scans a superset of cells, so per query its candidate set
+    # is a superset of single-probe's — after top-k truncation that means
+    # element-wise score dominance: multiprobe's i-th best cosine >= single
+    # probe's i-th best, and at least as many results per query
+    s_scores: dict[int, list[float]] = {}
+    for r in single.collect():
+        s_scores.setdefault(r["query_id"], []).append(r["cosine"])
+    m_scores: dict[int, list[float]] = {}
+    for r in multi.collect():
+        m_scores.setdefault(r["query_id"], []).append(r["cosine"])
+    assert set(s_scores) <= set(m_scores)
+    for qid, ss in s_scores.items():
+        ms = sorted(m_scores[qid], reverse=True)
+        ss = sorted(ss, reverse=True)
+        assert len(ms) >= len(ss), qid
+        for m_i, s_i in zip(ms, ss):
+            assert m_i >= s_i, (qid, m_i, s_i)
 
 
 def test_kmeans_fit_deterministic_and_partition_invariant(spark):
@@ -640,3 +649,108 @@ def test_pack_documents_budget_boundaries(spark):
     assert got[3] == (1, 0, 512)
     assert got[4] == (2, 1112 % 512, 1112)
     assert got[5] == (0, 0, 0)
+
+
+def test_kmeans_fit_seeds_k_centroids_on_sparse_ids(spark):
+    """Init must yield exactly k centroids on sparse / 1-based id domains
+    (filter(id < k) would silently under-seed them)."""
+    import random
+
+    from data_warehouse_punta_fina_spark.operators.similarity import kmeans_fit
+
+    rng = random.Random(23)
+    # 1-based, stride-1000 ids: nothing below k
+    rows = [(1 + i * 1000, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, k=4, iters=0).collect()
+    assert len(cents) == 4
+    assert sorted(r["cid"] for r in cents) == [1, 1001, 2001, 3001]  # k smallest ids
+    # and a full fit still converges to ≥1 non-empty cluster, deterministically
+    a = {r["cid"]: r["cvec"] for r in kmeans_fit(emb.repartition(5), k=4).collect()}
+    b = {r["cid"]: r["cvec"] for r in kmeans_fit(emb.repartition(2), k=4).collect()}
+    assert a == b and len(a) >= 1
+
+
+def test_snapshot_diff_hash_never_misses_updates_on_corpus(spark):
+    """64-bit row-hash CDC path: every genuinely-changed row on a 20k-row
+    corpus is classified 'updated' — a hash collision with the old row
+    would silently misclassify it 'unchanged'."""
+    from data_warehouse_punta_fina_spark.operators.scd import snapshot_diff
+
+    old = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("s"),
+        (F.col("id") * 7).alias("v"),
+    )
+    # every row differs from old in at least one compare column
+    new = old.withColumn("v", F.col("v") + 1)
+    out = snapshot_diff(old, new, ["k"], hash_compare=True)
+    counts = {r["change_type"]: r["n"] for r in
+              out.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"updated": 20_000}
+
+
+def test_ranked_sequential_id_no_materialization_and_null_keys(spark):
+    """The rank must come out correct with NO checkpoint/persist in the
+    implementation (bucket ids are a pure key function, so independent
+    branch re-execution agrees), including null and duplicate-adjacent
+    keys and multi-column order."""
+    import inspect
+
+    from pyspark.sql import Window
+
+    from data_warehouse_punta_fina_spark.operators import windows as W
+
+    src = inspect.getsource(W.ranked_sequential_id)
+    for banned in ("localCheckpoint", "checkpoint", "persist", "cache"):
+        assert banned not in src, banned
+
+    rows = [(None, 0)] + [((i * 61) % 499, i) for i in range(1, 499)]
+    df = spark.createDataFrame(rows, "k int, payload int").repartition(13)
+    got = {r["payload"]: r["rid"] for r in
+           W.ranked_sequential_id(df, ["k", "payload"], out="rid", start=3).collect()}
+    want = {r["payload"]: r["rid"] for r in
+            df.withColumn("rid", F.row_number().over(Window.orderBy("k", "payload")) + F.lit(2)).collect()}
+    assert got == want
+    assert sorted(got.values()) == list(range(3, 3 + 499))
+
+
+def test_partitioned_sequential_id_dense_and_jvm_side(spark):
+    """Layout-ordered dense ids: 1..n with no gaps over a multi-partition
+    input, payload preserved, and no Python-RDD round-trip in the source."""
+    import inspect
+
+    from data_warehouse_punta_fina_spark.operators import windows as W
+
+    src = inspect.getsource(W.partitioned_sequential_id)
+    assert "zipWithIndex" not in src and ".rdd" not in src
+
+    df = spark.range(0, 1000).select((F.col("id") * 3).alias("payload")).repartition(7)
+    out = W.partitioned_sequential_id(df, out="seq", start=10).collect()
+    assert sorted(r["seq"] for r in out) == list(range(10, 1010))
+    assert sorted(r["payload"] for r in out) == [i * 3 for i in range(1000)]
+
+
+def test_no_partition_defined_warnings_in_dim_and_rank_paths():
+    """WindowExec's 'No Partition Defined' warning must not fire for the
+    bounded constant-key windows (dim SK assignment, tiny top-k ranks) —
+    a warning stream that cries wolf hides a future real global window."""
+    import subprocess
+    import sys as _sys
+
+    snippet = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as m\n"
+        "from data_warehouse_punta_fina_spark import get_spark\n"
+        "spark = get_spark('warncheck')\n"
+        "qs = dict(m.queries()); qs.update(m.extra_queries())\n"
+        "for name in ('dim_producto', 'dim_catalogs', 'corpus_term_freq'):\n"
+        "    qs[name](spark, '/root/testdata/sf0.001').write.format('noop')"
+        ".mode('overwrite').save()\n"
+        "spark.stop()\n"
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", snippet], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "No Partition Defined" not in proc.stderr

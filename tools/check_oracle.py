@@ -84,7 +84,11 @@ def main() -> None:
         if dec_cols:
             problems.append(f"DECIMAL output columns (must be double at the boundary): {dec_cols}")
         if name not in oracles:
-            print(f"SKIP  {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if problems:
+                failures.append(name)
+                print(f"FAIL  {name} [no-oracle]: {'; '.join(problems)}")
+            else:
+                print(f"SKIP  {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             res = con.execute(oracles[name])
