@@ -105,77 +105,91 @@ def ranked_sequential_id(
     Correct for ANY cutpoints the sample yields: buckets are
     non-overlapping ordered key ranges, so offset + local rank = global
     rank. Cluster-robust: every branch recomputes to the same answer, so
-    nothing needs materializing — lost executors just replay lineage. This is
-    the scale-safe replacement for a dim-builder global window: at sf100
-    dim_producto/dim_cliente are tens of millions of rows, far past the
-    single-partition sort a global window forces.
+    nothing needs materializing — lost executors just replay lineage.
+
+    FULLY LAZY — zero driver collects, one Spark job (round-4 rewrite:
+    the collect-based version cost two extra jobs that each re-executed
+    the upstream lineage, plus ~0.5 s of driver-side expression building
+    per call). Cutpoints live in a 1-row broadcast (``collect_list`` over
+    the sample); offsets in a ≤ n-row broadcast (per-bucket counts +
+    cumulative window). Both sub-plans are pure functions of the data, so
+    branch re-execution on a cluster always agrees. Sample-size note: the
+    1/512 key sample is gathered into a single array — ~20k entries for a
+    10M-key dim, comfortably broadcastable; raise the sampling modulus
+    alongside ``partitions`` if keys reach billions.
+
+    This is the scale-safe replacement for a dim-builder global window:
+    at sf100 dim_producto/dim_cliente are tens of millions of rows, far
+    past the single-partition sort a global window forces.
     """
     ob = [order_by] if isinstance(order_by, str) else list(order_by)
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    dtypes = {c: df.schema[c].dataType for c in ob}
     key = F.struct(*[F.col(c).alias(c) for c in ob])
 
-    # Pass 1 (key columns only — Catalyst prunes the rest): a deterministic
-    # hash-sample of ~1/512 of the keys, collected and turned into ≤ n-1
-    # range cutpoints. xxhash64 is a pure function of the key, so this
-    # branch can re-execute freely and always yields the same sample —
-    # unlike repartitionByRange's random sampler, whose boundaries can
-    # differ between executions of the same plan.
-    sampled = [
-        tuple(r)
-        for r in df.select(*ob)
+    # Deterministic ~1/512 hash-sample of the (non-null) keys, gathered
+    # into ONE sorted array. xxhash64 is a pure function of the key, so
+    # this branch re-executes to the same sample — unlike
+    # repartitionByRange's random sampler, whose boundaries can differ
+    # between executions of the same plan.
+    sample = (
+        df.na.drop("any", subset=ob)
         .filter(F.pmod(F.xxhash64(*[F.col(c) for c in ob]), F.lit(512)) == 0)
-        .collect()
-        if all(v is not None for v in r)
-    ]
-    sampled.sort()
-    cuts: list[tuple] = []
-    if len(sampled) >= 2 and n > 1:
-        step = len(sampled) / n
-        for i in range(1, n):
-            c = sampled[min(int(i * step), len(sampled) - 1)]
-            if not cuts or c != cuts[-1]:
-                cuts.append(c)
-
-    def _cut_lit(t: tuple) -> Column:
-        return F.struct(
-            *[F.lit(v).cast(dtypes[c]).alias(c) for v, c in zip(t, ob)]
+        .select(key.alias("_k"))
+    )
+    agged = sample.agg(F.sort_array(F.collect_list("_k")).alias("_all"))
+    # ≤ n-1 evenly spaced cutpoints (element i·|sample|/n), deduplicated;
+    # fewer than 2 sampled keys → no cuts → everything lands in bucket 0.
+    # slice(_all, 1, 0) is a TYPED empty array (array literals can't infer
+    # a struct element type).
+    if n > 1:
+        pick = F.transform(
+            F.sequence(F.lit(1), F.lit(n - 1)),
+            lambda i: F.element_at(
+                F.col("_all"),
+                F.least((i * F.size("_all") / F.lit(n)).cast("int") + 1, F.size("_all")),
+            ),
         )
+        cuts_expr = F.when(F.size("_all") >= 2, F.array_distinct(pick)).otherwise(
+            F.slice(F.col("_all"), 1, 0)
+        )
+    else:
+        cuts_expr = F.slice(F.col("_all"), 1, 0)
+    cuts = agged.select(cuts_expr.alias("_cuts"))
 
-    # _pid is a PURE FUNCTION of the key: bucket = #cutpoints ≤ key. Rows
-    # with null key fields compare null → coalesce to 0 → bucket 0, which
-    # matches NULLS FIRST sort order, so offset + local rank = global rank.
-    # The pmod(hash,1) term is always 0 but non-foldable: it keeps Catalyst
-    # from folding a cut-less (single-bucket) partition spec into an empty
-    # one, which would both trip WindowExec's "No Partition Defined"
-    # warning and force a true global window.
-    pid = F.pmod(F.xxhash64(*[F.col(c) for c in ob]), F.lit(1)).cast("int")
-    for t in cuts:
-        pid = pid + F.coalesce((key >= _cut_lit(t)).cast("int"), F.lit(0))
-    withpid = df.withColumn("_pid", pid)
+    # _pid is a PURE FUNCTION of the key: bucket = #cutpoints ≤ key.
+    # Struct comparison uses ordering semantics (null fields sort first),
+    # so null keys land in bucket 0 — matching row_number's NULLS FIRST.
+    # The 1-row cross join broadcasts; _pid references real columns, so
+    # the window's partition spec is non-foldable even with zero cuts and
+    # WindowExec's "No Partition Defined" warning can never fire.
+    withpid = (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("_pid", F.size(F.filter(F.col("_cuts"), lambda c: key >= c)))
+        .drop("_cuts")
+    )
 
-    # Pass 2 (key columns only): per-bucket counts → cumulative offsets.
-    # ≤ n rows, collected on the driver; safe to recompute because _pid is
-    # deterministic. Replaces the old tiny constant-key window + broadcast
-    # join (and its WindowExec warning) with an O(1) array lookup.
-    counts = {
-        r["_pid"]: r["_cnt"]
-        for r in withpid.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
-    }
-    offs: list[int] = []
-    acc = 0
-    for p in range(len(cuts) + 1):
-        offs.append(acc)
-        acc += counts.get(p, 0)
-    off_expr = F.element_at(
-        F.array(*[F.lit(o).cast("long") for o in offs]), F.col("_pid") + 1
+    # Per-bucket counts → cumulative offsets, in-plan: the aggregate is
+    # ≤ n rows, the cumulative window runs inside one (non-foldable)
+    # constant-key partition of those ≤ n rows, and the result broadcasts
+    # back. No driver action anywhere.
+    wcum = (
+        Window.partitionBy(F.pmod(F.xxhash64("_pid"), F.lit(1)))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        withpid.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(wcum), F.lit(0)))
+        .select("_pid", "_off")
     )
 
     w = Window.partitionBy("_pid").orderBy(*ob)
     return (
-        withpid.withColumn("_rn", F.row_number().over(w))
-        .withColumn(out, (F.col("_rn") + off_expr + F.lit(start - 1)).cast("long"))
-        .drop("_pid", "_rn")
+        withpid.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(out, (F.col("_rn") + F.col("_off") + F.lit(start - 1)).cast("long"))
+        .drop("_pid", "_rn", "_off")
     )
 
 
@@ -185,29 +199,31 @@ def partitioned_sequential_id(df: DataFrame, out: str = "id", start: int = 1) ->
 
     ``monotonically_increasing_id`` encodes (partition id << 33) +
     consecutive-from-0 record number; per-partition counts (≤ #partitions
-    rows) collect to the driver and become cumulative offsets, broadcast
-    back for ``id = offset + record#``. Order follows the current
-    partition layout (not a business key) — use when density matters but
-    a specific order does not; like any layout-dependent id, the input
-    should be a deterministic lineage (e.g. a file scan), not the
-    unordered output of a shuffle fetch. Scales linearly: one count pass
-    + one map, no shuffle of the data itself."""
-    spark = df.sparkSession
+    rows) become cumulative offsets in-plan (tiny aggregate + cumulative
+    window, broadcast back) for ``id = offset + record#`` — fully lazy,
+    no driver action. Order follows the current partition layout (not a
+    business key) — use when density matters but a specific order does
+    not; like any layout-dependent id, the input should be a
+    deterministic lineage (e.g. a file scan), not the unordered output of
+    a shuffle fetch. Scales linearly: one count pass + one map, no
+    shuffle of the data itself."""
     rec_mask = (1 << 33) - 1
-    df2 = df.withColumn("_mid", F.monotonically_increasing_id())
-    counts = (
-        df2.groupBy(F.shiftrightunsigned("_mid", 33).alias("_pid"))
-        .agg(F.count("*").alias("_cnt"))
-        .collect()
+    df2 = df.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
+        "_pid", F.shiftrightunsigned("_mid", 33)
     )
-    offs, acc = [], start
-    for p, c in sorted((r["_pid"], r["_cnt"]) for r in counts):
-        offs.append((p, acc))
-        acc += c
-    odf = spark.createDataFrame(offs or [(0, start)], "_pid long, _off long")
+    wcum = (
+        Window.partitionBy(F.pmod(F.xxhash64("_pid"), F.lit(1)))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        df2.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(wcum), F.lit(0)) + F.lit(start))
+        .select("_pid", "_off")
+    )
     return (
-        df2.withColumn("_pid", F.shiftrightunsigned("_mid", 33))
-        .join(F.broadcast(odf), "_pid")
+        df2.join(F.broadcast(offsets), "_pid")
         .withColumn(out, F.col("_mid").bitwiseAND(F.lit(rec_mask)) + F.col("_off"))
         .drop("_pid", "_mid", "_off")
     )
