@@ -835,6 +835,24 @@ def _build_registries():
             .select("doc_id", "term", "tf", "df", "salience", "rank")
         )
 
+    def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Gopher-style repetition profile (top-bigram share, duplicate-
+        # bigram fraction, unique ratio) — training-data quality signals
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.text_quality import repetition_metrics
+
+        docs = load_table(spark, sf_dir, "documents")
+        return repetition_metrics(_spread(docs), "text", "doc_id", n=2)
+
+    def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Okapi BM25 lexical retrieval: fixed query set, top-5 per query.
+        # inverted-index join with broadcast query terms (operators.retrieval)
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import bm25_topk
+
+        docs = load_table(spark, sf_dir, "documents")
+        return bm25_topk(_spread(docs), _BM25_QUERIES, k=5)
+
     def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # position-wise vector aggregation: centroid per class label.
         # exact int64 sums over quantized components; ONE double division at
@@ -1325,6 +1343,8 @@ def _build_registries():
         "dim_estado_pago": _legacy("build_dim_estado_pago"),
         "dim_pago": _legacy("build_dim_pago"),
         "dim_sitio_web": _legacy("build_dim_sitio_web"),
+        "doc_repetition": doc_repetition,
+        "doc_bm25_topk": doc_bm25_topk,
     }
     return reg, extra
 
@@ -1490,6 +1510,15 @@ FROM entries
 """
 
 _TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+# fixed BM25 query set (query_id, query_text) — vocabulary drawn from the
+# synthetic corpus's word list so every term has a non-trivial posting list
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "spark window agg"),
+    (2, "hash join fast"),
+    (3, "customer order data"),
+    (4, "stream batch merge sort"),
+]
 
 _SHINGLES = f"""
 CASE WHEN len({_TOKENS}) >= 3
@@ -2639,6 +2668,69 @@ SELECT periodo_id, concepto, monto FROM (
         f"FROM ({o[key]}) _{name}"
         for name, key, idc, cod, nom, flag, val in cat_map
     )
+
+    # Gopher-style repetition profile over token bigrams. LEFT JOIN keeps
+    # docs with < 2 tokens (zero totals, null ratios) to mirror Spark's
+    # explode_outer.
+    o["doc_repetition"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS g
+  FROM toks
+),
+per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+agg AS (
+  SELECT doc_id, SUM(c) AS total, COUNT(*) AS dstnct, MAX(c) AS top,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.total, 0) AS INT) AS n_grams,
+       CAST(COALESCE(a.dstnct, 0) AS INT) AS distinct_grams,
+       CAST({_r6("a.top / a.total")} AS DOUBLE) AS top_gram_share,
+       CAST({_r6("a.dup / a.total")} AS DOUBLE) AS dup_gram_frac,
+       CAST({_r6("a.dstnct / a.total")} AS DOUBLE) AS unique_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    # Okapi BM25 (k1=1.2, b=0.75): idf round-6'd immediately (absorbs any
+    # last-ulp ln() divergence), per-term score round-6'd to DECIMAL(12,6)
+    # BEFORE the per-doc sum (exact, order-independent), ties by doc_id.
+    bm25_q = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, '{t}' AS term"
+        for qid, qtext in _BM25_QUERIES
+        for t in dict.fromkeys(qtext.split())
+    )
+    bm25_s = (
+        "(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+    )
+    o["doc_bm25_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+postings0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings0 GROUP BY doc_id),
+postings AS (SELECT p.doc_id, p.term, p.tf, dl.dl FROM postings0 p JOIN dl USING (doc_id)),
+dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+nd AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+),
+q AS ({bm25_q}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST({_r6(bm25_s.replace("idf", "FLOOR(ln((nd.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * 1000000 + 0.5) / 1000000"))} AS DECIMAL(12,6)) AS s
+  FROM postings p JOIN q USING (term) JOIN dfs USING (term) CROSS JOIN nd
+),
+per_doc AS (
+  SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM per_doc QUALIFY rank <= 5
+"""
 
     # decimal→double at the output boundary (twin of _dbl_out; see module
     # docstring — the driver's hasher canonicalizes decimals inconsistently)

@@ -1,0 +1,124 @@
+"""Lexical retrieval over the document corpus (BM25 top-k).
+
+A training-data curation engine needs "find documents like/about X" —
+e.g. locating eval-set lookalikes beyond exact-shingle decontamination,
+or pulling topical subsets for mixture tuning. This implements the
+standard Okapi BM25 ranking function (Robertson & Walker 1994) as pure
+DataFrame algebra; no reference-warehouse counterpart (the reference has
+no retrieval tier).
+
+Scale shape (inverted-index join, the classic distributed BM25):
+
+- corpus side: one explode to (doc_id, term, tf) — word-count shuffle
+  with map-side combine; document-frequency table is a groupBy over
+  distinct (term, doc) pairs, tiny (vocabulary-sized) output;
+- query side: a FEW rows (query_id, term) — broadcast to every executor,
+  so scoring is a broadcast hash join against the posting lists, no
+  corpus reshuffle;
+- per-(query, doc) score sum + per-query top-k window partitioned by
+  query_id. At 100 TB the only big shuffle is the word count.
+
+Cross-engine exactness: idf uses ln via ``F.log`` — JVM ``Math.log`` and
+DuckDB/libm agree on all but possibly the last ulp, so idf is pushed
+through the portable round-6 immediately (a flip needs the ulp to land
+within 2e-16 of a 0.5e-6 boundary, ~4e-10 per distinct df value); the
+per-term score is round-6'd to DECIMAL(12,6) BEFORE the per-doc sum —
+decimal sums are exact and partition-order independent, where a double
+sum would be nondeterministic across reruns — and ties break on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_punta_fina_spark.functions.money import pround
+from data_warehouse_punta_fina_spark.functions.text import tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def corpus_term_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, df_stats): per-(doc, term) frequency + doc length, and
+    per-term document frequency. Both derive from one explode."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    postings = postings.join(dl, id_col)
+    df_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    return postings, df_stats
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25.
+
+    ``queries`` is a literal list of (query_id, query_text); terms are
+    whitespace-tokenized like the corpus. Repeated query terms count
+    once (standard bag-of-documents BM25 ignores query-side tf at these
+    query lengths). Output: (query_id, doc_id, score, rank), rank 1..k,
+    score rounded to 6 (portable), ties broken by doc_id ascending.
+    """
+    spark = docs.sparkSession
+    postings, df_stats = corpus_term_stats(docs, text_col, id_col)
+
+    n_docs = docs.select(F.count("*").alias("n")).crossJoin(
+        docs.agg((F.sum(F.size(tokens(F.col(text_col)))) / F.count("*")).alias("avgdl"))
+    )
+
+    qrows = [
+        (qid, t)
+        for qid, qtext in queries
+        for t in dict.fromkeys(qtext.split())  # dedupe, keep order
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id int, term string")
+
+    scored = (
+        postings.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df_stats.join(F.broadcast(qdf.select("term").distinct()), "term")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_idf",
+            # portable round-6 on the double directly (floor(x·1e6+0.5)/1e6):
+            # absorbs any last-ulp ln() divergence between engines
+            F.floor(
+                F.log(
+                    (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        )
+        .withColumn(
+            "_s",
+            # per-term score rounded to DECIMAL(12,6) so the per-doc sum is
+            # exact and independent of partitioning / aggregation order
+            pround(
+                F.col("_idf")
+                * (F.col("tf") * (K1 + 1))
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+                6,
+                12,
+            ),
+        )
+    )
+    per_doc = scored.groupBy("query_id", id_col).agg(
+        F.sum("_s").cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,91 @@
+"""Corpus repetition / quality metrics for training-data curation.
+
+Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+Models", table A1): excessively repetitive documents are low-quality
+training data, detected via the share of the most frequent n-gram and
+the fraction of n-grams that occur more than once. The reference
+warehouse has no equivalent (its text handling stops at
+`data_validator.py` string normalization); this extends the engine's
+LLM-pipeline tier alongside `functions.text.quality_score`.
+
+Scale shape: one explode of token n-grams (rows × ~tokens-per-doc) and
+two hash aggregations keyed by doc id — no window over the full corpus,
+no driver collect. At 100 TB the explode dominates; it is map-side only
+(the shuffle carries (doc_id, gram) partial counts, combiner-reduced),
+so the operator scales with corpus size like any word-count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_warehouse_punta_fina_spark.functions.money import pround
+from data_warehouse_punta_fina_spark.functions.text import tokens
+
+
+def token_ngrams(col, n: int = 2):
+    """Contiguous token n-grams as an array<string> column (space-joined;
+    docs shorter than n tokens yield an empty array)."""
+    toks = tokens(col)
+    if n == 1:
+        return toks
+    return F.transform(
+        # sequence over start positions 1..len-n+1 (1-based element_at)
+        F.when(
+            F.size(toks) >= n,
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document repetition profile over token ``n``-grams:
+
+    - ``n_grams``       — total n-gram occurrences in the doc
+    - ``distinct_grams``— distinct n-grams
+    - ``top_gram_share``— occurrences of the single most frequent n-gram
+      / total (Gopher "top n-gram fraction"; ties resolved by count only,
+      the share is identical for any tied gram)
+    - ``dup_gram_frac`` — fraction of occurrences belonging to n-grams
+      seen more than once (Gopher "duplicate n-gram fraction")
+    - ``unique_ratio``  — distinct / total
+
+    Ratios use the portable round-6 (`functions.money.pround`) so the
+    DuckDB oracle reproduces them bit-exactly. Docs with fewer than ``n``
+    tokens emit zero totals and null ratios.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode_outer(token_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    # explode_outer keeps short/empty docs as one null-gram row; count of a
+    # null column is 0, so those docs flow through with zero totals.
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count("_g").alias("_c"))
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("_total"),
+        F.count("_g").alias("_distinct"),
+        F.max("_c").alias("_top"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias("_dup"),
+    )
+
+    def _ratio(num):
+        return F.when(
+            F.col("_total") > 0, pround(num / F.col("_total"), 6, 12)
+        ).cast("double")
+
+    return agg.select(
+        F.col(id_col),
+        F.col("_total").cast("int").alias("n_grams"),
+        F.col("_distinct").cast("int").alias("distinct_grams"),
+        _ratio(F.col("_top")).alias("top_gram_share"),
+        _ratio(F.col("_dup")).alias("dup_gram_frac"),
+        _ratio(F.col("_distinct")).alias("unique_ratio"),
+    )

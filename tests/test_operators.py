@@ -754,3 +754,59 @@ def test_no_partition_defined_warnings_in_dim_and_rank_paths():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "No Partition Defined" not in proc.stderr
+
+
+def test_repetition_metrics_known_values(spark):
+    """Hand-checked Gopher repetition signals on a tiny corpus, including
+    a single-token doc (no bigrams) and an empty doc."""
+    from data_warehouse_punta_fina_spark.operators.text_quality import repetition_metrics
+
+    rows = [
+        # "a b a b a" -> bigrams: ab,ba,ab,ba -> total 4, distinct 2,
+        # top 2, dup 4 -> top_share .5, dup_frac 1.0, unique .5
+        (1, "a b a b a"),
+        # "x y z" -> xy,yz -> total 2, distinct 2, top 1, dup 0
+        (2, "x y z"),
+        (3, "solo"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_metrics(df).collect()}
+    assert len(got) == 4
+    assert got[1]["n_grams"] == 4 and got[1]["distinct_grams"] == 2
+    assert got[1]["top_gram_share"] == 0.5
+    assert got[1]["dup_gram_frac"] == 1.0
+    assert got[1]["unique_ratio"] == 0.5
+    assert got[2]["n_grams"] == 2 and got[2]["dup_gram_frac"] == 0.0
+    for d in (3, 4):
+        assert got[d]["n_grams"] == 0 and got[d]["distinct_grams"] == 0
+        assert got[d]["top_gram_share"] is None
+
+
+def test_bm25_topk_ranks_by_relevance(spark):
+    """BM25 orders exact-term-heavy docs first; scores are deterministic
+    under repartitioning (decimal per-term rounding before the sum)."""
+    from data_warehouse_punta_fina_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark spark spark window"),
+        (2, "spark window window agg agg"),
+        (3, "hash join merge"),
+        (4, "the quick brown fox"),
+        (5, "spark"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = bm25_topk(docs, [(1, "spark window"), (2, "join")], k=3)
+    got = [(r["query_id"], r["doc_id"], r["rank"]) for r in
+           out.orderBy("query_id", "rank").collect()]
+    q1 = [(d, rk) for q, d, rk in got if q == 1]
+    q2 = [(d, rk) for q, d, rk in got if q == 2]
+    # docs 1,2 both match both terms; doc 5 matches one; doc 3/4 none for q1
+    assert [d for d, _ in q1][:2] in ([1, 2], [2, 1])
+    assert q1[2][0] == 5
+    assert q2 == [(3, 1)]  # only doc 3 contains 'join'
+    # partition invariance: same scores regardless of layout
+    a = {(r["query_id"], r["doc_id"]): r["score"] for r in out.collect()}
+    b = {(r["query_id"], r["doc_id"]): r["score"] for r in
+         bm25_topk(docs.repartition(7), [(1, "spark window"), (2, "join")], k=3).collect()}
+    assert a == b
