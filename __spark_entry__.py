@@ -268,10 +268,12 @@ def _build_registries():
     def _memo_dim(name: str, build, spark: SparkSession, sf_dir: str) -> DataFrame:
         # production materializes dims once and reuses them across all fact
         # builds (plans/pipeline.py writes parquet); within a session the
-        # same reuse comes from a lazily-materialized checkpoint
+        # same reuse comes from persist() — unlike localCheckpoint, lineage
+        # is kept, so on a real cluster a lost executor recomputes the
+        # missing blocks instead of failing every downstream job
         key = (spark.sparkContext.applicationId, sf_dir, name)
         if key not in _DIM_MEMO:
-            _DIM_MEMO[key] = build(spark, sf_dir).localCheckpoint(eager=False)
+            _DIM_MEMO[key] = build(spark, sf_dir).persist()
         return _DIM_MEMO[key]
 
     def fact_ventas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +288,7 @@ def _build_registries():
                 _memo_dim("producto", build_dim_producto, spark, sf_dir),
                 _memo_dim("cliente", build_dim_cliente, spark, sf_dir),
                 _memo_dim("almacen", build_dim_almacen, spark, sf_dir),
-            ).localCheckpoint(eager=False)
+            ).persist()
         return _DIM_MEMO[key]
 
     def fact_transacciones(spark: SparkSession, sf_dir: str) -> DataFrame:

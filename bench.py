@@ -44,6 +44,9 @@ HEADLINE = [
     "asof_last_order",
     "events_sessionized",
     "corpus_term_freq",
+    # round-4 additions (no r1 floor — tracked from their first round)
+    "doc_repetition",
+    "doc_bm25_topk",
 ]
 
 

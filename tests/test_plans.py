@@ -131,3 +131,94 @@ def test_pipeline_runs_end_to_end(spark, sf_dir, tmp_path):
     # parquet written and re-readable
     reread = spark.read.parquet(str(tmp_path / "wh" / "fact_ventas"))
     assert reread.count() == result.counts["fact_ventas"]
+
+
+def test_load_table_normalizes_both_timestamp_encodings(spark, tmp_path):
+    """The driver's testdata has switched parquet timestamp encodings
+    between rounds (TIMESTAMP(NANOS) -> timestamp[us] no-tz); load_table
+    must deliver TIMESTAMP with identical values for BOTH, and
+    sessionize must run on the result (the round-3 breakage)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_warehouse_punta_fina_spark.operators.asof import sessionize
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    micros = [1_600_000_000_000_000 + i * 60_000_000 for i in range(8)]
+    base = {
+        "event_id": list(range(8)),
+        "user_id": [1, 1, 1, 1, 2, 2, 2, 2],
+        "event_type": ["click"] * 8,
+        "value": [float(i) for i in range(8)],
+        "props": ["{}"] * 8,
+    }
+    enc = {
+        "ntz": pa.array([m for m in micros], type=pa.timestamp("us")),
+        "nanos": pa.array([m * 1000 for m in micros], type=pa.timestamp("ns")),
+    }
+    got = {}
+    for label, ts_arr in enc.items():
+        d = tmp_path / label
+        d.mkdir()
+        tbl = pa.table({**{k: pa.array(v) for k, v in base.items()}, "ts": ts_arr})
+        pq.write_table(tbl, str(d / "events.parquet"), store_schema=False)
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), label
+        got[label] = sorted(
+            (r["event_id"], r["ts"]) for r in df.select("event_id", "ts").collect()
+        )
+        # the round-3 crash site: sessionize calls unix_micros(ts)
+        sess = sessionize(df, key="user_id", time_col="ts", gap_seconds=1800)
+        assert sess.count() == 8, label
+    assert got["ntz"] == got["nanos"]
+
+
+def test_dim_and_fact_plan_building_is_fully_lazy(spark):
+    """Plan construction must not run data jobs. ranked_sequential_id on
+    an in-memory frame must launch ZERO jobs (the old rank ran two eager
+    collects per call); building the full file-backed dim+fact plans may
+    only launch parquet footer/schema reads (single-task jobs), never a
+    multi-task data scan."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.windows import ranked_sequential_id
+    from data_warehouse_punta_fina_spark.plans.dims import (
+        build_dim_almacen,
+        build_dim_cliente,
+        build_dim_producto,
+    )
+    from data_warehouse_punta_fina_spark.plans.facts import build_fact_ventas
+
+    sc = spark.sparkContext
+
+    sc.setJobGroup("lazy-rank", "operator must not run jobs")
+    try:
+        df = spark.range(0, 10_000).select((F.col("id") * 37 % 9973).alias("k"))
+        ranked = ranked_sequential_id(df, "k", out="sk", start=2)
+        assert "sk" in ranked.columns
+        assert sc.statusTracker().getJobIdsForGroup("lazy-rank") == []
+    finally:
+        sc.setJobGroup("", "")
+
+    sc.setJobGroup("lazy-plan", "plan building may only read footers")
+    try:
+        sf = "/root/testdata/sf0.001"
+        p = build_dim_producto(spark, sf)
+        c = build_dim_cliente(spark, sf)
+        a = build_dim_almacen(spark, sf)
+        fact = build_fact_ventas(spark, sf, p, c, a)
+        assert len(fact.columns) > 5
+        tracker = sc.statusTracker()
+        for jid in tracker.getJobIdsForGroup("lazy-plan"):
+            info = tracker.getJobInfo(jid)
+            for sid in info.stageIds:
+                st = tracker.getStageInfo(sid)
+                if st is not None:
+                    assert st.numTasks <= 1, (
+                        f"plan building ran a {st.numTasks}-task stage "
+                        f"(job {jid}) — an eager data job, not a footer read"
+                    )
+    finally:
+        sc.setJobGroup("", "")
