@@ -855,6 +855,15 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return bm25_topk(_spread(docs), _BM25_QUERIES, k=5)
 
+    def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # self-trained unigram-LM mean surprisal per doc (CCNet/Dolma-style
+        # quality signal; both tails are filter candidates)
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.text_quality import unigram_surprisal
+
+        docs = load_table(spark, sf_dir, "documents")
+        return unigram_surprisal(_spread(docs), "text", "doc_id")
+
     def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # position-wise vector aggregation: centroid per class label.
         # exact int64 sums over quantized components; ONE double division at
@@ -1347,6 +1356,7 @@ def _build_registries():
         "dim_sitio_web": _legacy("build_dim_sitio_web"),
         "doc_repetition": doc_repetition,
         "doc_bm25_topk": doc_bm25_topk,
+        "doc_surprisal": doc_surprisal,
     }
     return reg, extra
 
@@ -2732,6 +2742,29 @@ per_doc AS (
 SELECT query_id, doc_id, score,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
 FROM per_doc QUALIFY rank <= 5
+"""
+
+    # Self-trained unigram-LM surprisal: per-token ln(T/ct) round-6'd to
+    # DECIMAL(12,6), exact decimal weighted sum per doc, one double
+    # division for the mean. LEFT JOIN keeps empty docs (null surprisal).
+    o["doc_surprisal"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+term_ct AS (SELECT term, SUM(tf) AS ct FROM postings GROUP BY term),
+tot AS (SELECT SUM(ct) AS t_total FROM term_ct),
+scored AS (
+  SELECT p.doc_id, p.tf,
+         {_r6("ln(CAST(tot.t_total AS DOUBLE) / CAST(term_ct.ct AS DOUBLE))")} AS surp
+  FROM postings p JOIN term_ct USING (term) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * surp) AS sum_surp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS INT) AS n_tokens,
+       CAST({_r6("CAST(p.sum_surp AS DOUBLE) / p.n_tokens")} AS DOUBLE) AS surprisal
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
 """
 
     # decimal→double at the output boundary (twin of _dbl_out; see module

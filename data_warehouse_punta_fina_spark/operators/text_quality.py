@@ -89,3 +89,63 @@ def repetition_metrics(
         _ratio(F.col("_dup")).alias("dup_gram_frac"),
         _ratio(F.col("_distinct")).alias("unique_ratio"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean token surprisal under the corpus's own unigram
+    LM: ``mean over token occurrences of -ln p(token)``, with
+    ``p(token) = corpus_count(token) / corpus_total``.
+
+    The CCNet/Dolma-family quality signal in its simplest self-trained
+    form: low surprisal = dominated by the corpus's most common tokens
+    (boilerplate), high = rare-token-heavy (specialist text or noise);
+    both tails are candidate filters. Output: (id, n_tokens, surprisal),
+    surprisal null for empty docs.
+
+    Exactness: per-token ``ln(T/ct)`` is round-6'd immediately (absorbs
+    last-ulp ln() divergence between engines) into DECIMAL(12,6), the
+    per-doc weighted sum is an exact decimal sum (partition-order
+    independent), and the final mean is one double division + round-6.
+
+    Scale shape: one token explode + (doc, term) count, a vocabulary-
+    sized term-frequency table (broadcast — vocabularies are millions of
+    rows where corpora are billions), and a 1-row grand-total broadcast.
+    """
+    from data_warehouse_punta_fina_spark.operators.retrieval import corpus_term_stats
+
+    postings, _ = corpus_term_stats(df, text_col, id_col)
+    term_ct = postings.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = term_ct.agg(F.sum("ct").alias("t_total"))
+
+    scored = (
+        postings.join(F.broadcast(term_ct), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_surp",
+            pround(
+                F.log(F.col("t_total").cast("double") / F.col("ct").cast("double")),
+                6,
+                12,
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("_surp")).alias("_sum_surp"),
+    )
+    out = per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        pround(F.col("_sum_surp").cast("double") / F.col("n_tokens"), 6, 12)
+        .cast("double")
+        .alias("surprisal"),
+    )
+    # keep empty docs (no postings) with null surprisal
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(out, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("int").alias("n_tokens"),
+        F.col("surprisal"),
+    )

@@ -810,3 +810,23 @@ def test_bm25_topk_ranks_by_relevance(spark):
     b = {(r["query_id"], r["doc_id"]): r["score"] for r in
          bm25_topk(docs.repartition(7), [(1, "spark window"), (2, "join")], k=3).collect()}
     assert a == b
+
+
+def test_unigram_surprisal_known_values(spark):
+    """Corpus 'a a a b': p(a)=3/4, p(b)=1/4. Doc1='a a a b' mean =
+    (3*ln(4/3)+ln(4))/4; doc2 is empty -> null."""
+    import math
+
+    from data_warehouse_punta_fina_spark.operators.text_quality import unigram_surprisal
+
+    df = spark.createDataFrame([(1, "a a a b"), (2, "")], "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["surprisal"]) for r in
+           unigram_surprisal(df).collect()}
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    want = r6((3 * r6(math.log(4 / 3)) + r6(math.log(4.0))) / 4)
+    assert got[1] == (4, want)
+    assert got[2] == (0, None)
+    # partition invariance (decimal sums)
+    b = {r["doc_id"]: r["surprisal"] for r in
+         unigram_surprisal(df.repartition(5)).collect()}
+    assert b[1] == want
