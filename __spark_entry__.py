@@ -740,6 +740,38 @@ def _build_registries():
             current, updates, "cliente_key", ["segmento"], F.to_date(F.lit("2024-06-01"))
         )
 
+    def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the Kimball temporal join: every order resolved to the customer-
+        # segment VERSION valid at its order date (dim broadcast, interval
+        # residual on the hash join — no fact shuffle)
+        from data_warehouse_punta_fina_spark.operators.scd import pit_lookup, scd2_merge
+
+        customer = load_table(spark, sf_dir, "customer")
+        current = customer.select(
+            F.col("c_custkey").alias("cliente_key"),
+            F.col("c_mktsegment").alias("segmento"),
+            F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+            F.to_date(F.lit("9999-12-31")).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        updates = customer.filter(F.col("c_custkey") % 10 == 0).select(
+            F.col("c_custkey").alias("cliente_key"),
+            F.lit("SEGMENTO_NUEVO").alias("segmento"),
+        )
+        dim = scd2_merge(
+            current, updates, "cliente_key", ["segmento"], F.to_date(F.lit("1996-06-01"))
+        )
+        orders = load_table(spark, sf_dir, "orders")
+        return pit_lookup(
+            orders, dim, "o_custkey", "cliente_key", "o_orderdate"
+        ).select(
+            F.col("o_orderkey").alias("orden_id"),
+            F.col("o_custkey").alias("cliente_key"),
+            F.col("o_orderdate").alias("fecha"),
+            F.col("segmento"),
+            F.col("valid_from"),
+        )
+
     def semantic_near_dup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the SemDeDup pattern: candidates from EMBEDDING space (cheap,
         # semantic), verification by exact text overlap — each candidate
@@ -854,6 +886,17 @@ def _build_registries():
 
         docs = load_table(spark, sf_dir, "documents")
         return bm25_topk(_spread(docs), _BM25_QUERIES, k=5)
+
+    def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # incremental ingestion: odd-id docs arrive as the "new batch" and
+        # dedupe against the even-id indexed corpus (band join new×index,
+        # exact Jaccard verify on candidates only)
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread, incremental_lsh_dedup
+
+        docs = _spread(load_table(spark, sf_dir, "documents"))
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+        return incremental_lsh_dedup(corpus, new_batch, threshold=0.2)
 
     def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # self-trained unigram-LM mean surprisal per doc (CCNet/Dolma-style
@@ -1357,6 +1400,8 @@ def _build_registries():
         "doc_repetition": doc_repetition,
         "doc_bm25_topk": doc_bm25_topk,
         "doc_surprisal": doc_surprisal,
+        "scd2_pit_lookup": scd2_pit_lookup,
+        "doc_incremental_dedup": doc_incremental_dedup,
     }
     return reg, extra
 
@@ -2765,6 +2810,79 @@ SELECT d.doc_id,
        CAST(COALESCE(p.n_tokens, 0) AS INT) AS n_tokens,
        CAST({_r6("CAST(p.sum_surp AS DOUBLE) / p.n_tokens")} AS DOUBLE) AS surprisal
 FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+    # Incremental ingestion dedup: odd-id "new batch" vs even-id indexed
+    # corpus — band-join candidates (new × index only), exact Jaccard
+    # verify, best match per new doc (ties to smallest corpus id).
+    o["doc_incremental_dedup"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+  FROM sh CROSS JOIN range(12) t(i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(i / 3) AS INT) AS band, string_agg(h, '|' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, CAST(FLOOR(i / 3) AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+), verified AS (
+  SELECT id_a, id_b,
+         {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} >= 0.2
+), best AS (
+  SELECT id_b, id_a AS match_id, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY jaccard DESC, id_a) AS rn
+  FROM verified
+)
+SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
+       b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Kimball point-in-time lookup: orders joined to the SCD2 segment
+    # version valid at the order date (half-open interval, new version
+    # wins on the change date).
+    o["scd2_pit_lookup"] = """
+WITH cur AS (
+  SELECT c_custkey AS cliente_key, c_mktsegment AS segmento,
+         DATE '1990-01-01' AS valid_from, DATE '9999-12-31' AS valid_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey AS cliente_key, 'SEGMENTO_NUEVO' AS segmento FROM customer WHERE c_custkey % 10 = 0
+), scd AS (
+  SELECT c.cliente_key, c.segmento, c.valid_from, c.valid_to
+  FROM cur c LEFT JOIN upd u ON c.cliente_key = u.cliente_key
+  WHERE u.cliente_key IS NULL OR c.segmento IS NOT DISTINCT FROM u.segmento
+  UNION ALL
+  SELECT c.cliente_key, c.segmento, c.valid_from, DATE '1996-06-01'
+  FROM cur c JOIN upd u ON c.cliente_key = u.cliente_key
+  WHERE c.segmento IS DISTINCT FROM u.segmento
+  UNION ALL
+  SELECT c.cliente_key, u.segmento, DATE '1996-06-01', DATE '9999-12-31'
+  FROM cur c JOIN upd u ON c.cliente_key = u.cliente_key
+  WHERE c.segmento IS DISTINCT FROM u.segmento
+)
+SELECT o.o_orderkey AS orden_id, o.o_custkey AS cliente_key, o.o_orderdate AS fecha,
+       d.segmento, d.valid_from
+FROM orders o LEFT JOIN scd d
+  ON o.o_custkey = d.cliente_key
+ AND o.o_orderdate >= d.valid_from AND o.o_orderdate < d.valid_to
 """
 
     # decimal→double at the output boundary (twin of _dbl_out; see module

@@ -126,6 +126,44 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_key) — the LSH index rows for a corpus. The
+    reusable half of :func:`minhash_lsh_pairs`: at warehouse scale this
+    IS the persisted dedup index (write it partitioned by band), and
+    incremental ingestion joins new batches against it
+    (:func:`incremental_lsh_dedup`)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing hash columns would be silently dropped"
+        )
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -142,29 +180,7 @@ def minhash_lsh_pairs(
     documents are never shuffled; only (band_key, id). Returns
     (id_a, id_b) with id_a < id_b.
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
-            "trailing hash columns would be silently dropped"
-        )
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, shingle_n)
     # a DataFrame self-join re-executes the whole subplan per branch;
     # a lazy local checkpoint materializes the band table once and both
     # sides read it (at warehouse scale: write the signature table instead)
@@ -293,6 +309,61 @@ def jaccard_on_candidates(
         .withColumn("jaccard", _pround6(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_lsh_dedup(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Dedupe an incoming batch against an already-indexed corpus — the
+    production ingestion pattern (a new crawl arrives; only documents NOT
+    near-duplicating the existing corpus should be admitted).
+
+    Ids must be globally unique across both frames (standard for an
+    indexed corpus + batch). Shape: band keys for each side
+    (:func:`minhash_band_keys` — at warehouse scale the corpus side is a
+    PERSISTED index, not recomputed), equi-join on (band, band_key) for
+    candidates — new × index only, never index × index — then exact
+    Jaccard verification on candidates only. Output: one row per new doc
+    with ``is_dup``, the best corpus match (highest Jaccard, ties to the
+    smallest corpus id), and its score.
+    """
+    cb = minhash_band_keys(corpus, text_col, id_col, num_hashes, bands, shingle_n)
+    nb = minhash_band_keys(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
+    cand = (
+        cb.select(F.col(id_col).alias("id_a"), "band", "band_key")
+        .join(nb.select(F.col(id_col).alias("id_b"), "band", "band_key"), ["band", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    both = corpus.select(id_col, text_col).unionByName(new_docs.select(id_col, text_col))
+    verified = jaccard_on_candidates(both, cand, text_col, id_col, shingle_n, threshold)
+    w = Window.partitionBy("id_b").orderBy(F.desc("jaccard"), F.asc("id_a"))
+    best = (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("id_a").alias("match_id"),
+            F.col("jaccard"),
+        )
+    )
+    return (
+        new_docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("match_id").isNotNull().alias("is_dup"),
+            F.col("match_id"),
+            F.col("jaccard"),
+        )
     )
 
 

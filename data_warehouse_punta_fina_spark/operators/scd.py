@@ -130,3 +130,39 @@ def type1_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
     updates batch is normally the small side and broadcasts."""
     survivors = target.join(updates.select(*keys), keys, "left_anti")
     return survivors.unionByName(updates)
+
+
+def pit_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    as_of_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Point-in-time lookup: join each fact row to the SCD2 dimension
+    version valid at the fact's timestamp — the Kimball temporal join
+    that makes a versioned dimension queryable
+    (``as_of >= valid_from AND as_of < valid_to``, half-open to match
+    :func:`scd2_merge`'s close/open convention: on the change date the
+    NEW version is in effect).
+
+    Scale shape: the dimension broadcasts (default) so the equi-part of
+    the predicate drives a BroadcastHashJoin with the interval bounds as
+    residual filter — no fact shuffle. For dimensions too large to
+    broadcast, pass ``broadcast=False``: a shuffle equi-join on the key
+    fans each fact row out across that key's few versions, and the
+    interval residual keeps exactly one — still linear, since SCD2
+    version counts per key are small by construction.
+    """
+    f, d = facts.alias("f"), dim.alias("d")
+    cond = (
+        (F.col(f"f.{fact_key}") == F.col(f"d.{dim_key}"))
+        & (F.col(f"f.{as_of_col}") >= F.col(f"d.{valid_from}"))
+        & (F.col(f"f.{as_of_col}") < F.col(f"d.{valid_to}"))
+    )
+    right = F.broadcast(d) if broadcast else d
+    return f.join(right, cond, how)

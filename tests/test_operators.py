@@ -830,3 +830,59 @@ def test_unigram_surprisal_known_values(spark):
     b = {r["doc_id"]: r["surprisal"] for r in
          unigram_surprisal(df.repartition(5)).collect()}
     assert b[1] == want
+
+
+def test_pit_lookup_resolves_versions_half_open(spark):
+    """PIT join picks the version valid at the fact timestamp; on the
+    change date the NEW version is in effect (half-open intervals)."""
+    import datetime as dt
+
+    from data_warehouse_punta_fina_spark.operators.scd import pit_lookup
+
+    dim = spark.createDataFrame(
+        [
+            (1, "A", dt.date(1990, 1, 1), dt.date(1996, 6, 1)),
+            (1, "B", dt.date(1996, 6, 1), dt.date(9999, 12, 31)),
+            (2, "C", dt.date(1990, 1, 1), dt.date(9999, 12, 31)),
+        ],
+        "k int, seg string, valid_from date, valid_to date",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, dt.date(1995, 12, 31)),
+            (11, 1, dt.date(1996, 6, 1)),   # boundary -> new version
+            (12, 1, dt.date(2000, 1, 1)),
+            (13, 2, dt.date(1994, 1, 1)),
+            (14, 3, dt.date(1994, 1, 1)),   # no dim key -> null (left)
+            (15, 1, dt.date(1989, 1, 1)),   # before history -> null
+        ],
+        "fid int, fk int, ts date",
+    )
+    out = pit_lookup(facts, dim, "fk", "k", "ts")
+    got = {r["fid"]: r["seg"] for r in out.collect()}
+    assert got == {10: "A", 11: "B", 12: "B", 13: "C", 14: None, 15: None}
+    # every fact row appears exactly once (non-overlapping versions)
+    assert out.count() == 6
+    # broadcast plan: no shuffle of the fact side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_incremental_lsh_dedup_flags_known_dupes(spark):
+    """A new batch containing a copy of an indexed doc and a fresh doc:
+    the copy is flagged with its corpus match, the fresh doc admitted."""
+    from data_warehouse_punta_fina_spark.operators.dedup import incremental_lsh_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base), (3, "totally different words nothing shared here at all ok then")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["is_dup"], r["match_id"]) for r in
+           incremental_lsh_dedup(corpus, new, threshold=0.5).collect()}
+    assert got[1] == (True, 0)
+    assert got[3] == (False, None)
