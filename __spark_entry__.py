@@ -1296,7 +1296,10 @@ def _build_registries():
         "dim_producto": build_dim_producto,
         "dim_cliente": build_dim_cliente,
         "dim_promocion": build_dim_promocion,
-        "dim_direccion": _legacy("build_dim_direccion"),
+        # round-4 late rotation: dim_direccion (left-enrichment + default
+        # member, both certified via dim_cliente/every dim) demoted for the
+        # SCD2 point-in-time temporal join — a distinct operator family
+        "scd2_pit_lookup": scd2_pit_lookup,
         "dim_catalogs": dim_catalogs,
         # facts (SURVEY §2.3 J1/J3/J4, §2.4, §2.5, §2.9)
         "fact_ventas": fact_ventas,
@@ -1400,8 +1403,8 @@ def _build_registries():
         "doc_repetition": doc_repetition,
         "doc_bm25_topk": doc_bm25_topk,
         "doc_surprisal": doc_surprisal,
-        "scd2_pit_lookup": scd2_pit_lookup,
         "doc_incremental_dedup": doc_incremental_dedup,
+        "dim_direccion": _legacy("build_dim_direccion"),
     }
     return reg, extra
 
