@@ -8,9 +8,23 @@ from data_warehouse_punta_fina_spark.operators.dedup import (  # noqa: F401
     duplicate_count,
     duplicate_groups,
     exact_dedup,
+    incremental_lsh_dedup,
+    jaccard_on_candidates,
+    minhash_band_keys,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
+)
+from data_warehouse_punta_fina_spark.operators.retrieval import bm25_topk  # noqa: F401
+from data_warehouse_punta_fina_spark.operators.scd import (  # noqa: F401
+    pit_lookup,
+    scd2_merge,
+    snapshot_diff,
+    type1_upsert,
+)
+from data_warehouse_punta_fina_spark.operators.text_quality import (  # noqa: F401
+    repetition_metrics,
+    unigram_surprisal,
 )
 from data_warehouse_punta_fina_spark.operators.journal import explode_journal_entries  # noqa: F401
 from data_warehouse_punta_fina_spark.operators.pivots import (  # noqa: F401
@@ -28,6 +42,7 @@ from data_warehouse_punta_fina_spark.operators.similarity import (  # noqa: F401
 from data_warehouse_punta_fina_spark.operators.windows import (  # noqa: F401
     lag_prev,
     partitioned_sequential_id,
+    ranked_sequential_id,
     running_total,
     sequential_id,
     top_n_per_group,

@@ -222,3 +222,27 @@ def test_dim_and_fact_plan_building_is_fully_lazy(spark):
                     )
     finally:
         sc.setJobGroup("", "")
+
+
+def test_parquet_pushdown_and_column_pruning(spark):
+    """Filters and projections must reach the parquet scan: PushedFilters
+    non-empty and ReadSchema pruned to the referenced columns — a scan
+    reading all columns for a 2-column projection is wrong at any scale."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    df = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .filter(F.col("l_quantity") > 10)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan, plan[:800]
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:800]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
