@@ -47,6 +47,9 @@ HEADLINE = [
     # round-4 additions (no r1 floor — tracked from their first round)
     "doc_repetition",
     "doc_bm25_topk",
+    "doc_surprisal",
+    "doc_incremental_dedup",
+    "scd2_pit_lookup",
 ]
 
 
