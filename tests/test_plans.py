@@ -246,3 +246,44 @@ def test_parquet_pushdown_and_column_pruning(spark):
     assert m, plan[:800]
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Scale insurance: a hot key (90% of rows) in a shuffle join is
+    re-planned by AQE into split skewed partitions — the engine's answer
+    to skew at 100 TB is configuration, not manual salting, for plain
+    equi-joins (manual salting stays for aggregations: salted_agg)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # shrink thresholds so test-sized data exhibits the 100 TB behavior
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 1000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit("d").alias("name"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
