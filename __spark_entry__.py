@@ -2757,10 +2757,13 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
     # Okapi BM25 (k1=1.2, b=0.75): idf round-6'd immediately (absorbs any
     # last-ulp ln() divergence), per-term score round-6'd to DECIMAL(12,6)
     # BEFORE the per-doc sum (exact, order-independent), ties by doc_id.
+    import re as _re
+
     bm25_q = " UNION ALL ".join(
         f"SELECT {qid} AS query_id, '{t}' AS term"
         for qid, qtext in _BM25_QUERIES
-        for t in dict.fromkeys(qtext.split())
+        # mirror operators.retrieval.bm25_topk's query normalization
+        for t in dict.fromkeys(w for w in _re.split(r"[^a-z0-9]+", qtext.lower()) if w)
     )
     bm25_s = (
         "(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))"

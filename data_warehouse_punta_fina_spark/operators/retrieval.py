@@ -63,12 +63,16 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-``k`` documents per query under Okapi BM25.
 
-    ``queries`` is a literal list of (query_id, query_text); terms are
-    whitespace-tokenized like the corpus. Repeated query terms count
-    once (standard bag-of-documents BM25 ignores query-side tf at these
-    query lengths). Output: (query_id, doc_id, score, rank), rank 1..k,
-    score rounded to 6 (portable), ties broken by doc_id ascending.
+    ``queries`` is a literal list of (query_id, query_text); query terms
+    are normalized with the SAME rule as corpus tokens (lowercase,
+    ``[^a-z0-9]+`` splits) so "Spark-SQL!" finds 'spark' and 'sql'.
+    Repeated query terms count once (standard bag-of-documents BM25
+    ignores query-side tf at these query lengths). Output: (query_id,
+    doc_id, score, rank), rank 1..k, score rounded to 6 (portable), ties
+    broken by doc_id ascending.
     """
+    import re
+
     spark = docs.sparkSession
     postings, df_stats = corpus_term_stats(docs, text_col, id_col)
 
@@ -79,7 +83,8 @@ def bm25_topk(
     qrows = [
         (qid, t)
         for qid, qtext in queries
-        for t in dict.fromkeys(qtext.split())  # dedupe, keep order
+        # dedupe, keep order; mirror functions.text.tokens exactly
+        for t in dict.fromkeys(w for w in re.split(r"[^a-z0-9]+", qtext.lower()) if w)
     ]
     qdf = spark.createDataFrame(qrows, "query_id int, term string")
 
