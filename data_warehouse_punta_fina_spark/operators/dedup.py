@@ -321,6 +321,7 @@ def incremental_lsh_dedup(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.2,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedupe an incoming batch against an already-indexed corpus — the
     production ingestion pattern (a new crawl arrives; only documents NOT
@@ -328,14 +329,24 @@ def incremental_lsh_dedup(
 
     Ids must be globally unique across both frames (standard for an
     indexed corpus + batch). Shape: band keys for each side
-    (:func:`minhash_band_keys` — at warehouse scale the corpus side is a
-    PERSISTED index, not recomputed), equi-join on (band, band_key) for
+    (:func:`minhash_band_keys`), equi-join on (band, band_key) for
     candidates — new × index only, never index × index — then exact
     Jaccard verification on candidates only. Output: one row per new doc
     with ``is_dup``, the best corpus match (highest Jaccard, ties to the
     smallest corpus id), and its score.
+
+    At warehouse scale pass ``corpus_bands`` — the PERSISTED band index
+    (``minhash_band_keys`` output written partitioned by ``band``) — so
+    each arriving batch joins against the stored index instead of
+    re-hashing the whole corpus; ``corpus`` then only supplies the texts
+    of candidate matches for the verify stage (column pruning keeps the
+    non-candidate texts unread).
     """
-    cb = minhash_band_keys(corpus, text_col, id_col, num_hashes, bands, shingle_n)
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_band_keys(corpus, text_col, id_col, num_hashes, bands, shingle_n)
+    )
     nb = minhash_band_keys(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
     cand = (
         cb.select(F.col(id_col).alias("id_a"), "band", "band_key")

@@ -886,3 +886,31 @@ def test_incremental_lsh_dedup_flags_known_dupes(spark):
            incremental_lsh_dedup(corpus, new, threshold=0.5).collect()}
     assert got[1] == (True, 0)
     assert got[3] == (False, None)
+
+
+def test_incremental_lsh_dedup_with_persisted_index(spark, tmp_path):
+    """The production path: band index written once, arriving batch joins
+    the STORED index — verdicts identical to the recompute path."""
+    from data_warehouse_punta_fina_spark.operators.dedup import (
+        incremental_lsh_dedup,
+        minhash_band_keys,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "band_index")
+    minhash_band_keys(corpus).write.partitionBy("band").parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+
+    new = spark.createDataFrame(
+        [(1, base), (3, "totally different words nothing shared here at all ok then")],
+        "doc_id long, text string",
+    )
+    via_index = {r["doc_id"]: (r["is_dup"], r["match_id"]) for r in
+                 incremental_lsh_dedup(corpus, new, threshold=0.5, corpus_bands=stored).collect()}
+    recompute = {r["doc_id"]: (r["is_dup"], r["match_id"]) for r in
+                 incremental_lsh_dedup(corpus, new, threshold=0.5).collect()}
+    assert via_index == recompute == {1: (True, 0), 3: (False, None)}
