@@ -92,7 +92,10 @@ def repetition_metrics(
 
 
 def unigram_surprisal(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document mean token surprisal under the corpus's own unigram
     LM: ``mean over token occurrences of -ln p(token)``, with
@@ -110,8 +113,11 @@ def unigram_surprisal(
     independent), and the final mean is one double division + round-6.
 
     Scale shape: one token explode + (doc, term) count, a vocabulary-
-    sized term-frequency table (broadcast — vocabularies are millions of
-    rows where corpora are billions), and a 1-row grand-total broadcast.
+    sized term-frequency table (broadcast by default — vocabularies are
+    millions of rows where corpora are billions; pass
+    ``broadcast_vocab=False`` for noisy web-scale vocabularies past the
+    broadcast limit, which falls back to a shuffle join on the term),
+    and a 1-row grand-total broadcast.
     """
     from data_warehouse_punta_fina_spark.operators.retrieval import corpus_term_stats
 
@@ -120,7 +126,7 @@ def unigram_surprisal(
     total = term_ct.agg(F.sum("ct").alias("t_total"))
 
     scored = (
-        postings.join(F.broadcast(term_ct), "term")
+        postings.join(F.broadcast(term_ct) if broadcast_vocab else term_ct, "term")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "_surp",

@@ -86,6 +86,7 @@ def ranked_sequential_id(
     out: str = "id",
     start: int = 1,
     partitions: int | None = None,
+    sample_mod: int = 512,
 ) -> DataFrame:
     """Dense ids 1..n ordered by a key, WITHOUT a global window.
 
@@ -114,9 +115,10 @@ def ranked_sequential_id(
     the sample); offsets in a ≤ n-row broadcast (per-bucket counts +
     cumulative window). Both sub-plans are pure functions of the data, so
     branch re-execution on a cluster always agrees. Sample-size note: the
-    1/512 key sample is gathered into a single array — ~20k entries for a
-    10M-key dim, comfortably broadcastable; raise the sampling modulus
-    alongside ``partitions`` if keys reach billions.
+    1/``sample_mod`` key sample is gathered into a single array — ~20k
+    entries for a 10M-key dim at the default 512, comfortably
+    broadcastable; raise ``sample_mod`` alongside ``partitions`` if keys
+    reach billions (1B keys, sample_mod=65536 → ~15k sampled keys).
 
     This is the scale-safe replacement for a dim-builder global window:
     at sf100 dim_producto/dim_cliente are tens of millions of rows, far
@@ -133,7 +135,7 @@ def ranked_sequential_id(
     # between executions of the same plan.
     sample = (
         df.na.drop("any", subset=ob)
-        .filter(F.pmod(F.xxhash64(*[F.col(c) for c in ob]), F.lit(512)) == 0)
+        .filter(F.pmod(F.xxhash64(*[F.col(c) for c in ob]), F.lit(sample_mod)) == 0)
         .select(key.alias("_k"))
     )
     agged = sample.agg(F.sort_array(F.collect_list("_k")).alias("_all"))
