@@ -50,7 +50,37 @@ HEADLINE = [
     "doc_surprisal",
     "doc_incremental_dedup",
     "scd2_pit_lookup",
+    # round-5 additions: the trained-IVF recall/cost trade (nprobe=1 vs 3)
+    "ann_ivf_trained_topk",
+    "ann_ivf_trained_probe3",
 ]
+
+
+def _oracle_times(entrymod, sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Per-query DuckDB oracle wall times over the same parquet tables —
+    the engine-relative floor that catches single-query regressions the
+    wall total hides. Disable with SPARK_GRAFT_BENCH_ORACLE=0."""
+    import duckdb
+
+    tables = "region nation customer supplier part orders lineitem events documents embeddings"
+    con = duckdb.connect()
+    for t in tables.split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    oracles = entrymod.oracle_sql()
+    out: dict[str, float] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if not sql:
+            continue
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            out[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            print(f"bench: oracle {name} failed: {exc}", file=sys.stderr)
+    return out
 
 
 def main() -> None:
@@ -111,6 +141,19 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # engine-relative floor: DuckDB runs the SAME oracle SQL on the SAME
+    # parquet; vs_oracle = spark_sec / duckdb_sec per query (>1 = Spark
+    # slower than the single-node columnar floor at this SF)
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        try:
+            osec = _oracle_times(entrymod, sf_dir, [n for n in HEADLINE if n in times])
+            if osec:
+                out["oracle_sec"] = osec
+                out["vs_oracle"] = {
+                    n: round(times[n] / osec[n], 2) for n in osec if osec[n] > 0
+                }
+        except Exception as exc:  # noqa: BLE001 — oracle floor is advisory
+            print(f"bench: oracle comparison skipped: {exc}", file=sys.stderr)
     # per-query regression tracking: ratio vs the round-1 floor (>1 slower)
     floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
     if os.path.exists(floor_path):

@@ -175,12 +175,17 @@ def pii_hits(col: Column | str) -> Column:
     length delta per pattern is avoided on purpose (overlaps); count the
     placeholders in the redacted text instead, MINUS any placeholder
     literals already present in the raw text (those are not
-    substitutions, and they survive redaction unchanged because no PII
-    pattern matches '<EMAIL>'/'<URL>'/'<NUMBER>'). Exact and
+    substitutions). Each pattern's delta is clamped at 0: a raw
+    placeholder literal ADJACENT to a PII match can be swallowed by the
+    greedy URL pattern (e.g. 'https://a.b/<NUMBER>' redacts to '<URL>',
+    destroying the raw '<NUMBER>' literal), which would otherwise drive
+    the per-pattern count negative and undercount the total. Exact and
     order-independent."""
     c = F.col(col) if isinstance(col, str) else col
     red = redact_pii(c)
     n = F.lit(0)
     for _, token in PII_PATTERNS:
-        n = n + _placeholder_count(red, token) - _placeholder_count(c, token)
+        n = n + F.greatest(
+            _placeholder_count(red, token) - _placeholder_count(c, token), F.lit(0)
+        )
     return n

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_punta_fina_spark.functions.money import pround6 as _pround6
 from data_warehouse_punta_fina_spark.functions.text import tokens, word_shingles
+from data_warehouse_punta_fina_spark.operators.materialize import materialize as _materialize
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -146,6 +147,15 @@ def minhash_band_keys(
         )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # parameter fingerprint rides on the band_key column's metadata: it
+    # survives a parquet round-trip (Spark persists field metadata in the
+    # footer; band_key is a DATA column, unlike band, which is typically the
+    # partitionBy column and reads back from directory names without
+    # metadata), so a PERSISTED index can be validated against the
+    # batch-side parameters at join time (see incremental_lsh_dedup)
+    # instead of silently yielding empty candidates when
+    # (num_hashes, bands, shingle_n) drifted
+    meta = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
     return sig.select(
         F.col(id_col),
         F.explode(
@@ -161,7 +171,11 @@ def minhash_band_keys(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("band_key", metadata=meta),
+    )
 
 
 def minhash_lsh_pairs(
@@ -171,6 +185,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    bands_path: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + banded LSH.
 
@@ -179,12 +194,15 @@ def minhash_lsh_pairs(
     band key (shuffle on small string keys) → distinct pairs. Full
     documents are never shuffled; only (band_key, id). Returns
     (id_a, id_b) with id_a < id_b.
+
+    ``bands_path`` durably materializes the band table to parquet before
+    the self-join (cluster posture: survives executor loss, reusable as a
+    persisted index); default is an ephemeral local checkpoint.
     """
     banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, shingle_n)
-    # a DataFrame self-join re-executes the whole subplan per branch;
-    # a lazy local checkpoint materializes the band table once and both
-    # sides read it (at warehouse scale: write the signature table instead)
-    banded = banded.localCheckpoint(eager=False)
+    # a DataFrame self-join re-executes the whole subplan per branch —
+    # materialize the band table once and both sides read it
+    banded = _materialize(banded, bands_path)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -263,9 +281,14 @@ def lsh_verified_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    bands_path: str | None = None,
+    shingles_path: str | None = None,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash+LSH candidate generation,
     then EXACT Jaccard verification computed only for candidate pairs.
+    ``bands_path`` / ``shingles_path`` durably materialize the two
+    self-join intermediates to parquet (cluster posture); the default is
+    ephemeral local checkpoints.
 
     This is the composition the standalone operators document: the
     all-pairs inverted-index join never happens — the shingle self-join is
@@ -275,8 +298,10 @@ def lsh_verified_pairs(
     threshold (LSH false positives are filtered; false negatives are the
     documented recall trade of banding).
     """
-    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
-    return jaccard_on_candidates(df, cand, text_col, id_col, shingle_n, threshold)
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n, bands_path)
+    return jaccard_on_candidates(
+        df, cand, text_col, id_col, shingle_n, threshold, shingles_path
+    )
 
 
 def jaccard_on_candidates(
@@ -286,14 +311,17 @@ def jaccard_on_candidates(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    shingles_path: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY for the given (id_a, id_b) candidate
     pairs — the verify stage any blocking scheme (LSH bands, SimHash
     bands, embedding cells) composes with. Shuffle cost is
     O(|candidates| · shingles-per-doc); the all-pairs inverted index never
-    materializes."""
+    materializes. ``shingles_path`` durably materializes the shingle
+    table (consumed by sizes + both join sides) to parquet; default is an
+    ephemeral local checkpoint."""
     cand = candidates.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
-    sh = shingle_rows(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
+    sh = _materialize(shingle_rows(df, text_col, id_col, shingle_n), shingles_path)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("_shb"))
@@ -338,10 +366,37 @@ def incremental_lsh_dedup(
     At warehouse scale pass ``corpus_bands`` — the PERSISTED band index
     (``minhash_band_keys`` output written partitioned by ``band``) — so
     each arriving batch joins against the stored index instead of
-    re-hashing the whole corpus; ``corpus`` then only supplies the texts
-    of candidate matches for the verify stage (column pruning keeps the
-    non-candidate texts unread).
+    re-hashing the whole corpus. The verify stage then only tokenizes the
+    documents that appear in a candidate pair: a semi-join against the
+    candidate id set restricts the shingle scan BEFORE any tokenization,
+    so verify cost scales with the batch (candidates ≤ |batch| × band
+    collisions), never with the corpus. The stored index must have been
+    built under the SAME (num_hashes, bands, shingle_n) as the incoming
+    batch — band keys from different parameters never collide and every
+    new doc would be silently admitted; indexes written by
+    :func:`minhash_band_keys` carry the parameters as column metadata
+    (parquet-durable) and are checked here.
     """
+    if corpus_bands is not None:
+        missing = {id_col, "band", "band_key"} - set(corpus_bands.columns)
+        if missing:
+            raise ValueError(
+                f"corpus_bands is missing required columns {sorted(missing)}; expected the "
+                f"({id_col}, band, band_key) layout produced by minhash_band_keys"
+            )
+        stored = dict(corpus_bands.schema["band_key"].metadata or {})
+        expected = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+        drift = {
+            k: (stored[k], v) for k, v in expected.items() if k in stored and stored[k] != v
+        }
+        if drift:
+            raise ValueError(
+                "corpus_bands was built under different LSH parameters than this batch "
+                f"({ {k: f'stored={s} != batch={b}' for k, (s, b) in drift.items()} }); "
+                "band keys from mismatched parameters never collide, so every new doc "
+                "would be silently admitted as non-duplicate. Rebuild the index or pass "
+                "matching (num_hashes, bands, shingle_n)."
+            )
     cb = (
         corpus_bands
         if corpus_bands is not None
@@ -353,8 +408,24 @@ def incremental_lsh_dedup(
         .join(nb.select(F.col(id_col).alias("id_b"), "band", "band_key"), ["band", "band_key"])
         .select("id_a", "id_b")
         .distinct()
+        # consumed three times below (id_a side, id_b side, verify stage) —
+        # materialize once instead of re-running the band join per branch
+        .localCheckpoint(eager=False)
     )
-    both = corpus.select(id_col, text_col).unionByName(new_docs.select(id_col, text_col))
+    # row-level restriction BEFORE tokenization: only documents that occur
+    # in a candidate pair are shingled in the verify stage. The candidate
+    # id set is batch-proportional, so at 100 TB an arriving batch never
+    # pays a full-corpus tokenize+shingle pass.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    both = (
+        corpus.select(id_col, text_col)
+        .unionByName(new_docs.select(id_col, text_col))
+        .join(cand_ids, id_col, "left_semi")
+    )
     verified = jaccard_on_candidates(both, cand, text_col, id_col, shingle_n, threshold)
     w = Window.partitionBy("id_b").orderBy(F.desc("jaccard"), F.asc("id_a"))
     best = (

@@ -41,9 +41,13 @@ B = 0.75
 
 def corpus_term_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, DataFrame]:
-    """(postings, df_stats): per-(doc, term) frequency + doc length, and
-    per-term document frequency. Both derive from one explode."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, df_stats, dl): per-(doc, term) frequency + doc length,
+    per-term document frequency, and the per-doc length table. All derive
+    from ONE explode — every branch reads the same (doc, term) shuffle, so
+    ReuseExchange/AQE materializes the tokenize exactly once per action
+    (consumers must not add a second ``tokens()`` scan for corpus-level
+    stats; aggregate ``dl`` instead — see :func:`bm25_topk`'s avgdl)."""
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
@@ -51,7 +55,7 @@ def corpus_term_stats(
     dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     postings = postings.join(dl, id_col)
     df_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
-    return postings, df_stats
+    return postings, df_stats, dl
 
 
 def bm25_topk(
@@ -65,26 +69,33 @@ def bm25_topk(
 
     ``queries`` is a literal list of (query_id, query_text); query terms
     are normalized with the SAME rule as corpus tokens (lowercase,
-    ``[^a-z0-9]+`` splits) so "Spark-SQL!" finds 'spark' and 'sql'.
-    Repeated query terms count once (standard bag-of-documents BM25
-    ignores query-side tf at these query lengths). Output: (query_id,
-    doc_id, score, rank), rank 1..k, score rounded to 6 (portable), ties
-    broken by doc_id ascending.
+    ``functions.text.TOKEN_SPLIT_RE`` splits — single source of truth, so
+    a corpus-tokenizer change can never silently desynchronize the query
+    side) so "Spark-SQL!" finds 'spark' and 'sql'. Repeated query terms
+    count once (standard bag-of-documents BM25 ignores query-side tf at
+    these query lengths). Output: (query_id, doc_id, score, rank), rank
+    1..k, score rounded to 6 (portable), ties broken by doc_id ascending.
     """
     import re
 
-    spark = docs.sparkSession
-    postings, df_stats = corpus_term_stats(docs, text_col, id_col)
+    from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
 
+    spark = docs.sparkSession
+    postings, df_stats, dl = corpus_term_stats(docs, text_col, id_col)
+
+    # avgdl from the dl table, NOT a second tokens() scan over docs: dl
+    # shares the postings exchange, so the corpus is tokenized once per
+    # action (at 100 TB tokenization is the dominant map cost). n counts
+    # ALL docs (empty ones contribute 0 length but belong in the mean).
     n_docs = docs.select(F.count("*").alias("n")).crossJoin(
-        docs.agg((F.sum(F.size(tokens(F.col(text_col)))) / F.count("*")).alias("avgdl"))
-    )
+        dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("_total_dl"))
+    ).select(F.col("n"), (F.col("_total_dl") / F.col("n")).alias("avgdl"))
 
     qrows = [
         (qid, t)
         for qid, qtext in queries
         # dedupe, keep order; mirror functions.text.tokens exactly
-        for t in dict.fromkeys(w for w in re.split(r"[^a-z0-9]+", qtext.lower()) if w)
+        for t in dict.fromkeys(w for w in re.split(TOKEN_SPLIT_RE, qtext.lower()) if w)
     ]
     qdf = spark.createDataFrame(qrows, "query_id int, term string")
 

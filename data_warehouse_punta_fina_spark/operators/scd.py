@@ -141,7 +141,7 @@ def pit_lookup(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     how: str = "left",
-    broadcast: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Point-in-time lookup: join each fact row to the SCD2 dimension
     version valid at the fact's timestamp — the Kimball temporal join
@@ -150,13 +150,19 @@ def pit_lookup(
     :func:`scd2_merge`'s close/open convention: on the change date the
     NEW version is in effect).
 
-    Scale shape: the dimension broadcasts (default) so the equi-part of
-    the predicate drives a BroadcastHashJoin with the interval bounds as
-    residual filter — no fact shuffle. For dimensions too large to
-    broadcast, pass ``broadcast=False``: a shuffle equi-join on the key
-    fans each fact row out across that key's few versions, and the
-    interval residual keeps exactly one — still linear, since SCD2
-    version counts per key are small by construction.
+    Scale shape: the equi-part of the predicate drives the join with the
+    interval bounds as residual filter. By default (``broadcast=None``)
+    Spark's own ``autoBroadcastJoinThreshold`` picks the strategy — a
+    BroadcastHashJoin (no fact shuffle) while the dimension fits, falling
+    back to a shuffle equi-join past the threshold. An SCD2 dimension
+    derived from a scale-proportional entity (customers: ~15M rows at
+    sf100) outgrows any safe broadcast, so an unconditional hint here
+    would bypass that safeguard and ship multi-GB broadcasts; pass
+    ``broadcast=True`` only for dimensions KNOWN small (catalogs), or
+    ``False`` to force the shuffle path. Either way the shuffle variant
+    stays linear: each fact row fans out across its key's few versions
+    and the interval residual keeps exactly one — SCD2 version counts per
+    key are small by construction.
     """
     f, d = facts.alias("f"), dim.alias("d")
     cond = (
@@ -164,5 +170,10 @@ def pit_lookup(
         & (F.col(f"f.{as_of_col}") >= F.col(f"d.{valid_from}"))
         & (F.col(f"f.{as_of_col}") < F.col(f"d.{valid_to}"))
     )
-    right = F.broadcast(d) if broadcast else d
+    if broadcast is True:
+        right: DataFrame = F.broadcast(d)
+    elif broadcast is False:
+        right = d.hint("shuffle_hash")
+    else:
+        right = d
     return f.join(right, cond, how)

@@ -202,15 +202,21 @@ def ivf_trained_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: int = 1,
+    centroids_path: str | None = None,
 ) -> DataFrame:
     """Approximate top-k over a TRAINED coarse quantizer: fit k-means on
     the corpus, assign corpus and queries to their nearest centroid, and
     search only within the query's cell(s). At warehouse scale the corpus
     is written partitioned by ``cid`` so a query probes ``probes``
     partitions — the real IVF index (with standard nprobe), not the
-    sign-bit stand-in. Recall/scan trade measured in tools/ann_recall.py."""
+    sign-bit stand-in. Recall/scan trade measured in tools/ann_recall.py.
+    ``centroids_path`` durably materializes the trained centroids to
+    parquet (reusable index, survives executor loss); default is an
+    ephemeral local checkpoint."""
+    from data_warehouse_punta_fina_spark.operators.materialize import materialize
+
     cent = kmeans_fit(corpus, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col)
-    cent = cent.localCheckpoint(eager=False)  # reused by both assigns
+    cent = materialize(cent, centroids_path)  # reused by both assigns
     cv = corpus.select(F.col(id_col), quantize(vec_col).alias("qvec"))
     c_assigned = _assign(cv, cent, id_col).withColumn("nsq", norm_sq_q(F.col("qvec")))
     q_assigned = (

@@ -121,7 +121,7 @@ def unigram_surprisal(
     """
     from data_warehouse_punta_fina_spark.operators.retrieval import corpus_term_stats
 
-    postings, _ = corpus_term_stats(df, text_col, id_col)
+    postings, _, _ = corpus_term_stats(df, text_col, id_col)
     term_ct = postings.groupBy("term").agg(F.sum("tf").alias("ct"))
     total = term_ct.agg(F.sum("ct").alias("t_total"))
 

@@ -195,7 +195,9 @@ def ranked_sequential_id(
     )
 
 
-def partitioned_sequential_id(df: DataFrame, out: str = "id", start: int = 1) -> DataFrame:
+def partitioned_sequential_id(
+    df: DataFrame, out: str = "id", start: int = 1, pin: bool = False
+) -> DataFrame:
     """Dense global ids without a global sort, via per-partition offsets,
     fully JVM-side (no Python row round-trip).
 
@@ -207,12 +209,19 @@ def partitioned_sequential_id(df: DataFrame, out: str = "id", start: int = 1) ->
     business key) — use when density matters but a specific order does
     not; like any layout-dependent id, the input should be a
     deterministic lineage (e.g. a file scan), not the unordered output of
-    a shuffle fetch. Scales linearly: one count pass + one map, no
-    shuffle of the data itself."""
+    a shuffle fetch. The offsets aggregate and the final join are two
+    branches over the same lineage — with a NONdeterministic layout
+    (e.g. AQE-coalesced shuffle output whose stats vary between
+    executions) the branches could disagree and produce non-dense ids;
+    pass ``pin=True`` for such inputs to materialize the (row, _mid)
+    assignment once so both branches read identical values. Scales
+    linearly: one count pass + one map, no shuffle of the data itself."""
     rec_mask = (1 << 33) - 1
     df2 = df.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
         "_pid", F.shiftrightunsigned("_mid", 33)
     )
+    if pin:
+        df2 = df2.localCheckpoint(eager=False)
     wcum = (
         Window.partitionBy(F.pmod(F.xxhash64("_pid"), F.lit(1)))
         .orderBy("_pid")

@@ -248,6 +248,33 @@ def test_parquet_pushdown_and_column_pruning(spark):
     assert cols == {"l_orderkey", "l_quantity"}, cols
 
 
+def test_bm25_tokenizes_corpus_once(spark):
+    """bm25_topk must not pay a second tokenize pass for avgdl: the only
+    documents scans that read the text column belong to the postings
+    exchange (shared via ReuseExchange), so the final adaptive plan
+    carries exactly ONE text-reading scan. At 100 TB tokenization is the
+    dominant map cost — a second scan doubles it (round-4 VERDICT #2)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["doc_bm25_topk"](spark, "/root/testdata/sf0.001")
+    df.collect()  # finalize THIS DataFrame's adaptive plan (a .write would
+    # spawn a separate QueryExecution and leave this one un-finalized)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # 1) the only tokenization in the plan is the posting-list explode —
+    #    the old avgdl path tokenized via a scalar size(split(...)) agg,
+    #    which appears OUTSIDE a Generate node
+    for line in plan.splitlines():
+        if "split(lower(" in line:
+            assert "Generate explode" in line, (
+                "found a tokenize outside the postings explode (second "
+                f"tokenize pass is back): {line.strip()[:200]}"
+            )
+    # 2) the identical (doc_id, term) exchanges are runtime-reused, not
+    #    recomputed per branch
+    assert plan.count("ReusedExchange") >= 1, "postings exchange was not reused"
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """Scale insurance: a hot key (90% of rows) in a shuffle join is
     re-planned by AQE into split skewed partitions — the engine's answer

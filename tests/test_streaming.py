@@ -233,6 +233,106 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     assert want.exceptAll(got).count() == 0
 
 
+def test_stream_stream_left_outer_join_emits_after_watermark(spark, sf_dir, tmp_path):
+    """Stream-stream LEFT OUTER join with watermarks + an event-time
+    interval bound (the last §2.11 roadmap shape): clicks with no error
+    within 1 hour must be EMITTED WITH NULLS once the watermark passes
+    their join window — and the complete streamed result must equal the
+    static left join. Null emission is driven by watermark advance, so a
+    far-future sentinel row is appended in a second availableNow run
+    (same checkpoint) to push the watermark past every real click."""
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
+
+    events = load_table(spark, sf_dir, "events").drop("props")
+    staged = str(tmp_path / "events_in")
+    # stage as a time-ordered append log (range-sorted part files): the
+    # raw parquet is event-time-shuffled across files, which would make
+    # genuinely-old rows arrive after the watermark passed them — a data-
+    # quality scenario, not the left-outer semantics under test here
+    events.orderBy("ts").write.mode("overwrite").parquet(staged)
+
+    def join_clicks_to_errors(clicks, errors, how):
+        c = clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        e = errors.select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        return c.join(
+            e,
+            (F.col("c_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            how,
+        ).select("click_id", "error_id")
+
+    out_dir = str(tmp_path / "lojoin_out")
+    ckpt = str(tmp_path / "ckpt_lojoin")
+
+    def run_pass():
+        s1 = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=8)
+        s2 = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=8)
+        streamed = join_clicks_to_errors(
+            s1.filter(F.col("event_type") == "click").withWatermark("ts", "2 hours"),
+            s2.filter(F.col("event_type") == "error").withWatermark("ts", "2 hours"),
+            "left_outer",
+        )
+        q = (
+            streamed.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_pass()
+
+    # sentinels 30 days past max real ts for users with no other events —
+    # ON BOTH SIDES: the join's watermark is the MIN across the two input
+    # streams, so a click-only sentinel would leave the error-side
+    # watermark pinned at the last real error and the final unmatched
+    # clicks buffered forever (exactly the tail rows this test is about)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+
+    def append_sentinels(base_id: int, days: int) -> None:
+        spark.createDataFrame(
+            [
+                (base_id, max_ts, -999, "click", 0.0),
+                (base_id + 1, max_ts, -998, "error", 0.0),
+            ],
+            _events_schema(),
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).write.mode(
+            "append"
+        ).parquet(staged)
+
+    append_sentinels(10_000_000, 30)
+    run_pass()
+    # watermark eviction results surface in the batch AFTER the advance; a
+    # third drain (with fresh sentinels) closes it
+    append_sentinels(10_000_002, 31)
+    run_pass()
+
+    got = spark.read.parquet(out_dir).filter(F.col("click_id") < 10_000_000)
+    want = join_clicks_to_errors(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "error"),
+        "left_outer",
+    )
+    n_null = got.filter(F.col("error_id").isNull()).count()
+    assert n_null > 0, "no unmatched clicks were emitted after watermark expiry"
+    assert n_null == want.filter(F.col("error_id").isNull()).count()
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_stream_drop_duplicates_exactly_once(spark, sf_dir, tmp_path):
     """Exactly-once event feed: watermarked dropDuplicates on the stream
     collapses replayed events to the batch-distinct result."""
