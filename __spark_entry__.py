@@ -838,6 +838,27 @@ def _build_registries():
         pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4)
         return dedup_clusters(docs.select("doc_id"), pairs, max_iter=30)
 
+    def doc_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the END-TO-END fuzzy-dedup pipeline a training-data curator runs:
+        # LSH candidate pairs → connected components (the O(log n)
+        # large-star/small-star variant — web-scale duplicate chains) →
+        # keep ONE canonical doc per cluster, reporting how many near-dup
+        # copies each kept doc absorbs
+        from data_warehouse_punta_fina_spark.operators.dedup import dedup_clusters_star
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+        clusters = dedup_clusters_star(docs.select("doc_id"), pairs, max_iter=30)
+        sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+        kept = (
+            clusters.filter(F.col("is_canonical"))
+            .join(sizes, "cluster_id")
+            .select("doc_id", F.col("n_members").cast("int").alias("n_members"))
+        )
+        return docs.select(
+            "doc_id", F.length("text").cast("int").alias("n_chars")
+        ).join(kept, "doc_id")
+
     def corpus_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
         from data_warehouse_punta_fina_spark.operators.dedup import _spread
@@ -1423,6 +1444,7 @@ def _build_registries():
         "dim_sitio_web": _legacy("build_dim_sitio_web"),
         "dim_direccion": _legacy("build_dim_direccion"),
         "ann_ivf_trained_probe3": ann_ivf_trained_probe3,
+        "doc_dedup_kept": doc_dedup_kept,
         # round-5 demotions (driver-green r1-r4; families still in-window)
         "dim_cliente": build_dim_cliente,
         "doc_lang_id": doc_lang_id,
@@ -2371,6 +2393,30 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, MIN(dst) AS cluster_id, (src = MIN(dst)) AS is_canonical
 FROM reach GROUP BY src
+""",
+        # kept-corpus emitter: same recursive connected components, then
+        # one row per canonical doc with its cluster size (the Spark side
+        # runs the large-star/small-star variant, proven equal to label
+        # propagation by pytest and to this reachability oracle here)
+        "doc_dedup_kept": f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM clusters GROUP BY cluster_id)
+SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
+       CAST(s.n_members AS INT) AS n_members
+FROM documents d
+JOIN clusters c ON d.doc_id = c.doc_id AND d.doc_id = c.cluster_id
+JOIN sizes s ON s.cluster_id = c.cluster_id
 """,
         "doc_ngram_jaccard": f"""
 WITH sh0 AS (

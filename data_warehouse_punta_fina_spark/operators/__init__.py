@@ -15,6 +15,7 @@ from data_warehouse_punta_fina_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash64,
 )
+from data_warehouse_punta_fina_spark.operators.materialize import materialize  # noqa: F401
 from data_warehouse_punta_fina_spark.operators.retrieval import bm25_topk  # noqa: F401
 from data_warehouse_punta_fina_spark.operators.scd import (  # noqa: F401
     pit_lookup,

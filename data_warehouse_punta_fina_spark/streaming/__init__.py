@@ -1,4 +1,5 @@
 from data_warehouse_punta_fina_spark.streaming.file_stream import (  # noqa: F401
+    event_interval_join,
     read_file_stream,
     run_available_now,
     tumbling_window_agg,

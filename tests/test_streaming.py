@@ -182,7 +182,10 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     watermarks on both sides — the §2.11 shape Spark bounds state with.
     The same join expression on the static frames is the semantic oracle."""
     from data_warehouse_punta_fina_spark.sources.readers import load_table
-    from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
+    from data_warehouse_punta_fina_spark.streaming.file_stream import (
+        event_interval_join,
+        read_file_stream,
+    )
 
     events = load_table(spark, sf_dir, "events").drop("props")
     staged = str(tmp_path / "events_in")
@@ -200,18 +203,15 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
             F.col("event_id").alias("error_id"),
         )
         # error follows the click by at most 1 hour, same user
-        return c.join(
-            e,
-            (F.col("c_user") == F.col("e_user"))
-            & (F.col("e_ts") >= F.col("c_ts"))
-            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        return event_interval_join(
+            c, e, "c_user", "e_user", "c_ts", "e_ts", interval="1 HOUR", watermark="2 hours"
         ).select("click_id", "error_id")
 
     s1 = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=8)
     s2 = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=8)
     streamed = join_clicks_to_errors(
-        s1.filter(F.col("event_type") == "click").withWatermark("ts", "2 hours"),
-        s2.filter(F.col("event_type") == "error").withWatermark("ts", "2 hours"),
+        s1.filter(F.col("event_type") == "click"),
+        s2.filter(F.col("event_type") == "error"),
     )
     q = (
         streamed.writeStream.outputMode("append")
@@ -242,7 +242,10 @@ def test_stream_stream_left_outer_join_emits_after_watermark(spark, sf_dir, tmp_
     far-future sentinel row is appended in a second availableNow run
     (same checkpoint) to push the watermark past every real click."""
     from data_warehouse_punta_fina_spark.sources.readers import load_table
-    from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
+    from data_warehouse_punta_fina_spark.streaming.file_stream import (
+        event_interval_join,
+        read_file_stream,
+    )
 
     events = load_table(spark, sf_dir, "events").drop("props")
     staged = str(tmp_path / "events_in")
@@ -263,12 +266,9 @@ def test_stream_stream_left_outer_join_emits_after_watermark(spark, sf_dir, tmp_
             F.col("ts").alias("e_ts"),
             F.col("event_id").alias("error_id"),
         )
-        return c.join(
-            e,
-            (F.col("c_user") == F.col("e_user"))
-            & (F.col("e_ts") >= F.col("c_ts"))
-            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-            how,
+        return event_interval_join(
+            c, e, "c_user", "e_user", "c_ts", "e_ts",
+            interval="1 HOUR", how=how, watermark="2 hours",
         ).select("click_id", "error_id")
 
     out_dir = str(tmp_path / "lojoin_out")
@@ -278,8 +278,8 @@ def test_stream_stream_left_outer_join_emits_after_watermark(spark, sf_dir, tmp_
         s1 = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=8)
         s2 = read_file_stream(spark, staged, _events_schema(), max_files_per_trigger=8)
         streamed = join_clicks_to_errors(
-            s1.filter(F.col("event_type") == "click").withWatermark("ts", "2 hours"),
-            s2.filter(F.col("event_type") == "error").withWatermark("ts", "2 hours"),
+            s1.filter(F.col("event_type") == "click"),
+            s2.filter(F.col("event_type") == "error"),
             "left_outer",
         )
         q = (
