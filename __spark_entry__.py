@@ -1634,17 +1634,38 @@ END
 
 _QUANT_VEC = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
-_MINHASH_PAIRS_SQL = f"""
-WITH sh AS (
+def _hex56(expr: str) -> str:
+    """14 hex chars → BIGINT, digit-by-digit with integer shifts (DuckDB
+    has no base-16 string→int cast; float powers would lose exactness
+    past 2^53). Mirrors Spark's conv(substr(md5,…,14), 16, 10)."""
+    return (
+        "list_sum(list_transform(range(1, 15), j -> "
+        f"CAST(strpos('0123456789abcdef', substr({expr}, j, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+
+
+# MinHash signatures: ONE md5 per shingle, k permutations derived as
+# (h1 + i·h2) mod 2^56 from the digest halves (Kirsch-Mitzenmacher) —
+# mirrors operators.dedup.minhash_signatures exactly (MINHASH_MOD).
+_MINHASH_SIG_CTES = f"""sh AS (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), hh AS (
+  SELECT doc_id, {_hex56("substr(md5(shingle), 1, 14)")} AS h1,
+         {_hex56("substr(md5(shingle), 17, 14)")} AS h2
+  FROM sh
 ), sig AS (
-  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
-  FROM sh CROSS JOIN range(12) t(i)
+  SELECT doc_id, i, MIN((h1 + i * h2) % 72057594037927936) AS h
+  FROM hh CROSS JOIN range(12) t(i)
   GROUP BY doc_id, i
 ), bands AS (
-  SELECT doc_id, CAST(FLOOR(i / 3) AS INT) AS band, string_agg(h, '|' ORDER BY i) AS band_key
+  SELECT doc_id, CAST(FLOOR(i / 3) AS INT) AS band,
+         string_agg(CAST(h AS VARCHAR), '|' ORDER BY i) AS band_key
   FROM sig GROUP BY doc_id, CAST(FLOOR(i / 3) AS INT)
-)
+)"""
+
+_MINHASH_PAIRS_SQL = f"""
+WITH {_MINHASH_SIG_CTES}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
@@ -2906,16 +2927,7 @@ FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id
     # corpus — band-join candidates (new × index only), exact Jaccard
     # verify, best match per new doc (ties to smallest corpus id).
     o["doc_incremental_dedup"] = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-), sig AS (
-  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
-  FROM sh CROSS JOIN range(12) t(i)
-  GROUP BY doc_id, i
-), bands AS (
-  SELECT doc_id, CAST(FLOOR(i / 3) AS INT) AS band, string_agg(h, '|' ORDER BY i) AS band_key
-  FROM sig GROUP BY doc_id, CAST(FLOOR(i / 3) AS INT)
-), cand AS (
+WITH {_MINHASH_SIG_CTES}, cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1

@@ -103,6 +103,13 @@ def shingle_rows(
     return long_docs.unionByName(short_docs).distinct()
 
 
+# 2^56: the modulus for the derived MinHash permutations. 56-bit values
+# keep every intermediate (h1 + i·h2 ≤ (num_hashes)·2^56) inside int64
+# for any num_hashes ≤ 127, with identical % semantics on both engines
+# (operands non-negative).
+MINHASH_MOD = 1 << 56
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -110,18 +117,29 @@ def minhash_signatures(
     num_hashes: int = 12,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature columns h0..h{k-1}.
+    """Per-doc MinHash signature columns h0..h{k-1} (int64).
 
-    min(md5(salt_i || shingle)) is the permutation proxy: md5 is universal
-    (engine-portable oracle) and the min is a plain aggregate. Shape:
-    explode shingles (map) → groupBy doc (shuffle on doc id with map-side
-    combine) — each md5 is computed exactly once, unlike a per-row
-    array<min> expression which re-evaluates the shingle pipeline per hash.
+    ONE md5 per shingle, not k: the k permutation proxies derive from the
+    digest's two 56-bit halves via h_i = (h1 + i·h2) mod 2^56 (the
+    Kirsch-Mitzenmacher construction — standard for MinHash/Bloom
+    families). At corpus scale hashing dominates the signature map cost,
+    so this is ~k× cheaper than salting md5 per permutation, and every
+    step (hex slice → int64, multiply-add, mod) is exactly reproducible
+    in an external SQL oracle. Shape: explode shingles (map) → groupBy
+    doc (shuffle on doc id with map-side combine).
     """
     sh = shingle_rows(df, text_col, id_col, shingle_n)
-    return sh.groupBy(id_col).agg(
+    md = F.md5(F.col("shingle"))
+    hashed = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(md, 1, 14), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(md, 17, 14), 16, 10).cast("long").alias("_h2"),
+    )
+    return hashed.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            F.min(
+                F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(MINHASH_MOD))
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )

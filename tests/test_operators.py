@@ -946,12 +946,14 @@ def test_incremental_lsh_dedup_verify_is_candidate_bounded(spark):
     scale defect)."""
     from data_warehouse_punta_fina_spark.operators import dedup as D
 
+    # corpus docs share NO shingles (unique token vocabulary per doc), so
+    # the only LSH candidate is the new doc's exact source
     corpus = spark.createDataFrame(
-        [(i, f"corpus doc number {i} filler words here and there") for i in range(0, 40, 2)],
+        [(i, " ".join(f"tok{i}x{j}" for j in range(9))) for i in range(0, 40, 2)],
         "doc_id long, text string",
     )
     new = spark.createDataFrame(
-        [(1, "corpus doc number 0 filler words here and there")],
+        [(1, " ".join(f"tok0x{j}" for j in range(9)))],
         "doc_id long, text string",
     )
     # intercept the verify stage and measure how many documents it is fed
