@@ -158,6 +158,8 @@ _DEC_COLS: dict[str, list[str]] = {
     "user_last_event": ["last_value", "first_value", "total_value"],
     "doc_text_stats": ["punct_ratio", "stopword_ratio", "quality"],
     "doc_quality_gate": ["quality"],
+    "doc_quality_stratified": ["quality", "pct_rank"],
+    "doc_token_budget_mix": ["quality"],
     "doc_ngram_jaccard": ["jaccard"],
     "doc_lsh_verified": ["jaccard"],
     "ann_brute_topk": ["cosine"],
@@ -838,6 +840,45 @@ def _build_registries():
         pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4)
         return dedup_clusters(docs.select("doc_id"), pairs, max_iter=30)
 
+    def doc_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # language-STRATIFIED quality cut: keep each language's best half
+        # by percent_rank — a global threshold would wipe out languages
+        # whose quality distribution sits lower (the standard curation
+        # mistake the per-language window avoids)
+        from data_warehouse_punta_fina_spark.functions.money import pround6
+        from data_warehouse_punta_fina_spark.functions.text import quality_score
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.select("doc_id", "lang", quality_score("text").alias("quality"))
+        w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+        return base.withColumn("pct_rank", pround6(F.percent_rank().over(w))).withColumn(
+            "keep", F.col("pct_rank") <= 0.5
+        )
+
+    def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # fill a per-language TOKEN budget best-docs-first: cumulative
+        # token sum over (quality desc) per language, keep while under
+        # budget — how a training mix hits "N tokens per language"
+        # without a driver-side loop
+        from data_warehouse_punta_fina_spark.functions.money import pround6
+        from data_warehouse_punta_fina_spark.functions.text import quality_score, token_count
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id",
+            "lang",
+            token_count("text").cast("int").alias("n_tokens"),
+            pround6(quality_score("text")).alias("quality"),
+        )
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(F.desc("quality"), F.asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return base.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+            "keep", F.col("cum_tokens") <= F.lit(5000)
+        )
+
     def doc_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the END-TO-END fuzzy-dedup pipeline a training-data curator runs:
         # LSH candidate pairs → connected components (the O(log n)
@@ -1445,6 +1486,8 @@ def _build_registries():
         "dim_direccion": _legacy("build_dim_direccion"),
         "ann_ivf_trained_probe3": ann_ivf_trained_probe3,
         "doc_dedup_kept": doc_dedup_kept,
+        "doc_quality_stratified": doc_quality_stratified,
+        "doc_token_budget_mix": doc_token_budget_mix,
         # round-5 demotions (driver-green r1-r4; families still in-window)
         "dim_cliente": build_dim_cliente,
         "doc_lang_id": doc_lang_id,
@@ -2438,6 +2481,32 @@ SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
 FROM documents d
 JOIN clusters c ON d.doc_id = c.doc_id AND d.doc_id = c.cluster_id
 JOIN sizes s ON s.cluster_id = c.cluster_id
+""",
+        # language-stratified quality cut: percent_rank is (rank-1)/(n-1)
+        # over identical round-6 quality keys on both engines
+        "doc_quality_stratified": f"""
+WITH b AS (
+  SELECT doc_id, lang, {_r6(quality)} AS quality FROM documents
+), r AS (
+  SELECT doc_id, lang, quality,
+         {_r6("percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)")} AS pct_rank
+  FROM b
+)
+SELECT doc_id, lang, quality, pct_rank, pct_rank <= 0.5 AS keep FROM r
+""",
+        # per-language token-budget fill, best docs first (exact BIGINT
+        # cumulative sums — no float drift in the keep cutoff)
+        "doc_token_budget_mix": f"""
+WITH b AS (
+  SELECT doc_id, lang, CAST({n_tok} AS INT) AS n_tokens, {_r6(quality)} AS quality
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens, quality,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM b
+)
+SELECT doc_id, lang, n_tokens, quality, cum_tokens, cum_tokens <= 5000 AS keep FROM c
 """,
         "doc_ngram_jaccard": f"""
 WITH sh0 AS (

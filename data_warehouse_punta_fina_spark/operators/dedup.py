@@ -673,29 +673,34 @@ def dedup_clusters_star(
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint (default 32 bits for portable arithmetic).
 
-    Per token, md5 hex chars supply the bit source; each bit votes ±1;
-    the sign of the vote sum sets the fingerprint bit. Pure map-side —
-    one pass, no shuffle. Near-dup candidates = fingerprints grouped by
-    rotated prefixes (not included here; compose with groupBy on
-    ``simhash`` bands)."""
+    Per token, md5 hex chars supply the bit source; each occurrence votes
+    ±1 per bit; the sign of the vote sum sets the fingerprint bit.
+    Shape: explode tokens (map) → one codegen hash aggregate with
+    ``bits`` sum expressions (map-side combined, shuffle on the doc id).
+    The round-1 version folded the token array once PER BIT — 32
+    interpreted array traversals per row; the explode+aggregate form is
+    one traversal inside whole-stage codegen. Values are identical, so
+    the SQL oracle is unchanged. Near-dup candidates = fingerprints
+    grouped by byte bands (:func:`simhash_near_dup_pairs`)."""
     hex_chars = bits // 4
-    df = _spread(df)
-    toks = tokens(text_col)
-    hashed = F.transform(toks, lambda t: F.substring(F.md5(t), 1, hex_chars))
     digits = "0123456789abcdef"
+    ex = _spread(df).select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("_tok")
+    )
+    hx = ex.select(id_col, F.substring(F.md5(F.col("_tok")), 1, hex_chars).alias("_hx"))
 
-    def vote_for_bit(j: int) -> Column:
-        # hex char at position j//4, bit j%4 within it; each occurrence votes ±1
-        def step(acc: Column, hx: Column) -> Column:
-            ch = F.substring(hx, j // 4 + 1, 1)
-            val = F.instr(F.lit(digits), ch) - 1
-            bit = F.shiftright(val, 3 - (j % 4)) % 2
-            return acc + (bit * 2 - 1)
+    def vote(j: int) -> Column:
+        ch = F.substring(F.col("_hx"), j // 4 + 1, 1)
+        val = F.instr(F.lit(digits), ch) - 1
+        bit = F.shiftright(val, 3 - (j % 4)) % 2
+        return (bit * 2 - 1).cast("long")
 
-        return F.aggregate(hashed, F.lit(0).cast("long"), step)
-
+    per_doc = hx.groupBy(id_col).agg(
+        *[F.sum(vote(j)).alias(f"_v{j}") for j in range(bits)]
+    )
     fingerprint = F.lit(0).cast("long")
     for j in range(bits):
-        votes = vote_for_bit(j)
-        fingerprint = fingerprint + F.when(votes > 0, F.lit(1 << (bits - 1 - j)).cast("long")).otherwise(F.lit(0))
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+        fingerprint = fingerprint + F.when(
+            F.col(f"_v{j}") > 0, F.lit(1 << (bits - 1 - j)).cast("long")
+        ).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -20,6 +20,10 @@ AUDITED = [
     "events_tumbling_window",
     "customer_balance_quartiles",
     "doc_ngram_jaccard",
+    # round-5 additions: the two rewritten plans (single-tokenize BM25,
+    # candidate-bounded incremental verify)
+    "doc_bm25_topk",
+    "doc_incremental_dedup",
 ]
 
 
@@ -29,7 +33,9 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("plan_audit")
-    qs = entrymod.queries()
+    # audited set spans both registries (driver window rotates per round)
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
 
     def build(name):
         if name == "fact_ventas":
