@@ -3,6 +3,7 @@ from data_warehouse_punta_fina_spark.sources.readers import (  # noqa: F401
     load_table,
     read_csv,
     read_jdbc,
+    read_jsonl,
     read_parquet,
 )
 from data_warehouse_punta_fina_spark.sources.generators import (  # noqa: F401
@@ -13,5 +14,6 @@ from data_warehouse_punta_fina_spark.sources.generators import (  # noqa: F401
 from data_warehouse_punta_fina_spark.sources.writers import (  # noqa: F401
     write_csv,
     write_jdbc,
+    write_jsonl,
     write_parquet,
 )

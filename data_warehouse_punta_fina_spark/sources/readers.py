@@ -46,6 +46,24 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """JSON-lines scan — the interchange format crawled/labeled corpora
+    actually arrive in (one JSON object per line; beyond the reference's
+    CSV/parquet surface). Prefer an explicit schema: inference is a
+    second full scan AND silently unions divergent shapes, where a
+    declared StructType makes shape drift a loud null. Lines that do not
+    parse land in ``_corrupt_record`` (PERMISSIVE default) rather than
+    killing a 100 TB job."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

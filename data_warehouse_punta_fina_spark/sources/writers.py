@@ -32,6 +32,24 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink — one object per line, gzip by default (the shape
+    downstream tokenizer/training jobs consume; splittable formats should
+    still prefer parquet, this is the interchange boundary)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -96,6 +96,39 @@ def test_sources_roundtrip(spark, tmp_path):
     assert pruned.count() == 1
 
 
+def test_jsonl_roundtrip_and_corrupt_line(spark, tmp_path):
+    """JSONL source/sink: gzip'd write round-trips exactly under an
+    explicit schema; a malformed line surfaces in _corrupt_record
+    (PERMISSIVE) instead of failing the job."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_punta_fina_spark.sources.readers import read_jsonl
+    from data_warehouse_punta_fina_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hola", 1.5), (2, "adiós", 2.5)], "id int, s string, v double"
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path)
+    import glob as _glob
+
+    assert _glob.glob(path + "/*.gz"), "expected gzip'd part files"
+    back = read_jsonl(spark, path, schema=df.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    # corrupt-line tolerance
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "part.jsonl").write_text('{"id": 1, "s": "ok", "v": 1.0}\nnot json at all\n')
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    got = read_jsonl(spark, str(raw), schema=schema).cache()
+    assert got.count() == 2
+    assert got.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    got.unpersist()
+
+
 def test_scd2_merge_versions(spark):
     from data_warehouse_punta_fina_spark.operators.scd import scd2_merge
 
