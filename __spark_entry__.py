@@ -840,6 +840,29 @@ def _build_registries():
         pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4)
         return dedup_clusters(docs.select("doc_id"), pairs, max_iter=30)
 
+    def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # corpus-self-trained BIGRAM-LM surprisal: templated/boilerplate
+        # text repeats transitions, so conditional surprisal collapses
+        # even when the unigram mix looks normal — the sharper tail filter
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.text_quality import bigram_surprisal
+
+        docs = load_table(spark, sf_dir, "documents")
+        return bigram_surprisal(_spread(docs), "text", "doc_id")
+
+    def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # deterministic n-per-language sample: rank by md5(doc_id||salt)
+        # inside each language — a reproducible "eyeball 20 docs per
+        # language" draw that never changes across reruns or re-ingests
+        docs = load_table(spark, sf_dir, "documents")
+        key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|sample")))
+        w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+        return (
+            docs.select("doc_id", "lang")
+            .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("sample_rank") <= 20)
+        )
+
     def doc_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         # language-STRATIFIED quality cut: keep each language's best half
         # by percent_rank — a global threshold would wipe out languages
@@ -1488,6 +1511,8 @@ def _build_registries():
         "doc_dedup_kept": doc_dedup_kept,
         "doc_quality_stratified": doc_quality_stratified,
         "doc_token_budget_mix": doc_token_budget_mix,
+        "doc_bigram_surprisal": doc_bigram_surprisal,
+        "doc_stratified_sample": doc_stratified_sample,
         # round-5 demotions (driver-green r1-r4; families still in-window)
         "dim_cliente": build_dim_cliente,
         "doc_lang_id": doc_lang_id,
@@ -2481,6 +2506,38 @@ SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
 FROM documents d
 JOIN clusters c ON d.doc_id = c.doc_id AND d.doc_id = c.cluster_id
 JOIN sizes s ON s.cluster_id = c.cluster_id
+""",
+        # bigram-LM surprisal: -ln p(w2|w1) per bigram occurrence, exact
+        # decimal weighted sums, LEFT JOIN keeps docs under 2 tokens
+        "doc_bigram_surprisal": f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+  FROM toks
+),
+postings AS (SELECT doc_id, bg, COUNT(*) AS tf FROM grams GROUP BY doc_id, bg),
+cbg AS (SELECT bg, SUM(tf) AS c2 FROM postings GROUP BY bg),
+cpre AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1 FROM cbg GROUP BY string_split(bg, ' ')[1]),
+scored AS (
+  SELECT p.doc_id, p.tf,
+         {_r6("ln(CAST(cpre.c1 AS DOUBLE) / CAST(cbg.c2 AS DOUBLE))")} AS s
+  FROM postings p JOIN cbg USING (bg)
+  JOIN cpre ON string_split(p.bg, ' ')[1] = cpre.w1
+),
+per_doc AS (SELECT doc_id, SUM(tf) AS n_bigrams, SUM(tf * s) AS ssum FROM scored GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS INT) AS n_bigrams,
+       CAST({_r6("CAST(p.ssum AS DOUBLE) / p.n_bigrams")} AS DOUBLE) AS surprisal
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
+""",
+        # deterministic n-per-language sample: md5-keyed rank per stratum
+        "doc_stratified_sample": """
+SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '|sample'), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
 """,
         # language-stratified quality cut: percent_rank is (rank-1)/(n-1)
         # over identical round-6 quality keys on both engines

@@ -91,6 +91,61 @@ def repetition_metrics(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own bigram
+    LM: ``mean over bigram occurrences of -ln p(w2|w1)`` with
+    ``p(w2|w1) = corpus_count(w1 w2) / corpus_count(w1 ·)``.
+
+    Strictly sharper than :func:`unigram_surprisal` for boilerplate
+    detection: templated text repeats TRANSITIONS, so its conditional
+    surprisal collapses even when its unigram mix looks normal. Output:
+    (id, n_bigrams, surprisal), null surprisal for docs under 2 tokens.
+
+    Exactness and scale shape mirror the unigram operator: per-bigram
+    ``ln(c1/c2)`` round-6'd into DECIMAL(12,6) before the exact decimal
+    weighted sum; the bigram vocabulary broadcasts by default
+    (``broadcast_vocab=False`` → shuffle join past the broadcast limit);
+    the only corpus-sized shuffle is the (doc, bigram) count.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(token_ngrams(F.col(text_col), 2)).alias("bg")
+    )
+    postings = grams.groupBy(id_col, "bg").agg(F.count("*").alias("tf"))
+    cbg = postings.groupBy("bg").agg(F.sum("tf").alias("c2"))
+    cpre = (
+        cbg.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    maybe_b = F.broadcast if broadcast_vocab else (lambda d: d)
+    scored = (
+        postings.join(maybe_b(cbg), "bg")
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(maybe_b(cpre), "w1")
+        .withColumn(
+            "_surp",
+            pround(F.log(F.col("c1").cast("double") / F.col("c2").cast("double")), 6, 12),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("_surp")).alias("_sum_surp"),
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("int").alias("n_bigrams"),
+        pround(F.col("_sum_surp").cast("double") / F.col("n_bigrams"), 6, 12)
+        .cast("double")
+        .alias("surprisal"),
+    )
+
+
 def unigram_surprisal(
     df: DataFrame,
     text_col: str = "text",

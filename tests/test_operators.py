@@ -854,6 +854,29 @@ def test_unigram_surprisal_known_values(spark):
     assert b[1] == want
 
 
+def test_bigram_surprisal_known_values(spark):
+    """Corpus doc1='a b a b', doc2='a c': bigrams ab,ba,ab + ac.
+    c(a·)=3 (ab×2, ac), c(b·)=1 (ba). p(b|a)=2/3, p(a|b)=1, p(c|a)=1/3.
+    doc1 mean = (2·ln(3/2) + ln(1)) / 3; doc2 = ln(3). Docs under 2
+    tokens get null surprisal."""
+    import math
+
+    from data_warehouse_punta_fina_spark.operators.text_quality import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["surprisal"]) for r in
+           bigram_surprisal(df).collect()}
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    assert got[1] == (3, r6((2 * r6(math.log(3 / 2)) + r6(math.log(1.0))) / 3))
+    assert got[2] == (1, r6(math.log(3.0)))
+    assert got[3] == (0, None)
+    # partition invariance (decimal sums)
+    b = {r["doc_id"]: r["surprisal"] for r in bigram_surprisal(df.repartition(5)).collect()}
+    assert b[1] == got[1][1]
+
+
 def test_pit_lookup_resolves_versions_half_open(spark):
     """PIT join picks the version valid at the fact timestamp; on the
     change date the NEW version is in effect (half-open intervals)."""
