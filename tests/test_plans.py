@@ -275,6 +275,37 @@ def test_bm25_tokenizes_corpus_once(spark):
     assert plan.count("ReusedExchange") >= 1, "postings exchange was not reused"
 
 
+def test_results_invariant_under_adversarial_shuffle_partitions(spark):
+    """Cluster-determinism gate: representative queries from the decimal-
+    sum, window-chain, and LSH families must produce IDENTICAL results
+    under a hostile shuffle-partition count (3 vs the configured 32) —
+    any float-order or partition-layout dependence shows up here before
+    it shows up as a flaky hash on a real cluster."""
+    import __spark_entry__ as entrymod
+
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
+    names = ["doc_surprisal", "fact_balance", "doc_minhash_lsh"]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def snapshot():
+        return {
+            n: sorted(map(tuple, qs[n](spark, "/root/testdata/sf0.001").collect()))
+            for n in names
+        }
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        base = snapshot()
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        hostile = snapshot()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    for n in names:
+        assert base[n] == hostile[n], f"{n} changed under shuffle-partition change"
+        assert len(base[n]) > 0
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """Scale insurance: a hot key (90% of rows) in a shuffle join is
     re-planned by AQE into split skewed partitions — the engine's answer
