@@ -149,9 +149,15 @@ def main() -> None:
             osec = _oracle_times(entrymod, sf_dir, [n for n in HEADLINE if n in times])
             if osec:
                 out["oracle_sec"] = osec
-                out["vs_oracle"] = {
-                    n: round(times[n] / osec[n], 2) for n in osec if osec[n] > 0
-                }
+                ratios = {n: round(times[n] / osec[n], 2) for n in osec if osec[n] > 0}
+                out["vs_oracle"] = ratios
+                rs = sorted(ratios.values())
+                out["vs_oracle_median"] = rs[len(rs) // 2]
+                # the queries where distribution actually matters: Spark
+                # vs the single-node floor on the > 2 s (heavy) queries
+                heavy = [r for n, r in ratios.items() if times[n] > 2.0]
+                if heavy:
+                    out["vs_oracle_heavy_max"] = max(heavy)
         except Exception as exc:  # noqa: BLE001 — oracle floor is advisory
             print(f"bench: oracle comparison skipped: {exc}", file=sys.stderr)
     # per-query regression tracking: ratio vs the round-1 floor (>1 slower)

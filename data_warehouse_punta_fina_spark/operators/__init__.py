@@ -24,6 +24,8 @@ from data_warehouse_punta_fina_spark.operators.scd import (  # noqa: F401
     type1_upsert,
 )
 from data_warehouse_punta_fina_spark.operators.text_quality import (  # noqa: F401
+    bigram_surprisal,
+    ngram_rows,
     repetition_metrics,
     unigram_surprisal,
 )
