@@ -27,10 +27,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
-def tokens(col: Column | str) -> Column:
-    """array<string> of lowercase alphanumeric tokens (empty strings removed)."""
+def tokens(col: Column | str, max_tokens: int | None = None) -> Column:
+    """array<string> of lowercase alphanumeric tokens (empty strings
+    removed). ``max_tokens`` truncates the array — the scale guard for
+    pathological documents (one 1 GB doc otherwise concentrates its
+    whole token stream in a single task through every per-doc window /
+    shingle path); real curation pipelines cap doc length for the same
+    reason. Default None = exact semantics (all oracle-checked queries
+    use the default)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+    toks = F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
+    return toks
 
 
 def token_count(col: Column | str) -> Column:

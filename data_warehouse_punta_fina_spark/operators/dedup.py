@@ -71,7 +71,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """(id, shingle) rows — distinct n-word shingles per document.
 
@@ -80,8 +84,13 @@ def shingle_rows(
     window ``lead`` instead of array higher-order functions: HOFs are
     interpreted per-element, while this path stays in whole-stage codegen
     (~4× faster at bench scale). One shuffle on the doc id.
+
+    ``max_tokens`` caps each document's token stream before shingling —
+    the skew guard for pathological giant documents (their tokens
+    otherwise land in ONE task via the per-doc window); near-dup signal
+    saturates long before typical caps (~10k tokens) anyway.
     """
-    toks = tokens(text_col)
+    toks = tokens(text_col, max_tokens)
     exploded = _spread(df.select(F.col(id_col), toks.alias("_toks"))).select(
         F.col(id_col), F.col("_toks"), F.posexplode_outer("_toks").alias("pos", "tok")
     )

@@ -854,6 +854,25 @@ def test_unigram_surprisal_known_values(spark):
     assert b[1] == want
 
 
+def test_shingle_rows_max_tokens_cap(spark):
+    """The giant-document skew guard: max_tokens truncates the token
+    stream before shingling, and the capped shingle set equals shingling
+    the truncated text directly."""
+    from data_warehouse_punta_fina_spark.operators.dedup import shingle_rows
+
+    long_doc = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, long_doc)], "doc_id long, text string")
+    capped = {r["shingle"] for r in shingle_rows(df, max_tokens=10).collect()}
+    truncated = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    want = {r["shingle"] for r in shingle_rows(truncated).collect()}
+    assert capped == want
+    assert len(capped) == 8  # 10 tokens → 8 trigrams
+    # default stays exact
+    assert len({r["shingle"] for r in shingle_rows(df).collect()}) == 98
+
+
 def test_bigram_surprisal_known_values(spark):
     """Corpus doc1='a b a b', doc2='a c': bigrams ab,ba,ab + ac.
     c(a·)=3 (ab×2, ac), c(b·)=1 (ba). p(b|a)=2/3, p(a|b)=1, p(c|a)=1/3.
