@@ -883,7 +883,6 @@ def _build_registries():
         # token sum over (quality desc) per language, keep while under
         # budget — how a training mix hits "N tokens per language"
         # without a driver-side loop
-        from data_warehouse_punta_fina_spark.functions.money import pround6
         from data_warehouse_punta_fina_spark.functions.text import quality_score, token_count
 
         docs = load_table(spark, sf_dir, "documents")
@@ -891,7 +890,8 @@ def _build_registries():
             "doc_id",
             "lang",
             token_count("text").cast("int").alias("n_tokens"),
-            pround6(quality_score("text")).alias("quality"),
+            # quality_score is already round-6'd — no extra rounding here
+            quality_score("text").alias("quality"),
         )
         w = (
             Window.partitionBy("lang")

@@ -59,12 +59,20 @@ HEADLINE = [
 def _oracle_times(entrymod, sf_dir: str, names: list[str]) -> dict[str, float]:
     """Per-query DuckDB oracle wall times over the same parquet tables —
     the engine-relative floor that catches single-query regressions the
-    wall total hides. Disable with SPARK_GRAFT_BENCH_ORACLE=0."""
+    wall total hides. Disable with SPARK_GRAFT_BENCH_ORACLE=0.
+
+    Fairness: the Spark side is JVM-warmed, so fast oracles (< 5 s) run
+    twice and record the min — the first run pays first-touch parquet IO
+    and buffer-pool population that would otherwise inflate vs_oracle in
+    Spark's favor. Slow oracles run once (the cold fraction is small and
+    a second run would double the bench's oracle wall)."""
     import duckdb
 
-    tables = "region nation customer supplier part orders lineitem events documents embeddings"
+    # single source of truth for the table list / view registration
+    from tools.check_oracle import TABLES
+
     con = duckdb.connect()
-    for t in tables.split():
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t)}.parquet')"
         )
@@ -74,10 +82,15 @@ def _oracle_times(entrymod, sf_dir: str, names: list[str]) -> dict[str, float]:
         sql = oracles.get(name)
         if not sql:
             continue
-        t0 = time.time()
         try:
+            t0 = time.time()
             con.execute(sql).fetchall()
-            out[name] = round(time.time() - t0, 3)
+            t = time.time() - t0
+            if t < 5.0:
+                t1 = time.time()
+                con.execute(sql).fetchall()
+                t = min(t, time.time() - t1)
+            out[name] = round(t, 3)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             print(f"bench: oracle {name} failed: {exc}", file=sys.stderr)
     return out

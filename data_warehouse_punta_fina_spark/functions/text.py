@@ -188,8 +188,15 @@ def pii_hits(col: Column | str) -> Column:
     placeholder literal ADJACENT to a PII match can be swallowed by the
     greedy URL pattern (e.g. 'https://a.b/<NUMBER>' redacts to '<URL>',
     destroying the raw '<NUMBER>' literal), which would otherwise drive
-    the per-pattern count negative and undercount the total. Exact and
-    order-independent."""
+    the per-pattern count negative and undercount the total.
+
+    Known residual limit: the count is a deterministic, order-independent
+    METRIC, not an exact substitution count — when a destroyed raw
+    placeholder coexists with a real PII hit of the SAME type (raw
+    'https://a.b/<NUMBER> call 12345678901'), their per-pattern deltas
+    cancel and that hit goes uncounted. Counting alone cannot separate
+    the two; the oracle mirrors the same formula, so cross-engine parity
+    always holds."""
     c = F.col(col) if isinstance(col, str) else col
     red = redact_pii(c)
     n = F.lit(0)

@@ -118,6 +118,14 @@ def shingle_rows(
 # (operands non-negative).
 MINHASH_MOD = 1 << 56
 
+# Band-key hash-scheme version, stamped into every index's column
+# metadata and VALIDATED at incremental-join time: band keys from
+# different schemes (e.g. the pre-round-5 salted-md5 hex keys vs the
+# current Kirsch-Mitzenmacher decimal keys) never collide, so an
+# unversioned scheme change would silently admit every new doc. Bump on
+# ANY change to how band keys are computed.
+MINHASH_SCHEME = "md5-km56/1"
+
 
 def minhash_signatures(
     df: DataFrame,
@@ -182,7 +190,12 @@ def minhash_band_keys(
     # batch-side parameters at join time (see incremental_lsh_dedup)
     # instead of silently yielding empty candidates when
     # (num_hashes, bands, shingle_n) drifted
-    meta = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+    meta = {
+        "scheme": MINHASH_SCHEME,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+    }
     return sig.select(
         F.col(id_col),
         F.explode(
@@ -327,7 +340,8 @@ def lsh_verified_pairs(
     """
     cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n, bands_path)
     return jaccard_on_candidates(
-        df, cand, text_col, id_col, shingle_n, threshold, shingles_path
+        df, cand, text_col, id_col, shingle_n, threshold, shingles_path,
+        assume_distinct=True,  # band-join output is already .distinct()
     )
 
 
@@ -339,6 +353,7 @@ def jaccard_on_candidates(
     shingle_n: int = 3,
     threshold: float = 0.0,
     shingles_path: str | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY for the given (id_a, id_b) candidate
     pairs — the verify stage any blocking scheme (LSH bands, SimHash
@@ -346,8 +361,14 @@ def jaccard_on_candidates(
     O(|candidates| · shingles-per-doc); the all-pairs inverted index never
     materializes. ``shingles_path`` durably materializes the shingle
     table (consumed by sizes + both join sides) to parquet; default is an
-    ephemeral local checkpoint."""
-    cand = candidates.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
+    ephemeral local checkpoint. ``assume_distinct=True`` skips the
+    defensive dedup of the candidate list — pass it when the caller
+    already emits distinct pairs (LSH band joins do), saving one shuffle
+    per invocation."""
+    if assume_distinct:
+        cand = candidates.select("id_a", "id_b")
+    else:
+        cand = candidates.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
     sh = _materialize(shingle_rows(df, text_col, id_col, shingle_n), shingles_path)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
@@ -377,6 +398,7 @@ def incremental_lsh_dedup(
     shingle_n: int = 3,
     threshold: float = 0.2,
     corpus_bands: DataFrame | None = None,
+    validate_index: bool = True,
 ) -> DataFrame:
     """Dedupe an incoming batch against an already-indexed corpus — the
     production ingestion pattern (a new crawl arrives; only documents NOT
@@ -412,17 +434,30 @@ def incremental_lsh_dedup(
                 f"({id_col}, band, band_key) layout produced by minhash_band_keys"
             )
         stored = dict(corpus_bands.schema["band_key"].metadata or {})
-        expected = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+        expected = {
+            "scheme": MINHASH_SCHEME,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+        }
+        if validate_index and not stored:
+            raise ValueError(
+                "corpus_bands carries no parameter metadata on band_key — it was not "
+                "written by this engine's minhash_band_keys (or predates the versioned "
+                f"hash scheme {MINHASH_SCHEME!r}). A scheme/parameter mismatch makes the "
+                "band join silently admit every new doc, so unverifiable indexes are "
+                "rejected by default. Rebuild the index with minhash_band_keys, or pass "
+                "validate_index=False if the index is KNOWN to match."
+            )
         drift = {
             k: (stored[k], v) for k, v in expected.items() if k in stored and stored[k] != v
         }
         if drift:
             raise ValueError(
-                "corpus_bands was built under different LSH parameters than this batch "
-                f"({ {k: f'stored={s} != batch={b}' for k, (s, b) in drift.items()} }); "
-                "band keys from mismatched parameters never collide, so every new doc "
-                "would be silently admitted as non-duplicate. Rebuild the index or pass "
-                "matching (num_hashes, bands, shingle_n)."
+                "corpus_bands was built under a different hash scheme or LSH parameters "
+                f"than this batch ({ {k: f'stored={s} != batch={b}' for k, (s, b) in drift.items()} }); "
+                "mismatched band keys never collide, so every new doc would be silently "
+                "admitted as non-duplicate. Rebuild the index or pass matching parameters."
             )
     cb = (
         corpus_bands
@@ -453,7 +488,11 @@ def incremental_lsh_dedup(
         .unionByName(new_docs.select(id_col, text_col))
         .join(cand_ids, id_col, "left_semi")
     )
-    verified = jaccard_on_candidates(both, cand, text_col, id_col, shingle_n, threshold)
+    # cand is already distinct + checkpointed above → skip the verify
+    # stage's defensive re-distinct (one less shuffle per arriving batch)
+    verified = jaccard_on_candidates(
+        both, cand, text_col, id_col, shingle_n, threshold, assume_distinct=True
+    )
     w = Window.partitionBy("id_b").orderBy(F.desc("jaccard"), F.asc("id_a"))
     best = (
         verified.withColumn("_rn", F.row_number().over(w))

@@ -31,7 +31,13 @@ def materialize(df: DataFrame, path: str | None = None) -> DataFrame:
     ``path=...``  → write-then-read parquet (durable, lineage-replayable,
     survives executor loss; column metadata — e.g. the LSH parameter
     fingerprint on band tables — survives the round-trip in the parquet
-    footer)."""
+    footer).
+
+    NOTE the durable path is EAGER by design: the write job runs at CALL
+    time (not first action) and overwrites whatever parquet exists at
+    ``path`` — durable materialization cannot be expressed lazily inside
+    one Spark plan. Pass a path only when you will execute the returned
+    plan; plan-inspection-only callers should use the default."""
     if path is None:
         return df.localCheckpoint(eager=False)
     df.write.mode("overwrite").parquet(path)

@@ -1079,17 +1079,36 @@ def test_incremental_lsh_dedup_rejects_mismatched_index(spark, tmp_path):
         [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
         "doc_id long, text string",
     )
-    new = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+
+    from data_warehouse_punta_fina_spark.operators.dedup import MINHASH_SCHEME
 
     idx_path = str(tmp_path / "band_index_8_2")
     minhash_band_keys(corpus, num_hashes=8, bands=2).write.partitionBy("band").parquet(idx_path)
     stored = spark.read.parquet(idx_path)
-    # metadata survives the parquet round-trip on the band_key data column
+    # metadata (incl. the versioned hash scheme) survives the parquet
+    # round-trip on the band_key data column
     assert dict(stored.schema["band_key"].metadata) == {
-        "num_hashes": 8, "bands": 2, "shingle_n": 3,
+        "scheme": MINHASH_SCHEME, "num_hashes": 8, "bands": 2, "shingle_n": 3,
     }
-    with pytest.raises(ValueError, match="different LSH parameters"):
+    with pytest.raises(ValueError, match="different hash scheme or LSH parameters"):
         incremental_lsh_dedup(corpus, new, num_hashes=12, bands=4, corpus_bands=stored)
     # missing layout columns are rejected up front, not at join time
     with pytest.raises(ValueError, match="missing required columns"):
         incremental_lsh_dedup(corpus, new, corpus_bands=stored.drop("band_key"))
+    # an index WITHOUT metadata (foreign writer / pre-versioning) is
+    # unverifiable → rejected by default, accepted only with the explicit
+    # validate_index=False opt-out
+    bare = stored.select(
+        "doc_id", "band", F.col("band_key").alias("band_key", metadata={})
+    )
+    assert dict(bare.schema["band_key"].metadata) == {}
+    with pytest.raises(ValueError, match="no parameter metadata"):
+        incremental_lsh_dedup(corpus, new, num_hashes=8, bands=2, corpus_bands=bare)
+    got = {r["doc_id"]: r["is_dup"] for r in incremental_lsh_dedup(
+        corpus, new, num_hashes=8, bands=2, corpus_bands=bare, validate_index=False
+    ).collect()}
+    assert got[1] is True
