@@ -731,6 +731,20 @@ def test_partitioned_sequential_id_dense_and_jvm_side(spark):
     assert sorted(r["payload"] for r in out) == [i * 3 for i in range(1000)]
 
 
+def test_ranked_sequential_id_pin_equals_default(spark):
+    """pin=True (input materialized once for branch locality) must assign
+    exactly the same dense ranks as the default lineage-replay path."""
+    from data_warehouse_punta_fina_spark.operators import windows as W
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") * 17 % 4093).alias("k"), F.col("id").alias("payload")
+    ).distinct()
+    a = {r["k"]: r["seq"] for r in W.ranked_sequential_id(df, "k", out="seq").collect()}
+    b = {r["k"]: r["seq"] for r in W.ranked_sequential_id(df, "k", out="seq", pin=True).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, len(a) + 1))
+
+
 def test_partitioned_sequential_id_dense_on_shuffle_fed_input(spark):
     """Defensive density check for a SHUFFLE-FED input (the risky case:
     the offsets branch and the join branch must agree on the partition
