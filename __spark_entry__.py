@@ -970,6 +970,30 @@ def _build_registries():
             .select("doc_id", "term", "tf", "df", "salience", "rank")
         )
 
+    def doc_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # weighted all-pairs similarity (Bayardo et al. 2007): tf-idf
+        # cosine top-5 neighbors per doc over the inverted-index self-join
+        # (operators.retrieval.tfidf_doc_pairs). Restricted to doc_id<200
+        # so the sf-proportional pair fan-out stays correctness-sized;
+        # at scale the df_cap bounds it instead.
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import tfidf_doc_pairs
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        return tfidf_doc_pairs(_spread(docs), k=5)
+
+    def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # FineWeb-style domain-level curation: per-source dup fraction,
+        # mean quality, short fraction + the keep/drop gate
+        # (operators.text_quality.source_quality_report)
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.text_quality import (
+            source_quality_report as _sqr,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        return _sqr(_spread(docs))
+
     def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Gopher-style repetition profile (top-bigram share, duplicate-
         # bigram fraction, unique ratio) — training-data quality signals
@@ -1398,7 +1422,6 @@ def _build_registries():
         # round-4 text operators get driver-hashed; see reg tail
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
-        "dim_promocion": build_dim_promocion,
         # round-4 late rotation: dim_direccion (left-enrichment + default
         # member, both certified via dim_cliente/every dim) demoted for the
         # SCD2 point-in-time temporal join — a distinct operator family
@@ -1451,7 +1474,12 @@ def _build_registries():
         "scd2_customer_segment": scd2_customer_segment,
         "dq_report": dq_report,
         "emb_label_centroids": emb_label_centroids,
-        "doc_top_terms": doc_top_terms,
+        # session-5 additions: weighted all-pairs similarity + domain gate
+        # (doc_top_terms demoted — tf·N/df salience ⊂ the tf-idf family;
+        # dim_promocion demoted — dim family covered by fecha/producto/
+        # catalogs; both stay mirror-checked in extras)
+        "doc_tfidf_pairs": doc_tfidf_pairs,
+        "source_quality_report": source_quality_report,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "doc_lsh_verified": doc_lsh_verified,
         "doc_pack_bins": doc_pack_bins,
@@ -1518,6 +1546,9 @@ def _build_registries():
         "doc_lang_id": doc_lang_id,
         "doc_minhash_lsh": doc_minhash_lsh,
         "ann_ivf_topk": ann_ivf_topk,
+        # session-5 demotions for doc_tfidf_pairs / source_quality_report
+        "dim_promocion": build_dim_promocion,
+        "doc_top_terms": doc_top_terms,
     }
     return reg, extra
 
@@ -3081,6 +3112,79 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # tf-idf cosine all-pairs similarity: INTEGER fixed-point mirror of
+    # operators.retrieval.tfidf_doc_pairs — weights in ten-thousandths
+    # (BIGINT), unit weights in billionths (BIGINT), exact integer norm
+    # and dot-product sums; every float step is a single correctly-
+    # rounded IEEE op, so both engines are bit-identical by construction.
+    o["doc_tfidf_pairs"] = f"""
+WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM d),
+postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+nd AS (SELECT COUNT(*) AS n FROM d),
+w AS (
+  SELECT p.doc_id, p.term,
+         CAST(FLOOR(((1.0 + ln(CAST(p.tf AS DOUBLE)))
+              * (FLOOR((ln((nd.n + 1.0) / (dfs.df + 1.0)) + 1.0) * 1000000.0 + 0.5) / 1000000.0))
+              * 10000.0 + 0.5) AS BIGINT) AS wi
+  FROM postings p JOIN dfs USING (term) CROSS JOIN nd
+),
+norms AS (SELECT doc_id, SUM(wi * wi) AS norm2 FROM w GROUP BY doc_id),
+unitv AS (
+  SELECT w.doc_id, w.term,
+         CAST(FLOOR((CAST(w.wi AS DOUBLE) / sqrt(CAST(n2.norm2 AS DOUBLE)))
+              * 1000000000.0 + 0.5) AS BIGINT) AS u
+  FROM w JOIN norms n2 USING (doc_id)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.u * b.u) AS dot
+  FROM unitv a JOIN unitv b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+simt AS (
+  SELECT doc_a, doc_b,
+         FLOOR((CAST(dot AS DOUBLE) / 1e18) * 1000000.0 + 0.5) / 1000000.0 AS sim
+  FROM pairs
+),
+sym AS (
+  SELECT doc_a, doc_b, sim FROM simt
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b, sim FROM simt
+)
+SELECT doc_a, doc_b, CAST(sim AS DOUBLE) AS sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY sim DESC, doc_b) AS INT) AS rank
+FROM sym QUALIFY rank <= 5
+"""
+
+    # FineWeb-style per-source curation report: exact-dup fraction via
+    # distinct md5, exact decimal quality sum, keep/drop gate computed on
+    # the ROUNDED doubles (mirrors operators.text_quality.
+    # source_quality_report exactly, including the gate's operand order).
+    o["source_quality_report"] = f"""
+WITH per_doc AS (
+  SELECT source, md5(text) AS h, length(text) AS len, {_r6(quality)} AS q
+  FROM documents
+),
+rep AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_distinct,
+         SUM(q) AS q_sum, SUM(len) AS len_sum,
+         SUM(CASE WHEN len < 100 THEN 1 ELSE 0 END) AS n_short
+  FROM per_doc GROUP BY source
+),
+proj AS (
+  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST({_r6("1.0 - CAST(n_distinct AS DOUBLE) / n_docs")} AS DOUBLE) AS dup_frac,
+         CAST({_r6("CAST(q_sum AS DOUBLE) / n_docs")} AS DOUBLE) AS mean_quality,
+         CAST({_r6("CAST(len_sum AS DOUBLE) / n_docs")} AS DOUBLE) AS mean_chars,
+         CAST({_r6("CAST(n_short AS DOUBLE) / n_docs")} AS DOUBLE) AS short_frac
+  FROM rep
+)
+SELECT source, n_docs, dup_frac, mean_quality, mean_chars, short_frac,
+       (dup_frac <= 0.5 AND mean_quality >= 0.5) AS kept
+FROM proj
 """
 
     # Kimball point-in-time lookup: orders joined to the SCD2 segment

@@ -16,7 +16,10 @@ from data_warehouse_punta_fina_spark.operators.dedup import (  # noqa: F401
     simhash64,
 )
 from data_warehouse_punta_fina_spark.operators.materialize import materialize  # noqa: F401
-from data_warehouse_punta_fina_spark.operators.retrieval import bm25_topk  # noqa: F401
+from data_warehouse_punta_fina_spark.operators.retrieval import (  # noqa: F401
+    bm25_topk,
+    tfidf_doc_pairs,
+)
 from data_warehouse_punta_fina_spark.operators.scd import (  # noqa: F401
     pit_lookup,
     scd2_merge,
@@ -25,8 +28,10 @@ from data_warehouse_punta_fina_spark.operators.scd import (  # noqa: F401
 )
 from data_warehouse_punta_fina_spark.operators.text_quality import (  # noqa: F401
     bigram_surprisal,
+    filter_sources,
     ngram_rows,
     repetition_metrics,
+    source_quality_report,
     unigram_surprisal,
 )
 from data_warehouse_punta_fina_spark.operators.journal import explode_journal_entries  # noqa: F401

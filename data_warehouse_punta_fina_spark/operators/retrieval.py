@@ -138,3 +138,139 @@ def bm25_topk(
         per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def tfidf_doc_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    df_cap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` most cosine-similar documents per document under tf-idf
+    weighting — the classic all-pairs similarity search (Bayardo et al.,
+    WWW 2007) as an inverted-index self-join. Distinct from
+    :func:`bm25_topk` (few-query retrieval, real-valued relevance) and
+    from the set-overlap families in ``operators.dedup`` (Jaccard/MinHash
+    ignore term weights): tf-idf cosine ranks *weighted* lexical overlap,
+    the standard first pass for topical near-dup and source-overlap
+    analysis in corpus curation.
+
+    Scale shape: one tokenize (``corpus_term_stats``'s shared explode);
+    weights and per-doc L2 norms are doc-local aggregates; the pair join
+    is term-keyed postings×postings with ``id_a < id_b``, so fan-out per
+    term is df²/2 — ``df_cap`` drops terms above the cap (ubiquitous
+    terms carry ~zero idf weight anyway), bounding the join exactly like
+    ``ngram_jaccard_pairs``'s hot-shingle cap. Nothing ships document
+    text past the first explode; the pair shuffle carries only
+    (term, id, weight) triples.
+
+    Determinism (cross-engine, partition-order independent) is by
+    INTEGER fixed-point, not decimals: the tf-idf weight is quantized to
+    ten-thousandths as an int64 (``wi``); the squared-norm sum and the
+    pair dot product are exact int64 sums (order-free); the only
+    floating-point steps are correctly-rounded single IEEE ops
+    (int64→double conversion, one division, sqrt, ×10^s) that every
+    engine computes bit-identically — no decimal→double cast whose
+    last-ulp behavior could differ between engines at high scale.
+    Smooth idf ``ln((n+1)/(df+1)) + 1`` is strictly positive, so every
+    posting survives with nonzero weight; the round-6'd idf absorbs any
+    last-ulp ``ln`` divergence (same argument as :func:`bm25_topk`).
+    Int64 bounds: ``wi ≤ ~4·10^6`` ⇒ the norm sum holds ~5·10^5
+    distinct terms per document; the dot product of unit vectors is ≤ 1
+    ⇒ ``Σ ua·ub`` in billionths² stays ≤ ~10^18 by Cauchy-Schwarz.
+
+    Output: (doc_a, doc_b, sim, rank) — for each ``doc_a``, its ``k``
+    most similar other documents (both join orientations contribute,
+    so the relation is symmetric); ties break on ascending doc_b.
+    """
+    postings, df_stats, _dl = corpus_term_stats(docs, text_col, id_col)
+    if df_cap is not None:
+        df_stats = df_stats.filter(F.col("df") <= df_cap)
+
+    n_docs = docs.select(F.count("*").alias("n"))
+
+    # idf round-6'd on the double (floor(x·1e6+0.5)/1e6), then the weight
+    # quantized to int64 ten-thousandths — F.floor on a double is BIGINT
+    idf6 = (
+        F.floor(
+            (
+                F.log(
+                    (F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    weighted = (
+        postings.join(df_stats, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_wi",
+            F.floor(
+                (F.lit(1.0) + F.log(F.col("tf").cast("double")))
+                * idf6
+                * F.lit(1e4)
+                + F.lit(0.5)
+            ),
+        )
+        .select(id_col, "term", "_wi")
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sum(F.col("_wi") * F.col("_wi")).alias("_norm2i")
+    )
+    # unit weight in billionths: wi/sqrt(norm2i) == w/‖w‖ (the 1e4 scale
+    # cancels); u ≤ 1 ⇒ ui ≤ 1e9
+    unit = (
+        weighted.join(norms, id_col)
+        .withColumn(
+            "_ui",
+            F.floor(
+                F.col("_wi").cast("double")
+                / F.sqrt(F.col("_norm2i").cast("double"))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ),
+        )
+        .select(F.col(id_col).alias("_id"), "term", "_ui")
+    )
+    a = unit.select(
+        F.col("_id").alias("doc_a"), F.col("term"), F.col("_ui").alias("_ua")
+    )
+    b = unit.select(
+        F.col("_id").alias("doc_b"), F.col("term"), F.col("_ui").alias("_ub")
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("_ua") * F.col("_ub")).alias("_dot"))
+        .select(
+            "doc_a",
+            "doc_b",
+            # dot is in billionths² (≤ ~1e18, exact int64); ONE division
+            # + portable round-6 at the output boundary
+            (
+                F.floor(
+                    F.col("_dot").cast("double") / F.lit(1e18) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("sim"),
+        )
+    )
+    # symmetrize so every doc ranks its neighbors regardless of id order
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "sim",
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("sim"), F.asc("doc_b"))
+    return sym.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )

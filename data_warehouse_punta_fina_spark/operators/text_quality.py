@@ -240,3 +240,90 @@ def unigram_surprisal(
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("int").alias("n_tokens"),
         F.col("surprisal"),
     )
+
+
+def source_quality_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    short_chars: int = 100,
+    max_dup_frac: float = 0.5,
+    min_mean_quality: float = 0.5,
+) -> DataFrame:
+    """Per-source (domain-level) corpus health report with a keep/drop
+    gate — the FineWeb/RefinedWeb curation step that filters whole
+    *sources* (domains, crawl segments, feeds) whose aggregate signals
+    are bad, before any per-document filtering runs. The reference
+    warehouse has no corpus tier; this extends the LLM-pipeline
+    extension alongside the per-document `quality_score` gate.
+
+    Per source: document count, exact-duplicate fraction
+    (1 − distinct md5(text)/count — the same 16-byte hash the exact
+    dedup family shuffles, never the text), mean composite quality,
+    mean length, and the short-document fraction; ``kept`` is the gate
+    (dup fraction ≤ ``max_dup_frac`` AND mean quality ≥
+    ``min_mean_quality``).
+
+    Scale shape: one doc-local map (hash + quality ratios, no shuffle of
+    text), then a groupBy(source) whose partials are fixed-width; the
+    only content-sized shuffle is the distinct-hash count, which ships
+    (source, 16-byte hash) pairs — identical posture to
+    `exact_dedup`. Output is sources-sized (tiny). Deterministic: the
+    quality mean is an exact decimal sum (quality_score is round-6'd
+    decimal) with ONE double division, round-6'd; all other ratios are
+    integer-counter ratios.
+    """
+    from data_warehouse_punta_fina_spark.functions.text import quality_score
+
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_h"),
+        F.length(F.col(text_col)).alias("_len"),
+        quality_score(text_col).alias("_q"),
+    )
+    rep = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_h").alias("_n_distinct"),
+        F.sum("_q").alias("_q_sum"),
+        F.sum("_len").alias("_len_sum"),
+        F.sum(F.when(F.col("_len") < short_chars, 1).otherwise(0)).alias("_n_short"),
+    )
+    dup_frac = pround(
+        F.lit(1.0) - F.col("_n_distinct").cast("double") / F.col("n_docs"), 6, 12
+    ).cast("double")
+    mean_q = pround(F.col("_q_sum").cast("double") / F.col("n_docs"), 6, 12).cast(
+        "double"
+    )
+    mean_chars = pround(
+        F.col("_len_sum").cast("double") / F.col("n_docs"), 6, 12
+    ).cast("double")
+    short_frac = pround(
+        F.col("_n_short").cast("double") / F.col("n_docs"), 6, 12
+    ).cast("double")
+    return rep.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        dup_frac.alias("dup_frac"),
+        mean_q.alias("mean_quality"),
+        mean_chars.alias("mean_chars"),
+        short_frac.alias("short_frac"),
+        (
+            (dup_frac <= F.lit(max_dup_frac)) & (mean_q >= F.lit(min_mean_quality))
+        ).alias("kept"),
+    )
+
+
+def filter_sources(
+    docs: DataFrame,
+    report: DataFrame,
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep only documents whose source passed the
+    :func:`source_quality_report` gate. The kept-source list is
+    sources-sized (tiny at any corpus scale) → broadcast semi-join, the
+    document table never shuffles."""
+    kept = report.filter(F.col("kept")).select(
+        F.col("source").alias(source_col)
+    )
+    return docs.join(F.broadcast(kept), source_col, "left_semi")

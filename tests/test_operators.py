@@ -1133,3 +1133,75 @@ def test_incremental_lsh_dedup_rejects_mismatched_index(spark, tmp_path):
         corpus, new, num_hashes=8, bands=2, corpus_bands=bare, validate_index=False
     ).collect()}
     assert got[1] is True
+
+
+def test_tfidf_doc_pairs_cosine_semantics(spark):
+    """Identical docs → sim 1.0 and rank-1 each other; disjoint docs never
+    pair; the relation is symmetric; df_cap drops ubiquitous terms from
+    the pair join entirely."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import tfidf_doc_pairs
+
+    rows = [
+        (1, "spark window agg join"),
+        (2, "spark window agg join"),
+        (3, "spark window hash merge"),
+        (4, "quantum chromo dynamics"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = tfidf_doc_pairs(docs, k=3).collect()
+    sims = {(r["doc_a"], r["doc_b"]): r["sim"] for r in out}
+    # identical documents: unit vectors coincide -> sim 1.0 (quantized)
+    assert abs(sims[(1, 2)] - 1.0) < 1e-5
+    assert sims[(1, 2)] == sims[(2, 1)]  # symmetric
+    # overlapping > disjoint: doc 3 shares 2 of 4 terms with doc 1
+    assert 0.0 < sims[(1, 3)] < sims[(1, 2)]
+    # doc 4 shares no terms with anyone -> appears in no pair
+    assert not any(4 in p for p in sims)
+    # rank-1 neighbor of doc 1 is its exact duplicate
+    r1 = {r["doc_a"]: r["doc_b"] for r in out if r["rank"] == 1}
+    assert r1[1] == 2 and r1[2] == 1
+    # df_cap=3 drops nothing here (max df is 3: 'spark'/'window');
+    # df_cap=2 drops those, killing the 1-3 pair's shared terms
+    capped = tfidf_doc_pairs(docs, k=3, df_cap=2).collect()
+    csims = {(r["doc_a"], r["doc_b"]): r["sim"] for r in capped}
+    assert (1, 3) not in csims and (1, 2) in csims
+    # partition invariance: integer fixed-point sums are order-free
+    again = {
+        (r["doc_a"], r["doc_b"]): r["sim"]
+        for r in tfidf_doc_pairs(docs.repartition(7), k=3).collect()
+    }
+    assert sims == again
+
+
+def test_source_quality_report_gate_and_filter(spark):
+    """A source of copy-paste duplicates fails the dup gate; a healthy
+    source passes; filter_sources keeps only gated-in documents."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.text_quality import (
+        filter_sources,
+        source_quality_report,
+    )
+
+    good_text = (
+        "a reasonably long document with plenty of alphabetic words and "
+        "varied vocabulary that scores well on the composite quality signal"
+    )
+    rows = (
+        [(i, good_text + f" variant {i}", "good.example") for i in range(4)]
+        + [(10 + i, "same spam text repeated verbatim", "spam.example") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    rep = {r["source"]: r for r in source_quality_report(docs).collect()}
+    assert rep["good.example"]["kept"] is True
+    assert rep["good.example"]["dup_frac"] == 0.0
+    # 4 identical docs -> 1 distinct hash -> dup_frac 0.75 > 0.5 -> dropped
+    assert abs(rep["spam.example"]["dup_frac"] - 0.75) < 1e-9
+    assert rep["spam.example"]["kept"] is False
+    kept = filter_sources(docs, source_quality_report(docs))
+    assert {r["source"] for r in kept.select("source").distinct().collect()} == {
+        "good.example"
+    }
+    assert kept.count() == 4
