@@ -1436,10 +1436,10 @@ def _build_registries():
         # relational operator probes
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
         "lineitem_pricing_summary": lineitem_pricing_summary,
-        "dedup_lineitem": dedup_lineitem,
+        "customer_snapshot_diff": customer_snapshot_diff,
         "fk_orphan_check": fk_orphan_check,
         "events_tumbling_window": events_tumbling_window,
-        "scalar_showcase": scalar_showcase,
+        "doc_pii_redaction": doc_pii_redaction,
         "events_validated": events_validated,
         # SQL front end (verbatim ANSI strings on both engines)
         "sql_revenue_by_nation": sql_revenue_by_nation,
@@ -1451,24 +1451,30 @@ def _build_registries():
         "customer_balance_quartiles": customer_balance_quartiles,
         "batch_token_stats": batch_token_stats,
         "asof_last_order": asof_last_order,
-        "events_sessionized": events_sessionized,
+        "events_session_window": events_session_window,
         "order_reconciliation": order_reconciliation,
         "lineitem_rollup": lineitem_rollup,
         "user_last_event": user_last_event,
         "custkey_set_ops": custkey_set_ops,
         # north-star: text analysis / dedup / similarity / multimodal
-        # (round-5 rotation: doc_repetition / doc_bm25_topk / doc_surprisal
-        # / doc_incremental_dedup — the round-4 additions, mirror-only so
-        # far — move INTO the driver window; demoted in exchange, each with
-        # its family still driver-covered: doc_minhash_lsh ⊂
-        # doc_lsh_verified, ann_ivf_topk ⊂ ann_ivf_trained_topk,
-        # doc_lang_id ~ doc_text_stats, dim_cliente ~ dim_producto)
-        "doc_text_stats": doc_text_stats,
+        # (round-5 rotation, two waves. Wave 1: doc_repetition /
+        # doc_bm25_topk / doc_surprisal / doc_incremental_dedup — the
+        # round-4 additions — in; doc_minhash_lsh ⊂ doc_lsh_verified,
+        # ann_ivf_topk ⊂ ann_ivf_trained_topk, doc_lang_id ~
+        # doc_text_stats, dim_cliente ~ dim_producto out. Wave 2: the
+        # remaining never-driver-hashed families in — doc_quality_gate
+        # (~doc_text_stats out), emb_near_dup_trained (⊃ emb_near_dup
+        # out), doc_pii_redaction (~scalar_showcase out),
+        # customer_snapshot_diff (CDC; dedup_lineitem out — keep-first
+        # dedup still exercised inside fact_ventas), events_session_window
+        # (native variant; gap-based events_sessionized out). Every
+        # demotion stays mirror-checked in extras.)
+        "doc_quality_gate": doc_quality_gate,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_simhash_near_dup": doc_simhash_near_dup,
         "ann_brute_topk": ann_brute_topk,
-        "emb_near_dup": emb_near_dup,
+        "emb_near_dup_trained": emb_near_dup_trained,
         "media_features": media_features,
         "doc_dedup_clusters": doc_dedup_clusters,
         "scd2_customer_segment": scd2_customer_segment,
@@ -1503,19 +1509,19 @@ def _build_registries():
         "events_sliding_window": events_sliding_window,
         "corpus_term_freq": corpus_term_freq,
         "doc_simhash": doc_simhash,
-        "emb_near_dup_trained": emb_near_dup_trained,
+        "emb_near_dup": emb_near_dup,
         "events_value_band_rangejoin_bucketed": events_value_band_rangejoin_bucketed,
-        "events_session_window": events_session_window,
+        "events_sessionized": events_sessionized,
         "doc_split_assignment": doc_split_assignment,
-        "customer_snapshot_diff": customer_snapshot_diff,
+        "dedup_lineitem": dedup_lineitem,
         "doc_lang_resample": doc_lang_resample,
         "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
         "dim_almacen": build_dim_almacen,
         "events_value_stats": events_value_stats,
         "salted_revenue_by_flag": salted_revenue_by_flag,
         "approx_distinct_parts": approx_distinct_parts,
-        "doc_pii_redaction": doc_pii_redaction,
-        "doc_quality_gate": doc_quality_gate,
+        "scalar_showcase": scalar_showcase,
+        "doc_text_stats": doc_text_stats,
         "doc_length_histogram": doc_length_histogram,
         "dim_usuario": build_dim_usuario,
         "dim_proveedor": build_dim_proveedor,
