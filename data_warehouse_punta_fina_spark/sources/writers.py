@@ -72,6 +72,44 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    cluster_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Layout-optimized parquet: hive-partitioned by low-cardinality
+    ``partition_cols`` (directory pruning — a partition-filtered scan
+    never opens non-matching files) and, within each partition,
+    range-clustered + sorted by ``cluster_cols`` so parquet row-group
+    min/max statistics let readers skip row groups for range/equality
+    predicates on the cluster key. This is the 100 TB data-layout play:
+    partition pruning cuts the file list, clustering cuts the pages read
+    within surviving files — both visible in the scan node
+    (PartitionFilters / PushedFilters, asserted by
+    tests/test_plans.py::test_write_clustered_partition_pruning).
+
+    ``repartitionByRange(partition ∪ cluster)`` gives one writer task per
+    (partition, cluster-range) slice, so output files are few and
+    fat with non-overlapping cluster ranges — NOT the one-file-per-task-
+    per-partition spray a naive ``partitionBy`` write produces; pass
+    ``n_files`` to set total write parallelism explicitly when partitions
+    are large (stays a pure plan transform — no driver action). (Beyond
+    the reference's surface: its `enable_partitioning` config flag is
+    declared but unimplemented, `etl_config.yaml:284-359`.)"""
+    cluster_cols = cluster_cols or []
+    range_cols = [*partition_cols, *cluster_cols]
+    if n_files:
+        out = df.repartitionByRange(n_files, *range_cols)
+    else:
+        out = df.repartitionByRange(*range_cols)
+    if cluster_cols:
+        out = out.sortWithinPartitions(*range_cols)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 EXCEL_MAX_ROWS = 1_048_576  # hard xlsx sheet limit
 
 
