@@ -704,6 +704,15 @@ def _build_registries():
         emb = load_table(spark, sf_dir, "embeddings")
         return embedding_near_dup_pairs(emb, threshold=0.35, bits=8)
 
+    def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Johnson-Lindenstrauss 64→16 reduction with a deterministic ±1
+        # (Achlioptas) matrix — exact int64 accumulation, md5-derived signs
+        # the oracle rebuilds bit-identically
+        from data_warehouse_punta_fina_spark.operators.similarity import random_projection
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return random_projection(emb, out_dims=16, in_dims=64)
+
     def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the reference's FASE-5 post-load validation (SURVEY §5.3) over the
         # built star: grain uniqueness, FK closure, double-entry, row counts
@@ -1516,6 +1525,7 @@ def _build_registries():
         "dedup_lineitem": dedup_lineitem,
         "doc_lang_resample": doc_lang_resample,
         "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
+        "emb_random_projection": emb_random_projection,
         "dim_almacen": build_dim_almacen,
         "events_value_stats": events_value_stats,
         "salted_revenue_by_flag": salted_revenue_by_flag,
@@ -3118,6 +3128,26 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Johnson-Lindenstrauss ±1 projection: rebuild the SAME matrix from
+    # md5("jl|pos|out_dim") (sign = +1 iff first hex nibble even), exact
+    # int64 accumulation, one round-6'd dequantizing division.
+    o["emb_random_projection"] = f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS pos, ({_QUANT_VEC})[i] AS qv
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+mat AS (
+  SELECT p.range AS pos, k.range AS out_dim,
+         CASE WHEN strpos('02468ace', substr(md5('jl|' || p.range || '|' || k.range), 1, 1)) > 0
+              THEN 1 ELSE -1 END AS sign
+  FROM range(0, 64) p CROSS JOIN range(0, 16) k
+)
+SELECT q.vec_id, CAST(m.out_dim AS INT) AS out_dim,
+       CAST({_r6("CAST(SUM(q.qv * m.sign) AS DOUBLE) / 1000.0")} AS DOUBLE) AS value
+FROM q JOIN mat m USING (pos)
+GROUP BY q.vec_id, m.out_dim
 """
 
     # tf-idf cosine all-pairs similarity: INTEGER fixed-point mirror of

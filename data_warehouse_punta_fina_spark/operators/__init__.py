@@ -45,6 +45,8 @@ from data_warehouse_punta_fina_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     embedding_near_dup_pairs,
     ivf_topk,
+    projection_matrix,
+    random_projection,
     sign_bucket,
 )
 from data_warehouse_punta_fina_spark.operators.windows import (  # noqa: F401

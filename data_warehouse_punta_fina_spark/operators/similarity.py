@@ -298,3 +298,73 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def projection_matrix(
+    spark, in_dims: int, out_dims: int, seed: str = "jl"
+) -> DataFrame:
+    """Deterministic ±1 random-projection matrix as a tiny DataFrame
+    (pos, out_dim, sign) — in_dims·out_dims rows, broadcastable at any
+    scale. Signs derive from md5 of "{seed}|{pos}|{out_dim}": the SAME
+    digest any engine computes, so an external oracle can rebuild the
+    identical matrix (sign = +1 iff the first hex nibble is even).
+    Achlioptas (2003) shows ±1 entries satisfy the Johnson-Lindenstrauss
+    lemma like Gaussians do — and they keep the arithmetic exact int64."""
+    import hashlib
+
+    rows = [
+        (
+            p,
+            k,
+            1 if int(hashlib.md5(f"{seed}|{p}|{k}".encode()).hexdigest()[0], 16) % 2 == 0 else -1,
+        )
+        for p in range(in_dims)
+        for k in range(out_dims)
+    ]
+    return spark.createDataFrame(rows, "pos int, out_dim int, sign int")
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dims: int = 16,
+    in_dims: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dims`` deterministic ±1 directions. The 100 TB
+    play for ANN/near-dup over wide embeddings: a 64→16 reduction cuts
+    every downstream dot product 4× while JL preserves pairwise
+    distances within ~ε for out_dims = O(ln n / ε²); run the cheap
+    search in the reduced space, re-rank survivors in the original.
+
+    Scale shape: posexplode the quantized vector (rows × in_dims), join
+    the broadcast matrix (in_dims·out_dims rows), ONE combiner-reduced
+    sum keyed by (id, out_dim) — exact int64 arithmetic end-to-end
+    (qv ≤ 10⁴, 64 terms ⇒ |sum| ≤ 6.4e5·signs, far from overflow), so
+    the result is bit-identical under any partitioning and any engine.
+    Output: (vec_id, out_dim, value) rows with value = sum(qv·sign)/1000
+    round-6'd — row form keeps the oracle a plain GROUP BY; pivot to an
+    array column downstream with collect_list over a sorted struct if an
+    array is needed.
+    """
+    from data_warehouse_punta_fina_spark.functions.money import pround
+    from data_warehouse_punta_fina_spark.functions.vectors import QUANT, quantize
+
+    mat = projection_matrix(emb.sparkSession, in_dims, out_dims, seed)
+    exploded = emb.select(
+        F.col(id_col), F.posexplode(quantize(vec_col)).alias("pos", "qv")
+    )
+    return (
+        exploded.join(F.broadcast(mat), "pos")
+        .groupBy(id_col, "out_dim")
+        .agg(F.sum(F.col("qv") * F.col("sign")).alias("_acc"))
+        .select(
+            F.col(id_col),
+            F.col("out_dim").cast("int").alias("out_dim"),
+            pround(F.col("_acc").cast("double") / F.lit(float(QUANT)), 6, 15)
+            .cast("double")
+            .alias("value"),
+        )
+    )

@@ -213,3 +213,45 @@ def test_write_excel_guards(spark, tmp_path):
     too_big = spark.range(writers.EXCEL_MAX_ROWS + 1)
     with _pytest.raises(ValueError, match="cap"):
         writers.write_excel(too_big, str(tmp_path / "big.xlsx"))
+
+
+def test_random_projection_preserves_distances_and_is_deterministic(spark):
+    """JL with ±1 (Achlioptas) directions: projected pairwise distance
+    ratios concentrate around sqrt(out/in) of the originals; signs derive
+    from md5 so two runs (any partitioning) are bit-identical."""
+    import math
+    import random
+
+    from data_warehouse_punta_fina_spark.operators.similarity import random_projection
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = random_projection(emb, out_dims=16, in_dims=64)
+    got = {(r["vec_id"], r["out_dim"]): r["value"] for r in out.collect()}
+    assert len(got) == 30 * 16
+    # determinism under adversarial partitioning
+    again = {
+        (r["vec_id"], r["out_dim"]): r["value"]
+        for r in random_projection(emb.repartition(11), out_dims=16, in_dims=64).collect()
+    }
+    assert got == again
+
+    vecs = {i: v for i, v in rows}
+    proj = {i: [got[(i, k)] for k in range(16)] for i in range(30)}
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    # E[||Px - Py||²] = out_dims · ||x - y||² for ±1 entries; with 16 dims
+    # individual ratios fluctuate, so check the MEDIAN ratio within ±40%
+    ratios = []
+    for a in range(0, 30, 3):
+        for b in range(a + 1, 30, 7):
+            d0 = dist(vecs[a], vecs[b])
+            d1 = dist(proj[a], proj[b])
+            if d0 > 0:
+                ratios.append(d1 / (d0 * math.sqrt(16)))
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.6 < med < 1.4, med
