@@ -53,6 +53,10 @@ HEADLINE = [
     # round-5 additions: the trained-IVF recall/cost trade (nprobe=1 vs 3)
     "ann_ivf_trained_topk",
     "ann_ivf_trained_probe3",
+    # round-5 session-2 additions (sf-proportional; doc_tfidf_pairs stays
+    # out — its demo query fixes the corpus at doc_id<200, sf-invariant)
+    "source_quality_report",
+    "emb_random_projection",
 ]
 
 

@@ -1205,3 +1205,46 @@ def test_source_quality_report_gate_and_filter(spark):
         "good.example"
     }
     assert kept.count() == 4
+
+
+def test_tfidf_doc_pairs_matches_pure_python_cosine(spark):
+    """Independent ground truth (not the shared-formula oracle): plain
+    float tf-idf cosine computed in Python must agree with the quantized
+    Spark result to ~1e-3 — catches formula bugs that a mirrored oracle
+    would reproduce on both sides."""
+    import math
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import tfidf_doc_pairs
+
+    rows = [
+        (1, "spark window agg join filter scan"),
+        (2, "spark window agg merge sort shuffle"),
+        (3, "filter scan spark spark spark window"),
+        (4, "sort shuffle merge partition broadcast"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["sim"]
+        for r in tfidf_doc_pairs(docs, k=3).collect()
+    }
+
+    corpus = {i: t.split() for i, t in rows}
+    n = len(corpus)
+    df = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    vecs = {}
+    for i, toks in corpus.items():
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        w = {
+            t: (1 + math.log(c)) * (math.log((n + 1) / (df[t] + 1)) + 1)
+            for t, c in tf.items()
+        }
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        vecs[i] = {t: x / nrm for t, x in w.items()}
+    for (a, b), sim in got.items():
+        expect = sum(vecs[a][t] * vecs[b].get(t, 0.0) for t in vecs[a])
+        assert abs(sim - expect) < 1e-3, (a, b, sim, expect)
