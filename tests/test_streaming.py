@@ -407,3 +407,118 @@ def test_stream_foreach_batch_idempotent_jdbc_sink(spark, sf_dir, tmp_path):
     final = read_jdbc(spark, derby_url, table="t_sink", driver=driver)
     assert final.count() == events.count()
     assert final.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_continuous_dedup_ingest_stream(spark, tmp_path):
+    """Streaming ingestion dedup: micro-batches screen against the
+    persisted band index and extend it; the stream's verdicts equal a
+    batch-mode replay of the same batch grouping, and replaying a batch
+    (failure-retry) is idempotent thanks to partitioned overwrite."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_punta_fina_spark.streaming.dedup_stream import (
+        BATCH_COL,
+        dedup_ingest_batch,
+        run_dedup_ingest_stream,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen"
+    )
+    uniq = "u{} v{} w{} x{} y{} z{} p{} q{} r{} s{} t{} a{} b{} c{} d{}"
+
+    def udoc(i):
+        return uniq.format(*([i] * 15))
+
+    batches = [
+        # batch file 0: two distinct families + uniques
+        [(1, base), (2, other), (3, udoc(3)), (4, udoc(4))],
+        # batch file 1: 11 near-copies base (one token changed) -> dup;
+        # 12 is byte-identical to other -> dup; 13 unique
+        [(11, base.replace("kappa", "KAPPAX")), (12, other), (13, udoc(13))],
+        # batch file 2: 21 near-copies 13 (admitted earlier) -> dup;
+        # 22 copies 11's text -> dup (vs CORPUS doc 1, since 11 was
+        # never admitted); 23 unique
+        [(21, udoc(13).replace(f"d{13}", "dXX")), (22, base.replace("kappa", "KAPPAX")), (23, udoc(23))],
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{in_dir}/batch{i}", mode="overwrite"
+        )
+        # distinct mtimes give a deterministic file-source order
+        import time as _t
+
+        _t.sleep(1.1)
+        for f in os.listdir(f"{in_dir}/batch{i}"):
+            if f.endswith(".parquet") and not f.startswith("."):
+                shutil.move(f"{in_dir}/batch{i}/{f}", f"{in_dir}/b{i}_{f}")
+        shutil.rmtree(f"{in_dir}/batch{i}")
+
+    paths = {
+        "admitted_path": str(tmp_path / "admitted"),
+        "index_path": str(tmp_path / "index"),
+        "verdicts_path": str(tmp_path / "verdicts"),
+    }
+    q = run_dedup_ingest_stream(
+        spark,
+        in_dir,
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        **paths,
+    )
+    q.awaitTermination(120)
+
+    verdicts = spark.read.parquet(paths["verdicts_path"])
+    got = {r["doc_id"]: (r["is_dup"], r["match_id"]) for r in verdicts.collect()}
+    # every input doc classified exactly once
+    assert verdicts.count() == 10 and len(got) == 10
+    assert got[11][0] is True and got[11][1] == 1
+    assert got[12][0] is True and got[12][1] == 2
+    assert got[21][0] is True and got[21][1] == 13
+    assert got[22][0] is True and got[22][1] == 1  # 11 was never admitted
+    for i in (1, 2, 3, 4, 13, 23):
+        assert got[i][0] is False, i
+    admitted_ids = {
+        r["doc_id"] for r in spark.read.parquet(paths["admitted_path"]).collect()
+    }
+    assert admitted_ids == {1, 2, 3, 4, 13, 23}
+
+    # batch-mode replay of the stream's OWN batch grouping -> same verdicts
+    grouping = {
+        r["doc_id"]: r[BATCH_COL] for r in verdicts.select("doc_id", BATCH_COL).collect()
+    }
+    replay_paths = {
+        "admitted_path": str(tmp_path / "r_admitted"),
+        "index_path": str(tmp_path / "r_index"),
+        "verdicts_path": str(tmp_path / "r_verdicts"),
+    }
+    all_rows = {i: (i, t) for rows in batches for i, t in rows}
+    for b in sorted(set(grouping.values())):
+        rows = [all_rows[i] for i, g in grouping.items() if g == b]
+        dedup_ingest_batch(spark.createDataFrame(rows, schema), b, **replay_paths)
+    replayed = {
+        r["doc_id"]: (r["is_dup"], r["match_id"])
+        for r in spark.read.parquet(replay_paths["verdicts_path"]).collect()
+    }
+    assert replayed == got
+
+    # idempotent retry: re-running the last batch overwrites its own
+    # partition, leaving totals unchanged
+    last = max(set(grouping.values()))
+    rows = [all_rows[i] for i, g in grouping.items() if g == last]
+    dedup_ingest_batch(spark.createDataFrame(rows, schema), last, **replay_paths)
+    assert spark.read.parquet(replay_paths["verdicts_path"]).count() == 10
+    assert {
+        r["doc_id"] for r in spark.read.parquet(replay_paths["admitted_path"]).collect()
+    } == admitted_ids
