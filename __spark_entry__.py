@@ -464,6 +464,29 @@ def _build_registries():
             F.max("k").alias("max_k"),
         )
 
+    def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Spark 4 VariantType: parse once to the binary variant encoding,
+        # typed path extraction + runtime schema discovery — the modern
+        # replacement for per-access get_json_object string re-parsing
+        # (events_json_stats keeps the classic path for comparison)
+        events = load_table(spark, sf_dir, "events")
+        v = F.parse_json("props")
+        k = F.try_variant_get(v, "$.k", "int")
+        return (
+            events.select(
+                F.col("event_type"),
+                k.alias("k"),
+                F.schema_of_variant(v).alias("vschema"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("k").alias("sum_k"),
+                F.count_distinct(F.col("k")).alias("distinct_k"),
+                F.min("vschema").alias("vschema"),
+            )
+        )
+
     def scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = load_table(spark, sf_dir, "part")
         return part.select(
@@ -653,6 +676,16 @@ def _build_registries():
         from data_warehouse_punta_fina_spark.operators.dedup import simhash_near_dup_pairs
 
         return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
+
+    def doc_edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # strictest verify tier: SimHash-blocked candidates confirmed by
+        # true Levenshtein distance (identical DP in both engines) — only
+        # candidate texts are read, never all-pairs
+        from data_warehouse_punta_fina_spark.operators.dedup import edit_distance_near_dup
+
+        return edit_distance_near_dup(
+            load_table(spark, sf_dir, "documents"), max_hamming=3, max_ratio=0.6
+        )
 
     def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -1526,6 +1559,8 @@ def _build_registries():
         "doc_lang_resample": doc_lang_resample,
         "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
         "emb_random_projection": emb_random_projection,
+        "doc_edit_distance_dups": doc_edit_distance_dups,
+        "events_variant_stats": events_variant_stats,
         "dim_almacen": build_dim_almacen,
         "events_value_stats": events_value_stats,
         "salted_revenue_by_flag": salted_revenue_by_flag,
@@ -3128,6 +3163,46 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Variant-typed extraction: the oracle extracts the same path with
+    # DuckDB JSON operators; the runtime-discovered variant schema is a
+    # fixed expected literal (props is uniformly {"k": int}).
+    o["events_variant_stats"] = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(props->>'$.k' AS INT)) AS sum_k,
+       COUNT(DISTINCT CAST(props->>'$.k' AS INT)) AS distinct_k,
+       'OBJECT<k: BIGINT>' AS vschema
+FROM events GROUP BY event_type
+"""
+
+    # SimHash-blocked candidates verified by true edit distance — both
+    # engines run the identical Levenshtein DP, so dist is exact; only
+    # the ratio is rounded (portable round-6).
+    o["doc_edit_distance_dups"] = f"""
+WITH fp AS ({_SIMHASH_SQL}),
+banded AS (
+  SELECT doc_id, simhash, k AS band, (simhash >> (8 * CAST(k AS INT))) & 255 AS band_val
+  FROM fp CROSS JOIN range(4) t(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+  FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+),
+verified AS (
+  SELECT h.id_a, h.id_b, h.hamming,
+         CAST(levenshtein(da.text, db.text) AS INT) AS dist,
+         CAST({_r6("CAST(levenshtein(da.text, db.text) AS DOUBLE) / greatest(length(da.text), length(db.text), 1)")} AS DOUBLE) AS ratio
+  FROM ham h
+  JOIN documents da ON da.doc_id = h.id_a
+  JOIN documents db ON db.doc_id = h.id_b
+)
+SELECT id_a, id_b, hamming, dist, ratio FROM verified WHERE ratio <= 0.6
 """
 
     # Johnson-Lindenstrauss ±1 projection: rebuild the SAME matrix from

@@ -13,6 +13,7 @@ from data_warehouse_punta_fina_spark.operators.dedup import (  # noqa: F401
     minhash_band_keys,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    edit_distance_near_dup,
     simhash64,
 )
 from data_warehouse_punta_fina_spark.operators.materialize import materialize  # noqa: F401

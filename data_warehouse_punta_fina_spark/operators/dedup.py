@@ -577,6 +577,51 @@ def simhash_near_dup_pairs(
     )
 
 
+def edit_distance_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_ratio: float = 0.2,
+) -> DataFrame:
+    """Character-level near-duplicates: SimHash-blocked candidates
+    verified by TRUE edit distance (``levenshtein``), keeping pairs whose
+    distance is ≤ ``max_ratio`` of the longer text. The strictest verify
+    tier — shingle Jaccard tolerates reordering, edit distance does not —
+    for the "template with one field changed" duplicates that matter in
+    crawl data.
+
+    Scale shape: Levenshtein is O(len_a·len_b) PER PAIR, so it must never
+    run all-pairs; the SimHash byte-band block bounds it to candidate
+    pairs (fingerprints are the only corpus-wide shuffle), and only the
+    candidate ids' texts are re-read (semi-join pushdown, same posture as
+    the LSH verify stage). Both engines implement the same classic DP, so
+    distances are exact integers — no rounding concerns until the final
+    ratio (portable round-6). Output: (id_a, id_b, hamming, dist, ratio).
+    """
+    cand = simhash_near_dup_pairs(df, text_col, id_col, bits, max_hamming)
+    ids = cand.select(F.col("id_a").alias(id_col)).union(
+        cand.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    texts = df.join(ids, id_col, "left_semi").select(
+        F.col(id_col), F.col(text_col).alias("_t")
+    )
+    ratio = F.col("dist") / F.greatest(
+        F.length("_ta"), F.length("_tb"), F.lit(1)
+    )
+    from data_warehouse_punta_fina_spark.functions.money import pround
+
+    return (
+        cand.join(texts.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta")), "id_a")
+        .join(texts.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb")), "id_b")
+        .withColumn("dist", F.levenshtein("_ta", "_tb").cast("int"))
+        .withColumn("ratio", pround(ratio, 6, 12).cast("double"))
+        .filter(F.col("ratio") <= max_ratio)
+        .select("id_a", "id_b", "hamming", "dist", "ratio")
+    )
+
+
 def dedup_clusters(
     ids: DataFrame,
     pairs: DataFrame,

@@ -1248,3 +1248,26 @@ def test_tfidf_doc_pairs_matches_pure_python_cosine(spark):
     for (a, b), sim in got.items():
         expect = sum(vecs[a][t] * vecs[b].get(t, 0.0) for t in vecs[a])
         assert abs(sim - expect) < 1e-3, (a, b, sim, expect)
+
+
+def test_edit_distance_near_dup_verifies_candidates(spark):
+    """A one-token edit passes the ratio gate; an unrelated doc never
+    reaches the Levenshtein stage (no shared SimHash band)."""
+    from data_warehouse_punta_fina_spark.operators.dedup import edit_distance_near_dup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("kappa", "kapppa")),
+        (3, "utterly different content about completely other things entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = edit_distance_near_dup(docs, max_hamming=3, max_ratio=0.2).collect()
+    pairs = {(r["id_a"], r["id_b"]): (r["dist"], r["ratio"]) for r in out}
+    assert (1, 2) in pairs
+    dist, ratio = pairs[(1, 2)]
+    assert dist == 1 and ratio < 0.02
+    assert not any(3 in p for p in pairs)
