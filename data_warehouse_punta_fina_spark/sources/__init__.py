@@ -18,4 +18,5 @@ from data_warehouse_punta_fina_spark.sources.writers import (  # noqa: F401
     write_jdbc,
     write_jsonl,
     write_parquet,
+    write_zordered,
 )

@@ -9,6 +9,7 @@ parquet (optionally partitioned) is the canonical sink.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -108,6 +109,84 @@ def write_clustered(
     if cluster_cols:
         out = out.sortWithinPartitions(*range_cols)
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (z-order) interleaving of N numeric columns into one int64
+    sort key. Each column is rank-normalized OUTSIDE this function
+    (callers pass already-quantized non-negative ints < 2^bits); here the
+    bits are interleaved so that sorting by the key clusters rows that
+    are close in EVERY dimension — the multi-dimensional generalization
+    of 1-D range clustering (Delta/Iceberg OPTIMIZE ZORDER does exactly
+    this). N·bits must fit in 63 bits."""
+    from pyspark.sql import Column
+
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds the int64 key")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            c = F.col(c) if isinstance(c, str) else c
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, b * n + i)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: min-max-normalize each cluster column
+    to [0, 2^bits) against a broadcast 1-row (min, max) aggregate,
+    interleave into a morton key, then range-partition + sort on it.
+    Result: every output file covers a BOUNDED box in every cluster
+    dimension, so parquet min/max row-group stats prune scans filtered on
+    ANY of the columns — where 1-D clustering (``write_clustered``)
+    prunes only its leading key.
+
+    Min-max normalization is deliberate: it is one in-plan broadcast
+    aggregate — no global window, no driver action — where a rank/
+    quantile normalization would either sort the whole table in one
+    partition or collect quantiles on the driver. Heavily skewed columns
+    get uneven box occupancy (fine: boxes stay bounded, pruning still
+    works); swap in a sampled quantile lookup table only if skew measured
+    bad. The morton interleave itself is pure per-row bit math."""
+    scale = (1 << bits) - 1
+    bounds = df.agg(
+        *[
+            f
+            for c in cluster_cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    norm = df.crossJoin(F.broadcast(bounds))
+    qcols = []
+    for c in cluster_cols:
+        qc = f"_q_{c}"
+        span = F.greatest(F.col(f"_hi_{c}") - F.col(f"_lo_{c}"), F.lit(1e-12))
+        frac = (F.col(c).cast("double") - F.col(f"_lo_{c}")) / span
+        norm = norm.withColumn(
+            qc, F.least(F.floor(frac * F.lit(float(scale + 1))), F.lit(scale)).cast("long")
+        )
+        qcols.append(qc)
+    keyed = norm.withColumn("_zkey", zorder_key(qcols, bits)).drop(
+        *[f"_lo_{c}" for c in cluster_cols], *[f"_hi_{c}" for c in cluster_cols]
+    )
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *qcols)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 EXCEL_MAX_ROWS = 1_048_576  # hard xlsx sheet limit

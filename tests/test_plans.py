@@ -462,3 +462,69 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_write_zordered_bounds_every_dimension(spark, tmp_path):
+    """Z-ordered files must cover bounded boxes in BOTH cluster
+    dimensions; 1-D range clustering on the first column leaves the
+    second column's per-file range at ~full width. Quantified via
+    parquet footer min/max over the written files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.sources.writers import (
+        write_clustered,
+        write_zordered,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def file_spans(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    zpath = str(tmp_path / "z")
+    write_zordered(ev, zpath, ["user_id", "value"], bits=8, n_files=16)
+    lpath = str(tmp_path / "linear")
+    # 1-D comparison: same file count, clustered by user_id only
+    write_clustered(ev, lpath, partition_cols=[], cluster_cols=["user_id"], n_files=16)
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+
+    lo_u, hi_u = [
+        r[0] for r in ev.agg(F.min("user_id")).collect()
+    ][0], ev.agg(F.max("user_id")).collect()[0][0]
+    lo_v, hi_v = ev.agg(F.min("value")).collect()[0][0], ev.agg(F.max("value")).collect()[0][0]
+    span_u, span_v = (hi_u - lo_u) or 1, (hi_v - lo_v) or 1
+
+    z_u = [s / span_u for s in file_spans(zpath, "user_id")]
+    z_v = [s / span_v for s in file_spans(zpath, "value")]
+    l_v = [s / span_v for s in file_spans(lpath, "value")]
+
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    # z-order: BOTH dimensions bounded well below full width on average
+    # (measured ~0.26 / ~0.22 at 16 files, bits=8)
+    assert mean(z_u) < 0.5, z_u
+    assert mean(z_v) < 0.5, z_v
+    # z-order beats 1-D clustering on the NON-leading dimension by a wide
+    # margin (measured 0.22 vs 0.70 — 1-D leaves it ~unpruned, modulo the
+    # testdata's mild user/value correlation)
+    assert mean(z_v) < 0.5 * mean(l_v), (mean(z_v), mean(l_v))
+    # ...the trade: 1-D owns its leading dimension
+    l_u = [s / span_u for s in file_spans(lpath, "user_id")]
+    assert mean(l_u) < mean(z_u)
