@@ -1479,8 +1479,8 @@ def _build_registries():
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "customer_snapshot_diff": customer_snapshot_diff,
-        "fk_orphan_check": fk_orphan_check,
-        "events_tumbling_window": events_tumbling_window,
+        "events_variant_stats": events_variant_stats,
+        "emb_random_projection": emb_random_projection,
         "doc_pii_redaction": doc_pii_redaction,
         "events_validated": events_validated,
         # SQL front end (verbatim ANSI strings on both engines)
@@ -1510,9 +1510,15 @@ def _build_registries():
         # customer_snapshot_diff (CDC; dedup_lineitem out — keep-first
         # dedup still exercised inside fact_ventas), events_session_window
         # (native variant; gap-based events_sessionized out). Every
-        # demotion stays mirror-checked in extras.)
+        # demotion stays mirror-checked in extras. Wave 3: the session-2
+        # additions go straight in — events_variant_stats (fk_orphan_check
+        # out: orphan checks also run inside dq_report), emb_random_projection
+        # (events_tumbling_window out: windowed-agg family carried by
+        # events_session_window, streaming parity by pytest),
+        # doc_edit_distance_dups (doc_exact_dedup out: hash-dedup family
+        # carried by clusters/lsh_verified/incremental/source gate).)
         "doc_quality_gate": doc_quality_gate,
-        "doc_exact_dedup": doc_exact_dedup,
+        "doc_edit_distance_dups": doc_edit_distance_dups,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_simhash_near_dup": doc_simhash_near_dup,
         "ann_brute_topk": ann_brute_topk,
@@ -1558,9 +1564,9 @@ def _build_registries():
         "dedup_lineitem": dedup_lineitem,
         "doc_lang_resample": doc_lang_resample,
         "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
-        "emb_random_projection": emb_random_projection,
-        "doc_edit_distance_dups": doc_edit_distance_dups,
-        "events_variant_stats": events_variant_stats,
+        "events_tumbling_window": events_tumbling_window,
+        "doc_exact_dedup": doc_exact_dedup,
+        "fk_orphan_check": fk_orphan_check,
         "dim_almacen": build_dim_almacen,
         "events_value_stats": events_value_stats,
         "salted_revenue_by_flag": salted_revenue_by_flag,

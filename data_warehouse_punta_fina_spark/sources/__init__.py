@@ -12,6 +12,7 @@ from data_warehouse_punta_fina_spark.sources.generators import (  # noqa: F401
     monthly_periods,
 )
 from data_warehouse_punta_fina_spark.sources.writers import (  # noqa: F401
+    compact_parquet,
     write_bucketed,
     write_clustered,
     write_csv,

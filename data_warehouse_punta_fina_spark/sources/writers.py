@@ -189,6 +189,46 @@ def write_zordered(
     )
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files — the OPTIMIZE half of lakehouse
+    table maintenance. Streaming sinks, per-batch ingestion
+    (``dedup_stream``), and fine-grained partition overwrites all
+    accumulate small files, and at 100 TB the scan-planning and
+    open-per-file costs dominate long before the data does.
+
+    Sizing uses the Hadoop FileSystem content summary (works on any FS
+    Spark can read, not just local). With ``cluster_cols`` the rewrite
+    also range-clusters+sorts (compact AND cluster in one pass, like
+    OPTIMIZE ... ZORDER's 1-D cousin); otherwise a round-robin
+    repartition balances file sizes exactly. Writes to ``dest_path`` —
+    rewriting in place would race the scan reading ``src_path``; swap
+    directories (or table pointers) atomically outside this function.
+    Returns the target file count."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if cluster_cols:
+        out = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dest_path)
+    return n_files
+
+
 EXCEL_MAX_ROWS = 1_048_576  # hard xlsx sheet limit
 
 

@@ -528,3 +528,35 @@ def test_write_zordered_bounds_every_dimension(spark, tmp_path):
     # ...the trade: 1-D owns its leading dimension
     l_u = [s / span_u for s in file_spans(lpath, "user_id")]
     assert mean(l_u) < mean(z_u)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """A 40-file spray compacts to the size-derived target count with
+    identical content; cluster_cols additionally sorts the rewrite."""
+    import glob
+
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.sources.writers import compact_parquet
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    src = str(tmp_path / "spray")
+    ev.repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+
+    dest = str(tmp_path / "compacted")
+    # target far above total size -> single file
+    n = compact_parquet(spark, src, dest, target_file_bytes=1 << 30)
+    assert n == 1
+    files = glob.glob(f"{dest}/*.parquet")
+    assert len(files) == 1
+    back = spark.read.parquet(dest)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+    # clustered compaction: rows sorted by the cluster key within the file
+    dest2 = str(tmp_path / "compacted2")
+    compact_parquet(spark, src, dest2, target_file_bytes=1 << 30, cluster_cols=["event_id"])
+    ids = [r["event_id"] for r in spark.read.parquet(dest2).collect()]
+    assert ids == sorted(ids)

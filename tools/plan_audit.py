@@ -24,6 +24,10 @@ AUDITED = [
     # candidate-bounded incremental verify)
     "doc_bm25_topk",
     "doc_incremental_dedup",
+    # round-5 session-2 additions
+    "doc_tfidf_pairs",
+    "source_quality_report",
+    "emb_random_projection",
 ]
 
 
