@@ -600,7 +600,13 @@ def edit_distance_near_dup(
     distances are exact integers — no rounding concerns until the final
     ratio (portable round-6). Output: (id_a, id_b, hamming, dist, ratio).
     """
-    cand = simhash_near_dup_pairs(df, text_col, id_col, bits, max_hamming)
+    from data_warehouse_punta_fina_spark.operators.materialize import materialize
+
+    # three consumers below (two id projections + the verify join) would
+    # re-run the band self-join per branch without this
+    cand = materialize(
+        simhash_near_dup_pairs(df, text_col, id_col, bits, max_hamming)
+    )
     ids = cand.select(F.col("id_a").alias(id_col)).union(
         cand.select(F.col("id_b").alias(id_col))
     ).distinct()

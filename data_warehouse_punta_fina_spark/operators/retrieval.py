@@ -146,6 +146,7 @@ def tfidf_doc_pairs(
     df_cap: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unit_path: str | None = None,
 ) -> DataFrame:
     """Top-``k`` most cosine-similar documents per document under tf-idf
     weighting — the classic all-pairs similarity search (Bayardo et al.,
@@ -224,7 +225,13 @@ def tfidf_doc_pairs(
     )
     # unit weight in billionths: wi/sqrt(norm2i) == w/‖w‖ (the 1e4 scale
     # cancels); u ≤ 1 ⇒ ui ≤ 1e9
-    unit = (
+    from data_warehouse_punta_fina_spark.operators.materialize import materialize
+
+    # materialize the unit-weight table ONCE before the self-join: both
+    # branches (and norms) otherwise re-derive the full tokenize→weight
+    # subtree, multiplying the corpus scan per branch (plan-audited:
+    # ~38 text scans without this, 1 with). unit_path flips it durable.
+    unit = materialize(
         weighted.join(norms, id_col)
         .withColumn(
             "_ui",
@@ -235,7 +242,8 @@ def tfidf_doc_pairs(
                 + F.lit(0.5)
             ),
         )
-        .select(F.col(id_col).alias("_id"), "term", "_ui")
+        .select(F.col(id_col).alias("_id"), "term", "_ui"),
+        unit_path,
     )
     a = unit.select(
         F.col("_id").alias("doc_a"), F.col("term"), F.col("_ui").alias("_ua")
