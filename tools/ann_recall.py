@@ -38,7 +38,48 @@ def main() -> None:
         return {(r["query_id"], r["neighbor_id"]) for r in df.select("query_id", "neighbor_id").collect()}
 
     truth = pair_set(brute_force_topk(emb, queries, k=k))
+
+    # JL tier: brute force in the 16-dim random projection — full scan but
+    # 1/4 the dot-product cost; recall measures the JL distortion directly
+    from data_warehouse_punta_fina_spark.operators.similarity import random_projection
+
+    proj_rows = random_projection(emb, out_dims=16, in_dims=64)
+    proj = proj_rows.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("out_dim", "value"))),
+            lambda s: s["value"],
+        ).alias("embedding")
+    )
+    proj_q = proj.filter(F.col("vec_id") < 32)
+
+    # the production JL pattern: generate top-50 candidates in the cheap
+    # reduced space, re-rank ONLY those with exact 64-dim cosine
+    from pyspark.sql import Window
+
+    from data_warehouse_punta_fina_spark.functions.vectors import cosine_q, quantize
+
+    cand = brute_force_topk(proj, proj_q, k=50).select("query_id", "neighbor_id")
+    qv = emb.select(F.col("vec_id").alias("query_id"), quantize("embedding").alias("_qv"))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), quantize("embedding").alias("_nv"))
+    rer = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", cosine_q(F.col("_qv"), F.col("_nv")))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
     tiers = {
+        "jl16_brute": brute_force_topk(proj, proj_q, k=k),
+        "jl16_rerank50": rer,
         "ivf_sign4": ivf_topk(emb, queries, k=k, bits=4),
         "ivf_sign6": ivf_topk(emb, queries, k=k, bits=6),
         "ivf_sign6_multiprobe": ivf_topk(emb, queries, k=k, bits=6, multiprobe=True),
@@ -47,6 +88,8 @@ def main() -> None:
         "ivf_trained16_p3": ivf_trained_topk(emb, queries, k=k, n_centroids=16, iters=2, probes=3),
     }
     scan_fraction = {
+        "jl16_brute": 1.0,  # full scan, but every dot product costs 1/4
+        "jl16_rerank50": 1.0,  # 1/4-cost scan + exact re-rank of 50/query
         "ivf_sign4": 1 / 16,
         "ivf_sign6": 1 / 64,
         "ivf_sign6_multiprobe": 7 / 64,
