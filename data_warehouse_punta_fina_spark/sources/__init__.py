@@ -4,6 +4,7 @@ from data_warehouse_punta_fina_spark.sources.readers import (  # noqa: F401
     read_csv,
     read_jdbc,
     read_jsonl,
+    read_jsonl_tolerant,
     read_parquet,
 )
 from data_warehouse_punta_fina_spark.sources.generators import (  # noqa: F401

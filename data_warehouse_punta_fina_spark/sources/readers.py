@@ -64,6 +64,39 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_jsonl_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantining JSONL ingestion: (good, bad). A 100 TB crawl WILL
+    contain malformed lines; PERMISSIVE mode only captures them when the
+    schema declares the corrupt-record column, so this appends it, splits
+    on it, and returns clean rows (column dropped) plus a quarantine
+    frame of the raw offending lines — the reference's row-level
+    validation quarantine (`core/data_validator.py`) at the INGESTION
+    boundary instead of post-load. Spark requires caching or a
+    materialization barrier before filtering on the corrupt column
+    (SPARK-21610: the scan otherwise prunes the data columns the parse
+    needs); the split here goes through one cached pass."""
+    full = T.StructType(
+        [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

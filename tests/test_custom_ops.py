@@ -255,3 +255,28 @@ def test_random_projection_preserves_distances_and_is_deterministic(spark):
     ratios.sort()
     med = ratios[len(ratios) // 2]
     assert 0.6 < med < 1.4, med
+
+
+def test_read_jsonl_tolerant_quarantines_bad_lines(spark, tmp_path):
+    """The quarantine split: good rows come back clean (no corrupt
+    column), bad raw lines land in the quarantine frame verbatim."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_punta_fina_spark.sources.readers import read_jsonl_tolerant
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "a.jsonl").write_text(
+        '{"id": 1, "s": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "s": "also ok"}\n'
+        '{"id": broken\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("s", T.StringType())]
+    )
+    good, bad = read_jsonl_tolerant(spark, str(raw), schema)
+    assert good.columns == ["id", "s"]
+    assert {(r["id"], r["s"]) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+    lines = {r["raw_line"] for r in bad.collect()}
+    assert lines == {"this is not json", '{"id": broken'}
