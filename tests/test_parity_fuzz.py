@@ -77,3 +77,55 @@ def test_decimal_to_double_boundary_bit_identical(spark, values):
         duck_bits[i] = struct.pack("<d", x)
     py_bits = {i: struct.pack("<d", float(v)) for i, v in rows}
     assert spark_bits == duck_bits == py_bits
+
+
+_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " .,;:!?-_/\\'\"()[]{}@#$%&*+=<>|~`\t\néÉñÑ"
+)
+
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '')"
+_DUCK_PUNCT = (
+    "CAST(length(regexp_replace(t, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length(t), 1)"
+)
+_DUCK_ALPHA = (
+    "CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / greatest(length(t), 1)"
+)
+_DUCK_QUALITY = (
+    f"(least(CAST(len({_DUCK_TOKENS}) AS DOUBLE) / 64.0, 1.0) "
+    f"+ (1.0 - least(({_DUCK_PUNCT}) * 5.0, 1.0)) "
+    f"+ ({_DUCK_ALPHA})) / 3.0"
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet=_ALPHABET, min_size=0, max_size=300),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_tokenizer_and_quality_parity_fuzz(spark, texts):
+    """Every text oracle rests on tokens() and quality_score() matching
+    the DuckDB expressions character-for-character; fuzz arbitrary
+    punctuation/whitespace/accent soup through both engines."""
+    from data_warehouse_punta_fina_spark.functions.text import quality_score, tokens
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r["i"]: (r["toks"], r["q"])
+        for r in df.select(
+            "i", tokens("t").alias("toks"), quality_score("t").alias("q")
+        ).collect()
+    }
+    duck = duckdb.connect()
+    for i, t in enumerate(texts):
+        toks, q = duck.execute(
+            f"SELECT {_DUCK_TOKENS}, "
+            f"CAST(FLOOR(({_DUCK_QUALITY}) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6)) "
+            "FROM (SELECT ? AS t)",
+            [t],
+        ).fetchone()
+        assert got[i][0] == toks, f"tokens diverge on {t!r}: {got[i][0]} vs {toks}"
+        assert got[i][1] == q, f"quality diverges on {t!r}: {got[i][1]} vs {q}"

@@ -285,7 +285,16 @@ def test_results_invariant_under_adversarial_shuffle_partitions(spark):
 
     qs = dict(entrymod.queries())
     qs.update(entrymod.extra_queries())
-    names = ["doc_surprisal", "fact_balance", "doc_minhash_lsh"]
+    names = [
+        "doc_surprisal",
+        "fact_balance",
+        "doc_minhash_lsh",
+        # session-2 families: integer fixed-point all-pairs cosine, the
+        # per-source gate's decimal mean, the JL int64 accumulation
+        "doc_tfidf_pairs",
+        "source_quality_report",
+        "emb_random_projection",
+    ]
     saved = spark.conf.get("spark.sql.shuffle.partitions")
 
     def snapshot():
