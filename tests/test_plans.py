@@ -569,3 +569,19 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     compact_parquet(spark, src, dest2, target_file_bytes=1 << 30, cluster_cols=["event_id"])
     ids = [r["event_id"] for r in spark.read.parquet(dest2).collect()]
     assert ids == sorted(ids)
+
+
+def test_tfidf_pairs_plan_stays_materialized(spark):
+    """Regression tripwire: without the unit-table materialization the
+    tf-idf self-join re-derives the tokenize subtree per branch (95
+    exchanges, ~38 corpus scans when first audited). Keep the executed
+    plan small and free of raw text re-scans."""
+    import __spark_entry__ as entrymod
+
+    qs = dict(entrymod.queries())
+    df = qs["doc_tfidf_pairs"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 12, plan.count("Exchange")
+    # the corpus text column must not appear in any scan of the final
+    # plan: both join branches read the checkpointed unit table
+    assert "text#" not in plan
