@@ -155,6 +155,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "salted_revenue_by_flag": ["sum_qty", "max_price"],
     "order_reconciliation": ["total_db", "total_csv", "total"],
     "lineitem_rollup": ["sum_qty"],
+    "lineitem_cube": ["sum_qty"],
     "user_last_event": ["last_value", "first_value", "total_value"],
     "doc_text_stats": ["punct_ratio", "stopword_ratio", "quality"],
     "doc_quality_gate": ["quality"],
@@ -1350,6 +1351,17 @@ def _build_registries():
             )
         )
 
+    def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # full CUBE + grouping_id: completes the grouping-sets family
+        # (ROLLUP in lineitem_rollup); both engines share the SQL-standard
+        # grouping-bit convention (leftmost column = MSB), verified exact
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.cube("l_returnflag", "l_linestatus").agg(
+            F.sum(pround2("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+
     def user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = load_table(spark, sf_dir, "events")
         return events.groupBy("user_id").agg(
@@ -1606,6 +1618,7 @@ def _build_registries():
         # session-5 demotions for doc_tfidf_pairs / source_quality_report
         "dim_promocion": build_dim_promocion,
         "doc_top_terms": doc_top_terms,
+        "lineitem_cube": lineitem_cube,
     }
     return reg, extra
 
@@ -2499,6 +2512,13 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM({_r2("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "lineitem_cube": f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({_r2("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
         "user_last_event": f"""
 WITH ordered AS (
