@@ -1,0 +1,80 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API).
+
+The reference's generated sources (calendar ranges, period tables —
+`sources/generators.py`) are built from `spark.range`; this module shows
+the engine's source surface is EXTENSIBLE the modern way: a first-class
+Python data source with schema, options, and partition-parallel reads,
+registered once per session and then read like any built-in format:
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    spark.read.format("synthetic_docs").option("n", 1000).load()
+
+The example source emits a deterministic synthetic document corpus
+(seeded per doc id, no RNG state shared across partitions) — useful as a
+load generator for dedup/quality operators without touching testdata.
+Each partition materializes independently on its executor, so the source
+scales out like a real one; nothing is generated on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+).split()
+
+_SOURCES = ["web", "books", "code", "forums"]
+
+
+def _doc_text(doc_id: int, n_tokens: int = 24) -> str:
+    # per-id deterministic token stream: a multiplicative-hash walk, no
+    # Python RNG object (stateless => identical on any executor)
+    h = (doc_id * 2654435761) & 0xFFFFFFFF
+    toks = []
+    for _ in range(n_tokens):
+        h = (h * 1103515245 + 12345) & 0x7FFFFFFF
+        toks.append(_WORDS[h % len(_WORDS)])
+    return " ".join(toks)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 100))
+        self.num_partitions = int(options.get("numpartitions", 4))
+        self.dup_every = int(options.get("dup_every", 0))  # 0 = no dups
+
+    def partitions(self):
+        step = max(1, -(-self.n // self.num_partitions))
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            # optional exact duplicates every k docs (dedup-operator fuel)
+            base = i - (i % self.dup_every) if self.dup_every and i % self.dup_every == 1 else i
+            yield (i, _doc_text(base), _SOURCES[i % len(_SOURCES)])
+
+
+class SyntheticDocsDataSource(DataSource):
+    """format name: ``synthetic_docs``; options: n, numPartitions,
+    dup_every (make doc k·m+1 an exact copy of doc k·m)."""
+
+    @classmethod
+    def name(cls):
+        return "synthetic_docs"
+
+    def schema(self):
+        return "doc_id bigint, text string, source string"
+
+    def reader(self, schema):
+        return _SyntheticDocsReader(self.options)
