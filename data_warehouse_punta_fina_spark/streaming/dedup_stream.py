@@ -68,7 +68,6 @@ def dedup_ingest_batch(
     batch grouping through this function and asserts identical verdicts).
     """
     spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # collapse identical payloads within the trigger (deterministic keep
     # lowest id); near-dups within one trigger are a documented window
@@ -122,12 +121,14 @@ def dedup_ingest_batch(
     (
         verdicts.withColumn(BATCH_COL, bpart)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BATCH_COL)
         .parquet(verdicts_path)
     )
     (
         admitted.withColumn(BATCH_COL, bpart)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BATCH_COL)
         .parquet(admitted_path)
     )
@@ -135,6 +136,7 @@ def dedup_ingest_batch(
         minhash_band_keys(admitted, text_col, id_col, num_hashes, bands, shingle_n)
         .withColumn(BATCH_COL, bpart)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BATCH_COL)
         .parquet(index_path)
     )
