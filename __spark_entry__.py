@@ -678,6 +678,15 @@ def _build_registries():
 
         return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
 
+    def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # context-window chunking: overlapping 32-token windows, stride 24
+        # (operators.packing.chunk_documents — the split counterpart to
+        # doc_pack_bins' combine)
+        from data_warehouse_punta_fina_spark.operators.packing import chunk_documents
+
+        docs = load_table(spark, sf_dir, "documents")
+        return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
     def doc_edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         # strictest verify tier: SimHash-blocked candidates confirmed by
         # true Levenshtein distance (identical DP in both engines) — only
@@ -1619,6 +1628,7 @@ def _build_registries():
         "dim_promocion": build_dim_promocion,
         "doc_top_terms": doc_top_terms,
         "lineitem_cube": lineitem_cube,
+        "doc_chunks": doc_chunks,
     }
     return reg, extra
 
@@ -3189,6 +3199,21 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Overlapping token-window chunking: 1-based inclusive list slices in
+    # DuckDB mirror Spark's F.slice; chunk starts are range(0, len, 24).
+    o["doc_chunks"] = f"""
+WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, toks, CAST(u.s AS INT) AS start
+  FROM base, unnest(range(0, len(toks), 24)) u(s)
+  WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+       array_to_string(toks[start + 1:start + 32], ' ') AS chunk_text,
+       CAST(len(toks[start + 1:start + 32]) AS INT) AS n_tokens
+FROM ex
 """
 
     # Variant-typed extraction: the oracle extracts the same path with

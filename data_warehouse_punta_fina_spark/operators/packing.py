@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_punta_fina_spark.functions.text import token_count
+from data_warehouse_punta_fina_spark.functions.text import token_count, tokens
 
 
 def pack_documents(
@@ -49,4 +49,51 @@ def pack_documents(
     return (
         out.withColumn("bin_id", F.expr(f"cum_before div {budget}").cast("int"))
         .withColumn("offset_in_bin", (F.col("cum_before") % budget).cast("int"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    counterpart to :func:`pack_documents` (packing combines short docs,
+    chunking splits long ones): context-window preparation for training
+    and retrieval pipelines. Chunk ``k`` of a document starts at token
+    ``k·(chunk_tokens − overlap)`` and carries up to ``chunk_tokens``
+    tokens; every chunk start strictly below the token count emits, so
+    trailing partial chunks are kept (they carry the document's tail) and
+    empty documents emit nothing.
+
+    Scale shape: pure per-row array math (tokenize once, a sequence of
+    chunk starts, one explode) — no shuffle at all until whatever
+    consumes the chunks; the explode factor is ~n_tokens/stride per doc.
+    Fully oracle-mirrorable: token slicing is deterministic, chunk ids
+    are (doc, ordinal).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens}); "
+            "the stride would be zero or negative and chunking would not advance"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - F.lit(1), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("int").alias("n_tokens"),
     )

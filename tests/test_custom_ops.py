@@ -315,3 +315,29 @@ def test_python_datasource_synthetic_docs(spark):
 
     kept = exact_dedup(df, text_col="text", id_col="doc_id")
     assert kept.count() == 200 - 20  # one dup per block of 10
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Overlap windows advance by the stride, keep the tail, skip empty
+    docs, and reject a non-advancing overlap."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g h i j"),  # 10 tokens
+        (2, "x y"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"]) for r in out}
+    # doc 1: starts 0,2,4,6,8 -> 5 chunks; tail chunk has 2 tokens
+    assert [got[(1, k)][0] for k in range(5)] == [
+        "a b c d", "c d e f", "e f g h", "g h i j", "i j",
+    ]
+    assert got[(1, 4)][1] == 2
+    assert got[(2, 0)] == ("x y", 2)
+    assert not any(d == 3 for d, _ in got)  # empty doc: no chunks
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
