@@ -678,6 +678,25 @@ def _build_registries():
 
         return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
 
+    def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # strict-order funnel view→click→purchase within 24 h of the first
+        # view: per-user progress, then the per-level user counts
+        # (operators.behavior.funnel_progress)
+        from data_warehouse_punta_fina_spark.operators.behavior import funnel_progress
+
+        events = load_table(spark, sf_dir, "events")
+        prog = funnel_progress(
+            events, ["view", "click", "purchase"], within_seconds=86400
+        )
+        return prog.groupBy("steps_completed").agg(F.count("*").alias("n_users"))
+
+    def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # weekly retention triangle (operators.behavior.retention_cohorts)
+        from data_warehouse_punta_fina_spark.operators.behavior import retention_cohorts
+
+        events = load_table(spark, sf_dir, "events")
+        return retention_cohorts(events)
+
     def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # context-window chunking: overlapping 32-token windows, stride 24
         # (operators.packing.chunk_documents — the split counterpart to
@@ -1629,6 +1648,8 @@ def _build_registries():
         "doc_top_terms": doc_top_terms,
         "lineitem_cube": lineitem_cube,
         "doc_chunks": doc_chunks,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
     }
     return reg, extra
 
@@ -3199,6 +3220,51 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Strict-order funnel: step k = earliest event of its type strictly
+    # after the user's step k-1 time, every step within 24 h of step 0;
+    # level = max step reached.
+    o["events_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+   AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+lv AS (
+  SELECT user_id, 1 AS l FROM s1
+  UNION ALL SELECT user_id, 2 FROM s2
+  UNION ALL SELECT user_id, 3 FROM s3
+)
+SELECT steps_completed, COUNT(*) AS n_users FROM (
+  SELECT user_id, CAST(MAX(l) AS INT) AS steps_completed FROM lv GROUP BY user_id
+) GROUP BY steps_completed
+"""
+
+    # Weekly retention triangle: ISO-Monday date_trunc in both engines.
+    o["events_retention"] = """
+WITH first AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT CAST(f.cohort AS DATE) AS cohort_week,
+       CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY cohort_week, week_offset
 """
 
     # Overlapping token-window chunking: 1-based inclusive list slices in

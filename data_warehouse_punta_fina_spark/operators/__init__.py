@@ -3,6 +3,10 @@ from data_warehouse_punta_fina_spark.operators.reconcile import (  # noqa: F401
     reconcile_full_outer,
     symmetry_counts,
 )
+from data_warehouse_punta_fina_spark.operators.behavior import (  # noqa: F401
+    funnel_progress,
+    retention_cohorts,
+)
 from data_warehouse_punta_fina_spark.operators.dedup import (  # noqa: F401
     dedupe_by_grain,
     duplicate_count,

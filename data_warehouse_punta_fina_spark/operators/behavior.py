@@ -1,0 +1,96 @@
+"""Behavioral analytics over event streams (north-star extension).
+
+Ordered funnels and retention cohorts — the two analytics every
+event-sourced warehouse ends up needing next to sessionization. The
+reference has no behavioral tier (its events never leave the DW rows);
+these compose from joins/aggregates only, no UDFs, no windows over the
+full table.
+
+Scale shape:
+
+- :func:`funnel_progress` — one filtered aggregate per funnel step, each
+  keyed by user (map-side combined); step k joins step k-1's per-user
+  1-row table, so the data volume SHRINKS monotonically down the funnel.
+  Event rows are scanned once per step WITH the step's type filter pushed
+  to the scan — at 100 TB each step reads only its event-type partition
+  slice (cluster the event table by type/date via ``write_clustered``).
+- :func:`retention_cohorts` — two user-keyed aggregates and one join on
+  user; output is (cohorts × offsets)-sized, tiny at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_progress(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Per-user ordered-funnel progress: a user completes step ``k`` at
+    the EARLIEST event of type ``steps[k]`` strictly after their step
+    ``k-1`` completion (the standard strict-order funnel). Returns
+    (user, steps_completed) for every user who entered the funnel
+    (completed step 0); ``within_seconds`` additionally requires every
+    step to land within that window of the step-0 time.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    lv = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    deadline = (
+        F.col("_t0") + F.make_interval(secs=F.lit(float(within_seconds)))
+        if within_seconds is not None
+        else None
+    )
+    levels = [lv.select(user_col, F.lit(1).alias("_lv"))]
+    prev = lv.withColumnRenamed("_t", "_t0").withColumn("_tprev", F.col("_t0"))
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("_ts")
+        )
+        j = nxt.join(prev, user_col).filter(F.col("_ts") > F.col("_tprev"))
+        if deadline is not None:
+            j = j.filter(F.col("_ts") <= deadline)
+        cur = j.groupBy(user_col, "_t0").agg(F.min("_ts").alias("_tprev"))
+        levels.append(cur.select(user_col, F.lit(k).alias("_lv")))
+        prev = cur
+    allv = levels[0]
+    for more in levels[1:]:
+        allv = allv.unionByName(more)
+    return allv.groupBy(user_col).agg(
+        F.max("_lv").cast("int").alias("steps_completed")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (cohort), counted in every later week they appear. Output
+    (cohort_week DATE, week_offset INT, n_users) — the classic cohort
+    grid, computable by any engine with date_trunc('week') (ISO Monday
+    weeks in both Spark and DuckDB)."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(wk).alias("_cohort"))
+    active = events.select(F.col(user_col), wk.alias("_week")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            F.col("_cohort").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("_week"), F.col("_cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -341,3 +341,53 @@ def test_chunk_documents_windows_and_edges(spark):
     assert not any(d == 3 for d, _ in got)  # empty doc: no chunks
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_funnel_progress_and_retention_cohorts(spark):
+    """Hand-built sequences: strict ordering (a click BEFORE the first
+    view does not count), the within-window cutoff, and the cohort
+    triangle offsets."""
+    from data_warehouse_punta_fina_spark.operators.behavior import (
+        funnel_progress,
+        retention_cohorts,
+    )
+
+    def ev(uid, typ, day, hour=0):
+        return (uid, typ, datetime.datetime(2024, 1, day, hour))
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, "view", 1), ev(1, "click", 2), ev(1, "purchase", 3),
+        # user 2: click precedes the first view -> stuck at level 1
+        ev(2, "click", 1), ev(2, "view", 2),
+        # user 3: never views -> not in the funnel at all
+        ev(3, "purchase", 1),
+        # user 4: clicks only after the 24h window -> level 1 when windowed
+        ev(4, "view", 1), ev(4, "click", 4),
+    ]
+    events = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    prog = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel_progress(events, ["view", "click", "purchase"]).collect()
+    }
+    assert prog == {1: 3, 2: 1, 4: 2}
+    windowed = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel_progress(
+            events, ["view", "click", "purchase"], within_seconds=86400
+        ).collect()
+    }
+    assert windowed == {1: 2, 2: 1, 4: 1}  # user 1's purchase is 48h out
+
+    # retention: users 1-4 first seen in week of Jan 1; user 4 active
+    # again in the week of Jan 4? (same ISO week) -> build a second week
+    rows2 = rows + [ev(1, "view", 10), ev(2, "view", 17)]
+    events2 = spark.createDataFrame(rows2, "user_id int, event_type string, ts timestamp")
+    grid = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(events2).collect()
+    }
+    # ISO week of 2024-01-01 starts Mon Jan 1
+    assert grid[("2024-01-01", 0)] == 4
+    assert grid[("2024-01-01", 1)] == 1  # user 1 back in week Jan 8
+    assert grid[("2024-01-01", 2)] == 1  # user 2 back in week Jan 15
