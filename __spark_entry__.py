@@ -678,6 +678,23 @@ def _build_registries():
 
         return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
 
+    def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # calendar spine + LOCF: daily last value per user, gaps carried
+        # forward (operators.asof.gap_fill_locf); nulls before a user's
+        # first active day survive (no fabricated history)
+        from data_warehouse_punta_fina_spark.operators.asof import gap_fill_locf
+
+        events = load_table(spark, sf_dir, "events")
+        daily = events.groupBy(
+            "user_id", F.col("ts").cast("date").alias("fecha")
+        ).agg(
+            F.max_by(pround2("value"), F.struct("ts", "event_id")).alias("_v")
+        )
+        filled = gap_fill_locf(daily, "user_id", "fecha", ["_v"])
+        return filled.select(
+            "user_id", "fecha", F.col("_v").cast("double").alias("value")
+        )
+
     def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # strict-order funnel view→click→purchase within 24 h of the first
         # view: per-user progress, then the per-level user counts
@@ -1650,6 +1667,7 @@ def _build_registries():
         "doc_chunks": doc_chunks,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
+        "events_gap_fill": events_gap_fill,
     }
     return reg, extra
 
@@ -3220,6 +3238,32 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Calendar spine + last-observation-carried-forward: bounds from the
+    # data, per-user daily series, IGNORE NULLS running last.
+    o["events_gap_fill"] = f"""
+WITH daily AS (
+  SELECT user_id, day, v FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day, {_r2("value")} AS v,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+spine AS (
+  SELECT u.user_id, CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN bounds b
+),
+j AS (
+  SELECT s.user_id, s.day, d.v FROM spine s LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, day AS fecha,
+       CAST(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value
+FROM j
 """
 
     # Strict-order funnel: step k = earliest event of its type strictly

@@ -1,4 +1,8 @@
-from data_warehouse_punta_fina_spark.operators.asof import asof_join, sessionize  # noqa: F401
+from data_warehouse_punta_fina_spark.operators.asof import (  # noqa: F401
+    asof_join,
+    gap_fill_locf,
+    sessionize,
+)
 from data_warehouse_punta_fina_spark.operators.reconcile import (  # noqa: F401
     reconcile_full_outer,
     symmetry_counts,

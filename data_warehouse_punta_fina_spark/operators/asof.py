@@ -92,3 +92,70 @@ def sessionize(
     df3 = df2.withColumn("session_seq", F.sum("_new").over(run).cast("int")).drop("_new")
     sw = Window.partitionBy(key, "session_seq")
     return df3.withColumn("session_start", F.min(time_col).over(sw))
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_cols: list[str],
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """Calendar gap-filling with last-observation-carried-forward — the
+    time-series companion to :func:`asof_join`: produce one row per (key,
+    day) over [start, end], carrying each value column forward across
+    missing days (null until a key's first observation). Daily balances,
+    stock positions, and metric dashboards all need exactly this spine.
+
+    ``start``/``end`` default to the frame's own min/max day, computed as
+    an in-plan broadcast aggregate (no driver action). The spine is
+    ``sequence(start, end)`` exploded per key — keys × days rows; the
+    fill is one window per key ordered by day using
+    ``last(value, ignorenulls)``, so partitioning is by KEY (never a
+    global window) and at 100 TB each key's series fills independently.
+    If one key's daily series itself outgrows a task, split the window by
+    (key, year) and carry the year-boundary value with a second pass —
+    not needed at any realistic key cardinality.
+
+    Input days must be unique per (key, day) — pre-aggregate to daily
+    grain first (this operator fills gaps, it does not resolve
+    duplicates; a loud AnalysisException beats silently picking a row).
+    """
+    from pyspark.sql import Window
+
+    if not value_cols:
+        raise ValueError("gap_fill_locf needs at least one value column")
+    d = df.select(
+        F.col(key_col), F.col(date_col).cast("date").alias("_day"), *value_cols
+    )
+    if start is not None and end is not None:
+        bounds = None
+        lo, hi = F.lit(start).cast("date"), F.lit(end).cast("date")
+    else:
+        bounds = d.agg(
+            F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
+        )
+        lo, hi = F.col("_lo"), F.col("_hi")
+    keys = d.select(key_col).distinct()
+    if bounds is not None:
+        keys = keys.crossJoin(F.broadcast(bounds))
+    spine = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(lo, hi)).alias("_day"),
+    )
+    joined = spine.join(d, [key_col, "_day"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        F.col(key_col),
+        F.col("_day").alias(date_col),
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled

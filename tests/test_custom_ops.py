@@ -391,3 +391,27 @@ def test_funnel_progress_and_retention_cohorts(spark):
     assert grid[("2024-01-01", 0)] == 4
     assert grid[("2024-01-01", 1)] == 1  # user 1 back in week Jan 8
     assert grid[("2024-01-01", 2)] == 1  # user 2 back in week Jan 15
+
+
+def test_gap_fill_locf_carries_and_leading_nulls(spark):
+    """Missing days take the prior value; days before a key's first
+    observation stay null; explicit bounds extend the spine."""
+    from data_warehouse_punta_fina_spark.operators.asof import gap_fill_locf
+
+    rows = [
+        (1, datetime.date(2024, 1, 1), 10.0),
+        (1, datetime.date(2024, 1, 4), 40.0),
+        (2, datetime.date(2024, 1, 3), 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, d date, v double")
+    out = gap_fill_locf(df, "k", "d", ["v"])
+    got = {(r["k"], str(r["d"])): r["v"] for r in out.collect()}
+    # spine spans the frame's own min..max (Jan 1-4), both keys
+    assert len(got) == 8
+    assert got[(1, "2024-01-02")] == 10.0 and got[(1, "2024-01-03")] == 10.0
+    assert got[(1, "2024-01-04")] == 40.0
+    assert got[(2, "2024-01-01")] is None and got[(2, "2024-01-02")] is None
+    assert got[(2, "2024-01-04")] == 99.0
+    # explicit bounds
+    wide = gap_fill_locf(df, "k", "d", ["v"], start="2024-01-01", end="2024-01-06")
+    assert wide.count() == 12
