@@ -678,6 +678,63 @@ def _build_registries():
 
         return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
 
+    def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # median/MAD modified z-score per event_type; report per-type
+        # totals + flagged count + the max score (round-6'd before both
+        # the threshold and the aggregate, so flags can't flip on a
+        # boundary) — operators.quality.robust_outliers
+        from data_warehouse_punta_fina_spark.operators.quality import robust_outliers
+
+        events = load_table(spark, sf_dir, "events")
+        scored = robust_outliers(events, "value", ["event_type"], z=2.0)
+        return scored.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_outlier").cast("int")).alias("n_outliers"),
+            F.max("score").alias("max_score"),
+        )
+
+    def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # last-touch attribution: each purchase credits the latest
+        # view/click within 24 h, else 'organic' — the union-window as-of
+        # pattern (operators.asof) carrying the touch payload, one window
+        # per user, no self-join
+        events = load_table(spark, sf_dir, "events")
+        u = events.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        ).select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("_is_conv"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "_is_conv", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        touch_type = F.last(
+            F.when(F.col("_is_conv") == 0, F.col("event_type")), ignorenulls=True
+        ).over(w)
+        touch_ts = F.last(
+            F.when(F.col("_is_conv") == 0, F.col("ts")), ignorenulls=True
+        ).over(w)
+        m = u.withColumn("_tt", touch_type).withColumn("_tts", touch_ts)
+        attributed = F.when(
+            F.col("_tts").isNotNull()
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_tts"))
+                <= F.lit(86400 * 1_000_000)
+            ),
+            F.col("_tt"),
+        ).otherwise(F.lit("organic"))
+        return (
+            m.filter(F.col("_is_conv") == 1)
+            .select(attributed.alias("attributed"))
+            .groupBy("attributed")
+            .agg(F.count("*").alias("n_conversions"))
+        )
+
     def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         # calendar spine + LOCF: daily last value per user, gaps carried
         # forward (operators.asof.gap_fill_locf); nulls before a user's
@@ -1668,6 +1725,8 @@ def _build_registries():
         "events_funnel": events_funnel,
         "events_retention": events_retention,
         "events_gap_fill": events_gap_fill,
+        "events_attribution": events_attribution,
+        "events_robust_outliers": events_robust_outliers,
     }
     return reg, extra
 
@@ -3238,6 +3297,61 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Median/MAD modified z-score: exact quantile_cont medians, score
+    # round-6'd before the threshold so flags can't flip cross-engine.
+    o["events_robust_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY event_type
+),
+scored AS (
+  SELECT d.event_type,
+         CASE WHEN m.mad > 0 THEN
+           CAST(FLOOR((0.6745 * d.absdev / m.mad) * 1000000 + 0.5) / 1000000 AS DECIMAL(15,6))
+         END AS score,
+         CASE WHEN m.mad > 0 THEN
+           (CAST(FLOOR((0.6745 * d.absdev / m.mad) * 1000000 + 0.5) / 1000000 AS DECIMAL(15,6)) > 2.0)
+         ELSE FALSE END AS is_outlier
+  FROM dev d JOIN mad m USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(is_outlier AS INT)) AS BIGINT) AS n_outliers,
+       CAST(MAX(score) AS DOUBLE) AS max_score
+FROM scored GROUP BY event_type
+"""
+
+    # Last-touch attribution: the union-window as-of pattern carrying the
+    # touch payload; conversions sort after touches at equal (ts) via the
+    # is_conv key, microsecond-exact 24h lookback in both engines.
+    o["events_attribution"] = """
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+m AS (
+  SELECT *,
+    last_value(CASE WHEN is_conv = 0 THEN event_type END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, is_conv, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tt,
+    last_value(CASE WHEN is_conv = 0 THEN ts END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, is_conv, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tts
+  FROM u
+)
+SELECT attributed, COUNT(*) AS n_conversions FROM (
+  SELECT CASE WHEN tts IS NOT NULL AND ts - tts <= INTERVAL 86400 SECOND
+              THEN tt ELSE 'organic' END AS attributed
+  FROM m WHERE is_conv = 1
+) GROUP BY attributed
 """
 
     # Calendar spine + last-observation-carried-forward: bounds from the

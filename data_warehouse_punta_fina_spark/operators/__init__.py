@@ -25,6 +25,10 @@ from data_warehouse_punta_fina_spark.operators.dedup import (  # noqa: F401
     simhash64,
 )
 from data_warehouse_punta_fina_spark.operators.materialize import materialize  # noqa: F401
+from data_warehouse_punta_fina_spark.operators.packing import (  # noqa: F401
+    chunk_documents,
+    pack_documents,
+)
 from data_warehouse_punta_fina_spark.operators.retrieval import (  # noqa: F401
     bm25_topk,
     tfidf_doc_pairs,
@@ -34,6 +38,10 @@ from data_warehouse_punta_fina_spark.operators.scd import (  # noqa: F401
     scd2_merge,
     snapshot_diff,
     type1_upsert,
+)
+from data_warehouse_punta_fina_spark.operators.quality import (  # noqa: F401
+    check_double_entry,
+    robust_outliers,
 )
 from data_warehouse_punta_fina_spark.operators.text_quality import (  # noqa: F401
     bigram_surprisal,

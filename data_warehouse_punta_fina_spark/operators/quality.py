@@ -78,3 +78,56 @@ def check_double_entry(journal: DataFrame, monto: str = "monto", tipo: str = "ti
     ).collect()[0]
     diff_cents = int(round(abs(float(row["d"] or 0) - float(row["c"] or 0)) * 100))
     return _row(spark, "double_entry", "journal", "abs_diff_cents", diff_cents, diff_cents <= 1)
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    z: float = 3.5,
+) -> DataFrame:
+    """Median/MAD outlier flagging (Iglewicz-Hoaglin modified z-score):
+    ``score = 0.6745·|x − median| / MAD``, flagged when ``score > z`` —
+    the robust alternative to mean/stddev that one fat-tailed 100 TB
+    partition can't poison (both statistics have a 50% breakdown point).
+
+    Exactness: medians use Spark's exact ``percentile`` (bit-identical to
+    DuckDB ``quantile_cont``, proven by the percentile query family); the
+    score is portable-round-6'd BEFORE the threshold compare, so the flag
+    never flips across engines on a boundary value. Groups with MAD = 0
+    (over half the values identical) flag nothing — score is undefined
+    there, and anything ≠ median in such a group surfaces via
+    ``is_mad_degenerate`` instead of a fabricated infinite score.
+
+    Shape: two grouped exact-percentile aggregates (each one shuffle of
+    (group, value) pairs) + two broadcast-or-hash joins of group-sized
+    tables back onto the rows. Returns the input + (score,
+    is_outlier, is_mad_degenerate)."""
+    from data_warehouse_punta_fina_spark.functions.money import pround
+
+    groups = group_cols or []
+    gb = lambda d: d.groupBy(*groups) if groups else d.groupBy()  # noqa: E731
+    med = gb(df).agg(F.percentile(F.col(value_col), F.lit(0.5)).alias("_med"))
+    with_med = df.join(med, groups) if groups else df.crossJoin(F.broadcast(med))
+    dev = with_med.withColumn("_absdev", F.abs(F.col(value_col) - F.col("_med")))
+    mad = gb(dev).agg(F.percentile(F.col("_absdev"), F.lit(0.5)).alias("_mad"))
+    scored = (
+        (dev.join(mad, groups) if groups else dev.crossJoin(F.broadcast(mad)))
+        .withColumn(
+            "score",
+            F.when(
+                F.col("_mad") > 0,
+                pround(
+                    F.lit(0.6745) * F.col("_absdev") / F.col("_mad"), 6, 15
+                ).cast("double"),
+            ),
+        )
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("_mad") > 0, F.col("score") > F.lit(z)).otherwise(
+                F.lit(False)
+            ),
+        )
+        .withColumn("is_mad_degenerate", F.col("_mad") == 0)
+    )
+    return scored.drop("_med", "_absdev", "_mad")

@@ -415,3 +415,26 @@ def test_gap_fill_locf_carries_and_leading_nulls(spark):
     # explicit bounds
     wide = gap_fill_locf(df, "k", "d", ["v"], start="2024-01-01", end="2024-01-06")
     assert wide.count() == 12
+
+
+def test_robust_outliers_median_mad(spark):
+    """Known values: median 10, MAD 1 -> score = 0.6745*|x-10|; the 100
+    point is a screaming outlier, the mean/stddev would have been
+    poisoned by it; a degenerate group (MAD=0) flags nothing but is
+    marked."""
+    from data_warehouse_punta_fina_spark.operators.quality import robust_outliers
+
+    rows = [("a", float(v)) for v in [8, 9, 10, 10, 10, 11, 12, 100]] + [
+        ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 99.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "v", ["g"], z=3.5).collect()
+    a = [r for r in out if r["g"] == "a"]
+    assert sum(r["is_outlier"] for r in a) == 1
+    top = max(a, key=lambda r: r["score"])
+    assert top["v"] == 100.0 and top["score"] > 50
+    assert not any(r["is_mad_degenerate"] for r in a)
+    # group b: >=half identical -> MAD 0 -> degenerate, nothing flagged
+    b = [r for r in out if r["g"] == "b"]
+    assert all(r["is_mad_degenerate"] for r in b)
+    assert not any(r["is_outlier"] for r in b)
