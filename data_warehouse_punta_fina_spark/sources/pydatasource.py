@@ -18,7 +18,12 @@ scales out like a real one; nothing is generated on the driver.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _WORDS = (
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
@@ -65,9 +70,44 @@ class _SyntheticDocsReader(DataSourceReader):
             yield (i, _doc_text(base), _SOURCES[i % len(_SOURCES)])
 
 
+class _SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming variant: each micro-batch emits the next
+    ``batch_size`` doc ids. Offsets are plain dicts persisted in the
+    checkpoint, so a restarted query resumes exactly where it stopped —
+    the same deterministic generator, now with source-managed progress.
+    ``max_id`` bounds the stream (availableNow drains to it)."""
+
+    def __init__(self, options):
+        self.batch_size = int(options.get("batch_size", 50))
+        self.max_id = int(options.get("n", 200))
+        self.dup_every = int(options.get("dup_every", 0))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_size, self.max_id)
+        rows = []
+        for i in range(lo, hi):
+            base = (
+                i - (i % self.dup_every)
+                if self.dup_every and i % self.dup_every == 1
+                else i
+            )
+            rows.append((i, _doc_text(base), _SOURCES[i % len(_SOURCES)]))
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        rows, _ = self.read(start)
+        lo, hi = int(start["next"]), int(end["next"])
+        return iter(list(rows)[: hi - lo])
+
+
 class SyntheticDocsDataSource(DataSource):
     """format name: ``synthetic_docs``; options: n, numPartitions,
-    dup_every (make doc k·m+1 an exact copy of doc k·m)."""
+    dup_every (make doc k·m+1 an exact copy of doc k·m), batch_size
+    (streaming micro-batch rows). Batch AND streaming capable."""
 
     @classmethod
     def name(cls):
@@ -78,3 +118,6 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema):
         return _SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticDocsStreamReader(self.options)

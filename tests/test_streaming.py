@@ -522,3 +522,44 @@ def test_continuous_dedup_ingest_stream(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(replay_paths["admitted_path"]).collect()
     } == admitted_ids
+
+
+def test_python_streaming_datasource_drains_and_matches_batch(spark, tmp_path):
+    """The custom source's streaming reader drains availableNow in
+    batch_size micro-batches and produces EXACTLY the batch reader's
+    rows — one generator, two execution modes (the engine's batch==stream
+    contract extended to custom Python sources)."""
+    from data_warehouse_punta_fina_spark.sources.pydatasource import (
+        SyntheticDocsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    opts = {"n": "120", "dup_every": "10", "batch_size": "50"}
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("synthetic_docs")
+        .options(**opts)
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", out)
+        .start()
+    )
+    # the simple stream reader discovers one offset range per micro-batch,
+    # so drain with a live trigger and stop once the sink holds everything
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 120:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(
+        map(tuple, spark.read.format("synthetic_docs").options(**opts).load().collect())
+    )
+    assert streamed == batch and len(streamed) == 120
