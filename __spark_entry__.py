@@ -1602,15 +1602,15 @@ def _build_registries():
         "sql_top_customer_per_nation": sql_top_customer_per_nation,
         # custom operators beyond the reference's surface
         "events_value_band_rangejoin": events_value_band_rangejoin,
-        "events_value_percentiles": events_value_percentiles,
+        "events_robust_outliers": events_robust_outliers,
         "pnl_unpivot": pnl_unpivot,
-        "customer_balance_quartiles": customer_balance_quartiles,
+        "events_funnel": events_funnel,
         "batch_token_stats": batch_token_stats,
         "asof_last_order": asof_last_order,
         "events_session_window": events_session_window,
         "order_reconciliation": order_reconciliation,
         "lineitem_rollup": lineitem_rollup,
-        "user_last_event": user_last_event,
+        "events_gap_fill": events_gap_fill,
         "custkey_set_ops": custkey_set_ops,
         # north-star: text analysis / dedup / similarity / multimodal
         # (round-5 rotation, two waves. Wave 1: doc_repetition /
@@ -1630,7 +1630,13 @@ def _build_registries():
         # (events_tumbling_window out: windowed-agg family carried by
         # events_session_window, streaming parity by pytest),
         # doc_edit_distance_dups (doc_exact_dedup out: hash-dedup family
-        # carried by clusters/lsh_verified/incremental/source gate).)
+        # carried by clusters/lsh_verified/incremental/source gate).
+        # Wave 4: the behavioral/robust-analytics families —
+        # events_robust_outliers (events_value_percentiles out: exact
+        # percentile is robust_outliers' own foundation),
+        # events_gap_fill (user_last_event out: max_by drives gap_fill's
+        # daily pre-agg), events_funnel (customer_balance_quartiles out:
+        # the distributed-rank machinery also assigns every dim SK).)
         "doc_quality_gate": doc_quality_gate,
         "doc_edit_distance_dups": doc_edit_distance_dups,
         "doc_ngram_jaccard": doc_ngram_jaccard,
@@ -1722,11 +1728,11 @@ def _build_registries():
         "doc_top_terms": doc_top_terms,
         "lineitem_cube": lineitem_cube,
         "doc_chunks": doc_chunks,
-        "events_funnel": events_funnel,
+        "customer_balance_quartiles": customer_balance_quartiles,
         "events_retention": events_retention,
-        "events_gap_fill": events_gap_fill,
+        "user_last_event": user_last_event,
         "events_attribution": events_attribution,
-        "events_robust_outliers": events_robust_outliers,
+        "events_value_percentiles": events_value_percentiles,
     }
     return reg, extra
 
