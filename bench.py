@@ -136,7 +136,12 @@ def main() -> None:
             print(f"bench: warm-up {name} failed: {exc}", file=sys.stderr)
 
     # per-query fault isolation: one broken query must never zero the whole
-    # artifact — record its error, keep timing the rest, always print JSON
+    # artifact — record its error, keep timing the rest, always print JSON.
+    # Noise control (symmetric with the oracle's min-of-2 for fast
+    # oracles): queries whose first run lands under 2.5 s run once more
+    # and record the min — the host's scheduling noise swings sub-second
+    # queries up to 3× run-to-run (docs/BENCH_NOTES.md), and a second run
+    # of only the cheap tier adds ~15 s total.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -144,7 +149,12 @@ def main() -> None:
         try:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.time() - t0, 3)
+            first = time.time() - t0
+            if first < 2.5:
+                t1 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                first = min(first, time.time() - t1)
+            times[name] = round(first, 3)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -155,6 +165,10 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # methodology flag (round 5+): sub-2.5s queries record min-of-2 —
+        # cross-round per-query comparisons to r1-r4 single-run series
+        # should expect ~10-20% lower readings on the cheap tier
+        "fast_query_min_of_2": True,
     }
     if errors:
         out["errors"] = errors
