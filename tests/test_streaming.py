@@ -563,3 +563,58 @@ def test_python_streaming_datasource_drains_and_matches_batch(spark, tmp_path):
         map(tuple, spark.read.format("synthetic_docs").options(**opts).load().collect())
     )
     assert streamed == batch and len(streamed) == 120
+
+
+def test_continuous_dedup_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Drain, then land NEW files and re-run with the SAME checkpoint:
+    only the new docs are classified (no re-processing), and a new doc
+    duplicating an admitted one is caught by the index built in run 1."""
+    import time as _t
+
+    from pyspark.sql import types as T
+
+    from data_warehouse_punta_fina_spark.streaming.dedup_stream import (
+        run_dedup_ingest_stream,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten"
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def land(fname, rows):
+        tmp = f"{in_dir}/_stage"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet") and not f.startswith("."):
+                shutil.move(f"{tmp}/{f}", f"{in_dir}/{fname}")
+        shutil.rmtree(tmp)
+        _t.sleep(1.1)  # distinct mtimes
+
+    paths = {
+        "admitted_path": str(tmp_path / "admitted"),
+        "index_path": str(tmp_path / "index"),
+        "verdicts_path": str(tmp_path / "verdicts"),
+    }
+    ckpt = str(tmp_path / "ckpt")
+
+    land("f0.parquet", [(1, text_a), (2, text_b)])
+    q = run_dedup_ingest_stream(spark, in_dir, schema, checkpoint_dir=ckpt, **paths)
+    q.awaitTermination(120)
+    v1 = spark.read.parquet(paths["verdicts_path"])
+    assert v1.count() == 2
+
+    # run 2, same checkpoint: one near-dup of an admitted doc + one fresh
+    land("f1.parquet", [(10, text_a.replace("kappa", "KAPPAX")), (11, "totally fresh content words here")])
+    q2 = run_dedup_ingest_stream(spark, in_dir, schema, checkpoint_dir=ckpt, **paths)
+    q2.awaitTermination(120)
+    v2 = {r["doc_id"]: (r["is_dup"], r["match_id"]) for r in
+          spark.read.parquet(paths["verdicts_path"]).collect()}
+    assert len(v2) == 4  # 2 old (untouched) + 2 new, no reprocessing
+    assert v2[10] == (True, 1)  # caught by the run-1 index
+    assert v2[11][0] is False
+    admitted = {r["doc_id"] for r in spark.read.parquet(paths["admitted_path"]).collect()}
+    assert admitted == {1, 2, 11}
