@@ -678,6 +678,31 @@ def _build_registries():
 
         return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
 
+    def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # schema-driven one-pass column profiler (operators.validation.
+        # profile_table). The double column is excluded from the ORACLE
+        # comparison only because Java 17's Double.toString is not
+        # shortest-round-trip (JDK-4511638, fixed in 19) so double→string
+        # may differ from DuckDB's formatter in the last digits — the
+        # operator itself profiles any dtype.
+        from data_warehouse_punta_fina_spark.operators.validation import profile_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        return profile_table(
+            orders,
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+        )
+
+    def lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Benford first-digit screen per return flag (operators.validation.
+        # benford_deviation); first-SIGNIFICANT-digit extraction is robust
+        # to scientific notation (the mantissa leads), so double→string
+        # divergence cannot change the digit
+        from data_warehouse_punta_fina_spark.operators.validation import benford_deviation
+
+        li = load_table(spark, sf_dir, "lineitem")
+        return benford_deviation(li, "l_extendedprice", ["l_returnflag"])
+
     def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # median/MAD modified z-score per event_type; report per-type
         # totals + flagged count + the max score (round-6'd before both
@@ -1730,6 +1755,8 @@ def _build_registries():
         "doc_chunks": doc_chunks,
         "customer_balance_quartiles": customer_balance_quartiles,
         "events_retention": events_retention,
+        "orders_profile": orders_profile,
+        "lineitem_benford": lineitem_benford,
         "user_last_event": user_last_event,
         "events_attribution": events_attribution,
         "events_value_percentiles": events_value_percentiles,
@@ -3303,6 +3330,56 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Schema-driven profiler: one UNION-ALL branch per column (the oracle
+    # pays per-column aggregates; Spark runs ONE generated aggregate).
+    # "column" is quoted — reserved in DuckDB.
+    def _profile_branch(col: str, dtype: str) -> str:
+        return (
+            f"SELECT '{col}' AS \"column\", '{dtype}' AS dtype, COUNT(*) AS n, "
+            f"SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            f"COUNT(DISTINCT {col}) AS n_distinct, "
+            f"CAST(MIN({col}) AS VARCHAR) AS min_str, "
+            f"CAST(MAX({col}) AS VARCHAR) AS max_str FROM orders"
+        )
+
+    o["orders_profile"] = " UNION ALL ".join(
+        _profile_branch(c, t)
+        for c, t in [
+            ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"),
+            ("o_orderstatus", "string"),
+            ("o_orderdate", "timestamp"),
+            ("o_orderpriority", "string"),
+        ]
+    )
+
+    # Benford first-digit screen: digits from the string form of the ABS
+    # value (mantissa-first, so scientific notation cannot change the
+    # first significant digit); expected shares are the SAME round-6
+    # Python literals Spark embeds.
+    import math as _math
+
+    _benford_case = " ".join(
+        f"WHEN digit = {d} THEN {round(_math.log10(1 + 1 / d), 6)!r}"
+        for d in range(1, 10)
+    )
+    o["lineitem_benford"] = f"""
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(substring(regexp_replace(CAST(abs(l_extendedprice) AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) > 0
+),
+d2 AS (SELECT * FROM d WHERE digit IS NOT NULL),
+counts AS (SELECT l_returnflag, digit, COUNT(*) AS n_obs FROM d2 GROUP BY l_returnflag, digit),
+totals AS (SELECT l_returnflag, COUNT(*) AS total FROM d2 GROUP BY l_returnflag)
+SELECT c.l_returnflag, c.digit, c.n_obs,
+       CAST({_r6("CAST(c.n_obs AS DOUBLE) / t.total")} AS DOUBLE) AS obs_share,
+       CAST(CASE {_benford_case} ELSE 0.0 END AS DOUBLE) AS exp_share,
+       CAST({_r6("abs(CAST(c.n_obs AS DOUBLE) / t.total - (CASE " + _benford_case + " ELSE 0.0 END))")} AS DOUBLE) AS abs_dev
+FROM counts c JOIN totals t USING (l_returnflag)
 """
 
     # Median/MAD modified z-score: exact quantile_cont medians, score

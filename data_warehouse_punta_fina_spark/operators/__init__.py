@@ -43,6 +43,10 @@ from data_warehouse_punta_fina_spark.operators.quality import (  # noqa: F401
     check_double_entry,
     robust_outliers,
 )
+from data_warehouse_punta_fina_spark.operators.validation import (  # noqa: F401
+    benford_deviation,
+    profile_table,
+)
 from data_warehouse_punta_fina_spark.operators.text_quality import (  # noqa: F401
     bigram_surprisal,
     filter_sources,

@@ -152,3 +152,99 @@ def validate_and_populate(df: DataFrame, rules: TableRules) -> tuple[DataFrame, 
     report["rows_out"] = out_rows
     report["rows_deduped"] = in_rows - out_rows
     return df, report
+
+
+def profile_table(df, columns=None):
+    """Schema-driven column profile: (column, dtype, n, n_null,
+    n_distinct, min_str, max_str) per column — the reference validator's
+    per-column profiling (`core/data_validator.py` null/range checks)
+    generalized into ONE generated aggregate. All statistics are exact;
+    min/max stringify so one schema serves every dtype (cast AFTER the
+    typed comparison, so numeric/date ordering is the column's own).
+
+    Shape: a single pass producing 5 aggregates per column inside one
+    hash aggregate (count-distincts expand to one grouping per column —
+    at 100 TB profile a sampled or bucketed slice, or drop n_distinct to
+    keep the pass fully map-side). Output is columns-sized.
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    # ONE consumption of the aggregate row: explode an array of per-column
+    # structs (a union of per-column selects would re-execute the full
+    # aggregate once per column — the multi-branch trap)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(df.schema[c].dataType.simpleString()).alias("dtype"),
+            F.col(f"__n_{c}").alias("n"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_str"),
+            F.col(f"__mx_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def benford_deviation(df, value_col, group_cols=None):
+    """Benford's-law first-digit screen — the classic forensic DQ check
+    for amount columns: organically-generated magnitudes follow
+    P(d) = log10(1 + 1/d); fabricated or truncated data does not. Emits
+    per (group, digit): observed count, observed share, expected share,
+    and the round-6'd absolute deviation — consumers alert on the max or
+    the sum (the reference's validator has range checks only; this is
+    the distributional upgrade).
+
+    Exactness: the first significant digit is string-derived from the
+    ABS value (no float log in the digit path); shares are
+    integer-count ratios, expected shares are round-6'd constants —
+    fully oracle-mirrorable. Rows with |value| = 0 or null carry no
+    first digit and are excluded (they have no magnitude to screen).
+    Shape: one filtered projection + one (group, digit)-keyed count.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.functions.money import pround
+
+    groups = group_cols or []
+    # first significant digit via the string form of abs(value): strip
+    # sign/zeros/dot — deterministic for any numeric dtype
+    digits = F.regexp_replace(
+        F.abs(F.col(value_col)).cast("string"), "[^1-9]", ""
+    )
+    d = df.filter(F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) > 0)).select(
+        *groups, F.substring(digits, 1, 1).cast("int").alias("digit")
+    ).filter(F.col("digit").isNotNull())
+    counts = d.groupBy(*groups, "digit").agg(F.count("*").alias("n_obs"))
+    totals = d.groupBy(*groups).agg(F.count("*").alias("_total"))
+    joined = counts.join(totals, groups) if groups else counts.crossJoin(
+        F.broadcast(totals)
+    )
+    expected = F.lit(0.0)
+    for dig in range(1, 10):
+        expected = F.when(
+            F.col("digit") == dig, F.lit(round(math.log10(1 + 1 / dig), 6))
+        ).otherwise(expected)
+    share = F.col("n_obs").cast("double") / F.col("_total")
+    return joined.select(
+        *groups,
+        "digit",
+        "n_obs",
+        pround(share, 6, 12).cast("double").alias("obs_share"),
+        expected.alias("exp_share"),
+        pround(F.abs(share - expected), 6, 12).cast("double").alias("abs_dev"),
+    )

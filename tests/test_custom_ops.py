@@ -438,3 +438,39 @@ def test_robust_outliers_median_mad(spark):
     b = [r for r in out if r["g"] == "b"]
     assert all(r["is_mad_degenerate"] for r in b)
     assert not any(r["is_outlier"] for r in b)
+
+
+def test_profile_table_and_benford(spark):
+    """Profiler counts nulls/distincts per column in ONE aggregate pass;
+    Benford flags a fabricated uniform-first-digit column while organic
+    log-spread magnitudes fit the law."""
+    from data_warehouse_punta_fina_spark.operators.validation import (
+        benford_deviation,
+        profile_table,
+    )
+
+    rows = [(1, "a", None), (2, "b", 5.0), (3, "b", 7.0), (4, None, 9.0)]
+    df = spark.createDataFrame(rows, "k int, s string, v double")
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["n"] == 4 and prof["k"]["n_null"] == 0
+    assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["n_null"] == 1 and prof["v"]["min_str"] == "5.0"
+    assert prof["k"]["dtype"] == "int"
+
+    # organic: exponentially spread magnitudes ~ Benford; fabricated:
+    # every value starts with 9
+    import math
+
+    organic = [(math.exp(i / 7.0),) for i in range(1, 200)]
+    fabricated = [(9000.0 + i,) for i in range(199)]
+    o = benford_deviation(spark.createDataFrame(organic, "v double"), "v")
+    f = benford_deviation(spark.createDataFrame(fabricated, "v double"), "v")
+    o_max = max(r["abs_dev"] for r in o.collect())
+    f_max = max(r["abs_dev"] for r in f.collect())
+    assert o_max < 0.05
+    assert f_max > 0.8  # all mass on digit 9 vs expected 0.0458
+    # zero/null rows carry no magnitude
+    z = benford_deviation(
+        spark.createDataFrame([(0.0,), (None,), (12.0,)], "v double"), "v"
+    ).collect()
+    assert len(z) == 1 and z[0]["n_obs"] == 1 and z[0]["digit"] == 1
