@@ -678,6 +678,37 @@ def _build_registries():
 
         return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
 
+    def revenue_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # materialized-view maintenance: aggregate pre-1997 history ONCE,
+        # merge the post-1997 delta without rescanning history
+        # (operators.incremental). The oracle recomputes from scratch over
+        # ALL rows — a genuinely different computation path; equality
+        # holds because decimal sums are associative.
+        from data_warehouse_punta_fina_spark.operators.incremental import (
+            aggregate_delta,
+            incremental_agg_merge,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        proj = orders.select(
+            "o_orderstatus",
+            pround2("o_totalprice").alias("revenue"),
+            "o_orderdate",
+        )
+        cut = F.lit("1997-01-01").cast("timestamp")
+        prev = aggregate_delta(
+            proj.filter(F.col("o_orderdate") < cut), ["o_orderstatus"], ["revenue"]
+        )
+        merged = incremental_agg_merge(
+            prev,
+            proj.filter(F.col("o_orderdate") >= cut),
+            ["o_orderstatus"],
+            ["revenue"],
+        )
+        return merged.select(
+            "o_orderstatus", F.col("revenue").cast("double").alias("revenue"), "n"
+        )
+
     def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # schema-driven one-pass column profiler (operators.validation.
         # profile_table). The double column is excluded from the ORACLE
@@ -1757,6 +1788,7 @@ def _build_registries():
         "events_retention": events_retention,
         "orders_profile": orders_profile,
         "lineitem_benford": lineitem_benford,
+        "revenue_incremental_merge": revenue_incremental_merge,
         "user_last_event": user_last_event,
         "events_attribution": events_attribution,
         "events_value_percentiles": events_value_percentiles,
@@ -3330,6 +3362,16 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Materialized-view merge oracle: FULL RECOMPUTE over all rows — not
+    # a mirror of the split/merge path; equality is the distributivity
+    # proof (decimal sums associate exactly).
+    o["revenue_incremental_merge"] = f"""
+SELECT o_orderstatus,
+       CAST(SUM({_r2("o_totalprice")}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
 """
 
     # Schema-driven profiler: one UNION-ALL branch per column (the oracle

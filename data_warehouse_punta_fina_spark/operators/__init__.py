@@ -55,6 +55,10 @@ from data_warehouse_punta_fina_spark.operators.text_quality import (  # noqa: F4
     source_quality_report,
     unigram_surprisal,
 )
+from data_warehouse_punta_fina_spark.operators.incremental import (  # noqa: F401
+    aggregate_delta,
+    incremental_agg_merge,
+)
 from data_warehouse_punta_fina_spark.operators.journal import explode_journal_entries  # noqa: F401
 from data_warehouse_punta_fina_spark.operators.pivots import (  # noqa: F401
     conditional_sum,

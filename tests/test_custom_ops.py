@@ -474,3 +474,40 @@ def test_profile_table_and_benford(spark):
         spark.createDataFrame([(0.0,), (None,), (12.0,)], "v double"), "v"
     ).collect()
     assert len(z) == 1 and z[0]["n_obs"] == 1 and z[0]["digit"] == 1
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    """Merge(agg(history), delta) == agg(history ∪ delta) bit-for-bit on
+    decimal measures, across three successive deltas including brand-new
+    and untouched keys."""
+    from decimal import Decimal
+
+    from data_warehouse_punta_fina_spark.operators.incremental import (
+        aggregate_delta,
+        incremental_agg_merge,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, Decimal(v)) for k, v in rows], "k string, amt decimal(15,2)"
+        )
+
+    history = mk([("a", "10.25"), ("a", "0.75"), ("b", "5.00")])
+    agg = aggregate_delta(history, ["k"], ["amt"])
+    seen = history
+    for delta_rows in (
+        [("a", "1.11"), ("c", "99.99")],   # update + brand-new key
+        [("b", "-5.00")],                  # negative delta
+        [("d", "0.01"), ("d", "0.02")],
+    ):
+        delta = mk(delta_rows)
+        agg = incremental_agg_merge(agg, delta, ["k"], ["amt"])
+        seen = seen.unionByName(delta)
+        full = aggregate_delta(seen, ["k"], ["amt"])
+        got = sorted(map(tuple, agg.collect()))
+        want = sorted(map(tuple, full.collect()))
+        assert got == want, (got, want)
+    final = {r["k"]: (r["amt"], r["n"]) for r in agg.collect()}
+    assert final["a"] == (Decimal("12.11"), 3)
+    assert final["b"] == (Decimal("0.00"), 2)
+    assert final["d"] == (Decimal("0.03"), 2)
