@@ -118,9 +118,11 @@ def gap_fill_locf(
     (key, year) and carry the year-boundary value with a second pass —
     not needed at any realistic key cardinality.
 
-    Input days must be unique per (key, day) — pre-aggregate to daily
-    grain first (this operator fills gaps, it does not resolve
-    duplicates; a loud AnalysisException beats silently picking a row).
+    Input must be at (key, day) grain — pre-aggregate first. This
+    operator fills gaps, it does not resolve duplicates: a duplicated
+    (key, day) joins every copy onto its spine row and the fill then
+    propagates whichever sorts last, so the duplication is visible in the
+    output (row count > keys × days) rather than silently resolved.
     """
     from pyspark.sql import Window
 
