@@ -85,23 +85,25 @@ class _SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self):
         return {"next": 0}
 
+    def _row(self, i: int):
+        base = (
+            i - (i % self.dup_every)
+            if self.dup_every and i % self.dup_every == 1
+            else i
+        )
+        return (i, _doc_text(base), _SOURCES[i % len(_SOURCES)])
+
     def read(self, start):
         lo = int(start["next"])
         hi = min(lo + self.batch_size, self.max_id)
-        rows = []
-        for i in range(lo, hi):
-            base = (
-                i - (i % self.dup_every)
-                if self.dup_every and i % self.dup_every == 1
-                else i
-            )
-            rows.append((i, _doc_text(base), _SOURCES[i % len(_SOURCES)]))
-        return iter(rows), {"next": hi}
+        return iter([self._row(i) for i in range(lo, hi)]), {"next": hi}
 
     def readBetweenOffsets(self, start, end):
-        rows, _ = self.read(start)
+        # MUST honor an arbitrary span: availableNow / replay can coalesce
+        # several prefetched ranges into one batch (a batch_size-bounded
+        # re-read here silently truncates the batch)
         lo, hi = int(start["next"]), int(end["next"])
-        return iter(list(rows)[: hi - lo])
+        return iter([self._row(i) for i in range(lo, min(hi, self.max_id))])
 
 
 class SyntheticDocsDataSource(DataSource):

@@ -144,23 +144,31 @@ def dedup_ingest_batch(
 
 def run_dedup_ingest_stream(
     spark: SparkSession,
-    input_path: str,
-    schema: T.StructType,
+    input_path: str | None,
+    schema: T.StructType | None,
     checkpoint_dir: str,
     admitted_path: str,
     index_path: str,
     verdicts_path: str,
     max_files_per_trigger: int = 1,
+    stream: DataFrame | None = None,
+    available_now: bool = True,
     **dedup_kwargs,
 ) -> StreamingQuery:
     """Drain ``input_path`` (availableNow) through the continuous dedup
-    loop. Resume-safe: the checkpoint replays an uncommitted batch, whose
+    loop — or pass any streaming DataFrame via ``stream`` (a Kafka topic,
+    a custom Python source, …): foreachBatch is source-agnostic, so the
+    dedup loop composes with every streaming reader the session knows.
+    Resume-safe: the checkpoint replays an uncommitted batch, whose
     partitioned overwrite makes the rerun idempotent."""
     from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
 
-    stream = read_file_stream(
-        spark, input_path, schema, max_files_per_trigger=max_files_per_trigger
-    )
+    if stream is None:
+        if input_path is None or schema is None:
+            raise ValueError("provide either stream= or (input_path, schema)")
+        stream = read_file_stream(
+            spark, input_path, schema, max_files_per_trigger=max_files_per_trigger
+        )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         dedup_ingest_batch(
@@ -172,9 +180,9 @@ def run_dedup_ingest_stream(
             **dedup_kwargs,
         )
 
-    return (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

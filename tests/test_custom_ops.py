@@ -511,3 +511,24 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
     assert final["a"] == (Decimal("12.11"), 3)
     assert final["b"] == (Decimal("0.00"), 2)
     assert final["d"] == (Decimal("0.03"), 2)
+
+
+def test_funnel_progress_four_steps(spark):
+    """Step count is generic: a 4-step funnel where each user stalls one
+    step further than the last."""
+    from data_warehouse_punta_fina_spark.operators.behavior import funnel_progress
+
+    def ev(uid, typ, day):
+        return (uid, typ, datetime.datetime(2024, 1, day))
+
+    steps = ["s1", "s2", "s3", "s4"]
+    rows = []
+    for uid in range(1, 5):
+        for k in range(uid):  # user u completes u steps in order
+            rows.append(ev(uid, steps[k], k + 1))
+    events = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel_progress(events, steps).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}

@@ -618,3 +618,76 @@ def test_continuous_dedup_stream_resumes_from_checkpoint(spark, tmp_path):
     assert v2[11][0] is False
     admitted = {r["doc_id"] for r in spark.read.parquet(paths["admitted_path"]).collect()}
     assert admitted == {1, 2, 11}
+
+
+def test_dedup_stream_over_custom_python_source(spark, tmp_path):
+    """Source-agnostic composition: the continuous dedup loop consumes
+    the custom Python streaming source directly — planted exact
+    duplicates (dup_every=10) are either collapsed by the within-batch
+    exact dedup (when copy and original share a micro-batch) or rejected
+    by the index built from earlier batches. Batch boundaries are the
+    runtime's (prefetch may coalesce ranges), so assertions hold for ANY
+    batching."""
+    import time as _t
+
+    from data_warehouse_punta_fina_spark.sources.pydatasource import (
+        SyntheticDocsDataSource,
+    )
+    from data_warehouse_punta_fina_spark.streaming.dedup_stream import (
+        run_dedup_ingest_stream,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    src = (
+        spark.readStream.format("synthetic_docs")
+        .option("n", "60")
+        .option("dup_every", "10")
+        .option("batch_size", "20")
+        .load()
+    )
+    paths = {
+        "admitted_path": str(tmp_path / "admitted"),
+        "index_path": str(tmp_path / "index"),
+        "verdicts_path": str(tmp_path / "verdicts"),
+    }
+    q = run_dedup_ingest_stream(
+        spark,
+        None,
+        None,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        stream=src,
+        available_now=False,  # live trigger: Simple-reader availableNow
+        # coalesces everything into one batch; multi-batch is the point
+        # word-soup docs from a 24-word vocab: raise the near-dup bar so
+        # only the PLANTED exact copies (jaccard 1.0) are rejected
+        threshold=0.9,
+        **paths,
+    )
+    planted = {1, 11, 21, 31, 41, 51}
+    deadline = _t.time() + 150
+    seen = 0
+    while _t.time() < deadline:
+        try:
+            seen = spark.read.parquet(paths["verdicts_path"]).count()
+            if seen >= 60 - len(planted):
+                # all batches may have landed; give one more beat then stop
+                _t.sleep(3)
+                seen = spark.read.parquet(paths["verdicts_path"]).count()
+                break
+        except Exception:
+            pass
+        _t.sleep(1)
+    q.stop()
+    verdicts = {r["doc_id"]: (r["is_dup"], r["match_id"]) for r in
+                spark.read.parquet(paths["verdicts_path"]).collect()}
+    missing = set(range(60)) - set(verdicts)
+    # only planted copies can vanish (collapsed intra-batch vs original)
+    assert missing <= planted, missing
+    # every planted copy either collapsed or was caught vs its original
+    for i in planted - missing:
+        assert verdicts[i][0] is True and verdicts[i][1] == i - 1, (i, verdicts[i])
+    # nothing else is near-dup at threshold 0.9
+    for i in set(verdicts) - planted:
+        assert verdicts[i][0] is False, (i, verdicts[i])
+    admitted = {r["doc_id"] for r in spark.read.parquet(paths["admitted_path"]).collect()}
+    assert admitted == set(range(60)) - planted
