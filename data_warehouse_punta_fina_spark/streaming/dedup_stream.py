@@ -43,9 +43,14 @@ BATCH_COL = "ingest_batch"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path)
-    except Exception:  # AnalysisException: path does not exist yet (batch 0)
+    except AnalysisException:  # path does not exist yet (batch 0) — ONLY
+        # that; a corrupt/unreadable existing index must raise, because
+        # silently treating the corpus as empty would admit every
+        # duplicate in the batch
         return spark.createDataFrame([], schema)
 
 
