@@ -691,3 +691,61 @@ def test_dedup_stream_over_custom_python_source(spark, tmp_path):
         assert verdicts[i][0] is False, (i, verdicts[i])
     admitted = {r["doc_id"] for r in spark.read.parquet(paths["admitted_path"]).collect()}
     assert admitted == set(range(60)) - planted
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """State-BOUNDED streaming dedup (Spark 3.5+): duplicates arriving
+    within the watermark window are dropped, and — unlike classic
+    dropDuplicates whose key state grows forever — a duplicate of an
+    event older than the advanced watermark is treated as new (its state
+    was evicted). Both behaviors asserted across two checkpointed runs."""
+    import datetime
+
+    from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    staged = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def run_once():
+        stream = read_file_stream(spark, staged, _events_schema())
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["event_id"], r["ts"].hour) for r in spark.read.parquet(out).collect()
+        )
+
+    # run 1: id 1 twice within the watermark window -> one survivor;
+    # id 2 advances the watermark to 21:00
+    b1 = spark.createDataFrame(
+        [(1, ts(10), 1, "a", 1.0), (1, ts(10, 30), 1, "a", 1.0), (2, ts(22), 1, "a", 1.0)],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(staged)
+    got1 = run_once()
+    assert [e for e, _ in got1] == [1, 2]
+
+    # run 2: id 1 again — its dedup state expired (event time far below
+    # the watermark), so state-bounded dedup re-admits it; id 2 repeated
+    # near the watermark would still be dropped if state survived, but
+    # 22:00 - 1h = 21:00 > 10:00 evicts id 1's state only
+    b2 = spark.createDataFrame(
+        [(1, ts(23), 1, "a", 9.0), (3, ts(23, 30), 1, "a", 1.0)], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    got2 = run_once()
+    ids = [e for e, _ in got2]
+    assert ids.count(1) == 2  # re-admitted: exactly the state bound's trade
+    assert 3 in ids
