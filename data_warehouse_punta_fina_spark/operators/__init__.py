@@ -55,6 +55,7 @@ from data_warehouse_punta_fina_spark.operators.text_quality import (  # noqa: F4
     source_quality_report,
     unigram_surprisal,
 )
+from data_warehouse_punta_fina_spark.operators.grouped import isotonic_fit  # noqa: F401
 from data_warehouse_punta_fina_spark.operators.incremental import (  # noqa: F401
     aggregate_delta,
     incremental_agg_merge,

@@ -54,3 +54,35 @@ def test_salted_agg_rejects_non_algebraic(spark):
     df = spark.range(10)
     with pytest.raises(ValueError):
         salted_agg(df, [], {"bad": ("avg", F.col("id"))})
+
+
+def test_isotonic_fit_pava_per_group(spark):
+    """Grouped-map applyInPandas with a genuinely sequential computation:
+    the distributed per-group fit equals the pure-Python PAVA reference,
+    is non-decreasing, and preserves each group's weighted mean."""
+    import random
+
+    from data_warehouse_punta_fina_spark.operators.grouped import _pava, isotonic_fit
+
+    rng = random.Random(11)
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(40):
+            # noisy increasing signal with deliberate violations
+            rows.append((g, float(i), i * 0.5 + rng.uniform(-3, 3)))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = isotonic_fit(df, ["g"], "x", "y")
+    out = {}
+    for r in got.collect():
+        out.setdefault(r["g"], []).append((r["x"], r["y"], r["y_fit"]))
+    for g in ("a", "b", "c"):
+        seq = sorted(out[g])
+        fits = [f for _, _, f in seq]
+        ys = [y for _, y, _ in seq]
+        # monotone
+        assert all(f1 <= f2 + 1e-12 for f1, f2 in zip(fits, fits[1:]))
+        # matches the reference implementation exactly
+        expect = _pava(ys, [1.0] * len(ys))
+        assert all(abs(a - b) < 1e-9 for a, b in zip(fits, expect))
+        # mean preserved (least-squares projection property)
+        assert abs(sum(fits) - sum(ys)) < 1e-6
