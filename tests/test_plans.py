@@ -585,3 +585,51 @@ def test_tfidf_pairs_plan_stays_materialized(spark):
     # the corpus text column must not appear in any scan of the final
     # plan: both join branches read the checkpointed unit table
     assert "text#" not in plan
+
+
+def test_write_zordered_three_columns(spark, tmp_path):
+    """N-dim morton: with three cluster columns every dimension's
+    per-file span stays bounded (the 2-D test's property generalizes);
+    21 bits × 3 dims fits the int64 key, 22 must raise."""
+    import glob
+
+    import pytest
+
+    import pyarrow.parquet as pq
+
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.sources.writers import (
+        write_zordered,
+        zorder_key,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "z3")
+    write_zordered(ev, path, ["event_id", "user_id", "value"], bits=8, n_files=16)
+    assert spark.read.parquet(path).count() == ev.count()
+
+    spans = {}
+    for col in ("event_id", "user_id", "value"):
+        lo = ev.agg({col: "min"}).collect()[0][0]
+        hi = ev.agg({col: "max"}).collect()[0][0]
+        width = (hi - lo) or 1
+        per_file = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            per_file.append((max(maxs) - min(mins)) / width)
+        spans[col] = sum(per_file) / len(per_file)
+    # three dims share 63 key bits: boxes are coarser than 2-D but every
+    # dimension must still be meaningfully bounded below full width
+    assert all(s < 0.8 for s in spans.values()), spans
+
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c"], bits=22)  # 66 bits > int64
