@@ -678,6 +678,26 @@ def _build_registries():
 
         return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
 
+    def files_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # row provenance from Spark's hidden _metadata columns (file_name
+        # + per-file row_index) — ingestion lineage without any ETL
+        # bookkeeping. The oracle can only see the pre-registered views,
+        # so it asserts the KNOWN testdata layout (one file per table,
+        # contiguous 0-based row_index ⇒ max = count−1); the Spark side
+        # computes all of it from real scan metadata at runtime.
+        parts = None
+        for t in ("lineitem", "orders", "documents", "embeddings"):
+            d = spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet").select(
+                F.lit(t).alias("tbl"),
+                F.col("_metadata.file_name").alias("file_name"),
+                F.col("_metadata.row_index").alias("_ri"),
+            )
+            parts = d if parts is None else parts.unionByName(d)
+        return parts.groupBy("tbl", "file_name").agg(
+            F.count("*").alias("n_rows"),
+            F.max("_ri").alias("max_row_index"),
+        )
+
     def revenue_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialized-view maintenance: aggregate pre-1997 history ONCE,
         # merge the post-1997 delta without rescanning history
@@ -1789,6 +1809,7 @@ def _build_registries():
         "orders_profile": orders_profile,
         "lineitem_benford": lineitem_benford,
         "revenue_incremental_merge": revenue_incremental_merge,
+        "files_provenance": files_provenance,
         "user_last_event": user_last_event,
         "events_attribution": events_attribution,
         "events_value_percentiles": events_value_percentiles,
@@ -3362,6 +3383,16 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Provenance oracle: the views hide filenames, so assert the known
+    # one-file-per-table layout; Spark derives it from _metadata.
+    o["files_provenance"] = """
+SELECT 'lineitem' AS tbl, 'lineitem.parquet' AS file_name,
+       COUNT(*) AS n_rows, COUNT(*) - 1 AS max_row_index FROM lineitem
+UNION ALL SELECT 'orders', 'orders.parquet', COUNT(*), COUNT(*) - 1 FROM orders
+UNION ALL SELECT 'documents', 'documents.parquet', COUNT(*), COUNT(*) - 1 FROM documents
+UNION ALL SELECT 'embeddings', 'embeddings.parquet', COUNT(*), COUNT(*) - 1 FROM embeddings
 """
 
     # Materialized-view merge oracle: FULL RECOMPUTE over all rows — not
