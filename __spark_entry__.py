@@ -678,6 +678,24 @@ def _build_registries():
 
         return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
 
+    def events_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # RANGE-framed window (time-interval frame, not row counts): per
+        # user, the trailing-7-day event-value sum at every event. The
+        # frame is defined by the ORDER-BY VALUE range, so ties inside
+        # the frame contribute symmetrically — order-independent by
+        # construction; decimal sums keep it exact.
+        events = load_table(spark, sf_dir, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_seconds(F.col("ts")))
+            .rangeBetween(-7 * 86400, 0)
+        )
+        return events.select(
+            "event_id",
+            "user_id",
+            F.sum(pround2("value")).over(w).cast("double").alias("trailing_7d_value"),
+        )
+
     def files_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row provenance from Spark's hidden _metadata columns (file_name
         # + per-file row_index) — ingestion lineage without any ETL
@@ -1810,6 +1828,7 @@ def _build_registries():
         "lineitem_benford": lineitem_benford,
         "revenue_incremental_merge": revenue_incremental_merge,
         "files_provenance": files_provenance,
+        "events_trailing_7d": events_trailing_7d,
         "user_last_event": user_last_event,
         "events_attribution": events_attribution,
         "events_value_percentiles": events_value_percentiles,
@@ -3383,6 +3402,16 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # RANGE-framed trailing window: epoch-second ORDER BY so both engines
+    # evaluate the identical numeric range frame; decimal sums exact.
+    o["events_trailing_7d"] = f"""
+SELECT event_id, user_id,
+       CAST(SUM({_r2("value")}) OVER (
+         PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d_value
+FROM events
 """
 
     # Provenance oracle: the views hide filenames, so assert the known
