@@ -678,6 +678,21 @@ def _build_registries():
 
         return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
 
+    def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # behavior transition matrix: (from_type → to_type) counts over
+        # each user's time-ordered event sequence — the Markov-chain
+        # input for journey modeling; one keyed window (lead), one count
+        events = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        ).filter(F.col("to_type").isNotNull())
+        return seq.groupBy("from_type", "to_type").agg(
+            F.count("*").alias("n_transitions")
+        )
+
     def events_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         # RANGE-framed window (time-interval frame, not row counts): per
         # user, the trailing-7-day event-value sum at every event. The
@@ -1829,6 +1844,7 @@ def _build_registries():
         "revenue_incremental_merge": revenue_incremental_merge,
         "files_provenance": files_provenance,
         "events_trailing_7d": events_trailing_7d,
+        "events_transitions": events_transitions,
         "user_last_event": user_last_event,
         "events_attribution": events_attribution,
         "events_value_percentiles": events_value_percentiles,
@@ -3402,6 +3418,18 @@ SELECT n.doc_id, b.match_id IS NOT NULL AS is_dup,
        b.match_id, CAST(b.jaccard AS DOUBLE) AS jaccard
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.id_b
+"""
+
+    # Markov transition counts: lead() over the same (ts, event_id) total
+    # order in both engines.
+    o["events_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n_transitions
+FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
 """
 
     # RANGE-framed trailing window: epoch-second ORDER BY so both engines

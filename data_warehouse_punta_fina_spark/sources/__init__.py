@@ -3,6 +3,7 @@ from data_warehouse_punta_fina_spark.sources.readers import (  # noqa: F401
     load_table,
     read_csv,
     read_jdbc,
+    read_csv_tolerant,
     read_jsonl,
     read_jsonl_tolerant,
     read_parquet,

@@ -97,6 +97,38 @@ def read_jsonl_tolerant(
     return good, bad
 
 
+def read_csv_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_jsonl_tolerant`: (good, bad) with
+    malformed lines quarantined instead of killing the job — the
+    reference ingests ~12 hand-maintained CSVs (`extractors/
+    csv_extractor.py`), exactly the files that arrive with broken rows.
+    A row is corrupt when it cannot be parsed INTO THE SCHEMA (wrong
+    column count, unparseable type); the raw line lands in the
+    quarantine frame."""
+    full = T.StructType(
+        [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

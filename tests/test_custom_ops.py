@@ -532,3 +532,24 @@ def test_funnel_progress_four_steps(spark):
         for r in funnel_progress(events, steps).collect()
     }
     assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_read_csv_tolerant_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from data_warehouse_punta_fina_spark.sources.readers import read_csv_tolerant
+
+    raw = tmp_path / "csv"
+    raw.mkdir()
+    (raw / "a.csv").write_text(
+        "id,qty\n"
+        "1,10\n"
+        "2,notanumber\n"
+        "3,30\n"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("qty", T.IntegerType())]
+    )
+    good, bad = read_csv_tolerant(spark, str(raw), schema)
+    assert {(r["id"], r["qty"]) for r in good.collect()} == {(1, 10), (3, 30)}
+    assert [r["raw_line"] for r in bad.collect()] == ["2,notanumber"]
