@@ -749,3 +749,46 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     ids = [e for e, _ in got2]
     assert ids.count(1) == 2  # re-admitted: exactly the state bound's trade
     assert 3 in ids
+
+
+def test_progress_ledger_captures_microbatch_metrics(spark, sf_dir, tmp_path):
+    """The listener ledger records every micro-batch's row counts (the
+    reference's per-chunk metrics, emitted by the engine for free) and
+    the JSONL mirror is shipper-ready."""
+    import json as _json
+    import time as _t
+
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.file_stream import (
+        read_file_stream,
+        run_available_now,
+    )
+    from data_warehouse_punta_fina_spark.streaming.observer import ProgressLedger
+
+    events = load_table(spark, sf_dir, "events").drop("props")
+    staged = str(tmp_path / "in")
+    events.limit(200).write.mode("overwrite").parquet(staged)
+
+    jsonl = str(tmp_path / "progress.jsonl")
+    ledger = ProgressLedger(jsonl_path=jsonl)
+    spark.streams.addListener(ledger)
+    try:
+        stream = read_file_stream(spark, staged, _events_schema())
+        q = run_available_now(
+            stream.select("event_id", "value"),
+            str(tmp_path / "ck"),
+            str(tmp_path / "out"),
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async — allow them to drain
+        deadline = _t.time() + 30
+        while _t.time() < deadline and ledger.total_input_rows() < 200:
+            _t.sleep(0.5)
+    finally:
+        spark.streams.removeListener(ledger)
+    assert ledger.total_input_rows() >= 200
+    assert all("duration_ms" in e and e["batch_id"] >= 0 for e in ledger.events)
+    lines = [
+        _json.loads(ln) for ln in open(jsonl).read().splitlines() if ln.strip()
+    ]
+    assert sum(l["num_input_rows"] for l in lines) >= 200
