@@ -26,3 +26,4 @@ from data_warehouse_punta_fina_spark.sources.writers import (  # noqa: F401
     write_parquet,
     write_zordered,
 )
+from data_warehouse_punta_fina_spark.sources.txlog import CommitConflict, TxTable  # noqa: F401

@@ -1,0 +1,142 @@
+"""A minimal parquet transaction log: lakehouse semantics without a
+lakehouse jar.
+
+The reference's `incremental`/`upsert` load strategies are stubs that
+fall back to truncate (`loaders/database_loader.py:204-212`), and the
+sandbox carries no Delta/Iceberg jar — so this implements the core of
+what those formats provide, natively, on top of plain parquet:
+
+- **Atomic commits**: data files are written to a per-commit directory
+  first; the commit is the CREATION of ``_txlog/<version>.json`` with
+  ``open(..., 'x')`` — exclusive create either fully succeeds or fully
+  fails, so readers never observe a half-commit. A losing concurrent
+  writer retries against the next version (its already-written files
+  belong only to its own commit attempt, so no cleanup hazard).
+- **Snapshot isolation + time travel**: a read replays the log up to a
+  version — ``append`` adds files, ``overwrite`` resets the set — and
+  reads exactly those files. Old versions stay readable forever (until
+  a future VACUUM would remove unreferenced files).
+- **MERGE-ish upsert**: read-current → ``operators.scd.type1_upsert`` →
+  overwrite-commit: the Delta ``MERGE INTO`` (whenMatched update /
+  whenNotMatched insert) semantics as one snapshot transition.
+- **OPTIMIZE**: ``compact()`` rewrites the current snapshot into few
+  fat files as a new overwrite commit — old versions untouched.
+
+Scope honesty: exclusive-create is atomic on POSIX/HDFS; on S3 the real
+systems use conditional PUTs / a commit service — same protocol, swap
+the primitive. The log stores the schema JSON so an empty table (or an
+all-overwritten one) still reads with its schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+class TxTable:
+    """A transactional parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, "_txlog")
+        self.data_dir = os.path.join(path, "data")
+
+    # -- log plumbing -----------------------------------------------------
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def _entry(self, v: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, action: str, files: list[str], schema_json: str) -> int:
+        """Exclusive-create the next version file; retry on conflict."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        for _ in range(10):
+            vs = self._versions()
+            v = (vs[-1] + 1) if vs else 0
+            entry = {
+                "version": v,
+                "action": action,
+                "files": files,
+                "schema": schema_json,
+            }
+            target = os.path.join(self.log_dir, f"{v:08d}.json")
+            try:
+                with open(target, "x") as fh:
+                    json.dump(entry, fh)
+                return v
+            except FileExistsError:
+                continue  # lost the race: re-list, try the next version
+        raise CommitConflict(f"could not commit after 10 attempts at {self.path}")
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        sub = f"commit-{uuid.uuid4().hex}"
+        out = os.path.join(self.data_dir, sub)
+        df.write.mode("overwrite").parquet(out)
+        return [
+            os.path.join(sub, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    # -- public API -------------------------------------------------------
+    def append(self, df: DataFrame) -> int:
+        return self._commit("append", self._write_files(df), df.schema.json())
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit("overwrite", self._write_files(df), df.schema.json())
+
+    def upsert(self, updates: DataFrame, keys: list[str]) -> int:
+        """MERGE: matched rows replaced, unmatched inserted — one
+        snapshot transition (Delta's whenMatchedUpdateAll /
+        whenNotMatchedInsertAll)."""
+        from data_warehouse_punta_fina_spark.operators.scd import type1_upsert
+
+        return self.overwrite(type1_upsert(self.read(), updates, keys))
+
+    def compact(self, n_files: int = 1) -> int:
+        """OPTIMIZE: rewrite the current snapshot into ``n_files`` fat
+        files as a new overwrite commit (old versions stay readable)."""
+        return self.overwrite(self.read().repartition(n_files))
+
+    def read(self, version: int | None = None) -> DataFrame:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no transaction log at {self.path}")
+        upto = vs[-1] if version is None else version
+        files: list[str] = []
+        schema_json = None
+        for v in vs:
+            if v > upto:
+                break
+            e = self._entry(v)
+            if e["action"] == "overwrite":
+                files = list(e["files"])
+            else:
+                files.extend(e["files"])
+            schema_json = e["schema"]
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def history(self) -> list[dict]:
+        return [self._entry(v) for v in self._versions()]

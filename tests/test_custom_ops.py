@@ -553,3 +553,58 @@ def test_read_csv_tolerant_quarantines_bad_rows(spark, tmp_path):
     good, bad = read_csv_tolerant(spark, str(raw), schema)
     assert {(r["id"], r["qty"]) for r in good.collect()} == {(1, 10), (3, 30)}
     assert [r["raw_line"] for r in bad.collect()] == ["2,notanumber"]
+
+
+def test_txtable_acid_time_travel_and_merge(spark, tmp_path):
+    """The mini transaction log: atomic versioned commits, snapshot
+    reads with time travel, MERGE-style upsert, OPTIMIZE compaction,
+    conflict retry, and an empty-after-overwrite table that still
+    carries its schema."""
+    import glob
+    import json
+    import os
+
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+
+    def rows(df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    v0 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    v1 = t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    assert (v0, v1) == (0, 1)
+    assert rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    # time travel
+    assert rows(t.read(version=0)) == [(1, "a"), (2, "b")]
+
+    # MERGE: update k=2, insert k=4
+    t.upsert(spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"), ["k"])
+    assert rows(t.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    # pre-merge snapshot unchanged
+    assert rows(t.read(version=1)) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # OPTIMIZE: same content, one file
+    v_compact = t.compact(n_files=1)
+    assert rows(t.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    entry = t.history()[-1]
+    assert entry["version"] == v_compact and len(entry["files"]) == 1
+
+    # conflict: a racing writer grabs the next version; append retries
+    schema_json = t.history()[-1]["schema"]
+    nxt = max(v["version"] for v in t.history()) + 1
+    with open(os.path.join(t.log_dir, f"{nxt:08d}.json"), "x") as fh:
+        json.dump({"version": nxt, "action": "append", "files": [],
+                   "schema": schema_json}, fh)
+    v_after = t.append(spark.createDataFrame([(9, "z")], "k int, v string"))
+    assert v_after == nxt + 1  # lost the race once, committed next slot
+    assert (9, "z") in rows(t.read())
+
+    # overwrite to empty: schema survives
+    empty = spark.createDataFrame([], "k int, v string")
+    t.overwrite(empty)
+    got = t.read()
+    assert got.count() == 0 and [f.name for f in got.schema.fields] == ["k", "v"]
+    # history is complete and strictly versioned
+    hv = [e["version"] for e in t.history()]
+    assert hv == sorted(hv) and len(hv) == len(set(hv))
