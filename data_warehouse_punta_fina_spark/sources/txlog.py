@@ -111,6 +111,25 @@ class TxTable:
 
         return self.overwrite(type1_upsert(self.read(), updates, keys))
 
+    def scd2_commit(
+        self,
+        updates: DataFrame,
+        key: str,
+        tracked: list[str],
+        effective_date,
+        end_of_time: str = "9999-12-31",
+    ) -> int:
+        """SCD2 MERGE as one snapshot transition: close changed current
+        versions, append new versions/members
+        (``operators.scd.scd2_merge``), commit as an overwrite — the
+        other Delta MERGE flavor, with every historical dimension state
+        still readable via time travel."""
+        from data_warehouse_punta_fina_spark.operators.scd import scd2_merge
+
+        return self.overwrite(
+            scd2_merge(self.read(), updates, key, tracked, effective_date, end_of_time)
+        )
+
     def compact(self, n_files: int = 1) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``n_files`` fat
         files as a new overwrite commit (old versions stay readable)."""

@@ -608,3 +608,35 @@ def test_txtable_acid_time_travel_and_merge(spark, tmp_path):
     # history is complete and strictly versioned
     hv = [e["version"] for e in t.history()]
     assert hv == sorted(hv) and len(hv) == len(set(hv))
+
+
+def test_txtable_scd2_commit_time_travels_dimension_history(spark, tmp_path):
+    """SCD2 merge as a TxTable transition: version N-1 still shows the
+    pre-merge dimension; version N carries the closed + new rows."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "dim"))
+    base = spark.createDataFrame(
+        [
+            (1, "gold", datetime.date(2020, 1, 1), datetime.date(9999, 12, 31), True),
+            (2, "silver", datetime.date(2020, 1, 1), datetime.date(9999, 12, 31), True),
+        ],
+        "k int, tier string, valid_from date, valid_to date, is_current boolean",
+    )
+    v0 = t.append(base)
+    t.scd2_commit(
+        spark.createDataFrame([(1, "platinum"), (3, "bronze")], "k int, tier string"),
+        key="k",
+        tracked=["tier"],
+        effective_date=F.lit("2024-06-01").cast("date"),
+    )
+    now = {(r["k"], r["tier"], r["is_current"]) for r in t.read().collect()}
+    assert (1, "gold", False) in now       # closed version
+    assert (1, "platinum", True) in now    # new version
+    assert (2, "silver", True) in now      # untouched passes through
+    assert (3, "bronze", True) in now      # new member
+    # time travel: the pre-merge dimension is intact at v0
+    before = {(r["k"], r["tier"], r["is_current"]) for r in t.read(version=v0).collect()}
+    assert before == {(1, "gold", True), (2, "silver", True)}
