@@ -67,24 +67,9 @@ class TxTable:
 
     def _commit(self, action: str, files: list[str], schema_json: str) -> int:
         """Exclusive-create the next version file; retry on conflict."""
-        os.makedirs(self.log_dir, exist_ok=True)
-        for _ in range(10):
-            vs = self._versions()
-            v = (vs[-1] + 1) if vs else 0
-            entry = {
-                "version": v,
-                "action": action,
-                "files": files,
-                "schema": schema_json,
-            }
-            target = os.path.join(self.log_dir, f"{v:08d}.json")
-            try:
-                with open(target, "x") as fh:
-                    json.dump(entry, fh)
-                return v
-            except FileExistsError:
-                continue  # lost the race: re-list, try the next version
-        raise CommitConflict(f"could not commit after 10 attempts at {self.path}")
+        return self._commit_raw(
+            {"action": action, "files": files, "schema": schema_json}
+        )
 
     def _write_files(self, df: DataFrame) -> list[str]:
         sub = f"commit-{uuid.uuid4().hex}"
@@ -135,27 +120,93 @@ class TxTable:
         files as a new overwrite commit (old versions stay readable)."""
         return self.overwrite(self.read().repartition(n_files))
 
-    def read(self, version: int | None = None) -> DataFrame:
-        vs = self._versions()
-        if not vs:
-            raise FileNotFoundError(f"no transaction log at {self.path}")
-        upto = vs[-1] if version is None else version
+    def _snapshot_files(self, upto: int) -> tuple[list[str], str | None, int]:
+        """(files, schema_json, horizon) for the snapshot at ``upto``;
+        horizon is the lowest still-readable version (raised by vacuum)."""
         files: list[str] = []
         schema_json = None
-        for v in vs:
+        horizon = 0
+        for v in self._versions():
             if v > upto:
                 break
             e = self._entry(v)
+            if e["action"] == "vacuum":
+                horizon = e["horizon"]
+                continue
             if e["action"] == "overwrite":
                 files = list(e["files"])
             else:
                 files.extend(e["files"])
             schema_json = e["schema"]
+        return files, schema_json, horizon
+
+    def read(self, version: int | None = None) -> DataFrame:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no transaction log at {self.path}")
+        upto = vs[-1] if version is None else version
+        # the horizon is set by the LATEST log state regardless of the
+        # requested version — vacuumed files are gone for everyone
+        _, _, horizon = self._snapshot_files(vs[-1])
+        if upto < horizon:
+            raise ValueError(
+                f"version {upto} was vacuumed (time-travel horizon is {horizon})"
+            )
+        files, schema_json, _ = self._snapshot_files(upto)
         schema = T.StructType.fromJson(json.loads(schema_json))
         if not files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.data_dir, f) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def vacuum(self, retain_versions: int = 1) -> int:
+        """Delete data files unreferenced by the last ``retain_versions``
+        snapshots and raise the time-travel horizon — the lakehouse
+        VACUUM. The horizon rides in a log entry, so a reader asking for
+        a pre-horizon version gets a loud error instead of a
+        missing-file crash mid-scan."""
+        vs = [
+            v
+            for v in self._versions()
+            if self._entry(v)["action"] != "vacuum"
+        ]
+        if not vs:
+            raise FileNotFoundError(f"no transaction log at {self.path}")
+        horizon = vs[-1] if retain_versions <= 1 else vs[max(0, len(vs) - retain_versions)]
+        keep: set[str] = set()
+        schema_json = None
+        for v in vs:
+            if v >= horizon:
+                files, schema_json, _ = self._snapshot_files(v)
+                keep.update(files)
+        # physical delete of everything unreferenced by retained snapshots
+        for sub in os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else []:
+            subdir = os.path.join(self.data_dir, sub)
+            if not os.path.isdir(subdir):
+                continue
+            for f in os.listdir(subdir):
+                rel = os.path.join(sub, f)
+                if f.endswith(".parquet") and rel not in keep:
+                    os.remove(os.path.join(subdir, f))
+            if not os.listdir(subdir):
+                os.rmdir(subdir)
+        return self._commit_raw(
+            {"action": "vacuum", "horizon": horizon, "files": [], "schema": schema_json}
+        )
+
+    def _commit_raw(self, payload: dict) -> int:
+        os.makedirs(self.log_dir, exist_ok=True)
+        for _ in range(10):
+            vs = self._versions()
+            v = (vs[-1] + 1) if vs else 0
+            target = os.path.join(self.log_dir, f"{v:08d}.json")
+            try:
+                with open(target, "x") as fh:
+                    json.dump({"version": v, **payload}, fh)
+                return v
+            except FileExistsError:
+                continue
+        raise CommitConflict(f"could not commit after 10 attempts at {self.path}")
 
     def history(self) -> list[dict]:
         return [self._entry(v) for v in self._versions()]

@@ -640,3 +640,32 @@ def test_txtable_scd2_commit_time_travels_dimension_history(spark, tmp_path):
     # time travel: the pre-merge dimension is intact at v0
     before = {(r["k"], r["tier"], r["is_current"]) for r in t.read(version=v0).collect()}
     assert before == {(1, "gold", True), (2, "silver", True)}
+
+
+def test_txtable_vacuum_retention_and_horizon(spark, tmp_path):
+    """VACUUM deletes files unreferenced by the retained snapshots and
+    raises the time-travel horizon loudly (no missing-file crash)."""
+    import glob
+
+    import pytest
+
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))     # v0
+    t.append(spark.createDataFrame([(2, "b")], "k int, v string"))     # v1
+    t.overwrite(spark.createDataFrame([(3, "c")], "k int, v string"))  # v2
+    n_before = len(glob.glob(f"{t.data_dir}/*/*.parquet"))
+    assert n_before == 3 * 32 or n_before >= 3  # one commit dir per write
+
+    t.vacuum(retain_versions=1)
+    # only the current snapshot's files survive physically
+    survivors = glob.glob(f"{t.data_dir}/*/*.parquet")
+    assert survivors and len(survivors) < n_before
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [(3, "c")]
+    # pre-horizon time travel fails LOUDLY
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=1)
+    # the table remains fully writable after a vacuum
+    t.append(spark.createDataFrame([(4, "d")], "k int, v string"))
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [(3, "c"), (4, "d")]
