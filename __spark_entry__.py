@@ -1707,20 +1707,29 @@ def _build_registries():
         "doc_pii_redaction": doc_pii_redaction,
         "events_validated": events_validated,
         # SQL front end (verbatim ANSI strings on both engines)
-        "sql_revenue_by_nation": sql_revenue_by_nation,
+        # (wave 5: sql_revenue_by_nation demoted — the family is carried
+        # in-window by sql_top_customer_per_nation — for doc_chunks)
         "sql_top_customer_per_nation": sql_top_customer_per_nation,
         # custom operators beyond the reference's surface
+        # (wave 5 rotation, continuing the never-driver-hashed sweep:
+        # lineitem_cube in / lineitem_rollup out (CUBE ⊃ ROLLUP grouping
+        # sets); events_retention in / custkey_set_ops out (set ops also
+        # exercised inside order_reconciliation + dq_report);
+        # events_attribution in / asof_last_order out (as-of join
+        # driver-green r1-r4, still mirror-checked). All demotions stay
+        # in extras.)
         "events_value_band_rangejoin": events_value_band_rangejoin,
         "events_robust_outliers": events_robust_outliers,
         "pnl_unpivot": pnl_unpivot,
         "events_funnel": events_funnel,
         "batch_token_stats": batch_token_stats,
-        "asof_last_order": asof_last_order,
+        "events_retention": events_retention,
         "events_session_window": events_session_window,
         "order_reconciliation": order_reconciliation,
-        "lineitem_rollup": lineitem_rollup,
+        "lineitem_cube": lineitem_cube,
         "events_gap_fill": events_gap_fill,
-        "custkey_set_ops": custkey_set_ops,
+        "events_attribution": events_attribution,
+        "doc_chunks": doc_chunks,
         # north-star: text analysis / dedup / similarity / multimodal
         # (round-5 rotation, two waves. Wave 1: doc_repetition /
         # doc_bm25_topk / doc_surprisal / doc_incremental_dedup — the
@@ -1835,10 +1844,12 @@ def _build_registries():
         # session-5 demotions for doc_tfidf_pairs / source_quality_report
         "dim_promocion": build_dim_promocion,
         "doc_top_terms": doc_top_terms,
-        "lineitem_cube": lineitem_cube,
-        "doc_chunks": doc_chunks,
         "customer_balance_quartiles": customer_balance_quartiles,
-        "events_retention": events_retention,
+        # wave-5 demotions (driver-green r1-r4; families still in-window)
+        "sql_revenue_by_nation": sql_revenue_by_nation,
+        "asof_last_order": asof_last_order,
+        "lineitem_rollup": lineitem_rollup,
+        "custkey_set_ops": custkey_set_ops,
         "orders_profile": orders_profile,
         "lineitem_benford": lineitem_benford,
         "revenue_incremental_merge": revenue_incremental_merge,
@@ -1846,7 +1857,6 @@ def _build_registries():
         "events_trailing_7d": events_trailing_7d,
         "events_transitions": events_transitions,
         "user_last_event": user_last_event,
-        "events_attribution": events_attribution,
         "events_value_percentiles": events_value_percentiles,
     }
     return reg, extra
