@@ -158,6 +158,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "lineitem_cube": ["sum_qty"],
     "user_last_event": ["last_value", "first_value", "total_value"],
     "doc_text_stats": ["punct_ratio", "stopword_ratio", "quality"],
+    "doc_repeated_spans": ["dup_fraction"],
     "doc_quality_gate": ["quality"],
     "doc_quality_stratified": ["quality", "pct_rank"],
     "doc_token_budget_mix": ["quality"],
@@ -1257,6 +1258,15 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return repetition_metrics(_spread(docs), "text", "doc_id", n=2)
 
+    def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Lee-et-al-style exact-substring duplication profile: 5-gram
+        # occurrences repeated anywhere in the corpus, interval-merged
+        # into maximal spans per doc (operators.dedup.repeated_span_stats)
+        from data_warehouse_punta_fina_spark.operators.dedup import repeated_span_stats
+
+        docs = load_table(spark, sf_dir, "documents")
+        return repeated_span_stats(docs, "text", "doc_id", n=5)
+
     def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Okapi BM25 lexical retrieval: fixed query set, top-5 per query.
         # inverted-index join with broadcast query terms (operators.retrieval)
@@ -1718,9 +1728,11 @@ def _build_registries():
         # events_attribution in / asof_last_order out (as-of join
         # driver-green r1-r4, still mirror-checked). All demotions stay
         # in extras.)
+        # (session 3: pnl_unpivot demoted — pivot/unpivot family carried
+        # in-window by fact_estado_resultados — for doc_repeated_spans,
+        # the Lee-et-al exact-substring duplication profile; see reg tail)
         "events_value_band_rangejoin": events_value_band_rangejoin,
         "events_robust_outliers": events_robust_outliers,
-        "pnl_unpivot": pnl_unpivot,
         "events_funnel": events_funnel,
         "batch_token_stats": batch_token_stats,
         "events_retention": events_retention,
@@ -1777,6 +1789,7 @@ def _build_registries():
         "doc_pack_bins": doc_pack_bins,
         "doc_contamination": doc_contamination,
         "doc_repetition": doc_repetition,
+        "doc_repeated_spans": doc_repeated_spans,
         "doc_bm25_topk": doc_bm25_topk,
         "doc_surprisal": doc_surprisal,
         "doc_incremental_dedup": doc_incremental_dedup,
@@ -1850,6 +1863,7 @@ def _build_registries():
         "asof_last_order": asof_last_order,
         "lineitem_rollup": lineitem_rollup,
         "custkey_set_ops": custkey_set_ops,
+        "pnl_unpivot": pnl_unpivot,
         "orders_profile": orders_profile,
         "lineitem_benford": lineitem_benford,
         "revenue_incremental_merge": revenue_incremental_merge,
@@ -3307,6 +3321,41 @@ SELECT periodo_id, concepto, monto FROM (
     # Gopher-style repetition profile over token bigrams. LEFT JOIN keeps
     # docs with < 2 tokens (zero totals, null ratios) to mirror Spark's
     # explode_outer.
+    o["doc_repeated_spans"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+g0 AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS j, t FROM toks
+),
+g AS (SELECT doc_id, j AS pos, array_to_string(t[j:j+4], ' ') AS gram FROM g0),
+c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+d AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e FROM g JOIN c USING (gram)),
+m AS (
+  SELECT doc_id, pos, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM d
+),
+i AS (
+  SELECT doc_id, pos, e,
+         SUM(CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+),
+s AS (SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS covered
+      FROM i GROUP BY doc_id, island),
+a AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(covered) AS dup_tokens,
+             MAX(covered) AS longest_span
+      FROM s GROUP BY doc_id)
+SELECT l.doc_id,
+       l.n_tokens,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       COALESCE(a.longest_span, 0) AS longest_span,
+       {_r6("COALESCE(a.dup_tokens, 0) / GREATEST(l.n_tokens, 1)")} AS dup_fraction
+FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) l
+LEFT JOIN a USING (doc_id)
+"""
+
     o["doc_repetition"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
 grams AS (

@@ -577,6 +577,129 @@ def simhash_near_dup_pairs(
     )
 
 
+def gram_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_tokens: int | None = None,
+    tokens_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(occurrences, doc_lens): POSITIONAL n-gram occurrences — unlike
+    :func:`shingle_rows` these are NOT per-doc distinct and carry the
+    0-based start position, so downstream operators can reason about which
+    token spans a gram covers. ``occurrences`` is (id, pos, gram);
+    ``doc_lens`` is (id, n_tokens) for EVERY input doc (including docs
+    shorter than ``n`` tokens, which contribute no occurrence rows).
+
+    Both frames derive from ONE tokenize: the tokenized projection is
+    materialized (ephemeral localCheckpoint, or durable parquet via
+    ``tokens_path``) before fanning out to the lens/occurrence branches —
+    at 100 TB tokenization is the dominant map cost and must not run per
+    consumer (same discipline as BM25's single-tokenize avgdl).
+    ``max_tokens`` is the giant-doc skew guard for the per-doc window.
+    """
+    toked = _materialize(
+        _spread(df.select(F.col(id_col), tokens(text_col, max_tokens).alias("_toks"))),
+        tokens_path,
+    )
+    doc_lens = toked.select(F.col(id_col), F.size("_toks").cast("bigint").alias("n_tokens"))
+    exploded = toked.select(
+        F.col(id_col), F.size("_toks").alias("_sz"), F.posexplode("_toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    occ = (
+        exploded.select(
+            F.col(id_col),
+            F.col("_sz"),
+            F.col("pos"),
+            F.concat_ws(" ", F.col("tok"), *[F.lead("tok", k).over(w) for k in range(1, n)]).alias(
+                "gram"
+            ),
+        )
+        # only full-width grams: the last n-1 positions have null leads
+        # (concat_ws would silently emit short grams — filter by position)
+        .filter(F.col("pos") <= F.col("_sz") - F.lit(n))
+        .select(id_col, "pos", "gram")
+    )
+    return occ, doc_lens
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+    max_tokens: int | None = None,
+    tokens_path: str | None = None,
+) -> DataFrame:
+    """Exact-substring duplication profile per document (the Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better"
+    signal, at n-token granularity): find every n-gram occurring ≥
+    ``min_count`` times ANYWHERE in the corpus (cross-doc boilerplate and
+    within-doc self-repeats both count), merge the token intervals its
+    occurrences cover into maximal spans per doc, and report
+
+        (doc_id, n_tokens, n_spans, dup_tokens, longest_span,
+         dup_fraction)
+
+    one row per input doc (docs with no duplicated span report zeros).
+    Training pipelines cut on ``dup_fraction`` (how much of the doc is
+    corpus-duplicated text) or excise the spans themselves.
+
+    Scale shape — no all-pairs stage anywhere:
+    - ONE tokenize (materialized, see :func:`gram_occurrences`), one
+      per-doc window to form positional grams (``max_tokens`` bounds the
+      hottest doc);
+    - gram counting is a map-side-combined groupBy on the gram string
+      (vocabulary-sized output); production would group on
+      ``xxhash64(gram)`` to shuffle 8-byte keys — same counts, hash-width
+      keys — kept as the string here for bit-exact oracle parity;
+    - occurrences join the duplicated-gram set on an equi key (AQE
+      splits a pathologically hot gram; no broadcast assumption);
+    - interval merge is the classic gaps-and-islands: per-doc running
+      MAX(end) over preceding rows marks island starts, a running SUM
+      numbers them — window partitioned by doc, never global.
+    """
+    occ, doc_lens = gram_occurrences(df, text_col, id_col, n, max_tokens, tokens_path)
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("gram")
+    )
+    dup_occ = occ.join(dup_grams, "gram").withColumn("_end", F.col("pos") + F.lit(n - 1))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dup_occ.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("_island", F.sum("_new").over(w))
+    spans = marked.groupBy(id_col, "_island").agg(
+        (F.max("_end") - F.min("pos") + F.lit(1)).cast("bigint").alias("_covered")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("_covered").alias("dup_tokens"),
+        F.max("_covered").alias("longest_span"),
+    )
+    return (
+        doc_lens.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0).cast("bigint")).alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint")).alias("dup_tokens"),
+            F.coalesce(F.col("longest_span"), F.lit(0).cast("bigint")).alias("longest_span"),
+        )
+        .withColumn(
+            "dup_fraction",
+            _pround6(F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1))),
+        )
+    )
+
+
 def edit_distance_near_dup(
     df: DataFrame,
     text_col: str = "text",

@@ -1271,3 +1271,39 @@ def test_edit_distance_near_dup_verifies_candidates(spark):
     dist, ratio = pairs[(1, 2)]
     assert dist == 1 and ratio < 0.02
     assert not any(3 in p for p in pairs)
+
+
+def test_repeated_span_stats_interval_merge(spark):
+    """Hand-checked exact-substring spans: overlapping duplicated 3-gram
+    occurrences merge into ONE maximal span; disjoint repeats stay
+    separate spans; docs with no duplicated gram (or too short to gram)
+    report zeros."""
+    from data_warehouse_punta_fina_spark.operators.dedup import repeated_span_stats
+
+    shared = "the quick brown fox jumps"  # docs 1 & 2 share 3 grams of n=3
+    rows = [
+        # doc 1: shared phrase at tokens 0-4, then unique tail; grams
+        # "the quick brown","quick brown fox","brown fox jumps" all occur
+        # in doc 2 too -> positions 0,1,2 -> ONE merged span covering 0-4
+        (1, shared + " over unique1 tail1 words1 here1"),
+        (2, "prefix2a prefix2b " + shared + " end2a end2b"),
+        # doc 3: its own phrase twice -> within-doc repeat; two DISJOINT
+        # occurrences of the same 3 tokens -> two spans of 3 tokens each
+        (3, "alpha beta gamma stop1 stop2 alpha beta gamma"),
+        (4, "totally distinct content nothing matching anything else"),
+        (5, "tiny doc"),  # < n tokens: no grams at all
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in repeated_span_stats(df, n=3).collect()}
+    assert len(got) == 6
+    assert got[1]["n_spans"] == 1 and got[1]["dup_tokens"] == 5
+    assert got[1]["longest_span"] == 5 and got[1]["n_tokens"] == 10
+    assert got[1]["dup_fraction"] == 0.5
+    assert got[2]["n_spans"] == 1 and got[2]["dup_tokens"] == 5
+    assert got[3]["n_spans"] == 2 and got[3]["dup_tokens"] == 6
+    assert got[3]["longest_span"] == 3
+    for d in (4, 5, 6):
+        assert got[d]["n_spans"] == 0 and got[d]["dup_tokens"] == 0
+        assert got[d]["dup_fraction"] == 0.0
+    assert got[5]["n_tokens"] == 2 and got[6]["n_tokens"] == 0
