@@ -159,6 +159,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "user_last_event": ["last_value", "first_value", "total_value"],
     "doc_text_stats": ["punct_ratio", "stopword_ratio", "quality"],
     "doc_repeated_spans": ["dup_fraction"],
+    "doc_collocations": ["pmi"],
     "doc_quality_gate": ["quality"],
     "doc_quality_stratified": ["quality", "pct_rank"],
     "doc_token_budget_mix": ["quality"],
@@ -1267,6 +1268,15 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return repeated_span_stats(docs, "text", "doc_id", n=5)
 
+    def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Church-&-Hanks PMI collocations: top-40 bigrams by pointwise
+        # mutual information vs the pair distribution's own marginals
+        # (operators.text_quality.pmi_collocations)
+        from data_warehouse_punta_fina_spark.operators.text_quality import pmi_collocations
+
+        docs = load_table(spark, sf_dir, "documents")
+        return pmi_collocations(docs, "text", "doc_id", min_pair_count=5, top_k=40)
+
     def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Okapi BM25 lexical retrieval: fixed query set, top-5 per query.
         # inverted-index join with broadcast query terms (operators.retrieval)
@@ -1777,7 +1787,9 @@ def _build_registries():
         "doc_dedup_clusters": doc_dedup_clusters,
         "scd2_customer_segment": scd2_customer_segment,
         "dq_report": dq_report,
-        "emb_label_centroids": emb_label_centroids,
+        # (session 3: emb_label_centroids demoted — exact vector-agg
+        # machinery also inside the in-window trained-IVF k-means — for
+        # doc_collocations, the PMI collocation miner)
         # session-5 additions: weighted all-pairs similarity + domain gate
         # (doc_top_terms demoted — tf·N/df salience ⊂ the tf-idf family;
         # dim_promocion demoted — dim family covered by fecha/producto/
@@ -1790,6 +1802,7 @@ def _build_registries():
         "doc_contamination": doc_contamination,
         "doc_repetition": doc_repetition,
         "doc_repeated_spans": doc_repeated_spans,
+        "doc_collocations": doc_collocations,
         "doc_bm25_topk": doc_bm25_topk,
         "doc_surprisal": doc_surprisal,
         "doc_incremental_dedup": doc_incremental_dedup,
@@ -1864,6 +1877,7 @@ def _build_registries():
         "lineitem_rollup": lineitem_rollup,
         "custkey_set_ops": custkey_set_ops,
         "pnl_unpivot": pnl_unpivot,
+        "emb_label_centroids": emb_label_centroids,
         "orders_profile": orders_profile,
         "lineitem_benford": lineitem_benford,
         "revenue_incremental_merge": revenue_incremental_merge,
@@ -3354,6 +3368,28 @@ SELECT l.doc_id,
        {_r6("COALESCE(a.dup_tokens, 0) / GREATEST(l.n_tokens, 1)")} AS dup_fraction
 FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) l
 LEFT JOIN a USING (doc_id)
+"""
+
+    o["doc_collocations"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+pairs AS (
+  SELECT gram, COUNT(*) AS n_pair FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+    FROM toks
+  ) GROUP BY gram
+),
+sp AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2, n_pair
+       FROM pairs),
+mx AS (SELECT w1, SUM(n_pair) AS c1 FROM sp GROUP BY w1),
+my AS (SELECT w2, SUM(n_pair) AS c2 FROM sp GROUP BY w2),
+tot AS (SELECT SUM(n_pair) AS n FROM sp)
+SELECT sp.w1, sp.w2, sp.n_pair,
+       {_r6("ln((CAST(sp.n_pair AS DOUBLE) / CAST(tot.n AS DOUBLE))"
+            " / ((CAST(mx.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE))"
+            " * (CAST(my.c2 AS DOUBLE) / CAST(tot.n AS DOUBLE))))")} AS pmi
+FROM sp JOIN mx USING (w1) JOIN my USING (w2) CROSS JOIN tot
+WHERE sp.n_pair >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 40
 """
 
     o["doc_repetition"] = f"""

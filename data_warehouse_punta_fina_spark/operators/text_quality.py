@@ -242,6 +242,75 @@ def unigram_surprisal(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 5,
+    top_k: int = 50,
+    broadcast_marginals: bool = True,
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations by pointwise mutual information —
+    the classic corpus-analysis signal (Church & Hanks 1990) for finding
+    multiword units ("new york", "machine learning") whose co-occurrence
+    beats chance. Curation pipelines use the PMI table to spot boilerplate
+    phrases, glue tokenizer merges, and audit topical drift.
+
+    PMI is computed against the bigram distribution's OWN marginals
+    (``p(w1·)``, ``p(·w2)`` from the pair-count table), so the whole
+    operator derives from ONE tokenize → one map-side-combined bigram
+    count; the marginals are two tiny re-aggregations of the
+    vocabulary-sized count table, joined back (broadcast by default;
+    ``broadcast_marginals=False`` → shuffle join past the broadcast
+    limit). The global top-k is a TakeOrdered — no global window, no
+    single-partition sort. ``min_pair_count`` drops noise pairs whose PMI
+    is dominated by low-count variance (standard practice).
+
+    Cross-engine exactness: the PMI double is ln() of IEEE
+    divisions/multiplications in a fixed order — identical on any
+    engine — then portable round-6 (absorbs last-ulp ln divergence, same
+    argument as BM25's idf). Ties at the top-k boundary break on
+    (w1, w2) ascending. Output: (w1, w2, n_pair, pmi).
+    """
+    pairs = (
+        ngram_rows(df, text_col, id_col, 2)
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_pair"))
+        .select(
+            F.substring_index(F.col("gram"), " ", 1).alias("w1"),
+            F.substring_index(F.col("gram"), " ", -1).alias("w2"),
+            F.col("n_pair"),
+        )
+    )
+    mx = pairs.groupBy("w1").agg(F.sum("n_pair").alias("c1"))
+    my = pairs.groupBy("w2").agg(F.sum("n_pair").alias("c2"))
+    tot = pairs.agg(F.sum("n_pair").alias("n"))
+    maybe_b = F.broadcast if broadcast_marginals else (lambda d: d)
+    n = F.col("n").cast("double")
+    scored = (
+        pairs.filter(F.col("n_pair") >= min_pair_count)
+        .join(maybe_b(mx), "w1")
+        .join(maybe_b(my), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi",
+            pround(
+                F.log(
+                    (F.col("n_pair").cast("double") / n)
+                    / ((F.col("c1").cast("double") / n) * (F.col("c2").cast("double") / n))
+                ),
+                6,
+                12,
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "n_pair", "pmi")
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
 def source_quality_report(
     docs: DataFrame,
     text_col: str = "text",

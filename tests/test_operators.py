@@ -1307,3 +1307,21 @@ def test_repeated_span_stats_interval_merge(spark):
         assert got[d]["n_spans"] == 0 and got[d]["dup_tokens"] == 0
         assert got[d]["dup_fraction"] == 0.0
     assert got[5]["n_tokens"] == 2 and got[6]["n_tokens"] == 0
+
+
+def test_pmi_collocations_known_values(spark):
+    """Hand-computed PMI on a 3-bigram corpus; min_pair_count filters
+    singletons; top-k order is (pmi desc, w1, w2)."""
+    from data_warehouse_punta_fina_spark.operators.text_quality import pmi_collocations
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id int, text string")
+    # bigrams: "a b" x2, "b a" x1; N=3
+    # pmi(a,b) = ln((2/3)/((2/3)*(2/3))) = ln(1.5); pmi(b,a) = ln(3)
+    out = pmi_collocations(df, min_pair_count=1, top_k=10).collect()
+    got = [(r["w1"], r["w2"], r["n_pair"], r["pmi"]) for r in out]
+    assert got[0][:2] == ("b", "a") and got[0][2] == 1
+    assert abs(float(got[0][3]) - 1.098612) < 1e-9
+    assert got[1][:2] == ("a", "b") and got[1][2] == 2
+    assert abs(float(got[1][3]) - 0.405465) < 1e-9
+    only = pmi_collocations(df, min_pair_count=2, top_k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in only] == [("a", "b")]
