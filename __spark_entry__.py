@@ -160,6 +160,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "doc_text_stats": ["punct_ratio", "stopword_ratio", "quality"],
     "doc_repeated_spans": ["dup_fraction"],
     "doc_collocations": ["pmi"],
+    "events_drift_psi": ["p_base", "p_cur", "psi_term"],
     "doc_quality_gate": ["quality"],
     "doc_quality_stratified": ["quality", "pct_rank"],
     "doc_token_budget_mix": ["quality"],
@@ -1460,6 +1461,21 @@ def _build_registries():
             F.max(pround2("c_acctbal")).alias("saldo_max"),
         )
 
+    def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Population Stability Index drift report: the event-value
+        # distribution of the month's second half vs the first half,
+        # binned at the baseline's deciles (operators.quality.psi_report)
+        from data_warehouse_punta_fina_spark.operators.quality import psi_report
+
+        events = load_table(spark, sf_dir, "events")
+        split = F.lit("2024-01-16").cast("timestamp")
+        return psi_report(
+            events.filter(F.col("ts") < split),
+            events.filter(F.col("ts") >= split),
+            "value",
+            n_bins=10,
+        )
+
     def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact interpolated percentiles: Spark `percentile` and DuckDB
         # `quantile_cont` share the (n-1)·p linear-interpolation definition
@@ -1725,7 +1741,10 @@ def _build_registries():
         "events_variant_stats": events_variant_stats,
         "emb_random_projection": emb_random_projection,
         "doc_pii_redaction": doc_pii_redaction,
-        "events_validated": events_validated,
+        # (session 3: events_validated demoted — the validation engine's
+        # checks also run inside the in-window dq_report — for
+        # events_drift_psi, the PSI distribution-drift monitor)
+        "events_drift_psi": events_drift_psi,
         # SQL front end (verbatim ANSI strings on both engines)
         # (wave 5: sql_revenue_by_nation demoted — the family is carried
         # in-window by sql_top_customer_per_nation — for doc_chunks)
@@ -1878,6 +1897,7 @@ def _build_registries():
         "custkey_set_ops": custkey_set_ops,
         "pnl_unpivot": pnl_unpivot,
         "emb_label_centroids": emb_label_centroids,
+        "events_validated": events_validated,
         "orders_profile": orders_profile,
         "lineitem_benford": lineitem_benford,
         "revenue_incremental_merge": revenue_incremental_merge,
@@ -3368,6 +3388,36 @@ SELECT l.doc_id,
        {_r6("COALESCE(a.dup_tokens, 0) / GREATEST(l.n_tokens, 1)")} AS dup_fraction
 FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) l
 LEFT JOIN a USING (doc_id)
+"""
+
+    o["events_drift_psi"] = f"""
+WITH b AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+c AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+cuts AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q FROM b),
+nb AS (SELECT len(list_filter(cuts.q, x -> value > x)) + 1 AS bin, COUNT(*) AS n_base
+       FROM b, cuts GROUP BY 1),
+nc AS (SELECT len(list_filter(cuts.q, x -> value > x)) + 1 AS bin, COUNT(*) AS n_cur
+       FROM c, cuts GROUP BY 1),
+spine AS (SELECT unnest(generate_series(1, 10)) AS bin),
+tot AS (SELECT (SELECT SUM(n_base) FROM nb) AS tb, (SELECT SUM(n_cur) FROM nc) AS tc)
+SELECT s.bin,
+       CASE WHEN s.bin >= 2 THEN cuts.q[CAST(s.bin - 1 AS INT)] END AS lo,
+       CASE WHEN s.bin <= 9 THEN cuts.q[CAST(s.bin AS INT)] END AS hi,
+       COALESCE(nb.n_base, 0) AS n_base,
+       COALESCE(nc.n_cur, 0) AS n_cur,
+       {_r6("GREATEST(CAST(COALESCE(nb.n_base, 0) AS DOUBLE) / CAST(tot.tb AS DOUBLE), 1e-06)")} AS p_base,
+       {_r6("GREATEST(CAST(COALESCE(nc.n_cur, 0) AS DOUBLE) / CAST(tot.tc AS DOUBLE), 1e-06)")} AS p_cur,
+       {_r6(
+           "(GREATEST(CAST(COALESCE(nc.n_cur, 0) AS DOUBLE) / CAST(tot.tc AS DOUBLE), 1e-06)"
+           " - GREATEST(CAST(COALESCE(nb.n_base, 0) AS DOUBLE) / CAST(tot.tb AS DOUBLE), 1e-06))"
+           " * ln(GREATEST(CAST(COALESCE(nc.n_cur, 0) AS DOUBLE) / CAST(tot.tc AS DOUBLE), 1e-06)"
+           " / GREATEST(CAST(COALESCE(nb.n_base, 0) AS DOUBLE) / CAST(tot.tb AS DOUBLE), 1e-06))"
+       )} AS psi_term
+FROM spine s
+CROSS JOIN cuts
+CROSS JOIN tot
+LEFT JOIN nb USING (bin)
+LEFT JOIN nc USING (bin)
 """
 
     o["doc_collocations"] = f"""

@@ -131,3 +131,100 @@ def robust_outliers(
         .withColumn("is_mad_degenerate", F.col("_mad") == 0)
     )
     return scored.drop("_med", "_absdev", "_mad")
+
+
+def psi_report(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    snapshot of a numeric column — the standard production drift monitor
+    (scorecard-era credit-risk metric, now the default data-drift check
+    in ML feature pipelines):
+
+        PSI = Σ_bins (p_cur − p_base) · ln(p_cur / p_base)
+
+    with bin edges at the BASELINE's ``n_bins``-quantile cut points, so a
+    stable distribution scores ≈0 regardless of volume change; rule of
+    thumb: <0.1 stable, 0.1-0.25 shifting, >0.25 drifted.
+
+    Output: one row per bin — (bin, lo, hi, n_base, n_cur, p_base,
+    p_cur, psi_term) with open-ended first/last bins (lo/hi NULL) — the
+    total PSI is the sum of psi_term; keeping the per-bin terms is what
+    makes the report actionable (WHICH part of the distribution moved).
+
+    Scale shape: one exact-percentile aggregate over the baseline (the
+    cut-point row broadcasts), then one map-side-combined count per side
+    keyed by bin id — at 100 TB both sides are a word-count-shaped
+    shuffle of ≤ n_bins keys after partial aggregation. Binning uses an
+    array HOF over the n_bins−1 cut points (interpreted, but per-row cost
+    is ~n_bins comparisons — negligible next to the scan).
+
+    Cross-engine exactness: Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` bit-for-bit (shared (n−1)·p interpolation, proven
+    by events_value_percentiles); proportions are IEEE divisions in a
+    fixed order and the psi_term is round-6'd after the ln. ``eps``
+    floors both proportions so an empty bin contributes a large-but-
+    finite term instead of ±inf (standard PSI practice). Null values are
+    excluded on both sides (they never enter the quantiles either).
+    """
+    from data_warehouse_punta_fina_spark.functions.money import pround
+
+    probs = ", ".join(f"{(i + 1) / n_bins}" for i in range(n_bins - 1))
+    cuts = base.filter(F.col(value_col).isNotNull()).agg(
+        F.expr(f"percentile({value_col}, array({probs}))").alias("_cuts")
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col)
+        return (
+            df.filter(v.isNotNull())
+            .crossJoin(F.broadcast(cuts))
+            .select(
+                (
+                    F.size(F.filter(F.col("_cuts"), lambda c: v > c)) + F.lit(1)
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias(out))
+        )
+
+    nb = binned(base, "n_base")
+    nc = binned(cur, "n_cur")
+    # bin spine 1..n_bins so empty bins on either side still report
+    spine = (
+        cuts.select(F.posexplode(F.concat(F.array(F.lit(None).cast("double")), F.col("_cuts"))))
+        .select((F.col("pos") + 1).alias("bin"), F.col("col").alias("lo"))
+        .crossJoin(F.broadcast(cuts))
+        # try_element_at: index n_bins is past the cut array (open-ended
+        # last bin) and must yield NULL, not an ANSI index error
+        .withColumn("hi", F.try_element_at(F.col("_cuts"), F.col("bin").cast("int")))
+        .drop("_cuts")
+    )
+    tb = F.col("_tb").cast("double")
+    tc = F.col("_tc").cast("double")
+    p_base = F.greatest(F.col("n_base").cast("double") / tb, F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur").cast("double") / tc, F.lit(eps))
+    return (
+        spine.join(nb, "bin", "left")
+        .join(nc, "bin", "left")
+        .na.fill({"n_base": 0, "n_cur": 0})
+        .crossJoin(
+            F.broadcast(
+                nb.agg(F.sum("n_base").alias("_tb")).crossJoin(nc.agg(F.sum("n_cur").alias("_tc")))
+            )
+        )
+        .select(
+            "bin",
+            "lo",
+            "hi",
+            "n_base",
+            "n_cur",
+            pround(p_base, 6, 12).alias("p_base"),
+            pround(p_cur, 6, 12).alias("p_cur"),
+            pround((p_cur - p_base) * F.log(p_cur / p_base), 6, 12).alias("psi_term"),
+        )
+    )

@@ -1325,3 +1325,29 @@ def test_pmi_collocations_known_values(spark):
     assert abs(float(got[1][3]) - 0.405465) < 1e-9
     only = pmi_collocations(df, min_pair_count=2, top_k=10).collect()
     assert [(r["w1"], r["w2"]) for r in only] == [("a", "b")]
+
+
+def test_psi_report_stable_and_drifted(spark):
+    """PSI ≈ 0 when the distribution is unchanged; a fully-shifted
+    current snapshot lands in the last bin with a large PSI; empty bins
+    hit the eps floor instead of ±inf."""
+    from data_warehouse_punta_fina_spark.operators.quality import psi_report
+
+    base = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    same = psi_report(base, base, "v", n_bins=10).collect()
+    assert len(same) == 10
+    assert all(r["psi_term"] == 0.0 for r in same)
+    assert [r["n_base"] for r in sorted(same, key=lambda r: r["bin"])] == [10] * 10
+    # open-ended outer bins
+    by_bin = {r["bin"]: r for r in same}
+    assert by_bin[1]["lo"] is None and by_bin[10]["hi"] is None
+
+    shifted = base.select((F.col("v") + 1000).alias("v"))
+    drift = psi_report(base, shifted, "v", n_bins=10).collect()
+    bybin = {r["bin"]: r for r in drift}
+    assert bybin[10]["n_cur"] == 100  # everything beyond the last cut
+    assert all(bybin[b]["n_cur"] == 0 for b in range(1, 10))
+    total = sum(float(r["psi_term"]) for r in drift)
+    assert total > 0.25  # "drifted" by every rule of thumb
+    # eps floor: empty-bin terms are finite
+    assert all(abs(float(r["psi_term"])) < 1e6 for r in drift)
