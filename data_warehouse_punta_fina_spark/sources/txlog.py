@@ -35,6 +35,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -114,6 +115,65 @@ class TxTable:
         return self.overwrite(
             scd2_merge(self.read(), updates, key, tracked, effective_date, end_of_time)
         )
+
+    def delete_where(self, condition) -> int:
+        """DELETE: remove every row where ``condition`` is TRUE (rows
+        where it is false OR NULL are kept — SQL DELETE semantics) as one
+        snapshot transition. This is the right-to-be-forgotten primitive:
+        combined with :meth:`vacuum`, the bytes physically leave disk
+        once no retained snapshot references the rewritten files.
+
+        Copy-on-write with FILE-LEVEL pruning (the Delta/Iceberg DELETE
+        shape): ``_metadata.file_path`` identifies which data files
+        actually contain a matching row; only those are rewritten —
+        every untouched file carries into the new snapshot BY REFERENCE.
+        At 100 TB a targeted delete (one user's rows, clustered by the
+        write layout) rewrites a handful of files, not the table. The
+        driver collects only the hit FILE LIST (file-count-sized, the
+        same planning information Delta's driver holds), never rows.
+
+        ``condition`` is a Column or a SQL string. Returns the new
+        version — or the current one unchanged if nothing matched
+        (no-op deletes don't burn a commit).
+        """
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no transaction log at {self.path}")
+        cur = vs[-1]
+        files, schema_json, _ = self._snapshot_files(cur)
+        if not files:
+            return cur
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        tagged = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .filter(cond)
+            .select(F.col("_metadata.file_path").alias("_f"))
+            .distinct()
+        )
+        hit_uris = [r["_f"] for r in tagged.collect()]
+        hit_rel = [f for f in files if any(u.endswith(f) for u in hit_uris)]
+        if not hit_rel:
+            return cur
+        keep_rel = [f for f in files if f not in set(hit_rel)]
+        survivors = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.data_dir, f) for f in hit_rel])
+            # SQL DELETE keeps NULL-condition rows: negate via coalesce
+            .filter(~F.coalesce(cond, F.lit(False)))
+        )
+        return self._commit("overwrite", keep_rel + self._write_files(survivors), schema_json)
+
+    def restore(self, version: int) -> int:
+        """RESTORE: make an old snapshot current again as a NEW commit
+        (history is append-only — the restore itself is auditable). The
+        old version's files are re-referenced, not copied; fails loudly
+        if the target predates the vacuum horizon."""
+        self.read(version)  # validates existence + horizon
+        files, schema_json, _ = self._snapshot_files(version)
+        return self._commit("overwrite", files, schema_json)
 
     def compact(self, n_files: int = 1) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``n_files`` fat

@@ -669,3 +669,56 @@ def test_txtable_vacuum_retention_and_horizon(spark, tmp_path):
     # the table remains fully writable after a vacuum
     t.append(spark.createDataFrame([(4, "d")], "k int, v string"))
     assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [(3, "c"), (4, "d")]
+
+
+def test_txtable_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    """DELETE is copy-on-write with file-level pruning: the commit after
+    a targeted delete re-references every untouched file verbatim and
+    rewrites only files containing matches; NULL-condition rows are kept
+    (SQL DELETE); pre-delete snapshots still time-travel; vacuum then
+    physically drops the forgotten bytes; RESTORE re-references an old
+    snapshot as a new auditable commit."""
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+
+    def rows(df):
+        return sorted(((r["user"], r["v"]) for r in df.collect()),
+                      key=lambda x: (x[0] is None, x[0] or 0, x[1]))
+
+    # two commits -> two disjoint file sets
+    t.append(spark.createDataFrame([(1, "a"), (1, "b")], "user int, v string").coalesce(1))
+    v1 = t.append(
+        spark.createDataFrame([(2, "c"), (None, "n")], "user int, v string").coalesce(1)
+    )
+    files_before = set(t.history()[0]["files"])  # commit 0's file(s)
+    assert len(files_before) == 1
+
+    # forget user 2: only commit 1's file contains a match
+    v_del = t.delete_where(F.col("user") == 2)
+    assert v_del == v1 + 1
+    got = rows(t.read())
+    assert got == [(1, "a"), (1, "b"), (None, "n")]  # NULL-cond row kept
+    entry = t.history()[-1]
+    # commit 0's file carried BY REFERENCE, commit 1's file rewritten
+    assert files_before <= set(entry["files"])
+    assert not any(f in set(entry["files"]) for f in t.history()[1]["files"])
+    # time travel still shows the deleted row
+    assert (2, "c") in rows(t.read(version=v1))
+
+    # no-op delete burns no commit
+    assert t.delete_where(F.col("user") == 999) == v_del
+
+    # restore the pre-delete snapshot as a NEW commit
+    v_restore = t.restore(v1)
+    assert v_restore > v_del
+    assert (2, "c") in rows(t.read())
+
+    # delete again, vacuum: the forgotten file physically disappears
+    t.delete_where("user = 2")
+    import os
+
+    t.vacuum(retain_versions=1)
+    deleted_rel = t.history()[1]["files"][0]
+    assert not os.path.exists(os.path.join(t.data_dir, deleted_rel))
+    assert rows(t.read()) == [(1, "a"), (1, "b"), (None, "n")]
