@@ -1269,6 +1269,18 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return repeated_span_stats(docs, "text", "doc_id", n=5)
 
+    def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # C4/CCNet-style segment dedup + reassembly: 24-token segments,
+        # corpus-wide keep-first, docs rebuilt from surviving segments
+        # (operators.dedup.dedup_segments)
+        from data_warehouse_punta_fina_spark.operators.dedup import (
+            dedup_segments,
+            fixed_token_segments,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup_segments(docs, fixed_token_segments("text", 24))
+
     def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Church-&-Hanks PMI collocations: top-40 bigrams by pointwise
         # mutual information vs the pair distribution's own marginals
@@ -1798,7 +1810,11 @@ def _build_registries():
         # the distributed-rank machinery also assigns every dim SK).)
         "doc_quality_gate": doc_quality_gate,
         "doc_edit_distance_dups": doc_edit_distance_dups,
-        "doc_ngram_jaccard": doc_ngram_jaccard,
+        # (session 3: doc_ngram_jaccard demoted — exact-Jaccard machinery
+        # also verified in-window via doc_lsh_verified's candidate-bounded
+        # verify — for doc_segment_dedup, the C4-style segment dedup +
+        # reassembly transform)
+        "doc_segment_dedup": doc_segment_dedup,
         "doc_simhash_near_dup": doc_simhash_near_dup,
         "ann_brute_topk": ann_brute_topk,
         "emb_near_dup_trained": emb_near_dup_trained,
@@ -1898,6 +1914,7 @@ def _build_registries():
         "pnl_unpivot": pnl_unpivot,
         "emb_label_centroids": emb_label_centroids,
         "events_validated": events_validated,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
         "orders_profile": orders_profile,
         "lineitem_benford": lineitem_benford,
         "revenue_incremental_merge": revenue_incremental_merge,
@@ -3388,6 +3405,33 @@ SELECT l.doc_id,
        {_r6("COALESCE(a.dup_tokens, 0) / GREATEST(l.n_tokens, 1)")} AS dup_fraction
 FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) l
 LEFT JOIN a USING (doc_id)
+"""
+
+    o["doc_segment_dedup"] = f"""
+WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, CAST(u.s AS INT) AS pos,
+         array_to_string(toks[CAST(u.s AS INT) + 1:CAST(u.s AS INT) + 24], ' ') AS seg
+  FROM base, unnest(range(0, len(toks), 24)) u(s)
+  WHERE len(toks) > 0
+),
+rn AS (
+  SELECT doc_id, pos, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS r
+  FROM ex
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM ex GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept, string_agg(seg, ' ' ORDER BY pos) AS cleaned_text
+  FROM rn WHERE r = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(tot.n_segments, 0) AS n_segments,
+       COALESCE(reb.n_kept, 0) AS n_kept,
+       COALESCE(reb.cleaned_text, '') AS cleaned_text
+FROM documents d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN reb USING (doc_id)
 """
 
     o["events_drift_psi"] = f"""

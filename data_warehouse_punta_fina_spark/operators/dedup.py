@@ -700,6 +700,80 @@ def repeated_span_stats(
     )
 
 
+def fixed_token_segments(text_col: Column | str, width: int = 24) -> Column:
+    """Non-overlapping ``width``-token segments as array<string> — the
+    segmentation to use when a corpus carries no natural paragraph
+    delimiters (real pipelines pass a '\\n\\n' split instead). The last
+    segment keeps the tail (may be short); empty docs yield []."""
+    toks = tokens(text_col)
+    starts = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - F.lit(1), F.lit(width))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, width), " "))
+
+
+def dedup_segments(
+    df: DataFrame,
+    segments_col: Column,
+    id_col: str = "doc_id",
+    segments_path: str | None = None,
+) -> DataFrame:
+    """Segment-level exact dedup WITH document reassembly — the C4/CCNet
+    cleanup shape: drop every repeated paragraph/segment corpus-wide
+    (keep-first by (doc id, position) — boilerplate survives exactly
+    once, in its earliest document) and rebuild each document from its
+    surviving segments in order. This is the TRANSFORM counterpart to
+    :func:`repeated_span_stats` (which only measures duplication).
+
+    ``segments_col`` is any array<string> expression — a paragraph split
+    (``F.split(text, '\\n\\n')``) for corpora with structure, or
+    :func:`fixed_token_segments` for flat text. Output: one row per input
+    doc — (id, n_segments, n_kept, cleaned_text), cleaned_text '' when
+    everything was dropped (or the doc was empty).
+
+    Scale shape: one segmentation pass (materialized — ephemeral
+    localCheckpoint or durable parquet via ``segments_path`` — because
+    both the totals and the keep-first branch consume it); keep-first is
+    a top-1 window partitioned by the segment text (WindowGroupLimit
+    pushes the rank-1 cut map-side; production would key the window on
+    ``xxhash64(segment)`` to shuffle 8-byte keys — identical survivors,
+    kept as the string here for oracle parity); reassembly is a per-doc
+    sort of the kept segments (array_sort of (pos, seg) structs —
+    collect_list order is partition-nondeterministic and must never be
+    trusted).
+    """
+    exploded = _materialize(
+        _spread(df.select(F.col(id_col), segments_col.alias("_segs"))).select(
+            F.col(id_col), F.posexplode("_segs").alias("pos", "seg")
+        ),
+        segments_path,
+    )
+    totals = exploded.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_segments"))
+    w = Window.partitionBy("seg").orderBy(F.asc(id_col), F.asc("pos"))
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("seg")))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_segments"), F.lit(0).cast("bigint")).alias("n_segments"),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def edit_distance_near_dup(
     df: DataFrame,
     text_col: str = "text",

@@ -1351,3 +1351,44 @@ def test_psi_report_stable_and_drifted(spark):
     assert total > 0.25  # "drifted" by every rule of thumb
     # eps floor: empty-bin terms are finite
     assert all(abs(float(r["psi_term"])) < 1e6 for r in drift)
+
+
+def test_dedup_segments_keep_first_and_reassembly(spark):
+    """Corpus-wide keep-first segment dedup: boilerplate survives only in
+    its earliest (doc, pos); within-doc repeats drop too; reassembly
+    preserves segment order; all-dropped and empty docs report ''."""
+    from data_warehouse_punta_fina_spark.operators.dedup import dedup_segments
+
+    rows = [
+        (1, ["intro one", "boiler plate", "body one"]),
+        (2, ["boiler plate", "body two"]),       # boilerplate dropped here
+        (3, ["boiler plate"]),                   # everything dropped
+        (4, ["rep seg", "middle bit", "rep seg"]),  # within-doc repeat
+        (5, []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, segs array<string>")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_segments(df, F.col("segs"), "doc_id").collect()
+    }
+    assert len(got) == 5
+    assert got[1]["cleaned_text"] == "intro one boiler plate body one"
+    assert (got[1]["n_segments"], got[1]["n_kept"]) == (3, 3)
+    assert got[2]["cleaned_text"] == "body two"
+    assert (got[2]["n_segments"], got[2]["n_kept"]) == (2, 1)
+    assert got[3]["cleaned_text"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["cleaned_text"] == "rep seg middle bit"
+    assert (got[4]["n_segments"], got[4]["n_kept"]) == (3, 2)
+    assert got[5]["cleaned_text"] == "" and got[5]["n_segments"] == 0
+
+
+def test_fixed_token_segments_windows(spark):
+    from data_warehouse_punta_fina_spark.operators.dedup import fixed_token_segments
+
+    df = spark.createDataFrame([(1, "a b c d e"), (2, "")], "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", fixed_token_segments("text", 2).alias("s")).collect()
+    }
+    assert got[1] == ["a b", "c d", "e"]  # tail kept
+    assert got[2] == []
