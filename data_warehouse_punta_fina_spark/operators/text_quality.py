@@ -272,6 +272,10 @@ def pmi_collocations(
     argument as BM25's idf). Ties at the top-k boundary break on
     (w1, w2) ascending. Output: (w1, w2, n_pair, pmi).
     """
+    # the pair-count table feeds FOUR consumers (marginals ×2, total,
+    # scoring) — materialize it or the corpus tokenize re-runs per branch
+    # (plan-audited: 4 corpus scans before, 1 after). It is vocabulary²-
+    # of-observed-pairs sized — tiny next to the corpus.
     pairs = (
         ngram_rows(df, text_col, id_col, 2)
         .groupBy("gram")
@@ -281,6 +285,7 @@ def pmi_collocations(
             F.substring_index(F.col("gram"), " ", -1).alias("w2"),
             F.col("n_pair"),
         )
+        .localCheckpoint(eager=False)
     )
     mx = pairs.groupBy("w1").agg(F.sum("n_pair").alias("c1"))
     my = pairs.groupBy("w2").agg(F.sum("n_pair").alias("c2"))

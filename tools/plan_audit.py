@@ -28,6 +28,11 @@ AUDITED = [
     "doc_tfidf_pairs",
     "source_quality_report",
     "emb_random_projection",
+    # round-5 session-3 additions
+    "doc_repeated_spans",
+    "doc_segment_dedup",
+    "doc_collocations",
+    "events_drift_psi",
 ]
 
 
