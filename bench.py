@@ -57,6 +57,11 @@ HEADLINE = [
     # out — its demo query fixes the corpus at doc_id<200, sf-invariant)
     "source_quality_report",
     "emb_random_projection",
+    # round-5 session-3 additions (all sf-proportional)
+    "doc_repeated_spans",
+    "doc_segment_dedup",
+    "doc_collocations",
+    "events_drift_psi",
 ]
 
 
