@@ -60,3 +60,79 @@ def running_user_totals(events: DataFrame, value_col: str = "value") -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id long, batch_rows long, running_rows long, running_total double, "
+    "n_types_seen long"
+)
+
+
+def user_activity_profile(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per-user activity profile on the Spark 4 ``transformWithStateInPandas``
+    API — the successor to :func:`running_user_totals`'s
+    ``applyInPandasWithState``, showcasing what the new operator adds:
+    MULTIPLE named state variables per key, each with its own schema
+    (here a ValueState for the running totals and a MapState keyed by
+    event type for the per-type counts), managed through a
+    ``StatefulProcessor`` lifecycle instead of one monolithic state tuple.
+
+    Emits one row per active user per micro-batch: the batch delta, the
+    cumulative row/value totals, and how many DISTINCT event types the
+    user has ever produced (the MapState's key count — the state shape a
+    single flat tuple cannot express without serializing a map by hand).
+
+    State is O(keys × event-type-cardinality), hash-partitioned by user —
+    the same scale posture as every stateful operator here. ``timeMode``
+    is "none": no timers, so results are deterministic under replay
+    (timer-driven emission is wall-clock-dependent by nature).
+
+    ENV GATE: the transformWithState runtime requires google.protobuf
+    (the JVM↔Python state-server wire format); absent in this container,
+    so the live test skips (tests/test_stateful_streaming.py) — the code
+    is plain public-API usage and unlocks by installing protobuf.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserActivityProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "rows long, total double")
+            self.per_type = handle.getMapState("per_type", "t string", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N803 (API name)
+            (user_id,) = key
+            prev = self.totals.get() if self.totals.exists() else (0, 0.0)
+            running_rows, running_total = int(prev[0]), float(prev[1])
+            batch_rows = 0
+            for pdf in rows:
+                batch_rows += len(pdf)
+                running_total += float(pdf[value_col].sum())
+                for t, n in pdf["event_type"].value_counts().items():
+                    seen = (
+                        self.per_type.getValue((t,))[0]
+                        if self.per_type.containsKey((t,))
+                        else 0
+                    )
+                    self.per_type.updateValue((t,), (int(seen) + int(n),))
+            running_rows += batch_rows
+            self.totals.update((running_rows, running_total))
+            n_types = sum(1 for _ in self.per_type.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "batch_rows": [batch_rows],
+                    "running_rows": [running_rows],
+                    "running_total": [running_total],
+                    "n_types_seen": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserActivityProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
