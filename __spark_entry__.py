@@ -1488,6 +1488,32 @@ def _build_registries():
             n_bins=10,
         )
 
+    def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # KLL/GK-style quantile sketch conformance (the approximate tier's
+        # percentile counterpart to approx_distinct_parts): the sketch
+        # value itself is merge-order dependent, so the output exposes the
+        # EXACT median plus a boolean asserting the approx sits inside the
+        # exact [p−ε', p+ε'] value bounds, with ε' = 2/accuracy — double
+        # the guaranteed rank error, so the oracle can assert TRUE
+        # deterministically on any partitioning.
+        events = load_table(spark, sf_dir, "events")
+        acc, eps = 100, 2.0 / 100
+        agg = events.groupBy("event_type").agg(
+            F.percentile_approx("value", 0.5, acc).alias("_approx"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr(f"percentile(value, {0.5 - eps})").alias("_lo"),
+            F.expr(f"percentile(value, {0.5 + eps})").alias("_hi"),
+            F.count("*").alias("n"),
+        )
+        return agg.select(
+            "event_type",
+            "n",
+            "p50",
+            ((F.col("_approx") >= F.col("_lo")) & (F.col("_approx") <= F.col("_hi"))).alias(
+                "approx_within_rank_bounds"
+            ),
+        )
+
     def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact interpolated percentiles: Spark `percentile` and DuckDB
         # `quantile_cont` share the (n-1)·p linear-interpolation definition
@@ -1923,6 +1949,7 @@ def _build_registries():
         "events_transitions": events_transitions,
         "user_last_event": user_last_event,
         "events_value_percentiles": events_value_percentiles,
+        "events_approx_quantiles": events_approx_quantiles,
     }
     return reg, extra
 
@@ -3432,6 +3459,13 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN tot USING (doc_id)
 LEFT JOIN reb USING (doc_id)
+"""
+
+    o["events_approx_quantiles"] = """
+SELECT event_type, COUNT(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       TRUE AS approx_within_rank_bounds
+FROM events GROUP BY event_type
 """
 
     o["events_drift_psi"] = f"""
