@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -123,3 +124,120 @@ class SyntheticDocsDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _SyntheticDocsStreamReader(self.options)
+
+
+class _SyntheticDocsFullStreamReader(DataSourceStreamReader):
+    """Plan-level streaming reader (the full ``DataSourceStreamReader``
+    API, vs the prefetch-based Simple variant above): offsets are planned
+    on the driver and each micro-batch's id range is split into
+    ``numPartitions`` :class:`InputPartition` splits that read IN
+    PARALLEL on executors — the Simple reader's whole batch funnels
+    through one prefetch call instead. This is the shape a real
+    partitioned source (Kafka topic-partitions, Kinesis shards) takes.
+
+    ``latestOffset`` self-limits to ``batch_size`` ids per micro-batch
+    (the Python API has no ReadLimit parameter — rate limiting lives in
+    the source, like Kafka's maxOffsetsPerTrigger). Measured limitation
+    (Spark 4.1): PythonMicroBatchStream does not implement
+    SupportsTriggerAvailableNow, so ``availableNow`` falls back to ONE
+    rate-limited batch — drive this source with a live processing-time
+    trigger and stop at the bound (tests do exactly that); the
+    checkpointed offsets make stop/restart exactly-once either way."""
+
+    def __init__(self, options):
+        self.batch_size = int(options.get("batch_size", 50))
+        self.max_id = int(options.get("n", 200))
+        self.num_partitions = int(options.get("numpartitions", 4))
+        self.dup_every = int(options.get("dup_every", 0))
+        # REQUIRED for restart correctness: the rate-limit cursor must be
+        # anchored to externally-durable progress (a real source anchors
+        # to broker/shard offsets). An in-memory cursor resets to 0 on
+        # restart while the CHECKPOINT is further ahead — latestOffset
+        # would then return an offset BELOW the committed start, the
+        # empty (start > end) batch would commit the lower offset, and
+        # the next batch would re-emit already-committed rows (observed
+        # before this field existed: exactly one duplicated batch per
+        # restart). ``partitions()`` persists planning progress here.
+        self.progress_path = options.get("progress_path")
+        if not self.progress_path:
+            raise ValueError(
+                "synthetic_docs_full requires a progress_path option: the "
+                "source persists its committed offset there so a restarted "
+                "query's rate limiter resumes from durable progress instead "
+                "of regressing below the checkpoint"
+            )
+
+    def _planned(self) -> int:
+        import os
+
+        if not os.path.exists(self.progress_path):
+            return 0
+        with open(self.progress_path) as fh:
+            return int(fh.read().strip() or 0)
+
+    def _persist_planned(self, v: int) -> None:
+        import os
+
+        if v <= self._planned():
+            return
+        tmp = f"{self.progress_path}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, self.progress_path)
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        # one batch_size slice past the last PLANNED offset. The anchor is
+        # persisted at PLANNING time (partitions()), not at commit():
+        # MicroBatchExecution only invokes source.commit() while
+        # constructing the NEXT batch, so a rate limiter anchored to
+        # commits deadlocks — latestOffset never advances, no new batch
+        # ever constructs, commit never fires (measured before this
+        # design). partitions() runs for every batch, including WAL
+        # replays after a restart, so the planned anchor is always >= the
+        # checkpoint and the offset sequence stays monotone.
+        return {"next": min(self._planned() + self.batch_size, self.max_id)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["next"]), int(end["next"])
+        self._persist_planned(hi)
+        if hi <= lo:
+            return []
+        step = max(1, -(-(hi - lo) // self.num_partitions))
+        return [_RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            base = (
+                i - (i % self.dup_every)
+                if self.dup_every and i % self.dup_every == 1
+                else i
+            )
+            yield (i, _doc_text(base), _SOURCES[i % len(_SOURCES)])
+
+    def commit(self, end: dict) -> None:
+        # nothing to clean up: rows are deterministic from the id range
+        # and the rate-limit anchor is persisted at planning time (see
+        # latestOffset for why anchoring HERE would deadlock)
+        pass
+
+
+class SyntheticDocsFullDataSource(DataSource):
+    """format name: ``synthetic_docs_full`` — same synthetic corpus as
+    ``synthetic_docs`` but streamed through the full plan-level reader
+    (driver-planned offsets + partition-parallel batch reads)."""
+
+    @classmethod
+    def name(cls):
+        return "synthetic_docs_full"
+
+    def schema(self):
+        return "doc_id bigint, text string, source string"
+
+    def reader(self, schema):
+        return _SyntheticDocsReader(self.options)
+
+    def streamReader(self, schema):
+        return _SyntheticDocsFullStreamReader(self.options)

@@ -792,3 +792,67 @@ def test_progress_ledger_captures_microbatch_metrics(spark, sf_dir, tmp_path):
         _json.loads(ln) for ln in open(jsonl).read().splitlines() if ln.strip()
     ]
     assert sum(l["num_input_rows"] for l in lines) >= 200
+
+
+def test_full_stream_reader_partition_parallel_and_resumes(spark, tmp_path):
+    """The full DataSourceStreamReader (plan-level offsets): batches are
+    rate-limited by latestOffset, each batch's range reads as
+    numPartitions parallel splits, and a stop/restart against the same
+    checkpoint resumes exactly (no dup, no gap) — matching the batch
+    reader's rows bit-for-bit."""
+    import time
+
+    from data_warehouse_punta_fina_spark.sources.pydatasource import (
+        SyntheticDocsFullDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsFullDataSource)
+    opts = {
+        "n": "200",
+        "dup_every": "10",
+        "batch_size": "50",
+        "numPartitions": "4",
+        "progress_path": str(tmp_path / "progress"),
+    }
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ckpt")
+
+    def run_until(target_rows, deadline_s=120):
+        q = (
+            spark.readStream.format("synthetic_docs_full")
+            .options(**opts)
+            .load()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ck)
+            .option("path", out)
+            .start()
+        )
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= target_rows:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        progress = list(q.recentProgress)
+        q.stop()
+        return progress
+
+    # run 1: stop partway (after at least one 50-row batch landed)
+    progress1 = run_until(50)
+    n_after_1 = spark.read.parquet(out).count()
+    assert 50 <= n_after_1 <= 200
+    # rate limiting honored: no batch exceeded batch_size rows
+    assert all(p["numInputRows"] <= 50 for p in progress1)
+
+    # run 2: same checkpoint drains the remainder, no duplicates
+    run_until(200)
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            spark.read.format("synthetic_docs_full").options(**opts).load().collect(),
+        )
+    )
+    assert streamed == batch and len(streamed) == 200
