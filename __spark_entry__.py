@@ -1281,6 +1281,14 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return dedup_segments(docs, fixed_token_segments("text", 24))
 
+    def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Shannon entropy of each doc's token distribution + normalized
+        # form (operators.text_quality.token_entropy)
+        from data_warehouse_punta_fina_spark.operators.text_quality import token_entropy
+
+        docs = load_table(spark, sf_dir, "documents")
+        return token_entropy(docs)
+
     def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Church-&-Hanks PMI collocations: top-40 bigrams by pointwise
         # mutual information vs the pair distribution's own marginals
@@ -1950,6 +1958,7 @@ def _build_registries():
         "user_last_event": user_last_event,
         "events_value_percentiles": events_value_percentiles,
         "events_approx_quantiles": events_approx_quantiles,
+        "doc_token_entropy": doc_token_entropy,
     }
     return reg, extra
 
@@ -3432,6 +3441,35 @@ SELECT l.doc_id,
        {_r6("COALESCE(a.dup_tokens, 0) / GREATEST(l.n_tokens, 1)")} AS dup_fraction
 FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) l
 LEFT JOIN a USING (doc_id)
+"""
+
+    o["doc_token_entropy"] = f"""
+WITH toksx AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM toksx GROUP BY doc_id, tok),
+t AS (
+  SELECT doc_id, c,
+         SUM(c) OVER (PARTITION BY doc_id) AS n,
+         COUNT(*) OVER (PARTITION BY doc_id) AS dt
+  FROM counts
+),
+terms AS (
+  SELECT doc_id, n, dt,
+         {_r6("(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))")} AS term
+  FROM t
+),
+agg AS (
+  SELECT doc_id, MAX(n) AS n_tokens, MAX(dt) AS distinct_tokens,
+         CAST(-SUM(term) AS DOUBLE) AS entropy
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.distinct_tokens, 0) AS distinct_tokens,
+       a.entropy,
+       CASE WHEN a.distinct_tokens > 1
+            THEN CAST({_r6("a.entropy / ln(CAST(a.distinct_tokens AS DOUBLE))")} AS DOUBLE)
+       END AS norm_entropy
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
     o["doc_segment_dedup"] = f"""

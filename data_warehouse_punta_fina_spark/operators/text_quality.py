@@ -242,6 +242,72 @@ def unigram_surprisal(
     )
 
 
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-density quality signal complementing the repetition
+    metrics (a doc repeating three tokens has low entropy even when no
+    single n-gram dominates): ``H = −Σ_tokens (c/n)·ln(c/n)`` plus the
+    normalized form ``H / ln(distinct)`` (1.0 = perfectly uniform; NULL
+    when the doc has <2 distinct tokens, where it is undefined).
+
+    Output: (id, n_tokens, distinct_tokens, entropy, norm_entropy), one
+    row per input doc (empty docs report zeros and NULL entropies).
+
+    Exactness: each distinct token's term is portable-round-6'd into
+    DECIMAL BEFORE the per-doc sum (decimal sums are exact and
+    partition-order independent — a double sum would drift between runs
+    and engines); the normalization divide is one IEEE op on the exact
+    sum. Shape: one explode → (doc, token) count with map-side combine →
+    per-doc agg; no window, no join beyond the doc spine re-attach.
+    """
+    counts = (
+        ngram_rows(df, text_col, id_col, 1)
+        .withColumnRenamed("gram", "tok")
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # per-doc totals via a doc-partitioned window on the count table (NOT
+    # a groupBy+self-join, which would re-run the corpus explode per
+    # consumer — the single-tokenize discipline)
+    wd = Window.partitionBy(id_col)
+    terms = counts.withColumn("n", F.sum("c").over(wd)).withColumn(
+        "distinct_tokens", F.count("*").over(wd)
+    ).withColumn(
+        "_t",
+        pround(
+            (F.col("c").cast("double") / F.col("n").cast("double"))
+            * F.log(F.col("c").cast("double") / F.col("n").cast("double")),
+            6,
+            12,
+        ),
+    )
+    agg = terms.groupBy(id_col).agg(
+        F.first("n").alias("n_tokens"),
+        F.first("distinct_tokens").alias("distinct_tokens"),
+        (-F.sum("_t")).cast("double").alias("entropy"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("distinct_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("distinct_tokens"),
+            F.col("entropy"),
+            F.when(
+                F.col("distinct_tokens") > 1,
+                pround(
+                    F.col("entropy") / F.log(F.col("distinct_tokens").cast("double")), 6, 12
+                ).cast("double"),
+            ).alias("norm_entropy"),
+        )
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

@@ -1392,3 +1392,22 @@ def test_fixed_token_segments_windows(spark):
     }
     assert got[1] == ["a b", "c d", "e"]  # tail kept
     assert got[2] == []
+
+
+def test_token_entropy_known_values(spark):
+    """Hand-checked Shannon entropy: uniform 2-token doc -> H = ln 2,
+    norm ~= 1; skewed doc lower; single-token and empty docs undefined."""
+    from data_warehouse_punta_fina_spark.operators.text_quality import token_entropy
+
+    rows = [(1, "a a b b"), (2, "a a a b"), (3, "solo solo"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in token_entropy(df).collect()}
+    # round-6 per term: -2*round6(.5*ln .5) = 0.693148
+    assert abs(got[1]["entropy"] - 0.693148) < 1e-9
+    assert abs(got[1]["norm_entropy"] - 1.000001) < 1e-9
+    # H(.75,.25) = 0.562335 (term-rounded)
+    assert abs(got[2]["entropy"] - 0.562335) < 1e-6
+    assert got[2]["norm_entropy"] < got[1]["norm_entropy"]
+    assert got[3]["entropy"] == 0.0 and got[3]["norm_entropy"] is None
+    assert got[3]["distinct_tokens"] == 1 and got[3]["n_tokens"] == 2
+    assert got[4]["entropy"] is None and got[4]["n_tokens"] == 0

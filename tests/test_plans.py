@@ -633,3 +633,34 @@ def test_write_zordered_three_columns(spark, tmp_path):
 
     with pytest.raises(ValueError):
         zorder_key(["a", "b", "c"], bits=22)  # 66 bits > int64
+
+
+def test_pmi_and_psi_plans_stay_materialized(spark):
+    """Regression tripwire for the session-3 materialization fixes:
+    doc_collocations re-tokenized the corpus once per pair-table consumer
+    (15 exchanges / 4 text scans when first audited) and events_drift_psi
+    re-scanned events once per cuts/total consumer (12 exchanges / 10
+    scans). The checkpointed intermediates keep both plans small and
+    free of repeated source scans."""
+    import __spark_entry__ as entrymod
+
+    qs = dict(entrymod.queries())
+    plan = (
+        qs["doc_collocations"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 8, plan.count("Exchange")
+    assert "text#" not in plan  # every branch reads the pair-count table
+
+    plan2 = (
+        qs["events_drift_psi"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan2.count("Exchange") <= 9, plan2.count("Exchange")
+    # binning touches events once per side; the spine/totals reuse the
+    # checkpointed cut row and count tables instead of re-scanning
+    assert plan2.count("FileScan parquet") <= 3, plan2.count("FileScan parquet")
