@@ -152,6 +152,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "pnl_unpivot": ["monto"],
     "events_value_stats": ["media", "desv_estandar"],
     "customer_balance_quartiles": ["saldo_total", "saldo_min", "saldo_max"],
+    "customer_rfm": ["monetary_total"],
     "salted_revenue_by_flag": ["sum_qty", "max_price"],
     "order_reconciliation": ["total_db", "total_csv", "total"],
     "lineitem_rollup": ["sum_qty"],
@@ -1481,6 +1482,25 @@ def _build_registries():
             F.max(pround2("c_acctbal")).alias("saldo_max"),
         )
 
+    def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # RFM segmentation: per-customer Recency/Frequency/Monetary
+        # quintiles via the window-free exact NTILE, standard segment
+        # labels, rolled up per segment (operators.behavior.rfm_scores)
+        from data_warehouse_punta_fina_spark.operators.behavior import rfm_scores
+
+        orders = load_table(spark, sf_dir, "orders")
+        cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.max("o_orderdate").alias("last_dt"),
+            F.count("*").alias("freq"),
+            F.sum(pround2("o_totalprice")).cast("decimal(18,2)").alias("mon"),
+        )
+        seg = rfm_scores(cust, "k", "last_dt", "freq", "mon", k=5)
+        return seg.groupBy("segment").agg(
+            F.count("*").alias("n_customers"),
+            F.sum("freq").alias("total_orders"),
+            F.sum("mon").cast("decimal(20,2)").alias("monetary_total"),
+        )
+
     def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Population Stability Index drift report: the event-value
         # distribution of the month's second half vs the first half,
@@ -1958,6 +1978,7 @@ def _build_registries():
         "user_last_event": user_last_event,
         "events_value_percentiles": events_value_percentiles,
         "events_approx_quantiles": events_approx_quantiles,
+        "customer_rfm": customer_rfm,
         "doc_token_entropy": doc_token_entropy,
     }
     return reg, extra
@@ -3441,6 +3462,34 @@ SELECT l.doc_id,
        {_r6("COALESCE(a.dup_tokens, 0) / GREATEST(l.n_tokens, 1)")} AS dup_fraction
 FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) l
 LEFT JOIN a USING (doc_id)
+"""
+
+    o["customer_rfm"] = f"""
+WITH cust AS (
+  SELECT o_custkey AS k, MAX(o_orderdate) AS last_dt, COUNT(*) AS freq,
+         CAST(SUM({_r2("o_totalprice")}) AS DECIMAL(18,2)) AS mon
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT k, freq, mon,
+         NTILE(5) OVER (ORDER BY last_dt, k) AS r_score,
+         NTILE(5) OVER (ORDER BY freq, k) AS f_score,
+         NTILE(5) OVER (ORDER BY mon, k) AS m_score
+  FROM cust
+),
+seg AS (
+  SELECT *,
+         CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+              WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+              WHEN r_score <= 2 THEN 'at_risk'
+              WHEN m_score = 5 THEN 'big_spender'
+              WHEN f_score >= 4 THEN 'loyal'
+              ELSE 'regular' END AS segment
+  FROM s
+)
+SELECT segment, COUNT(*) AS n_customers, SUM(freq) AS total_orders,
+       CAST(SUM(mon) AS DECIMAL(20,2)) AS monetary_total
+FROM seg GROUP BY segment
 """
 
     o["doc_token_entropy"] = f"""

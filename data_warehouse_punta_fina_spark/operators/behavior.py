@@ -94,3 +94,56 @@ def retention_cohorts(
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    key: str,
+    recency_col: str,
+    frequency_col: str,
+    monetary_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """RFM segmentation (the classic retention-marketing warehouse
+    analysis): per-entity Recency / Frequency / Monetary quintile scores
+    1..``k`` — each an independent exact NTILE over the whole population,
+    higher = better on every axis (``recency_col`` must be a "later is
+    better" value like a last-order timestamp; frequency and monetary
+    rank ascending naturally) — plus a standard segment label:
+
+        champion      R≥4 ∧ F≥4 ∧ M≥4     hibernating  R≤2 ∧ F≤2
+        at_risk       R≤2 (but F≥3)        big_spender  M=k
+        loyal         F≥4                  regular      everything else
+
+    (CASE order matters and is mirrored verbatim in the oracle.)
+
+    Input should already be aggregated to one row per key (entity-
+    cardinality-sized) — the three :func:`exact_ntile` passes each run
+    the two-pass distributed rank over that table, so the whole operator
+    is window-free at any population size. Ties break on the key, making
+    every score deterministic.
+    """
+    from data_warehouse_punta_fina_spark.operators.windows import exact_ntile
+
+    # each exact_ntile consumes its input via THREE branches (sample,
+    # offsets, rank) — chaining three of them without a materialization
+    # boundary re-executes the upstream rank subplans combinatorially
+    # (~3^3 lineage blowup, measured 28 s on a 1.5k-row table). One
+    # ephemeral checkpoint per pass keeps the chain linear.
+    scored = exact_ntile(
+        df.localCheckpoint(eager=False), [recency_col, key], k, out="r_score"
+    ).localCheckpoint(eager=False)
+    scored = exact_ntile(scored, [frequency_col, key], k, out="f_score").localCheckpoint(
+        eager=False
+    )
+    scored = exact_ntile(scored, [monetary_col, key], k, out="m_score")
+    r, f, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    return scored.withColumn(
+        "segment",
+        F.when((r >= 4) & (f >= 4) & (m >= 4), "champion")
+        .when((r <= 2) & (f <= 2), "hibernating")
+        .when(r <= 2, "at_risk")
+        .when(m == k, "big_spender")
+        .when(f >= 4, "loyal")
+        .otherwise("regular"),
+    )

@@ -249,3 +249,25 @@ def partitioned_sequential_id(
         .withColumn(out, F.col("_mid").bitwiseAND(F.lit(rec_mask)) + F.col("_off"))
         .drop("_pid", "_mid", "_off")
     )
+
+
+def exact_ntile(df: DataFrame, order_by: str | list[str], k: int, out: str = "ntile") -> DataFrame:
+    """SQL ``NTILE(k)`` over a GLOBAL ordering without the global window a
+    plain ``ntile()`` forces (single-partition sort — the round-1 scale
+    flag): global dense rank via the two-pass range-partitioned
+    :func:`ranked_sequential_id`, then NTILE's exact bucket rule — the
+    first N%k buckets get floor(N/k)+1 rows (front-loaded, the SQL
+    standard) — in pure integer DIV/%. Ties follow the ``order_by``
+    columns, which must form a total order (append the key)."""
+    ranked = ranked_sequential_id(df, order_by, out="_r")
+    n = ranked.agg(F.count("*").alias("_n"))
+    big = f"((_n div {k}) + 1)"
+    expr = (
+        f"CASE WHEN _r <= (_n % {k}) * {big} THEN ((_r - 1) div {big}) + 1 "
+        f"ELSE (_n % {k}) + ((_r - (_n % {k}) * {big} - 1) div (_n div {k})) + 1 END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(out, F.expr(expr).cast("int"))
+        .drop("_r", "_n")
+    )

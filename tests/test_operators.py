@@ -1411,3 +1411,35 @@ def test_token_entropy_known_values(spark):
     assert got[3]["entropy"] == 0.0 and got[3]["norm_entropy"] is None
     assert got[3]["distinct_tokens"] == 1 and got[3]["n_tokens"] == 2
     assert got[4]["entropy"] is None and got[4]["n_tokens"] == 0
+
+
+def test_exact_ntile_matches_sql_ntile(spark):
+    """exact_ntile reproduces SQL NTILE's front-loaded buckets (N=10,
+    k=4 -> sizes 3,3,2,2) without any global window in the plan."""
+    from data_warehouse_punta_fina_spark.operators.windows import exact_ntile
+
+    df = spark.range(1, 11).select(F.col("id").alias("v"))
+    got = exact_ntile(df, ["v"], 4, out="q").orderBy("v").collect()
+    assert [r["q"] for r in got] == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_rfm_scores_segments(spark):
+    """RFM quintiles + segment labels: top-everything customer lands in
+    'champion', stale low-frequency in 'hibernating'; every score in
+    1..5 and deterministic."""
+    import datetime
+
+    from data_warehouse_punta_fina_spark.operators.behavior import rfm_scores
+
+    rows = [
+        # key, last order date, frequency, monetary
+        (i, datetime.date(2024, 1, i + 1), i + 1, float((i + 1) * 100)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k int, last_dt date, freq int, mon double")
+    got = {r["k"]: r.asDict() for r in rfm_scores(df, "k", "last_dt", "freq", "mon").collect()}
+    assert got[9]["segment"] == "champion"        # best on all three axes
+    assert got[0]["segment"] == "hibernating"     # worst on all three
+    for r in got.values():
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+    # monotone alignment: the axes are perfectly correlated here
+    assert all(got[i]["r_score"] == got[i]["f_score"] == got[i]["m_score"] for i in got)
