@@ -153,6 +153,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "events_value_stats": ["media", "desv_estandar"],
     "customer_balance_quartiles": ["saldo_total", "saldo_min", "saldo_max"],
     "customer_rfm": ["monetary_total"],
+    "basket_part_affinity": ["support", "confidence", "lift"],
     "salted_revenue_by_flag": ["sum_qty", "max_price"],
     "order_reconciliation": ["total_db", "total_csv", "total"],
     "lineitem_rollup": ["sum_qty"],
@@ -1482,6 +1483,15 @@ def _build_registries():
             F.max(pround2("c_acctbal")).alias("saldo_max"),
         )
 
+    def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # market-basket association screen: parts co-purchased within an
+        # order, support/confidence/lift, top-50 by lift
+        # (operators.behavior.basket_affinity)
+        from data_warehouse_punta_fina_spark.operators.behavior import basket_affinity
+
+        li = load_table(spark, sf_dir, "lineitem")
+        return basket_affinity(li, "l_orderkey", "l_partkey", min_pair_count=3, top_k=50)
+
     def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # RFM segmentation: per-customer Recency/Frequency/Monetary
         # quintiles via the window-free exact NTILE, standard segment
@@ -1979,6 +1989,7 @@ def _build_registries():
         "events_value_percentiles": events_value_percentiles,
         "events_approx_quantiles": events_approx_quantiles,
         "customer_rfm": customer_rfm,
+        "basket_part_affinity": basket_part_affinity,
         "doc_token_entropy": doc_token_entropy,
     }
     return reg, extra
@@ -3462,6 +3473,30 @@ SELECT l.doc_id,
        {_r6("COALESCE(a.dup_tokens, 0) / GREATEST(l.n_tokens, 1)")} AS dup_fraction
 FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) l
 LEFT JOIN a USING (doc_id)
+"""
+
+    o["basket_part_affinity"] = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+item_n AS (SELECT it, COUNT(*) AS c FROM b GROUP BY it),
+pc AS (
+  SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS n_pair
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT pc.item_a, pc.item_b, pc.n_pair, a.c AS n_a, bb.c AS n_b,
+       {_r6("CAST(pc.n_pair AS DOUBLE) / CAST(tot.n AS DOUBLE)")} AS support,
+       {_r6("CAST(pc.n_pair AS DOUBLE) / CAST(a.c AS DOUBLE)")} AS confidence,
+       {_r6(
+           "(CAST(pc.n_pair AS DOUBLE) / CAST(tot.n AS DOUBLE))"
+           " / ((CAST(a.c AS DOUBLE) / CAST(tot.n AS DOUBLE))"
+           " * (CAST(bb.c AS DOUBLE) / CAST(tot.n AS DOUBLE)))"
+       )} AS lift
+FROM pc
+JOIN item_n a ON a.it = pc.item_a
+JOIN item_n bb ON bb.it = pc.item_b
+CROSS JOIN tot
+ORDER BY lift DESC, pc.item_a, pc.item_b LIMIT 50
 """
 
     o["customer_rfm"] = f"""

@@ -147,3 +147,81 @@ def rfm_scores(
         .when(f >= 4, "loyal")
         .otherwise("regular"),
     )
+
+
+def basket_affinity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 3,
+    top_k: int = 50,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Market-basket pair affinity — support / confidence / lift for
+    items co-occurring in a basket (order, session, cart), the classic
+    association-rule screen (Agrawal & Srikant 1994's frequent-pair
+    stage):
+
+        support(a,b)    = baskets(a,b) / n_baskets
+        confidence(a→b) = baskets(a,b) / baskets(a)
+        lift(a,b)       = support(a,b) / (support(a)·support(b))
+
+    Output: top-``top_k`` pairs by (lift desc, item_a, item_b) among
+    pairs in ≥ ``min_pair_count`` baskets — (item_a, item_b, n_pair,
+    n_a, n_b, support, confidence, lift), item_a < item_b.
+
+    Scale shape: baskets are deduped to distinct (basket, item) first
+    (16-byte-ish keys, map-side combined); the pair stage is a self-join
+    ON THE BASKET KEY, so fan-out is items-per-basket², bounded by real
+    basket sizes (~tens) — never an item×item cross.
+    ``max_basket_items`` is the skew guard: baskets above it (a crawler
+    cart, a batch-import order) are dropped before pairing, exactly like
+    ``ngram_jaccard_pairs``'s hot-shingle cap. Item supports join back
+    from the vocabulary-sized per-item count table. The final top-k is a
+    TakeOrdered. All ratios are fixed-order IEEE then portable round-6,
+    so lift ties at the boundary resolve identically on any engine.
+    """
+    from data_warehouse_punta_fina_spark.functions.money import pround
+
+    b = df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")).distinct()
+    if max_basket_items is not None:
+        big = (
+            b.groupBy("_b")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") > max_basket_items)
+            .select("_b")
+        )
+        b = b.join(F.broadcast(big), "_b", "left_anti")
+    b = b.localCheckpoint(eager=False)  # consumed by totals, supports, both pair sides
+    n_baskets = b.agg(F.countDistinct("_b").alias("_n"))
+    item_n = b.groupBy("_i").agg(F.count("*").alias("_c"))
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), (F.col("x._b") == F.col("y._b")) & (F.col("x._i") < F.col("y._i")))
+        .groupBy(F.col("x._i").alias("item_a"), F.col("y._i").alias("item_b"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    n = F.col("_n").cast("double")
+    na, nb, nab = (
+        F.col("n_a").cast("double"),
+        F.col("n_b").cast("double"),
+        F.col("n_pair").cast("double"),
+    )
+    return (
+        pairs.join(item_n.select(F.col("_i").alias("item_a"), F.col("_c").alias("n_a")), "item_a")
+        .join(item_n.select(F.col("_i").alias("item_b"), F.col("_c").alias("n_b")), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            pround(nab / n, 6, 12).alias("support"),
+            pround(nab / na, 6, 12).alias("confidence"),
+            pround((nab / n) / ((na / n) * (nb / n)), 6, 12).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(top_k)
+    )

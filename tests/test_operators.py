@@ -1443,3 +1443,40 @@ def test_rfm_scores_segments(spark):
         assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
     # monotone alignment: the axes are perfectly correlated here
     assert all(got[i]["r_score"] == got[i]["f_score"] == got[i]["m_score"] for i in got)
+
+
+def test_basket_affinity_known_values(spark):
+    """Hand-checked support/confidence/lift on 4 baskets; the
+    max_basket_items guard drops a giant basket before pairing."""
+    from data_warehouse_punta_fina_spark.operators.behavior import basket_affinity
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "c"),
+        (4, "c"),  # duplicate line within basket: deduped before pairing
+    ]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    out = basket_affinity(df, "bk", "it", min_pair_count=1, top_k=10).collect()
+    got = {(r["item_a"], r["item_b"]): r.asDict() for r in out}
+    # n=4 baskets; a in 3, b in 2, c in 2; (a,b) in 2, (a,c) in 1
+    ab = got[("a", "b")]
+    assert ab["n_pair"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 2
+    assert float(ab["support"]) == 0.5
+    assert abs(float(ab["confidence"]) - 2 / 3) < 1e-6
+    assert abs(float(ab["lift"]) - (0.5 / (0.75 * 0.5))) < 1e-5
+    ac = got[("a", "c")]
+    assert ac["n_pair"] == 1 and abs(float(ac["lift"]) - (0.25 / (0.75 * 0.5))) < 1e-5
+
+    # guard: basket 5 with 3 items dropped when max_basket_items=2
+    rows5 = rows + [(5, "a"), (5, "b"), (5, "c")]
+    df5 = spark.createDataFrame(rows5, "bk int, it string")
+    full = basket_affinity(df5, "bk", "it", min_pair_count=1, top_k=10).collect()
+    capped = basket_affinity(
+        df5, "bk", "it", min_pair_count=1, top_k=10, max_basket_items=2
+    ).collect()
+    assert {(r["item_a"], r["item_b"], r["n_pair"]) for r in capped} == {
+        (r["item_a"], r["item_b"], r["n_pair"]) for r in out
+    }
+    assert len(full) >= len(capped)
