@@ -116,6 +116,45 @@ class TxTable:
             scd2_merge(self.read(), updates, key, tracked, effective_date, end_of_time)
         )
 
+    def append_stream_batch(self, df: DataFrame, stream_id: str, batch_id: int) -> int | None:
+        """Idempotent append for a streaming ``foreachBatch`` sink: the
+        commit records (stream_id, batch_id), and a batch that is already
+        in the log is SKIPPED (returns None) — so a failure-replayed
+        micro-batch lands exactly once even though foreachBatch only
+        guarantees at-least-once delivery. This is the Delta
+        ``txnAppId``/``txnVersion`` idempotent-writer protocol on the
+        native log. ``stream_id`` should be stable per query (e.g. the
+        checkpoint path); batch ids come from foreachBatch.
+        """
+        for v in self._versions():
+            e = self._entry(v)
+            if e.get("stream_id") == stream_id and e.get("stream_batch_id") == batch_id:
+                return None
+        files = self._write_files(df)
+        return self._commit_raw(
+            {
+                "action": "append",
+                "files": files,
+                "schema": df.schema.json(),
+                "stream_id": stream_id,
+                "stream_batch_id": batch_id,
+            }
+        )
+
+    def stream_sink(self, stream_id: str):
+        """A ready-made ``foreachBatch`` callable:
+
+            q = df.writeStream.foreachBatch(table.stream_sink(ckpt_path))
+
+        Every micro-batch becomes one atomic, idempotent log commit —
+        the stream lands in a table with snapshot reads, time travel,
+        and VACUUM, and replays never duplicate."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append_stream_batch(batch_df, stream_id, int(batch_id))
+
+        return sink
+
     def delete_where(self, condition) -> int:
         """DELETE: remove every row where ``condition`` is TRUE (rows
         where it is false OR NULL are kept — SQL DELETE semantics) as one

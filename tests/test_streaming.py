@@ -8,6 +8,7 @@ import os
 import shutil
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _events_schema():
@@ -856,3 +857,54 @@ def test_full_stream_reader_partition_parallel_and_resumes(spark, tmp_path):
         )
     )
     assert streamed == batch and len(streamed) == 200
+
+
+def test_txlog_stream_sink_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch into the transaction log: each micro-batch is one
+    atomic commit tagged (stream_id, batch_id); a replayed batch is
+    skipped (idempotent-writer protocol), the final table equals the
+    batch-side rows, and every intermediate snapshot time-travels."""
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    staged = str(tmp_path / "in")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(staged)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(staged)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t = TxTable(spark, str(tmp_path / "tx"))
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream.foreachBatch(t.stream_sink(ck))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    n_commits = len(t.history())
+    assert n_commits == 2  # one commit per micro-batch
+    assert t.read().count() == events.count()
+
+    # failure replay: re-deliver batch 0 by hand -> skipped, nothing changes
+    replay = spark.read.schema(schema).parquet(staged)
+    assert t.append_stream_batch(replay, ck, 0) is None
+    assert len(t.history()) == n_commits
+    assert t.read().count() == events.count()
+
+    # a DIFFERENT stream id is not confused with this one
+    v = t.append_stream_batch(replay.limit(1), "other-stream", 0)
+    assert v is not None and t.read().count() == events.count() + 1
+
+    # time travel: the first micro-batch's snapshot is still readable
+    assert 0 < t.read(version=0).count() < events.count()
