@@ -154,6 +154,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "customer_balance_quartiles": ["saldo_total", "saldo_min", "saldo_max"],
     "customer_rfm": ["monetary_total"],
     "basket_part_affinity": ["support", "confidence", "lift"],
+    "part_pagerank": ["rank"],
     "salted_revenue_by_flag": ["sum_qty", "max_price"],
     "order_reconciliation": ["total_db", "total_csv", "total"],
     "lineitem_rollup": ["sum_qty"],
@@ -1492,6 +1493,25 @@ def _build_registries():
         li = load_table(spark, sf_dir, "lineitem")
         return basket_affinity(li, "l_orderkey", "l_partkey", min_pair_count=3, top_k=50)
 
+    def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # fixed-iteration PageRank over the co-purchase graph (parts
+        # sharing >= 2 orders), top-25 central parts
+        # (operators.graph.pagerank; oracle = 5 unrolled CTE iterations)
+        from data_warehouse_punta_fina_spark.operators.graph import pagerank
+
+        li = load_table(spark, sf_dir, "lineitem")
+        b = li.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")).distinct()
+        pairs = (
+            b.alias("x")
+            .join(b.alias("y"), (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") < F.col("y.it")))
+            .groupBy(F.col("x.it").alias("item_a"), F.col("y.it").alias("item_b"))
+            .agg(F.count("*").alias("n_pair"))
+            .filter(F.col("n_pair") >= 2)
+            .select("item_a", "item_b")
+        )
+        pr = pagerank(pairs, "item_a", "item_b", iterations=5)
+        return pr.orderBy(F.desc("rank"), "node").limit(25)
+
     def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # RFM segmentation: per-customer Recency/Frequency/Monetary
         # quintiles via the window-free exact NTILE, standard segment
@@ -1990,6 +2010,7 @@ def _build_registries():
         "events_approx_quantiles": events_approx_quantiles,
         "customer_rfm": customer_rfm,
         "basket_part_affinity": basket_part_affinity,
+        "part_pagerank": part_pagerank,
         "doc_token_entropy": doc_token_entropy,
     }
     return reg, extra
@@ -3497,6 +3518,65 @@ JOIN item_n a ON a.it = pc.item_a
 JOIN item_n bb ON bb.it = pc.item_b
 CROSS JOIN tot
 ORDER BY lift DESC, pc.item_a, pc.item_b LIMIT 50
+"""
+
+    o["part_pagerank"] = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+p AS (
+  SELECT x.it AS a, y.it AS bb FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+e AS (SELECT a AS s, bb AS d FROM p UNION SELECT bb, a FROM p),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+deg AS (SELECT s AS node, COUNT(*) AS dg FROM e GROUP BY s),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, {_r6("1.0 / CAST(nn.n AS DOUBLE)")} AS rank FROM nodes CROSS JOIN nn),
+c1 AS (
+  SELECT e.d AS node, SUM({_r6(f"CAST(r0.rank AS DOUBLE) / CAST(deg.dg AS DOUBLE)")}) AS s
+  FROM r0 JOIN deg USING (node) JOIN e ON e.s = r0.node GROUP BY e.d
+),
+r1 AS (
+  SELECT nodes.node,
+         {_r6(f"(1.0 - 0.85) / CAST(nn.n AS DOUBLE) + 0.85 * COALESCE(CAST(c1.s AS DOUBLE), 0.0)")} AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node
+),
+c2 AS (
+  SELECT e.d AS node, SUM({_r6(f"CAST(r1.rank AS DOUBLE) / CAST(deg.dg AS DOUBLE)")}) AS s
+  FROM r1 JOIN deg USING (node) JOIN e ON e.s = r1.node GROUP BY e.d
+),
+r2 AS (
+  SELECT nodes.node,
+         {_r6(f"(1.0 - 0.85) / CAST(nn.n AS DOUBLE) + 0.85 * COALESCE(CAST(c2.s AS DOUBLE), 0.0)")} AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node
+),
+c3 AS (
+  SELECT e.d AS node, SUM({_r6(f"CAST(r2.rank AS DOUBLE) / CAST(deg.dg AS DOUBLE)")}) AS s
+  FROM r2 JOIN deg USING (node) JOIN e ON e.s = r2.node GROUP BY e.d
+),
+r3 AS (
+  SELECT nodes.node,
+         {_r6(f"(1.0 - 0.85) / CAST(nn.n AS DOUBLE) + 0.85 * COALESCE(CAST(c3.s AS DOUBLE), 0.0)")} AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node
+),
+c4 AS (
+  SELECT e.d AS node, SUM({_r6(f"CAST(r3.rank AS DOUBLE) / CAST(deg.dg AS DOUBLE)")}) AS s
+  FROM r3 JOIN deg USING (node) JOIN e ON e.s = r3.node GROUP BY e.d
+),
+r4 AS (
+  SELECT nodes.node,
+         {_r6(f"(1.0 - 0.85) / CAST(nn.n AS DOUBLE) + 0.85 * COALESCE(CAST(c4.s AS DOUBLE), 0.0)")} AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c4 ON c4.node = nodes.node
+),
+c5 AS (
+  SELECT e.d AS node, SUM({_r6(f"CAST(r4.rank AS DOUBLE) / CAST(deg.dg AS DOUBLE)")}) AS s
+  FROM r4 JOIN deg USING (node) JOIN e ON e.s = r4.node GROUP BY e.d
+),
+r5 AS (
+  SELECT nodes.node,
+         {_r6(f"(1.0 - 0.85) / CAST(nn.n AS DOUBLE) + 0.85 * COALESCE(CAST(c5.s AS DOUBLE), 0.0)")} AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c5 ON c5.node = nodes.node
+)
+SELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 25
 """
 
     o["customer_rfm"] = f"""

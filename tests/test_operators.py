@@ -1480,3 +1480,22 @@ def test_basket_affinity_known_values(spark):
         (r["item_a"], r["item_b"], r["n_pair"]) for r in out
     }
     assert len(full) >= len(capped)
+
+
+def test_pagerank_star_graph(spark):
+    """Star graph: the hub out-ranks every leaf; undirected mass is
+    conserved (sum of ranks ~ 1); result invariant under input
+    repartitioning (decimal-sum determinism)."""
+    from data_warehouse_punta_fina_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("hub", "a"), ("hub", "b"), ("hub", "c")], "src string, dst string"
+    )
+    got = {r["node"]: float(r["rank"]) for r in pagerank(edges, iterations=5).collect()}
+    assert got["hub"] > got["a"] == got["b"] == got["c"]
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    again = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(edges.repartition(7), iterations=5).collect()
+    }
+    assert got == again
