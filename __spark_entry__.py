@@ -155,6 +155,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "customer_rfm": ["monetary_total"],
     "basket_part_affinity": ["support", "confidence", "lift"],
     "part_pagerank": ["rank"],
+    "revenue_anomaly_weeks": ["rev", "rev_prev"],
     "salted_revenue_by_flag": ["sum_qty", "max_price"],
     "order_reconciliation": ["total_db", "total_csv", "total"],
     "lineitem_rollup": ["sum_qty"],
@@ -1493,6 +1494,36 @@ def _build_registries():
         li = load_table(spark, sf_dir, "lineitem")
         return basket_affinity(li, "l_orderkey", "l_partkey", min_pair_count=3, top_k=50)
 
+    def revenue_anomaly_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # time-series anomaly screen composed from existing operators:
+        # weekly revenue -> seasonal-naive residual (vs previous week,
+        # gap-proof date join, no row-lag) -> median/MAD robust outlier
+        # flags (operators.quality.robust_outliers)
+        from data_warehouse_punta_fina_spark.operators.quality import robust_outliers
+
+        orders = load_table(spark, sf_dir, "orders")
+        weekly = orders.groupBy(
+            F.date_trunc("week", F.col("o_orderdate")).alias("wk")
+        ).agg(F.sum(pround2("o_totalprice")).cast("decimal(18,2)").alias("rev"))
+        prev = weekly.select(
+            F.expr("wk + INTERVAL 7 DAYS").alias("wk"), F.col("rev").alias("rev_prev")
+        )
+        res = (
+            weekly.join(prev, "wk")
+            .withColumn(
+                "residual", (F.col("rev") - F.col("rev_prev")).cast("double")
+            )
+        )
+        scored = robust_outliers(res, "residual", z=3.5)
+        return scored.select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+            "rev",
+            "rev_prev",
+            "residual",
+            "score",
+            "is_outlier",
+        )
+
     def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixed-iteration PageRank over the co-purchase graph (parts
         # sharing >= 2 orders), top-25 central parts
@@ -2011,6 +2042,7 @@ def _build_registries():
         "customer_rfm": customer_rfm,
         "basket_part_affinity": basket_part_affinity,
         "part_pagerank": part_pagerank,
+        "revenue_anomaly_weeks": revenue_anomaly_weeks,
         "doc_token_entropy": doc_token_entropy,
     }
     return reg, extra
@@ -3518,6 +3550,34 @@ JOIN item_n a ON a.it = pc.item_a
 JOIN item_n bb ON bb.it = pc.item_b
 CROSS JOIN tot
 ORDER BY lift DESC, pc.item_a, pc.item_b LIMIT 50
+"""
+
+    o["revenue_anomaly_weeks"] = f"""
+WITH weekly AS (
+  SELECT date_trunc('week', o_orderdate) AS wk,
+         CAST(SUM({_r2("o_totalprice")}) AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT w.wk, w.rev, p.rev AS rev_prev,
+         CAST(w.rev - p.rev AS DOUBLE) AS residual
+  FROM weekly w JOIN weekly p ON w.wk = p.wk + INTERVAL 7 DAY
+),
+med AS (SELECT quantile_cont(residual, 0.5) AS med FROM j),
+dev AS (SELECT j.*, abs(j.residual - m.med) AS absdev FROM j CROSS JOIN med m),
+mad AS (SELECT quantile_cont(absdev, 0.5) AS mad FROM dev),
+scored AS (
+  SELECT d.wk, d.rev, d.rev_prev, d.residual,
+         CASE WHEN m.mad > 0 THEN
+           CAST(CAST(FLOOR((0.6745 * d.absdev / m.mad) * 1000000 + 0.5) / 1000000 AS DECIMAL(15,6)) AS DOUBLE)
+         END AS score,
+         CASE WHEN m.mad > 0 THEN
+           (CAST(FLOOR((0.6745 * d.absdev / m.mad) * 1000000 + 0.5) / 1000000 AS DECIMAL(15,6)) > 3.5)
+         ELSE FALSE END AS is_outlier
+  FROM dev d CROSS JOIN mad m
+)
+SELECT strftime(wk, '%Y-%m-%d') AS week_start, rev, rev_prev, residual, score, is_outlier
+FROM scored
 """
 
     o["part_pagerank"] = f"""
