@@ -1862,7 +1862,10 @@ def _build_registries():
         "fact_balance": fact_balance,
         "fact_estado_resultados": fact_estado_resultados,
         # relational operator probes
-        "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
+        # (wave 6: star_revenue_by_pais_trimestre demoted — star rollup
+        # carried by fact_ventas + sql_top_customer_per_nation — for the
+        # composed seasonal-residual anomaly screen)
+        "revenue_anomaly_weeks": revenue_anomaly_weeks,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "customer_snapshot_diff": customer_snapshot_diff,
         "events_variant_stats": events_variant_stats,
@@ -1890,7 +1893,10 @@ def _build_registries():
         "events_value_band_rangejoin": events_value_band_rangejoin,
         "events_robust_outliers": events_robust_outliers,
         "events_funnel": events_funnel,
-        "batch_token_stats": batch_token_stats,
+        # (wave 6: batch_token_stats demoted — the Arrow mapInPandas
+        # contract is carried in-window by media_features — for
+        # basket_part_affinity)
+        "basket_part_affinity": basket_part_affinity,
         "events_retention": events_retention,
         "events_session_window": events_session_window,
         "order_reconciliation": order_reconciliation,
@@ -1935,7 +1941,10 @@ def _build_registries():
         "emb_near_dup_trained": emb_near_dup_trained,
         "media_features": media_features,
         "doc_dedup_clusters": doc_dedup_clusters,
-        "scd2_customer_segment": scd2_customer_segment,
+        # (wave 6: scd2_customer_segment demoted — SCD2 family carried
+        # in-window by scd2_pit_lookup and by the txlog scd2_commit tests —
+        # for customer_rfm)
+        "customer_rfm": customer_rfm,
         "dq_report": dq_report,
         # (session 3: emb_label_centroids demoted — exact vector-agg
         # machinery also inside the in-window trained-IVF k-means — for
@@ -1948,7 +1957,9 @@ def _build_registries():
         "source_quality_report": source_quality_report,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "doc_lsh_verified": doc_lsh_verified,
-        "doc_pack_bins": doc_pack_bins,
+        # (wave 6: doc_pack_bins demoted — packing/chunking family carried
+        # in-window by doc_chunks — for part_pagerank, the iterative tier)
+        "part_pagerank": part_pagerank,
         "doc_contamination": doc_contamination,
         "doc_repetition": doc_repetition,
         "doc_repeated_spans": doc_repeated_spans,
@@ -2039,11 +2050,13 @@ def _build_registries():
         "user_last_event": user_last_event,
         "events_value_percentiles": events_value_percentiles,
         "events_approx_quantiles": events_approx_quantiles,
-        "customer_rfm": customer_rfm,
-        "basket_part_affinity": basket_part_affinity,
-        "part_pagerank": part_pagerank,
-        "revenue_anomaly_weeks": revenue_anomaly_weeks,
         "doc_token_entropy": doc_token_entropy,
+        # wave-6 demotions (driver-green in earlier rounds; families still
+        # in-window)
+        "scd2_customer_segment": scd2_customer_segment,
+        "batch_token_stats": batch_token_stats,
+        "doc_pack_bins": doc_pack_bins,
+        "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
     }
     return reg, extra
 

@@ -62,6 +62,10 @@ HEADLINE = [
     "doc_segment_dedup",
     "doc_collocations",
     "events_drift_psi",
+    "customer_rfm",
+    "basket_part_affinity",
+    "part_pagerank",
+    "revenue_anomaly_weeks",
 ]
 
 
