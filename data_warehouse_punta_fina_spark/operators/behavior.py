@@ -125,18 +125,25 @@ def rfm_scores(
     """
     from data_warehouse_punta_fina_spark.operators.windows import exact_ntile
 
-    # each exact_ntile consumes its input via THREE branches (sample,
-    # offsets, rank) — chaining three of them without a materialization
-    # boundary re-executes the upstream rank subplans combinatorially
-    # (~3^3 lineage blowup, measured 28 s on a 1.5k-row table). One
-    # ephemeral checkpoint per pass keeps the chain linear.
-    scored = exact_ntile(
-        df.localCheckpoint(eager=False), [recency_col, key], k, out="r_score"
-    ).localCheckpoint(eager=False)
-    scored = exact_ntile(scored, [frequency_col, key], k, out="f_score").localCheckpoint(
-        eager=False
+    # three INDEPENDENT rank branches from one checkpointed input, joined
+    # back on the key — not a chain. Two reasons: a chain without
+    # materialization boundaries re-executes upstream rank subplans
+    # combinatorially (~3^3 lineage blowup, measured 28 s on a 1.5k-row
+    # table), and even a checkpoint-linearized chain serializes the three
+    # sorts' stages; independent branches let the scheduler overlap them
+    # (each exact_ntile is constant-job-count, so the bench floor is
+    # scheduling overhead, not data).
+    base = df.localCheckpoint(eager=False)
+    r = exact_ntile(base.select(key, recency_col), [recency_col, key], k, out="r_score").select(
+        key, "r_score"
     )
-    scored = exact_ntile(scored, [monetary_col, key], k, out="m_score")
+    fq = exact_ntile(
+        base.select(key, frequency_col), [frequency_col, key], k, out="f_score"
+    ).select(key, "f_score")
+    mo = exact_ntile(
+        base.select(key, monetary_col), [monetary_col, key], k, out="m_score"
+    ).select(key, "m_score")
+    scored = base.join(r, key).join(fq, key).join(mo, key)
     r, f, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
     return scored.withColumn(
         "segment",
