@@ -156,6 +156,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "basket_part_affinity": ["support", "confidence", "lift"],
     "part_pagerank": ["rank"],
     "revenue_anomaly_weeks": ["rev", "rev_prev"],
+    "doc_weighted_sample": ["sample_key"],
     "salted_revenue_by_flag": ["sum_qty", "max_price"],
     "order_reconciliation": ["total_db", "total_csv", "total"],
     "lineitem_rollup": ["sum_qty"],
@@ -1494,6 +1495,15 @@ def _build_registries():
         li = load_table(spark, sf_dir, "lineitem")
         return basket_affinity(li, "l_orderkey", "l_partkey", min_pair_count=3, top_k=50)
 
+    def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Efraimidis-Spirakis weighted sample without replacement: 50 docs
+        # proportional to n_chars, reproducible across engines/partitions
+        # (operators.sampling.weighted_sample)
+        from data_warehouse_punta_fina_spark.operators.sampling import weighted_sample
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        return weighted_sample(docs, "n_chars", 50, seed="ws")
+
     def revenue_anomaly_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # time-series anomaly screen composed from existing operators:
         # weekly revenue -> seasonal-naive residual (vs previous week,
@@ -2051,6 +2061,7 @@ def _build_registries():
         "events_value_percentiles": events_value_percentiles,
         "events_approx_quantiles": events_approx_quantiles,
         "doc_token_entropy": doc_token_entropy,
+        "doc_weighted_sample": doc_weighted_sample,
         # wave-6 demotions (driver-green in earlier rounds; families still
         # in-window)
         "scd2_customer_segment": scd2_customer_segment,
@@ -2240,6 +2251,17 @@ END
 """
 
 _QUANT_VEC = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+def _hex13(expr: str) -> str:
+    """13 hex chars → BIGINT (range 2^52, exactly representable as a
+    double) — the oracle twin of operators.sampling's conv(substr(md5,
+    1, 13), 16, 10). Same digit-by-digit integer shifts as _hex56."""
+    return (
+        "list_sum(list_transform(range(1, 14), j -> "
+        f"CAST(strpos('0123456789abcdef', substr({expr}, j, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (13 - j)))))"
+    )
+
 
 def _hex56(expr: str) -> str:
     """14 hex chars → BIGINT, digit-by-digit with integer shifts (DuckDB
@@ -3563,6 +3585,18 @@ JOIN item_n a ON a.it = pc.item_a
 JOIN item_n bb ON bb.it = pc.item_b
 CROSS JOIN tot
 ORDER BY lift DESC, pc.item_a, pc.item_b LIMIT 50
+"""
+
+    o["doc_weighted_sample"] = f"""
+SELECT doc_id, n_chars,
+       CAST(FLOOR(
+         (ln(CAST({_hex13("substr(md5('ws' || '|' || CAST(doc_id AS VARCHAR)), 1, 13)")} + 1 AS DOUBLE)
+             / 4503599627370496.0)
+          / CAST(n_chars AS DOUBLE)) * 1000000000 + 0.5
+       ) / 1000000000 AS DECIMAL(18,9)) AS sample_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY sample_key DESC, doc_id LIMIT 50
 """
 
     o["revenue_anomaly_weeks"] = f"""

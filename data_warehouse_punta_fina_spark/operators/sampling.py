@@ -1,0 +1,58 @@
+"""Distributed sampling primitives.
+
+Deterministic counterparts to the reference-free sampling a training-data
+pipeline needs: the stratified / split / resample family lives in
+``__spark_entry__``'s corpus queries (fingerprint-bucket splits,
+per-language keep rates); this module holds the reusable primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_warehouse_punta_fina_spark.functions.money import pround
+
+# 16^13 = 2^52: 13 hex digits convert exactly into a double-precision int
+_HEX13_SPAN = float(1 << 52)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: str = "ws",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis-Spirakis
+    A-ES one-pass scheme: each row draws a uniform ``u`` and ranks by
+    ``u^(1/w)``; the top-``k`` keys are an exact weighted sample. Rows
+    with non-positive weights are excluded (their inclusion probability
+    is zero). This is THE distributed primitive for "sample 1M docs
+    proportional to quality/length" — one map pass + a TakeOrdered, no
+    per-stratum loops, no rejection sampling.
+
+    Determinism: ``u`` derives from ``md5(seed | id)`` (13 hex digits →
+    an exact 2^52-range integer, +1 to stay in (0,1]), so the sample is
+    reproducible across runs, engines, and partitionings — same property
+    as the fingerprint-bucket splits. Ranking uses the monotone log form
+    ``ln(u)/w`` (avoids underflow for large weights), portable-round-9'd
+    so an engine's last-ulp ln() difference can't flip a boundary rank;
+    ties break on the id. Returns the sampled rows + ``sample_key``.
+    """
+    w = F.col(weight_col).cast("double")
+    digits = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (digits + F.lit(1)).cast("double") / F.lit(_HEX13_SPAN)
+    key = pround(F.log(u) / w, 9, 18)
+    return (
+        df.filter(w > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )

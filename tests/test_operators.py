@@ -1499,3 +1499,26 @@ def test_pagerank_star_graph(spark):
         for r in pagerank(edges.repartition(7), iterations=5).collect()
     }
     assert got == again
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """A-ES weighted sampling: reproducible under repartitioning, heavy
+    weights dominate the sample, zero/negative weights excluded."""
+    from data_warehouse_punta_fina_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(200)] + [(900, 0.0), (901, -5.0)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    got = weighted_sample(df, "w", 10, seed="t", id_col="doc_id").collect()
+    ids = {r["doc_id"] for r in got}
+    assert len(ids) == 10 and 900 not in ids and 901 not in ids
+    # the ten 1000x-weight rows should dominate (each ~1000x more likely)
+    assert len(ids & set(range(10))) >= 8
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "w", 10, seed="t", id_col="doc_id").collect()
+    }
+    assert again == ids
+    other = {
+        r["doc_id"] for r in weighted_sample(df, "w", 10, seed="u", id_col="doc_id").collect()
+    }
+    assert other != ids  # a different seed draws a different sample
