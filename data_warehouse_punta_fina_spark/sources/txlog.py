@@ -69,8 +69,96 @@ class TxTable:
     def _commit(self, action: str, files: list[str], schema_json: str) -> int:
         """Exclusive-create the next version file; retry on conflict."""
         return self._commit_raw(
-            {"action": action, "files": files, "schema": schema_json}
+            {
+                "action": action,
+                "files": files,
+                "schema": schema_json,
+                "stats": self._file_stats(files),
+            }
         )
+
+    def _file_stats(self, files: list[str]) -> dict:
+        """Per-file column min/max from the parquet footers — the
+        data-skipping statistics a lakehouse log carries on every
+        add-file entry (Delta `stats`, Iceberg manifest bounds). Read
+        driver-side from footer metadata only (file-count-sized work, no
+        data scan: the writers already computed the stats). Only
+        int/float/string/bool leaves are recorded; columns without
+        usable footer statistics are simply absent (reads keep such
+        files)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for rel in files:
+            try:
+                md = pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata
+            except Exception:  # pragma: no cover — unreadable footer: no stats
+                continue
+            cols: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode(), hi.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    if not isinstance(lo, (int, float, str, bool)):
+                        continue
+                    name = c.path_in_schema
+                    if name in cols:
+                        cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
+                    else:
+                        cols[name] = [lo, hi]
+            if cols:
+                out[rel] = cols
+        return out
+
+    def files_overlapping(self, col: str, lo, hi, version: int | None = None) -> list[str]:
+        """The snapshot's files whose [min, max] for ``col`` intersects
+        [lo, hi] — files with no recorded stats are conservatively kept.
+        This is log-level data skipping: pruning happens BEFORE Spark
+        ever lists or opens a file, from driver-side log metadata alone
+        (at 100 TB the difference between "scan 3 files" and "plan over
+        800k splits so row-group pruning can reject them")."""
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no transaction log at {self.path}")
+        upto = vs[-1] if version is None else version
+        files, _, _ = self._snapshot_files(upto)
+        # stats ride on the commit that ADDED each file — walk the log
+        stats: dict[str, dict] = {}
+        for v in self._versions():
+            if v > upto:
+                break
+            stats.update(self._entry(v).get("stats") or {})
+        kept = []
+        for f in files:
+            rng = (stats.get(f) or {}).get(col)
+            if rng is None or not (hi < rng[0] or lo > rng[1]):
+                kept.append(f)
+        return kept
+
+    def read_where(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """``read().filter(col BETWEEN lo AND hi)`` with log-level file
+        skipping: only footer-stat-overlapping files reach the Spark
+        scan; the residual BETWEEN still applies (stats prune files, not
+        rows)."""
+        files, schema_json, _ = self._snapshot_files(
+            self._versions()[-1] if version is None else version
+        )
+        kept = self.files_overlapping(col, lo, hi, version)
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        cond = F.col(col).between(lo, hi)
+        if not kept:
+            return self.spark.createDataFrame([], schema).filter(cond)
+        paths = [os.path.join(self.data_dir, f) for f in kept]
+        return self.spark.read.schema(schema).parquet(*paths).filter(cond)
 
     def _write_files(self, df: DataFrame) -> list[str]:
         sub = f"commit-{uuid.uuid4().hex}"
@@ -136,6 +224,7 @@ class TxTable:
                 "action": "append",
                 "files": files,
                 "schema": df.schema.json(),
+                "stats": self._file_stats(files),
                 "stream_id": stream_id,
                 "stream_batch_id": batch_id,
             }

@@ -722,3 +722,45 @@ def test_txtable_delete_where_rewrites_only_hit_files(spark, tmp_path):
     deleted_rel = t.history()[1]["files"][0]
     assert not os.path.exists(os.path.join(t.data_dir, deleted_rel))
     assert rows(t.read()) == [(1, "a"), (1, "b"), (None, "n")]
+
+
+def test_txtable_data_skipping_prunes_files(spark, tmp_path):
+    """Commit-time footer stats enable log-level file skipping: a range
+    read opens only overlapping files, results equal the full filter,
+    stat-less columns are conservatively kept, and skipping composes
+    with time travel."""
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    t.append(
+        spark.createDataFrame([(i, f"a{i}") for i in range(0, 100)], "k int, v string")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(i, f"b{i}") for i in range(1000, 1100)], "k int, v string")
+        .coalesce(1)
+    )
+
+    # stats recorded on both commits
+    assert all(e.get("stats") for e in t.history())
+
+    kept = t.files_overlapping("k", 1000, 1050)
+    all_files, _, _ = t._snapshot_files(t._versions()[-1])
+    assert len(kept) == 1 and len(all_files) == 2
+
+    got = sorted(r["k"] for r in t.read_where("k", 1000, 1050).collect())
+    want = sorted(
+        r["k"] for r in t.read().filter(F.col("k").between(1000, 1050)).collect()
+    )
+    assert got == want and len(got) == 51
+
+    # disjoint range: zero files, empty result with the right schema
+    empty = t.read_where("k", 5000, 6000)
+    assert empty.count() == 0 and [f.name for f in empty.schema.fields] == ["k", "v"]
+
+    # unknown column name -> no stats recorded under it -> both files kept
+    assert len(t.files_overlapping("nope", 0, 1)) == 2
+
+    # composes with time travel: version 0 has only the low range
+    assert t.files_overlapping("k", 1000, 1050, version=0) == []
+    assert t.read_where("k", 0, 10, version=0).count() == 11
