@@ -146,3 +146,67 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "frame_ms",
         F.explode(F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))),
     )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id long, n_samples long, band_energies array<double>, dominant_band int"
+)
+
+
+def audio_band_energies(
+    media: DataFrame,
+    n_bands: int = 8,
+    frame: int = 2048,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """REAL spectral features — no codec gate: raw PCM16LE mono payloads
+    need only numpy (present in the container), so unlike the
+    image/compressed-audio paths this one runs the actual DSP:
+    ``int16 → float → Hann window → |rfft|² → n_bands equal-width band
+    energies`` over the first ``frame`` samples (zero-padded when
+    shorter), plus the argmax band. This is the audio analogue of
+    ``resize_images``'s real area-pooling: the distributed plumbing AND
+    the kernel are both genuine; swapping in a compressed-format decoder
+    only changes the bytes→samples line.
+
+    Shape: Arrow-batched mapInPandas, one output row per asset, payloads
+    never visit the driver. Deterministic: fixed window, fixed FFT size,
+    argmax ties to the lowest band.
+    """
+    import numpy as np
+
+    half = frame // 2 + 1
+    edges = np.linspace(0, half, n_bands + 1).astype(int)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(frame)
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                raw = bytes(payload)
+                samples = np.frombuffer(raw[: (len(raw) // 2) * 2], dtype="<i2")
+                n = len(samples)
+                x = np.zeros(frame)
+                x[: min(n, frame)] = samples[:frame] / 32768.0
+                spec = np.abs(np.fft.rfft(x * win)) ** 2
+                bands = [float(spec[edges[i] : edges[i + 1]].sum()) for i in range(n_bands)]
+                rows.append(
+                    (int(aid), int(n), bands, int(np.argmax(bands)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_samples", "band_energies", "dominant_band"]
+            )
+
+    return media.select("asset_id", "content").mapInPandas(
+        _batches, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def pcm16_sine(asset_id: int, freq_hz: float, n_samples: int = 4096, rate: int = 16000) -> bytes:
+    """Deterministic PCM16LE mono test-signal generator (pure numpy) —
+    the synthetic stand-in for a decoded audio asset."""
+    import numpy as np
+
+    t = np.arange(n_samples) / rate
+    wave = (np.sin(2 * np.pi * freq_hz * t) * 20000).astype("<i2")
+    return wave.tobytes()

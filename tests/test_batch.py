@@ -86,3 +86,32 @@ def test_isotonic_fit_pava_per_group(spark):
         assert all(abs(a - b) < 1e-9 for a, b in zip(fits, expect))
         # mean preserved (least-squares projection property)
         assert abs(sum(fits) - sum(ys)) < 1e-6
+
+
+def test_audio_band_energies_real_fft(spark):
+    """The audio path runs REAL numpy DSP (no codec gate): a pure tone
+    lands its energy in the expected rfft band; a higher tone lands in a
+    higher band; short payloads zero-pad without error."""
+    from data_warehouse_punta_fina_spark.operators.multimodal import (
+        audio_band_energies,
+        pcm16_sine,
+    )
+
+    rate, frame, n_bands = 16000, 2048, 8
+    # band width = (frame/2+1)/8 ≈ 128 rfft bins ≈ 1 kHz at 16 kHz rate
+    rows = [
+        (1, pcm16_sine(1, 500.0, 4096, rate)),   # 500 Hz -> band 0
+        (2, pcm16_sine(2, 4300.0, 4096, rate)),  # 4.3 kHz -> band 4 interior
+        (3, pcm16_sine(3, 500.0, 64, rate)),     # short: zero-padded
+    ]
+    media = spark.createDataFrame(rows, "asset_id long, content binary")
+    got = {
+        r["asset_id"]: r.asDict()
+        for r in audio_band_energies(media, n_bands=n_bands, frame=frame).collect()
+    }
+    assert got[1]["dominant_band"] == 0
+    assert got[2]["dominant_band"] == 4
+    assert got[3]["n_samples"] == 64 and len(got[3]["band_energies"]) == n_bands
+    # tone energy concentrates: dominant band carries the bulk
+    e = got[2]["band_energies"]
+    assert e[4] > 10 * sum(v for i, v in enumerate(e) if i != 4)
