@@ -1495,6 +1495,18 @@ def _build_registries():
         li = load_table(spark, sf_dir, "lineitem")
         return basket_affinity(li, "l_orderkey", "l_partkey", min_pair_count=3, top_k=50)
 
+    def doc_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # two-pass distributed heavy hitters: per-partition Misra-Gries
+        # candidates (provable superset), exact JVM recount, integer
+        # threshold n*64 > N (operators.sampling.heavy_hitters)
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.sampling import heavy_hitters
+        from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = _spread(docs).select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        return heavy_hitters(toks, "tok", 64)
+
     def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Efraimidis-Spirakis weighted sample without replacement: 50 docs
         # proportional to n_chars, reproducible across engines/partitions
@@ -2062,6 +2074,7 @@ def _build_registries():
         "events_approx_quantiles": events_approx_quantiles,
         "doc_token_entropy": doc_token_entropy,
         "doc_weighted_sample": doc_weighted_sample,
+        "doc_heavy_terms": doc_heavy_terms,
         # wave-6 demotions (driver-green in earlier rounds; families still
         # in-window)
         "scd2_customer_segment": scd2_customer_segment,
@@ -3585,6 +3598,13 @@ JOIN item_n a ON a.it = pc.item_a
 JOIN item_n bb ON bb.it = pc.item_b
 CROSS JOIN tot
 ORDER BY lift DESC, pc.item_a, pc.item_b LIMIT 50
+"""
+
+    o["doc_heavy_terms"] = f"""
+WITH toks AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+c AS (SELECT tok, COUNT(*) AS n_occurrences FROM toks GROUP BY tok),
+t AS (SELECT COUNT(*) AS n FROM toks)
+SELECT c.tok, c.n_occurrences FROM c, t WHERE c.n_occurrences * 64 > t.n
 """
 
     o["doc_weighted_sample"] = f"""

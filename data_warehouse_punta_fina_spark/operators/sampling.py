@@ -56,3 +56,57 @@ def weighted_sample(
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Items occurring more than N/k times, via the classic two-pass
+    distributed heavy-hitters scheme: a bounded-memory Misra-Gries
+    summary PER PARTITION proposes candidates, then an exact
+    candidate-restricted recount verifies. The MG guarantee makes the
+    candidate union a PROVABLE superset of every true heavy hitter
+    (freq > N/k globally ⇒ freq_p > N_p/(k+1) in some partition ⇒ the
+    item survives that partition's k-counter summary), so the final
+    output is EXACT — deterministic under any partitioning, which is
+    what makes it oracle-checkable at all.
+
+    Why not just groupBy-count? At 100 TB with a heavy-tailed key space
+    (tokens, URLs, user agents) the full count table is huge; here the
+    shuffled recount touches only ≤ k·partitions candidate keys. The MG
+    stage is Arrow-batched Python (a per-partition dict of ≤ k
+    counters — the textbook sketch, O(k) memory regardless of input);
+    the recount is JVM-side. The threshold compare is exact integer
+    arithmetic (count·k > N — no float division).
+
+    Output: (item, n_occurrences) for every item with n·k > N.
+    """
+    import pandas as pd
+
+    def mg(it):
+        counters: dict = {}
+        for pdf in it:
+            for v in pdf["_i"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"_i": list(counters.keys())})
+
+    items = df.select(F.col(col).alias("_i")).filter(F.col("_i").isNotNull())
+    cands = items.mapInPandas(mg, schema=items.schema).distinct()
+    total = items.agg(F.count("*").alias("_n"))
+    return (
+        items.join(F.broadcast(cands), "_i", "left_semi")
+        .groupBy("_i")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * F.lit(k) > F.col("_n"))
+        .select(F.col("_i").alias(col), "n_occurrences")
+    )

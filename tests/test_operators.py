@@ -1522,3 +1522,25 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
         r["doc_id"] for r in weighted_sample(df, "w", 10, seed="u", id_col="doc_id").collect()
     }
     assert other != ids  # a different seed draws a different sample
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """MG candidates + exact recount: output is exactly {items with
+    freq > N/k} regardless of partitioning; borderline items excluded."""
+    from data_warehouse_punta_fina_spark.operators.sampling import heavy_hitters
+
+    # N = 100: 'hot' x 40, 'warm' x 25, 20 singles with 35 filler rows
+    rows = (
+        [("hot",)] * 40 + [("warm",)] * 25 + [(f"u{i}",) for i in range(35)]
+    )
+    df = spark.createDataFrame(rows, "t string")
+    got = {r["t"]: r["n_occurrences"] for r in heavy_hitters(df, "t", 4).collect()}
+    assert got == {"hot": 40}  # threshold N/4 = 25: warm (=25) excluded, hot in
+    got8 = {r["t"]: r["n_occurrences"] for r in heavy_hitters(df, "t", 8).collect()}
+    assert got8 == {"hot": 40, "warm": 25}  # threshold 12.5
+    # partition invariance (the MG union is a superset under ANY layout)
+    got_r = {
+        r["t"]: r["n_occurrences"]
+        for r in heavy_hitters(df.repartition(11), "t", 8).collect()
+    }
+    assert got_r == got8
