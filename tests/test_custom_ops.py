@@ -764,3 +764,30 @@ def test_txtable_data_skipping_prunes_files(spark, tmp_path):
     # composes with time travel: version 0 has only the low range
     assert t.files_overlapping("k", 1000, 1050, version=0) == []
     assert t.read_where("k", 0, 10, version=0).count() == 11
+
+
+def test_txtable_optimize_zorder_improves_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER on the log: after the clustered rewrite, the
+    commit's footer stats stop overlapping and read_where prunes to a
+    fraction of the files on BOTH cluster columns; results unchanged."""
+    import random
+
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10000), rng.randrange(10000)) for _ in range(20000)]
+    t = TxTable(spark, str(tmp_path / "tx"))
+    # ingest shuffled -> every file spans nearly the full range of both cols
+    t.append(spark.createDataFrame(rows, "x int, y int").repartition(8))
+    before_x = len(t.files_overlapping("x", 100, 200))
+    assert before_x == 8  # no pruning possible pre-optimize
+
+    v = t.optimize_zorder(["x", "y"], n_files=8)
+    assert t.history()[-1]["version"] == v
+    after_x = len(t.files_overlapping("x", 100, 200))
+    after_y = len(t.files_overlapping("y", 100, 200))
+    assert after_x <= 4 and after_y <= 4  # bounded boxes in BOTH dims
+
+    got = sorted((r["x"], r["y"]) for r in t.read_where("x", 100, 200).collect())
+    want = sorted((x, y) for (x, y) in rows if 100 <= x <= 200)
+    assert got == want
