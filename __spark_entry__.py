@@ -1495,6 +1495,15 @@ def _build_registries():
         li = load_table(spark, sf_dir, "lineitem")
         return basket_affinity(li, "l_orderkey", "l_partkey", min_pair_count=3, top_k=50)
 
+    def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # positional-index exact phrase search; the oracle scans token
+        # slices directly — two different computation paths, same rows
+        # (operators.retrieval.phrase_search)
+        from data_warehouse_punta_fina_spark.operators.retrieval import phrase_search
+
+        docs = load_table(spark, sf_dir, "documents")
+        return phrase_search(docs, "order fast")
+
     def doc_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two-pass distributed heavy hitters: per-partition Misra-Gries
         # candidates (provable superset), exact JVM recount, integer
@@ -2075,6 +2084,7 @@ def _build_registries():
         "doc_token_entropy": doc_token_entropy,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_heavy_terms": doc_heavy_terms,
+        "doc_phrase_search": doc_phrase_search,
         # wave-6 demotions (driver-green in earlier rounds; families still
         # in-window)
         "scd2_customer_segment": scd2_customer_segment,
@@ -3598,6 +3608,18 @@ JOIN item_n a ON a.it = pc.item_a
 JOIN item_n bb ON bb.it = pc.item_b
 CROSS JOIN tot
 ORDER BY lift DESC, pc.item_a, pc.item_b LIMIT 50
+"""
+
+    o["doc_phrase_search"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+hits AS (
+  SELECT doc_id,
+         unnest([j FOR j IN generate_series(1, len(t) - 1)
+                 IF t[j] = 'order' AND t[j+1] = 'fast']) AS j
+  FROM toks
+)
+SELECT doc_id, COUNT(*) AS n_matches, MIN(j) - 1 AS first_pos
+FROM hits GROUP BY doc_id
 """
 
     o["doc_heavy_terms"] = f"""

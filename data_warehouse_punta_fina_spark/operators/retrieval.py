@@ -282,3 +282,41 @@ def tfidf_doc_pairs(
     return sym.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= k
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over the POSITIONAL index — the retrieval
+    operation term-level BM25 cannot express (terms adjacent, in order).
+    The phrase is tokenized with the corpus rule (TOKEN_SPLIT_RE — one
+    source of truth, as with BM25 queries) and matched against positional
+    n-gram occurrences (``dedup.gram_occurrences``), so the match is
+    token-exact: punctuation/case differences between doc and query
+    cannot break it, and "scan order" never matches "scan ordering".
+
+    Output: (id, n_matches, first_pos) per matching doc, first_pos
+    0-based in token space. Scale shape: the gram pipeline's one
+    tokenize + per-doc window; the phrase filter pushes into the gram
+    projection, so only matching grams reach the aggregate.
+    """
+    import re
+
+    from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+    from data_warehouse_punta_fina_spark.operators.dedup import gram_occurrences
+
+    toks = [w for w in re.split(TOKEN_SPLIT_RE, phrase.lower()) if w]
+    if not toks:
+        raise ValueError("phrase contains no tokens under the corpus token rule")
+    occ, _ = gram_occurrences(docs, text_col, id_col, n=len(toks))
+    return (
+        occ.filter(F.col("gram") == " ".join(toks))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+    )

@@ -1544,3 +1544,25 @@ def test_heavy_hitters_exact_and_partition_invariant(spark):
         for r in heavy_hitters(df.repartition(11), "t", 8).collect()
     }
     assert got_r == got8
+
+
+def test_phrase_search_token_exact(spark):
+    """Phrase matching is token-exact: punctuation/case variants match,
+    prefix-extensions don't; positions and counts are right."""
+    from data_warehouse_punta_fina_spark.operators.retrieval import phrase_search
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "very Quick, BROWN! things"),      # normalization still matches
+        (3, "quick brownish fox"),             # not the phrase
+        (4, "quick brown quick brown"),        # two matches
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in phrase_search(df, "Quick Brown").collect()}
+    assert got == {1: (1, 1), 2: (1, 1), 4: (2, 0)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        phrase_search(df, "!!!")
