@@ -237,3 +237,45 @@ def psi_report(
             pround((p_cur - p_base) * F.log(p_cur / p_base), 6, 12).alias("psi_term"),
         )
     )
+
+
+def schema_diff(before, after) -> list[dict]:
+    """Column-level diff of two schemas (DataFrames or StructTypes) —
+    the metadata half of drift monitoring (psi_report watches values;
+    this watches shape). Pure driver-side metadata work, no scan.
+
+    Returns a list of {column, change, from_type, to_type} dicts with
+    change ∈ {added, removed, type_changed, nullability_changed} —
+    empty means identical shapes. Used by the transaction log's schema
+    enforcement to print WHAT changed instead of a bare refusal."""
+    from pyspark.sql import DataFrame as _DF
+
+    sa = before.schema if isinstance(before, _DF) else before
+    sb = after.schema if isinstance(after, _DF) else after
+    fa = {f.name: f for f in sa.fields}
+    fb = {f.name: f for f in sb.fields}
+    out: list[dict] = []
+    for name in fa:
+        if name not in fb:
+            out.append(
+                {"column": name, "change": "removed",
+                 "from_type": fa[name].dataType.simpleString(), "to_type": None}
+            )
+        elif fa[name].dataType != fb[name].dataType:
+            out.append(
+                {"column": name, "change": "type_changed",
+                 "from_type": fa[name].dataType.simpleString(),
+                 "to_type": fb[name].dataType.simpleString()}
+            )
+        elif fa[name].nullable != fb[name].nullable:
+            out.append(
+                {"column": name, "change": "nullability_changed",
+                 "from_type": str(fa[name].nullable), "to_type": str(fb[name].nullable)}
+            )
+    for name in fb:
+        if name not in fa:
+            out.append(
+                {"column": name, "change": "added",
+                 "from_type": None, "to_type": fb[name].dataType.simpleString()}
+            )
+    return out

@@ -171,7 +171,40 @@ class TxTable:
         ]
 
     # -- public API -------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, evolve: bool = False) -> int:
+        """Append with Delta-style SCHEMA ENFORCEMENT: a batch whose
+        schema differs from the table's is rejected with the column-level
+        diff (`operators.quality.schema_diff`) unless ``evolve=True``,
+        which permits ADDITIVE evolution only — existing columns must
+        keep their exact types; new columns are allowed, and the commit
+        records the widened schema (older files read with NULLs for the
+        new columns — parquet schema projection). Removals and type
+        changes always raise: silently narrowing a 100 TB table is how
+        downstream readers break at 3am."""
+        vs = self._versions()
+        current = None
+        for v in vs:
+            e = self._entry(v)
+            if e.get("schema"):
+                current = e["schema"]
+        if current is not None and current != df.schema.json():
+            from data_warehouse_punta_fina_spark.operators.quality import schema_diff
+
+            cur_schema = T.StructType.fromJson(json.loads(current))
+            diff = schema_diff(cur_schema, df.schema)
+            breaking = [d for d in diff if d["change"] != "added"]
+            if breaking or not evolve:
+                detail = "; ".join(
+                    f"{d['column']}: {d['change']}"
+                    f" ({d['from_type']} -> {d['to_type']})"
+                    for d in diff
+                ) or "field order/metadata differs"
+                kind = "breaking schema change" if breaking else "schema change"
+                raise ValueError(
+                    f"append rejected — {kind} vs the table schema: {detail}. "
+                    "Additive evolution needs evolve=True; removals/type changes "
+                    "need an explicit overwrite."
+                )
         return self._commit("append", self._write_files(df), df.schema.json())
 
     def overwrite(self, df: DataFrame) -> int:

@@ -791,3 +791,37 @@ def test_txtable_optimize_zorder_improves_skipping(spark, tmp_path):
     got = sorted((r["x"], r["y"]) for r in t.read_where("x", 100, 200).collect())
     want = sorted((x, y) for (x, y) in rows if 100 <= x <= 200)
     assert got == want
+
+
+def test_txtable_schema_enforcement_and_evolution(spark, tmp_path):
+    """Delta-style enforcement: mismatched appends are rejected with the
+    column diff; evolve=True admits additive columns (old files read as
+    NULL); type changes raise even under evolve."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.quality import schema_diff
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+
+    bad = spark.createDataFrame([(2,)], "k int")
+    with pytest.raises(ValueError, match="removed"):
+        t.append(bad)
+
+    retyped = spark.createDataFrame([("x", "b")], "k string, v string")
+    with pytest.raises(ValueError, match="type_changed"):
+        t.append(retyped, evolve=True)
+
+    wider = spark.createDataFrame([(3, "c", 9.5)], "k int, v string, w double")
+    with pytest.raises(ValueError, match="evolve=True"):
+        t.append(wider)
+    t.append(wider, evolve=True)
+    got = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 3: ("c", 9.5)}  # old rows NULL-project
+
+    d = schema_diff(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        wider,
+    )
+    assert {x["change"] for x in d} == {"added"}
