@@ -129,3 +129,90 @@ def test_tokenizer_and_quality_parity_fuzz(spark, texts):
         ).fetchone()
         assert got[i][0] == toks, f"tokens diverge on {t!r}: {got[i][0]} vs {toks}"
         assert got[i][1] == q, f"quality diverges on {t!r}: {got[i][1]} vs {q}"
+
+
+def _naive_spans(docs: dict[int, list[str]], n: int, min_count: int = 2):
+    """Pure-Python reference for repeated_span_stats: count every n-gram
+    occurrence corpus-wide, mark duplicated positions, merge intervals."""
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs.values():
+        for j in range(len(toks) - n + 1):
+            grams[tuple(toks[j : j + n])] += 1
+    out = {}
+    for did, toks in docs.items():
+        ivals = [
+            (j, j + n - 1)
+            for j in range(len(toks) - n + 1)
+            if grams[tuple(toks[j : j + n])] >= min_count
+        ]
+        merged = []
+        for lo, hi in ivals:
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        covered = sum(hi - lo + 1 for lo, hi in merged)
+        longest = max((hi - lo + 1 for lo, hi in merged), default=0)
+        out[did] = (len(toks), len(merged), covered, longest)
+    return out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repeated_span_stats_matches_naive_reference(spark, token_lists):
+    """Fuzz the interval-merge dedup profile against a brute-force
+    Python reference on tiny random corpora (4-token alphabet forces
+    heavy collisions — the hard case for merge logic)."""
+    from data_warehouse_punta_fina_spark.operators.dedup import repeated_span_stats
+
+    docs = {i: toks for i, toks in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_tokens"], r["longest_span"])
+        for r in repeated_span_stats(df, n=2).collect()
+    }
+    assert got == _naive_spans(docs, n=2)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["s1", "s2", "s3", "s4", "s5"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dedup_segments_matches_naive_reference(spark, seg_lists):
+    """Fuzz keep-first segment dedup + reassembly against a sequential
+    Python reference (global first-occurrence order is (doc, pos))."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.dedup import dedup_segments
+
+    seen = set()
+    want = {}
+    for did, segs in enumerate(seg_lists):
+        kept = []
+        for seg in segs:
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        want[did] = (len(segs), len(kept), " ".join(kept))
+    df = spark.createDataFrame(
+        list(enumerate(seg_lists)), "doc_id int, segs array<string>"
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["cleaned_text"])
+        for r in dedup_segments(df, F.col("segs"), "doc_id").collect()
+    }
+    assert got == want
