@@ -66,7 +66,9 @@ class TxTable:
         with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
             return json.load(fh)
 
-    def _commit(self, action: str, files: list[str], schema_json: str) -> int:
+    def _commit(
+        self, action: str, files: list[str], schema_json: str, expected_base: int | None = None
+    ) -> int:
         """Exclusive-create the next version file; retry on conflict."""
         return self._commit_raw(
             {
@@ -74,7 +76,8 @@ class TxTable:
                 "files": files,
                 "schema": schema_json,
                 "stats": self._file_stats(files),
-            }
+            },
+            expected_base=expected_base,
         )
 
     def _file_stats(self, files: list[str]) -> dict:
@@ -213,10 +216,16 @@ class TxTable:
     def upsert(self, updates: DataFrame, keys: list[str]) -> int:
         """MERGE: matched rows replaced, unmatched inserted — one
         snapshot transition (Delta's whenMatchedUpdateAll /
-        whenNotMatchedInsertAll)."""
+        whenNotMatchedInsertAll). Conflict-checked: raises
+        :class:`CommitConflict` if the log advanced since the snapshot
+        was read (see ``_commit_raw``)."""
         from data_warehouse_punta_fina_spark.operators.scd import type1_upsert
 
-        return self.overwrite(type1_upsert(self.read(), updates, keys))
+        base = self._versions()[-1]
+        merged = type1_upsert(self.read(), updates, keys)
+        return self._commit(
+            "overwrite", self._write_files(merged), merged.schema.json(), expected_base=base
+        )
 
     def scd2_commit(
         self,
@@ -233,8 +242,10 @@ class TxTable:
         still readable via time travel."""
         from data_warehouse_punta_fina_spark.operators.scd import scd2_merge
 
-        return self.overwrite(
-            scd2_merge(self.read(), updates, key, tracked, effective_date, end_of_time)
+        base = self._versions()[-1]
+        merged = scd2_merge(self.read(), updates, key, tracked, effective_date, end_of_time)
+        return self._commit(
+            "overwrite", self._write_files(merged), merged.schema.json(), expected_base=base
         )
 
     def append_stream_batch(self, df: DataFrame, stream_id: str, batch_id: int) -> int | None:
@@ -325,7 +336,9 @@ class TxTable:
             # SQL DELETE keeps NULL-condition rows: negate via coalesce
             .filter(~F.coalesce(cond, F.lit(False)))
         )
-        return self._commit("overwrite", keep_rel + self._write_files(survivors), schema_json)
+        return self._commit(
+            "overwrite", keep_rel + self._write_files(survivors), schema_json, expected_base=cur
+        )
 
     def restore(self, version: int) -> int:
         """RESTORE: make an old snapshot current again as a NEW commit
@@ -333,13 +346,18 @@ class TxTable:
         old version's files are re-referenced, not copied; fails loudly
         if the target predates the vacuum horizon."""
         self.read(version)  # validates existence + horizon
+        base = self._versions()[-1]
         files, schema_json, _ = self._snapshot_files(version)
-        return self._commit("overwrite", files, schema_json)
+        return self._commit("overwrite", files, schema_json, expected_base=base)
 
     def compact(self, n_files: int = 1) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``n_files`` fat
         files as a new overwrite commit (old versions stay readable)."""
-        return self.overwrite(self.read().repartition(n_files))
+        base = self._versions()[-1]
+        compacted = self.read().repartition(n_files)
+        return self._commit(
+            "overwrite", self._write_files(compacted), compacted.schema.json(), expected_base=base
+        )
 
     def optimize_zorder(self, cluster_cols: list[str], n_files: int = 8, bits: int = 16) -> int:
         """OPTIMIZE ZORDER BY: rewrite the current snapshot morton-
@@ -352,6 +370,7 @@ class TxTable:
         BY`` semantics, stats and all, on the native log."""
         from data_warehouse_punta_fina_spark.sources.writers import write_zordered
 
+        base = self._versions()[-1]
         sub = f"commit-{uuid.uuid4().hex}"
         out = os.path.join(self.data_dir, sub)
         write_zordered(self.read(), out, cluster_cols, bits=bits, n_files=n_files)
@@ -360,7 +379,7 @@ class TxTable:
             for f in os.listdir(out)
             if f.endswith(".parquet") and not f.startswith(".")
         ]
-        return self._commit("overwrite", files, self.read().schema.json())
+        return self._commit("overwrite", files, self.read().schema.json(), expected_base=base)
 
     def _snapshot_files(self, upto: int) -> tuple[list[str], str | None, int]:
         """(files, schema_json, horizon) for the snapshot at ``upto``;
@@ -436,11 +455,29 @@ class TxTable:
             {"action": "vacuum", "horizon": horizon, "files": [], "schema": schema_json}
         )
 
-    def _commit_raw(self, payload: dict) -> int:
+    def _commit_raw(self, payload: dict, expected_base: int | None = None) -> int:
+        """Exclusive-create the next version file.
+
+        Optimistic concurrency: plain APPENDS rebase blindly on a lost
+        race (insert-only commits serialize in any order — retry the
+        slot). SNAPSHOT TRANSITIONS (MERGE / DELETE / OPTIMIZE /
+        RESTORE) pass ``expected_base`` — the version their result was
+        computed FROM; if any foreign commit landed since, committing
+        would silently erase it (the classic lost update), so the
+        transition raises :class:`CommitConflict` and the CALLER must
+        recompute against the new snapshot. This is Delta's
+        write-serializable conflict rule in miniature."""
         os.makedirs(self.log_dir, exist_ok=True)
         for _ in range(10):
             vs = self._versions()
             v = (vs[-1] + 1) if vs else 0
+            if expected_base is not None and v != expected_base + 1:
+                raise CommitConflict(
+                    f"snapshot transition computed from version {expected_base} but the "
+                    f"log has advanced to {v - 1} — a blind commit would erase the "
+                    "intervening commit(s); recompute the transition against the "
+                    "current snapshot and retry"
+                )
             target = os.path.join(self.log_dir, f"{v:08d}.json")
             try:
                 with open(target, "x") as fh:

@@ -825,3 +825,49 @@ def test_txtable_schema_enforcement_and_evolution(spark, tmp_path):
         wider,
     )
     assert {x["change"] for x in d} == {"added"}
+
+
+def test_txtable_transition_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency: a snapshot transition (MERGE/DELETE)
+    computed from version N refuses to commit if a foreign commit landed
+    after N (lost-update protection); plain appends still rebase; the
+    retried transition sees the interleaved rows."""
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from data_warehouse_punta_fina_spark.sources.txlog import CommitConflict, TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+
+    # simulate an interleaved foreign append AFTER upsert reads: patch
+    # _write_files to inject the race between read and commit
+    orig = t._write_files
+    injected = {"done": False}
+
+    def racy_write(df):
+        files = orig(df)
+        if not injected["done"]:
+            injected["done"] = True
+            # the foreign writer lands first
+            t2 = TxTable(spark, str(tmp_path / "tx"))
+            t2._commit_raw(
+                {"action": "append", "files": [], "schema": df.schema.json()}
+            )
+        return files
+
+    t._write_files = racy_write
+    with pytest.raises(CommitConflict, match="advanced"):
+        t.upsert(spark.createDataFrame([(2, "B")], "k int, v string"), ["k"])
+    t._write_files = orig
+
+    # the retried transition succeeds against the new snapshot
+    t.upsert(spark.createDataFrame([(2, "B")], "k int, v string"), ["k"])
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "B")]
+
+    # appends never conflict: interleave two appends freely
+    t.append(spark.createDataFrame([(9, "z")], "k int, v string"))
+    assert (9, "z") in {(r["k"], r["v"]) for r in t.read().collect()}
