@@ -166,6 +166,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "doc_repeated_spans": ["dup_fraction"],
     "doc_collocations": ["pmi"],
     "events_drift_psi": ["p_base", "p_cur", "psi_term"],
+    "events_type_drift_psi": ["p_base", "p_cur", "psi_term"],
     "doc_quality_gate": ["quality"],
     "doc_quality_stratified": ["quality", "pct_rank"],
     "doc_token_budget_mix": ["quality"],
@@ -1634,6 +1635,21 @@ def _build_registries():
             ),
         )
 
+    def events_type_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # categorical PSI on the event-type mix, second half vs first
+        # half (operators.quality.psi_report_categorical)
+        from data_warehouse_punta_fina_spark.operators.quality import (
+            psi_report_categorical,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        split = F.lit("2024-01-16").cast("timestamp")
+        return psi_report_categorical(
+            events.filter(F.col("ts") < split),
+            events.filter(F.col("ts") >= split),
+            "event_type",
+        )
+
     def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact interpolated percentiles: Spark `percentile` and DuckDB
         # `quantile_cont` share the (n-1)·p linear-interpolation definition
@@ -2085,6 +2101,7 @@ def _build_registries():
         "doc_weighted_sample": doc_weighted_sample,
         "doc_heavy_terms": doc_heavy_terms,
         "doc_phrase_search": doc_phrase_search,
+        "events_type_drift_psi": events_type_drift_psi,
         # wave-6 demotions (driver-green in earlier rounds; families still
         # in-window)
         "scd2_customer_segment": scd2_customer_segment,
@@ -3817,6 +3834,26 @@ SELECT event_type, COUNT(*) AS n,
        quantile_cont(value, 0.5) AS p50,
        TRUE AS approx_within_rank_bounds
 FROM events GROUP BY event_type
+"""
+
+    o["events_type_drift_psi"] = """
+WITH b AS (SELECT event_type FROM events WHERE ts < TIMESTAMP '2024-01-16' AND event_type IS NOT NULL),
+c AS (SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND event_type IS NOT NULL),
+nb AS (SELECT event_type AS category, COUNT(*) AS n_base FROM b GROUP BY 1),
+nc AS (SELECT event_type AS category, COUNT(*) AS n_cur FROM c GROUP BY 1),
+spine AS (SELECT category FROM nb UNION SELECT category FROM nc),
+tot AS (SELECT (SELECT COALESCE(SUM(n_base), 0) FROM nb) AS tb,
+               (SELECT COALESCE(SUM(n_cur), 0) FROM nc) AS tc)
+SELECT s.category,
+       COALESCE(nb.n_base, 0) AS n_base,
+       COALESCE(nc.n_cur, 0) AS n_cur,
+       CAST(FLOOR((GREATEST(CAST(COALESCE(nb.n_base, 0) AS DOUBLE) / CAST(tot.tb AS DOUBLE), 1e-06)) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6)) AS p_base,
+       CAST(FLOOR((GREATEST(CAST(COALESCE(nc.n_cur, 0) AS DOUBLE) / CAST(tot.tc AS DOUBLE), 1e-06)) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6)) AS p_cur,
+       CAST(FLOOR(((GREATEST(CAST(COALESCE(nc.n_cur, 0) AS DOUBLE) / CAST(tot.tc AS DOUBLE), 1e-06) - GREATEST(CAST(COALESCE(nb.n_base, 0) AS DOUBLE) / CAST(tot.tb AS DOUBLE), 1e-06)) * ln(GREATEST(CAST(COALESCE(nc.n_cur, 0) AS DOUBLE) / CAST(tot.tc AS DOUBLE), 1e-06) / GREATEST(CAST(COALESCE(nb.n_base, 0) AS DOUBLE) / CAST(tot.tb AS DOUBLE), 1e-06))) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6)) AS psi_term
+FROM spine s
+CROSS JOIN tot
+LEFT JOIN nb USING (category)
+LEFT JOIN nc USING (category)
 """
 
     o["events_drift_psi"] = f"""

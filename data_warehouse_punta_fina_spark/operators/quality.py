@@ -279,3 +279,61 @@ def schema_diff(before, after) -> list[dict]:
                  "from_type": None, "to_type": fb[name].dataType.simpleString()}
             )
     return out
+
+
+def psi_report_categorical(
+    base: DataFrame,
+    cur: DataFrame,
+    col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Categorical PSI — :func:`psi_report`'s counterpart for discrete
+    columns (event types, sources, languages, labels): bins are the
+    UNION of categories observed on either side (a category present only
+    in one side is exactly the drift signal, floored at ``eps`` instead
+    of ±inf), same ``(p_cur − p_base)·ln(p_cur/p_base)`` per-category
+    terms, total PSI = the sum.
+
+    Output: (category, n_base, n_cur, p_base, p_cur, psi_term), one row
+    per category; NULLs are excluded (monitor them with a not-null check,
+    not a distribution metric). Shape: one map-side-combined count per
+    side, a category-spine full-outer union, totals from the tiny count
+    tables — the sources are scanned once each.
+    """
+    from data_warehouse_punta_fina_spark.functions.money import pround
+
+    nb = (
+        base.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count("*").alias("n_base"))
+        .localCheckpoint(eager=False)
+    )
+    nc = (
+        cur.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count("*").alias("n_cur"))
+        .localCheckpoint(eager=False)
+    )
+    spine = nb.select("category").unionByName(nc.select("category")).distinct()
+    p_base = F.greatest(F.col("n_base").cast("double") / F.col("_tb").cast("double"), F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur").cast("double") / F.col("_tc").cast("double"), F.lit(eps))
+    return (
+        spine.join(nb, "category", "left")
+        .join(nc, "category", "left")
+        .na.fill({"n_base": 0, "n_cur": 0})
+        .crossJoin(
+            F.broadcast(
+                nb.agg(F.coalesce(F.sum("n_base"), F.lit(0)).alias("_tb")).crossJoin(
+                    nc.agg(F.coalesce(F.sum("n_cur"), F.lit(0)).alias("_tc"))
+                )
+            )
+        )
+        .select(
+            "category",
+            "n_base",
+            "n_cur",
+            pround(p_base, 6, 12).alias("p_base"),
+            pround(p_cur, 6, 12).alias("p_cur"),
+            pround((p_cur - p_base) * F.log(p_cur / p_base), 6, 12).alias("psi_term"),
+        )
+    )

@@ -1566,3 +1566,20 @@ def test_phrase_search_token_exact(spark):
 
     with pytest.raises(ValueError):
         phrase_search(df, "!!!")
+
+
+def test_psi_categorical_vanished_category(spark):
+    """Categorical PSI: identical mixes score 0; a category present only
+    in one side hits the eps floor (large finite term, not inf)."""
+    from data_warehouse_punta_fina_spark.operators.quality import psi_report_categorical
+
+    base = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "t string")
+    same = psi_report_categorical(base, base, "t").collect()
+    assert sorted(r["category"] for r in same) == ["a", "b"]
+    assert all(float(r["psi_term"]) == 0.0 for r in same)
+
+    cur = spark.createDataFrame([("a",)] * 100, "t string")  # b vanished
+    drift = {r["category"]: r.asDict() for r in psi_report_categorical(base, cur, "t").collect()}
+    assert drift["b"]["n_cur"] == 0 and float(drift["b"]["p_cur"]) == 1e-06
+    total = sum(float(r["psi_term"]) for r in drift.values())
+    assert 0.25 < total < 1e6  # clearly drifted, finite
