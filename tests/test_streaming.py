@@ -908,3 +908,40 @@ def test_txlog_stream_sink_exactly_once(spark, sf_dir, tmp_path):
 
     # time travel: the first micro-batch's snapshot is still readable
     assert 0 < t.read(version=0).count() < events.count()
+
+
+def test_psi_monitor_stream_flags_drifted_batch(spark, tmp_path):
+    """Per-micro-batch PSI vs a frozen baseline: an in-distribution batch
+    scores ~0, a shifted batch exceeds the 0.25 'drifted' band; each
+    report carries its batch id."""
+    from data_warehouse_punta_fina_spark.streaming.drift_stream import (
+        run_psi_monitor_stream,
+    )
+
+    baseline = spark.range(1, 1001).select((F.col("id") % 100).cast("double").alias("v"))
+    staged = str(tmp_path / "in")
+    # batch 1: same distribution; batch 2: shifted by +1000
+    spark.range(1, 501).select((F.col("id") % 100).cast("double").alias("v")).coalesce(
+        1
+    ).write.parquet(staged)
+    spark.range(1, 501).select(((F.col("id") % 100) + 1000).cast("double").alias("v")).coalesce(
+        1
+    ).write.mode("append").parquet(staged)
+
+    stream = (
+        spark.readStream.schema("v double").option("maxFilesPerTrigger", "1").parquet(staged)
+    )
+    out = str(tmp_path / "monitor")
+    q = run_psi_monitor_stream(baseline, stream, "v", out, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    rep = spark.read.parquet(out)
+    per_batch = {
+        r["batch_id"]: r["psi"]
+        for r in rep.groupBy("batch_id").agg(F.sum("psi_term").alias("psi")).collect()
+    }
+    assert len(per_batch) == 2
+    psis = sorted(float(v) for v in per_batch.values())
+    assert psis[0] < 0.1      # in-distribution batch: stable
+    assert psis[1] > 0.25     # shifted batch: drifted
+    assert rep.groupBy("batch_id").count().distinct().count() >= 1  # 10 bins per batch
