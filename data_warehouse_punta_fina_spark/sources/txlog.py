@@ -317,6 +317,23 @@ class TxTable:
             return cur
         cond = F.expr(condition) if isinstance(condition, str) else condition
         schema = T.StructType.fromJson(json.loads(schema_json))
+        hit_rel, keep_rel = self._split_hit_files(files, schema, cond)
+        if not hit_rel:
+            return cur
+        survivors = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.data_dir, f) for f in hit_rel])
+            # SQL DELETE keeps NULL-condition rows: negate via coalesce
+            .filter(~F.coalesce(cond, F.lit(False)))
+        )
+        return self._commit(
+            "overwrite", keep_rel + self._write_files(survivors), schema_json, expected_base=cur
+        )
+
+    def _split_hit_files(self, files: list[str], schema, cond) -> tuple[list[str], list[str]]:
+        """(hit, keep): which snapshot files contain a condition match —
+        the shared copy-on-write planning step for DELETE and UPDATE.
+        Collects only the file list (file-count-sized), never rows."""
         paths = [os.path.join(self.data_dir, f) for f in files]
         tagged = (
             self.spark.read.schema(schema)
@@ -327,17 +344,55 @@ class TxTable:
         )
         hit_uris = [r["_f"] for r in tagged.collect()]
         hit_rel = [f for f in files if any(u.endswith(f) for u in hit_uris)]
+        keep_rel = [f for f in files if f not in set(hit_rel)]
+        return hit_rel, keep_rel
+
+    def update_where(self, condition, assignments: dict) -> int:
+        """UPDATE ... SET ... WHERE ...: rows where ``condition`` is TRUE
+        get each ``assignments`` column replaced (values are Columns or
+        SQL strings, evaluated against the OLD row — standard UPDATE
+        semantics, so swaps like ``{"a": F.col("b"), "b": F.col("a")}``
+        work); all other rows and columns are byte-identical. Completes
+        the DML triad next to :meth:`delete_where` and :meth:`upsert`,
+        with the same copy-on-write file pruning: only files containing a
+        match are rewritten, everything else carries by reference.
+        Conflict-checked like every snapshot transition. Returns the new
+        version (unchanged if nothing matched).
+        """
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no transaction log at {self.path}")
+        cur = vs[-1]
+        files, schema_json, _ = self._snapshot_files(cur)
+        if not files:
+            return cur
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        bad = set(assignments) - {f.name for f in schema.fields}
+        if bad:
+            raise ValueError(f"UPDATE assigns unknown columns: {sorted(bad)}")
+        hit_rel, keep_rel = self._split_hit_files(files, schema, cond)
         if not hit_rel:
             return cur
-        keep_rel = [f for f in files if f not in set(hit_rel)]
-        survivors = (
-            self.spark.read.schema(schema)
-            .parquet(*[os.path.join(self.data_dir, f) for f in hit_rel])
-            # SQL DELETE keeps NULL-condition rows: negate via coalesce
-            .filter(~F.coalesce(cond, F.lit(False)))
+        exprs = {
+            k: (F.expr(v) if isinstance(v, str) else v) for k, v in assignments.items()
+        }
+        hit_df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.data_dir, f) for f in hit_rel]
+        )
+        is_hit = F.coalesce(cond, F.lit(False))
+        rewritten = hit_df.select(
+            *[
+                (
+                    F.when(is_hit, exprs[f.name].cast(f.dataType)).otherwise(F.col(f.name))
+                    if f.name in exprs
+                    else F.col(f.name)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
         )
         return self._commit(
-            "overwrite", keep_rel + self._write_files(survivors), schema_json, expected_base=cur
+            "overwrite", keep_rel + self._write_files(rewritten), schema_json, expected_base=cur
         )
 
     def restore(self, version: int) -> int:

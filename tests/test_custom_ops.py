@@ -871,3 +871,33 @@ def test_txtable_transition_conflict_detection(spark, tmp_path):
     # appends never conflict: interleave two appends freely
     t.append(spark.createDataFrame([(9, "z")], "k int, v string"))
     assert (9, "z") in {(r["k"], r["v"]) for r in t.read().collect()}
+
+
+def test_txtable_update_where_copy_on_write(spark, tmp_path):
+    """UPDATE SET WHERE: assignments see the OLD row (column swap works),
+    untouched files carry by reference, NULL-condition rows untouched,
+    unknown target columns raise, no-match burns no commit."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, 10, 100)], "k int, a int, b int").coalesce(1))
+    v1 = t.append(
+        spark.createDataFrame([(2, 20, 200), (None, 5, 50)], "k int, a int, b int").coalesce(1)
+    )
+
+    v = t.update_where(F.col("k") == 2, {"a": F.col("b"), "b": F.col("a")})
+    assert v == v1 + 1
+    got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert got == {1: (10, 100), 2: (200, 20), None: (5, 50)}  # swap; NULL row kept
+    # commit 0's file carried by reference
+    assert set(t.history()[0]["files"]) <= set(t.history()[-1]["files"])
+
+    # SQL-string forms for both condition and assignment
+    t.update_where("k = 1", {"a": "a + 1"})
+    assert {r["k"]: r["a"] for r in t.read().collect()}[1] == 11
+
+    assert t.update_where(F.col("k") == 99, {"a": F.lit(0)}) == t._versions()[-1]
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where("k = 1", {"nope": F.lit(1)})
