@@ -1946,7 +1946,10 @@ def _build_registries():
         "basket_part_affinity": basket_part_affinity,
         "events_retention": events_retention,
         "events_session_window": events_session_window,
-        "order_reconciliation": order_reconciliation,
+        # (wave 7: order_reconciliation demoted — full-outer reconcile
+        # family adjacent to the in-window customer_snapshot_diff CDC — for
+        # doc_weighted_sample, the A-ES weighted sampling primitive)
+        "doc_weighted_sample": doc_weighted_sample,
         "lineitem_cube": lineitem_cube,
         "events_gap_fill": events_gap_fill,
         "events_attribution": events_attribution,
@@ -1983,8 +1986,14 @@ def _build_registries():
         # verify — for doc_segment_dedup, the C4-style segment dedup +
         # reassembly transform)
         "doc_segment_dedup": doc_segment_dedup,
-        "doc_simhash_near_dup": doc_simhash_near_dup,
-        "ann_brute_topk": ann_brute_topk,
+        # (wave 7: doc_simhash_near_dup demoted — SimHash banding also
+        # drives the in-window doc_edit_distance_dups candidate stage — for
+        # doc_phrase_search, the positional-retrieval family)
+        "doc_phrase_search": doc_phrase_search,
+        # (wave 7: ann_brute_topk demoted — the ANN family is carried by
+        # ann_ivf_trained_topk, whose verify path computes the same exact
+        # cosines — for doc_heavy_terms, the sketch-tier heavy hitters)
+        "doc_heavy_terms": doc_heavy_terms,
         "emb_near_dup_trained": emb_near_dup_trained,
         "media_features": media_features,
         "doc_dedup_clusters": doc_dedup_clusters,
@@ -2098,10 +2107,11 @@ def _build_registries():
         "events_value_percentiles": events_value_percentiles,
         "events_approx_quantiles": events_approx_quantiles,
         "doc_token_entropy": doc_token_entropy,
-        "doc_weighted_sample": doc_weighted_sample,
-        "doc_heavy_terms": doc_heavy_terms,
-        "doc_phrase_search": doc_phrase_search,
         "events_type_drift_psi": events_type_drift_psi,
+        # wave-7 demotions (driver-green in earlier rounds)
+        "doc_simhash_near_dup": doc_simhash_near_dup,
+        "ann_brute_topk": ann_brute_topk,
+        "order_reconciliation": order_reconciliation,
         # wave-6 demotions (driver-green in earlier rounds; families still
         # in-window)
         "scd2_customer_segment": scd2_customer_segment,
