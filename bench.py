@@ -66,6 +66,8 @@ HEADLINE = [
     "basket_part_affinity",
     "part_pagerank",
     "revenue_anomaly_weeks",
+    "doc_phrase_search",
+    "doc_heavy_terms",
 ]
 
 
