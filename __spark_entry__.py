@@ -1888,6 +1888,36 @@ def _build_registries():
             out = out.unionByName(p)
         return out
 
+    def lineitem_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-(returnflag, linestatus) price~quantity OLS fit: slope /
+        # intercept / r² from exact sufficient statistics — one map-side-
+        # combined aggregate, no iteration (operators.stats.grouped_ols)
+        from data_warehouse_punta_fina_spark.operators.stats import grouped_ols
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        return grouped_ols(
+            li, ["flag", "status"], "l_quantity", "l_extendedprice", x_scale=3, y_scale=2
+        )
+
+    def events_chi2_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # χ² independence screen: event type × daypart contingency cells
+        # with expected counts and per-cell χ² terms (SUM = the statistic;
+        # the big cells ARE the drill-down) — operators.stats.chi2_independence
+        from data_warehouse_punta_fina_spark.operators.stats import chi2_independence
+
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_type"),
+            (F.floor(F.hour("ts") / F.lit(6)) * F.lit(6)).cast("int").alias("daypart"),
+        )
+        return chi2_independence(ev, "event_type", "daypart").withColumnsRenamed(
+            {"a": "event_type", "b": "daypart"}
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2118,6 +2148,9 @@ def _build_registries():
         "batch_token_stats": batch_token_stats,
         "doc_pack_bins": doc_pack_bins,
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
+        # session-5 additions: closed-form grouped statistics
+        "lineitem_ols_trend": lineitem_ols_trend,
+        "events_chi2_daypart": events_chi2_daypart,
     }
     return reg, extra
 
@@ -4435,6 +4468,41 @@ SELECT o.o_orderkey AS orden_id, o.o_custkey AS cliente_key, o.o_orderdate AS fe
 FROM orders o LEFT JOIN scd d
   ON o.o_custkey = d.cliente_key
  AND o.o_orderdate >= d.valid_from AND o.o_orderdate < d.valid_to
+"""
+
+    # session-5: closed-form grouped statistics. The OLS oracle is
+    # GENERATED from the same parameters as the Spark query (single
+    # source of truth for the normal-equation formulation).
+    from data_warehouse_punta_fina_spark.operators.stats import grouped_ols_oracle_sql
+
+    o["lineitem_ols_trend"] = grouped_ols_oracle_sql(
+        "SELECT l_returnflag AS flag, l_linestatus AS status, l_quantity, l_extendedprice FROM lineitem",
+        ["flag", "status"],
+        "l_quantity",
+        "l_extendedprice",
+        x_scale=3,
+        y_scale=2,
+    )
+
+    _CHI_R6 = "CAST(CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE)"
+    o["events_chi2_daypart"] = f"""
+WITH cells AS (
+  SELECT event_type, CAST(CAST(FLOOR(hour(ts) / 6) AS BIGINT) * 6 AS INT) AS daypart,
+         COUNT(*) AS observed
+  FROM events GROUP BY 1, 2
+),
+ra AS (SELECT event_type, SUM(observed) AS _ra FROM cells GROUP BY event_type),
+cb AS (SELECT daypart, SUM(observed) AS _cb FROM cells GROUP BY daypart),
+tot AS (SELECT SUM(observed) AS _n FROM cells),
+e AS (
+  SELECT c.event_type, c.daypart, c.observed,
+         {_CHI_R6.format(e="CAST(_ra AS DOUBLE) * CAST(_cb AS DOUBLE) / CAST(_n AS DOUBLE)")} AS expected
+  FROM cells c JOIN ra USING (event_type) JOIN cb USING (daypart) CROSS JOIN tot
+)
+SELECT event_type, daypart, observed,
+       expected,
+       {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
+FROM e
 """
 
     # decimal→double at the output boundary (twin of _dbl_out; see module

@@ -1,0 +1,215 @@
+"""Closed-form grouped statistics (OLS trend fits, chi-squared screens).
+
+The reference warehouse stops at sums/averages (`main.py` report
+queries); production analytics over the same star schemas routinely need
+per-group TREND estimates ("is price drifting with quantity per brand?")
+and categorical INDEPENDENCE screens ("did the event-type mix shift by
+daypart?"). Both have exact closed forms over sufficient statistics —
+which is precisely what makes them scale: one map-side-combined
+aggregate per group, no iteration, no driver data.
+
+Determinism discipline (the repo-wide rule): every sufficient statistic
+is an EXACT sum — inputs are quantized to int64 at a caller-chosen scale
+and summed as integers/decimals, so partial-aggregation order cannot
+perturb them; the handful of closing ops (slope/intercept/chi² terms)
+are fixed-order IEEE doubles on those exact sums, then portable
+round-6 — bit-identical on any engine or cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_warehouse_punta_fina_spark.functions.money import pround
+
+
+def _quant(col: str, scale: int):
+    """Half-up int64 quantization at 10^scale — the vectors.py trick:
+    integer sums are exact under any partitioning."""
+    return F.floor(F.col(col) * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    x_scale: int = 3,
+    y_scale: int = 2,
+) -> DataFrame:
+    """Per-group simple linear regression ``y ≈ slope·x + intercept`` via
+    the closed-form normal equations, plus ``r2`` — one aggregate, no
+    iteration (scikit-style fit loops don't distribute; sufficient
+    statistics do).
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)   (symmetric form —
+    no dependence on the already-rounded slope)
+    r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+
+    Groups with a degenerate x (all equal: denominator 0) report NULL
+    slope/intercept/r²; r² is also NULL when y is constant.
+
+    Exactness: x and y quantize to int64 at ``x_scale``/``y_scale``
+    decimals; Σx/Σy are int64 sums, the three product sums accumulate as
+    DECIMAL(38,0) (a 600M-row lineitem at sf100 overflows int64 on Σxy —
+    the decimal cast is the 100 TB posture, not pedantry). The closing
+    divisions are fixed-order IEEE on the unscaled doubles, round-6'd.
+
+    Scale shape: ONE map-side-combined groupBy — sufficient statistics
+    are 6 fixed-width numbers per group regardless of group size; skewed
+    groups are ordinary aggregate skew (AQE splits them).
+    """
+    xq = _quant(x_col, x_scale)
+    yq = _quant(y_col, y_scale)
+    agg = df.select(
+        *[F.col(c) for c in group_cols],
+        xq.alias("_xq"),
+        yq.alias("_yq"),
+    ).groupBy(*group_cols).agg(
+        F.count("*").alias("_n"),
+        F.sum("_xq").alias("_sx"),
+        F.sum("_yq").alias("_sy"),
+        F.sum(F.col("_xq").cast("decimal(38,0)") * F.col("_yq")).alias("_sxy"),
+        F.sum(F.col("_xq").cast("decimal(38,0)") * F.col("_xq")).alias("_sxx"),
+        F.sum(F.col("_yq").cast("decimal(38,0)") * F.col("_yq")).alias("_syy"),
+    )
+    fx = float(10**x_scale)
+    fy = float(10**y_scale)
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double") / F.lit(fx)
+    sy = F.col("_sy").cast("double") / F.lit(fy)
+    sxy = F.col("_sxy").cast("double") / F.lit(fx * fy)
+    sxx = F.col("_sxx").cast("double") / F.lit(fx * fx)
+    syy = F.col("_syy").cast("double") / F.lit(fy * fy)
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        F.col("_n").alias("n"),
+        F.when(var_x != 0, r6(cov_n / var_x)).alias("slope"),
+        F.when(var_x != 0, r6((sy * sxx - sx * sxy) / var_x)).alias("intercept"),
+        F.when((var_x != 0) & (var_y != 0), r6((cov_n * cov_n) / (var_x * var_y))).alias("r2"),
+    )
+
+
+def grouped_ols_oracle_sql(
+    source_sql: str,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    x_scale: int = 3,
+    y_scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`grouped_ols` — generated from the same
+    parameters so the two formulations cannot drift. The oracle computes
+    products in BIGINT (exact at oracle scale factors; the Spark side
+    carries the decimal(38,0) posture for 100 TB)."""
+    g = ", ".join(group_cols)
+    fx, fy = float(10**x_scale), float(10**y_scale)
+
+    def r6(e: str) -> str:
+        return f"CAST(CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE)"
+
+    return f"""
+WITH q AS (
+  SELECT {g},
+         CAST(FLOOR({x_col} * {fx} + 0.5) AS BIGINT) AS xq,
+         CAST(FLOOR({y_col} * {fy} + 0.5) AS BIGINT) AS yq
+  FROM ({source_sql}) src
+),
+agg AS (
+  SELECT {g}, COUNT(*) AS _n,
+         SUM(xq) AS _sx, SUM(yq) AS _sy,
+         SUM(CAST(xq AS DECIMAL(38,0)) * yq) AS _sxy,
+         SUM(CAST(xq AS DECIMAL(38,0)) * xq) AS _sxx,
+         SUM(CAST(yq AS DECIMAL(38,0)) * yq) AS _syy
+  FROM q GROUP BY {g}
+),
+c AS (
+  SELECT {g}, _n,
+         CAST(_n AS DOUBLE) AS n,
+         CAST(_sx AS DOUBLE) / {fx} AS sx,
+         CAST(_sy AS DOUBLE) / {fy} AS sy,
+         CAST(_sxy AS DOUBLE) / {fx * fy} AS sxy,
+         CAST(_sxx AS DOUBLE) / {fx * fx} AS sxx,
+         CAST(_syy AS DOUBLE) / {fy * fy} AS syy
+  FROM agg
+)
+SELECT {g}, _n AS n,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN {r6('(n * sxy - sx * sy) / (n * sxx - sx * sx)')} END AS slope,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN {r6('(sy * sxx - sx * sxy) / (n * sxx - sx * sx)')} END AS intercept,
+       CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+            THEN {r6('((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))')}
+       END AS r2
+FROM c
+"""
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-squared independence screen between two categorical columns —
+    the hypothesis-test companion to the PSI drift monitor
+    (``quality.psi_report_categorical`` measures distribution SHIFT over
+    time; this tests ASSOCIATION between two dimensions of one snapshot,
+    e.g. event type × daypart).
+
+    One row per observed (a, b) cell:
+
+        (a, b, observed, expected, chi2_term)
+
+    where ``expected = row_total·col_total/N`` and ``chi2_term =
+    (observed − expected)²/expected``. ``SUM(chi2_term)`` is the χ²
+    statistic with dof = (|A|−1)(|B|−1); emitting the per-cell table
+    (rather than one opaque scalar) is deliberate — the cells with the
+    largest terms ARE the drill-down ("checkout events collapsed after
+    midnight"), and every value stays exactly reproducible.
+
+    Only OBSERVED cells are emitted: a structurally-zero cell contributes
+    ``expected`` to χ² with no observation — consumers testing sparse
+    contingency tables should add ``Σ expected over missing cells``
+    (= N − Σ expected over emitted cells, exact by construction) or
+    prefer the PSI monitor, which spines the category union.
+
+    Exactness: counts are integers; expected/term are fixed-order IEEE
+    on those integers, round-6'd per cell — so even the SUM over round-6
+    decimals would be exact. Shape: one (a,b) count with map-side
+    combine, two marginal re-aggregations of the cell table (tiny),
+    broadcast back — the input shuffles once.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("observed")).localCheckpoint(eager=False)
+    ra = cells.groupBy("a").agg(F.sum("observed").alias("_ra"))
+    cb = cells.groupBy("b").agg(F.sum("observed").alias("_cb"))
+    tot = cells.agg(F.sum("observed").alias("_n"))
+    expected = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+    scored = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("expected", r6(expected))
+    )
+    o = F.col("observed").cast("double")
+    return scored.select(
+        "a",
+        "b",
+        "observed",
+        "expected",
+        r6((o - F.col("expected")) * (o - F.col("expected")) / F.col("expected")).alias(
+            "chi2_term"
+        ),
+    )
