@@ -1918,6 +1918,16 @@ def _build_registries():
             {"a": "event_type", "b": "daypart"}
         )
 
+    def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # BPE tokenizer training (Sennrich et al. 2016): the first 6 merge
+        # rules learned from the corpus word-frequency table — one
+        # corpus-scale word count, then vocabulary-sized merge iterations
+        # (operators.bpe.bpe_train; oracle = unrolled CTEs per merge)
+        from data_warehouse_punta_fina_spark.operators.bpe import bpe_train, word_frequency
+
+        docs = load_table(spark, sf_dir, "documents")
+        return bpe_train(word_frequency(docs), merges=6)
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2151,6 +2161,8 @@ def _build_registries():
         # session-5 additions: closed-form grouped statistics
         "lineitem_ols_trend": lineitem_ols_trend,
         "events_chi2_daypart": events_chi2_daypart,
+        # session-5: BPE tokenizer training (merge-table learning)
+        "doc_bpe_merges": doc_bpe_merges,
     }
     return reg, extra
 
@@ -4504,6 +4516,15 @@ SELECT event_type, daypart, observed,
        {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
 FROM e
 """
+
+    # session-5: BPE merge-table training — oracle generated for the same
+    # merge count from the same word-count source (unrolled CTE per merge)
+    from data_warehouse_punta_fina_spark.operators.bpe import bpe_oracle_sql
+
+    o["doc_bpe_merges"] = bpe_oracle_sql(
+        f"SELECT word, COUNT(*) AS freq FROM (SELECT unnest({_TOKENS}) AS word FROM documents) GROUP BY word",
+        merges=6,
+    )
 
     # decimal→double at the output boundary (twin of _dbl_out; see module
     # docstring — the driver's hasher canonicalizes decimals inconsistently)
