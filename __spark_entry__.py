@@ -1928,6 +1928,42 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return bpe_train(word_frequency(docs), merges=6)
 
+    def customer_supplier_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Fellegi-Sunter probabilistic record linkage with blocking:
+        # customers × suppliers blocked on (nation, 100-wide balance
+        # band), scored on reference-number equality + balance proximity
+        # (operators.linkage.fellegi_sunter_link; oracle generated from
+        # the same FieldCompare list)
+        from data_warehouse_punta_fina_spark.operators.linkage import (
+            fellegi_sunter_link,
+        )
+
+        a = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"),
+            F.regexp_extract("c_name", "#(\\d+)", 1).cast("bigint").alias("ref_num"),
+            F.col("c_nationkey").alias("nat"),
+            F.floor(F.col("c_acctbal") / F.lit(100)).cast("bigint").alias("band"),
+            F.col("c_acctbal").alias("bal"),
+        )
+        b = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey"),
+            F.regexp_extract("s_name", "#(\\d+)", 1).cast("bigint").alias("ref_num"),
+            F.col("s_nationkey").alias("nat"),
+            F.floor(F.col("s_acctbal") / F.lit(100)).cast("bigint").alias("band"),
+            F.col("s_acctbal").alias("bal"),
+        )
+        return fellegi_sunter_link(
+            a,
+            b,
+            "c_custkey",
+            "s_suppkey",
+            ["nat", "band"],
+            ["nat", "band"],
+            _link_fields(),
+            match_threshold=6.0,
+            review_threshold=2.0,
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2163,6 +2199,8 @@ def _build_registries():
         "events_chi2_daypart": events_chi2_daypart,
         # session-5: BPE tokenizer training (merge-table learning)
         "doc_bpe_merges": doc_bpe_merges,
+        # session-5: blocked probabilistic record linkage
+        "customer_supplier_link": customer_supplier_link,
     }
     return reg, extra
 
@@ -2337,6 +2375,17 @@ _BM25_QUERIES: list[tuple[int, str]] = [
     (3, "customer order data"),
     (4, "stream batch merge sort"),
 ]
+
+# Fellegi-Sunter comparator set for the customer↔supplier linkage query —
+# ONE definition feeds both the Spark plan and the generated oracle SQL
+def _link_fields():
+    from data_warehouse_punta_fina_spark.operators.linkage import FieldCompare
+
+    return [
+        FieldCompare("ref", "ref_num", "ref_num", m=0.95, u=0.001, kind="exact"),
+        FieldCompare("bal", "bal", "bal", m=0.9, u=0.01, kind="abs_diff", tol=5.0),
+    ]
+
 
 _SHINGLES = f"""
 CASE WHEN len({_TOKENS}) >= 3
@@ -4516,6 +4565,30 @@ SELECT event_type, daypart, observed,
        {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
 FROM e
 """
+
+    # session-5: blocked Fellegi-Sunter linkage — oracle generated from
+    # the SAME FieldCompare list (weights/predicates/sum order shared)
+    from data_warehouse_punta_fina_spark.operators.linkage import (
+        fellegi_sunter_oracle_sql,
+    )
+
+    _link_a = """SELECT c_custkey, CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT) AS ref_num,
+       c_nationkey AS nat, CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS band, c_acctbal AS bal
+FROM customer"""
+    _link_b = """SELECT s_suppkey, CAST(regexp_extract(s_name, '#(\\d+)', 1) AS BIGINT) AS ref_num,
+       s_nationkey AS nat, CAST(FLOOR(s_acctbal / 100) AS BIGINT) AS band, s_acctbal AS bal
+FROM supplier"""
+    o["customer_supplier_link"] = fellegi_sunter_oracle_sql(
+        _link_a,
+        _link_b,
+        "c_custkey",
+        "s_suppkey",
+        ["nat", "band"],
+        ["nat", "band"],
+        _link_fields(),
+        match_threshold=6.0,
+        review_threshold=2.0,
+    )
 
     # session-5: BPE merge-table training — oracle generated for the same
     # merge count from the same word-count source (unrolled CTE per merge)
