@@ -1964,6 +1964,22 @@ def _build_registries():
             review_threshold=2.0,
         )
 
+    def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # triangle counts + local clustering coefficient over the part
+        # co-purchase graph (parts sharing an order) — degree-ordered
+        # orientation bounds wedge fan-out (operators.graph.triangle_counts)
+        from data_warehouse_punta_fina_spark.operators.graph import triangle_counts
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+        b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+        edges = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("pa") < F.col("pb"))
+            .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        )
+        return triangle_counts(edges)
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2201,6 +2217,8 @@ def _build_registries():
         "doc_bpe_merges": doc_bpe_merges,
         # session-5: blocked probabilistic record linkage
         "customer_supplier_link": customer_supplier_link,
+        # session-5: triangle counting / clustering coefficient
+        "part_triangles": part_triangles,
     }
     return reg, extra
 
@@ -4564,6 +4582,43 @@ SELECT event_type, daypart, observed,
        expected,
        {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
 FROM e
+"""
+
+    # session-5: triangle counting over the part co-purchase graph —
+    # degree-ordered orientation, every triangle enumerated exactly once
+    _TRI_R6 = "CAST(CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6)) AS DOUBLE)"
+    _tri_lower = "(da.degree < db.degree OR (da.degree = db.degree AND u < v))"
+    o["part_triangles"] = f"""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+  GROUP BY node
+),
+orient AS (
+  SELECT CASE WHEN {_tri_lower} THEN u ELSE v END AS x,
+         CASE WHEN {_tri_lower} THEN v ELSE u END AS y
+  FROM e0 JOIN deg da ON da.node = u JOIN deg db ON db.node = v
+),
+tri AS (
+  SELECT e1.x, e1.y, e2.y AS z
+  FROM orient e1
+  JOIN orient e2 ON e2.x = e1.y
+  JOIN orient e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+tc AS (
+  SELECT node, COUNT(*) AS t
+  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.degree, CAST(COALESCE(t, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2 THEN {_TRI_R6.format(e="CAST(2.0 AS DOUBLE) * CAST(COALESCE(t, 0) AS DOUBLE) / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))")}
+       END AS clustering
+FROM deg d LEFT JOIN tc ON d.node = tc.node
 """
 
     # session-5: blocked Fellegi-Sunter linkage — oracle generated from

@@ -901,3 +901,33 @@ def test_txtable_update_where_copy_on_write(spark, tmp_path):
     assert t.update_where(F.col("k") == 99, {"a": F.lit(0)}) == t._versions()[-1]
     with pytest.raises(ValueError, match="unknown columns"):
         t.update_where("k = 1", {"nope": F.lit(1)})
+
+
+def test_triangle_counts_known_graph(spark):
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 5-1
+    # and a duplicate/reversed/self-loop noise edge set
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (2, 1),          # reversed duplicate
+            (3, 3),          # self loop
+            (5, 1),          # pendant
+        ],
+        "src long, dst long",
+    )
+    rows = {r["node"]: r for r in triangle_counts(edges).collect()}
+    assert rows[5]["degree"] == 1 and rows[5]["triangles"] == 0
+    assert rows[5]["clustering"] is None  # undefined below degree 2
+    for n in (2, 3, 4):
+        assert rows[n]["degree"] == 3 and rows[n]["triangles"] == 3
+        assert rows[n]["clustering"] == 1.0
+    # node 1 has degree 4 (K4 + pendant): 3 triangles of 6 possible pairs
+    assert rows[1]["degree"] == 4 and rows[1]["triangles"] == 3
+    assert rows[1]["clustering"] == 0.5
+    # global triangle count: each triangle counted once per 3 nodes
+    total = triangle_counts(edges).agg(F.sum("triangles")).collect()[0][0]
+    assert total == 12  # 4 triangles x 3 corners
