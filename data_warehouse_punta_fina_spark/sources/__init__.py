@@ -6,6 +6,7 @@ from data_warehouse_punta_fina_spark.sources.readers import (  # noqa: F401
     read_csv_tolerant,
     read_jsonl,
     read_jsonl_tolerant,
+    read_orc,
     read_parquet,
 )
 from data_warehouse_punta_fina_spark.sources.generators import (  # noqa: F401
@@ -23,6 +24,7 @@ from data_warehouse_punta_fina_spark.sources.writers import (  # noqa: F401
     write_csv,
     write_jdbc,
     write_jsonl,
+    write_orc,
     write_parquet,
     write_zordered,
 )

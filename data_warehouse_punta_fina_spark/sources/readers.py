@@ -46,6 +46,16 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — self-describing columnar like parquet; predicate
+    pushdown and column pruning work identically (`PushedFilters` in the
+    plan), so the engine's scan posture is format-agnostic."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

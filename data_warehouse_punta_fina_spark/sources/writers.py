@@ -51,6 +51,22 @@ def write_jsonl(
     writer.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    ecosystems standardize on it where parquet isn't the default).
+    Same footer-statistics story as parquet (stripe-level min/max for
+    predicate pushdown), native to Spark with zero extra jars."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -664,3 +664,41 @@ def test_pmi_and_psi_plans_stay_materialized(spark):
     # binning touches events once per side; the spine/totals reuse the
     # checkpointed cut row and count tables instead of re-scanning
     assert plan2.count("FileScan parquet") <= 3, plan2.count("FileScan parquet")
+
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
+    """ORC sink/scan: values survive the roundtrip, filters reach the ORC
+    scan (PushedFilters), the read schema prunes to the projection, and a
+    hive-partitioned write prunes directories (PartitionFilters)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.sources.readers import load_table, read_orc
+    from data_warehouse_punta_fina_spark.sources.writers import write_orc
+
+    src = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(src, path, partition_by=["l_returnflag"])
+
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    a = {tuple(r) for r in src.collect()}
+    b = {(r["l_orderkey"], r["l_linenumber"], r["l_quantity"], r["l_returnflag"]) for r in back.collect()}
+    assert a == b
+
+    q = (
+        back.filter((F.col("l_quantity") > 10) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan, plan[:900]
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey",
+        "l_quantity",
+    }, plan[:900]
+    # the partition filter must be a directory prune, not a data filter
+    assert re.search(r"PartitionFilters: \[[^\]]*l_returnflag", plan), plan[:900]
