@@ -945,3 +945,70 @@ def test_psi_monitor_stream_flags_drifted_batch(spark, tmp_path):
     assert psis[0] < 0.1      # in-distribution batch: stable
     assert psis[1] > 0.25     # shifted batch: drifted
     assert rep.groupBy("batch_id").count().distinct().count() >= 1  # 10 bins per batch
+
+
+def test_stream_static_scd2_enrichment_equals_batch_pit_lookup(spark, tmp_path):
+    """Stream-static temporal enrichment: a fact stream joined per
+    micro-batch against a STATIC SCD2 dimension through the same
+    pit_lookup plan (equi key + half-open interval residual) must emit
+    exactly the batch pit_lookup rows. Stream-static joins are stateless
+    (the static side is re-planned per micro-batch, no watermark needed)
+    — the standard deployment for dimension enrichment at ingest."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_warehouse_punta_fina_spark.operators.scd import pit_lookup
+    from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
+
+    d = dt.date
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", d(2020, 1, 1), d(2021, 1, 1)),
+            (1, "gold", d(2021, 1, 1), d(9999, 12, 31)),
+            (2, "silver", d(2020, 6, 1), d(9999, 12, 31)),
+        ],
+        "k long, tier string, valid_from date, valid_to date",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, d(2020, 12, 31)),  # last bronze day
+            (101, 1, d(2021, 1, 1)),    # boundary: NEW version in effect
+            (102, 2, d(2022, 3, 3)),
+            (103, 3, d(2022, 1, 1)),    # no dim match -> null tier
+        ],
+        "fact_id long, k long, as_of date",
+    )
+    staged = str(tmp_path / "facts_in")
+    facts.write.mode("overwrite").parquet(staged)
+    schema = T.StructType(
+        [
+            T.StructField("fact_id", T.LongType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("as_of", T.DateType()),
+        ]
+    )
+    stream = read_file_stream(spark, staged, schema, max_files_per_trigger=1)
+    enriched = pit_lookup(stream, dim, "k", "k", "as_of", broadcast=True).select(
+        "fact_id", F.col("f.k").alias("k"), "as_of", "tier"
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd2_enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM scd2_enriched").collect()}
+    want = {
+        tuple(r)
+        for r in pit_lookup(facts, dim, "k", "k", "as_of", broadcast=True)
+        .select("fact_id", F.col("f.k").alias("k"), "as_of", "tier")
+        .collect()
+    }
+    assert got == want
+    tiers = {r[0]: r[3] for r in got}
+    assert tiers[100] == "bronze" and tiers[101] == "gold" and tiers[103] is None
