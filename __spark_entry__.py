@@ -2014,10 +2014,11 @@ def _build_registries():
         # checks also run inside the in-window dq_report — for
         # events_drift_psi, the PSI distribution-drift monitor)
         "events_drift_psi": events_drift_psi,
-        # SQL front end (verbatim ANSI strings on both engines)
-        # (wave 5: sql_revenue_by_nation demoted — the family is carried
-        # in-window by sql_top_customer_per_nation — for doc_chunks)
-        "sql_top_customer_per_nation": sql_top_customer_per_nation,
+        # (session-5 wave 8: sql_top_customer_per_nation demoted —
+        # driver-green r1-r4; shared-dialect SQL + top-1 window also in
+        # extras via sql_revenue_by_nation — for lineitem_ols_trend, the
+        # closed-form grouped-OLS family)
+        "lineitem_ols_trend": lineitem_ols_trend,
         # custom operators beyond the reference's surface
         # (wave 5 rotation, continuing the never-driver-hashed sweep:
         # lineitem_cube in / lineitem_rollup out (CUBE ⊃ ROLLUP grouping
@@ -2029,7 +2030,10 @@ def _build_registries():
         # (session 3: pnl_unpivot demoted — pivot/unpivot family carried
         # in-window by fact_estado_resultados — for doc_repeated_spans,
         # the Lee-et-al exact-substring duplication profile; see reg tail)
-        "events_value_band_rangejoin": events_value_band_rangejoin,
+        # (wave 8: events_value_band_rangejoin demoted — driver-green
+        # r1-r4, both physical range-join strategies stay mirror-checked —
+        # for events_chi2_daypart, the categorical-independence screen)
+        "events_chi2_daypart": events_chi2_daypart,
         "events_robust_outliers": events_robust_outliers,
         "events_funnel": events_funnel,
         # (wave 6: batch_token_stats demoted — the Arrow mapInPandas
@@ -2088,12 +2092,18 @@ def _build_registries():
         "doc_heavy_terms": doc_heavy_terms,
         "emb_near_dup_trained": emb_near_dup_trained,
         "media_features": media_features,
-        "doc_dedup_clusters": doc_dedup_clusters,
+        # (wave 8: doc_dedup_clusters demoted — driver-green r1-r4,
+        # both CC variants pytest-proven + doc_dedup_kept mirror — for
+        # doc_bpe_merges, BPE tokenizer merge training)
+        "doc_bpe_merges": doc_bpe_merges,
         # (wave 6: scd2_customer_segment demoted — SCD2 family carried
         # in-window by scd2_pit_lookup and by the txlog scd2_commit tests —
         # for customer_rfm)
         "customer_rfm": customer_rfm,
-        "dq_report": dq_report,
+        # (wave 8: dq_report demoted — driver-green r1-r4, the checks
+        # also run via events_validated/fk_orphan_check mirrors — for
+        # customer_supplier_link, blocked Fellegi-Sunter linkage)
+        "customer_supplier_link": customer_supplier_link,
         # (session 3: emb_label_centroids demoted — exact vector-agg
         # machinery also inside the in-window trained-IVF k-means — for
         # doc_collocations, the PMI collocation miner)
@@ -2108,7 +2118,11 @@ def _build_registries():
         # (wave 6: doc_pack_bins demoted — packing/chunking family carried
         # in-window by doc_chunks — for part_pagerank, the iterative tier)
         "part_pagerank": part_pagerank,
-        "doc_contamination": doc_contamination,
+        # (wave 8: doc_contamination demoted — driver-green r4, the
+        # cross-split shingle machinery is in-window via doc_lsh_verified
+        # and doc_incremental_dedup — for part_triangles, triangle
+        # counting with degree-ordered orientation)
+        "part_triangles": part_triangles,
         "doc_repetition": doc_repetition,
         "doc_repeated_spans": doc_repeated_spans,
         "doc_collocations": doc_collocations,
@@ -2210,15 +2224,12 @@ def _build_registries():
         "batch_token_stats": batch_token_stats,
         "doc_pack_bins": doc_pack_bins,
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
-        # session-5 additions: closed-form grouped statistics
-        "lineitem_ols_trend": lineitem_ols_trend,
-        "events_chi2_daypart": events_chi2_daypart,
-        # session-5: BPE tokenizer training (merge-table learning)
-        "doc_bpe_merges": doc_bpe_merges,
-        # session-5: blocked probabilistic record linkage
-        "customer_supplier_link": customer_supplier_link,
-        # session-5: triangle counting / clustering coefficient
-        "part_triangles": part_triangles,
+        # wave-8 demotions (driver-green r1-r4; families still covered)
+        "sql_top_customer_per_nation": sql_top_customer_per_nation,
+        "events_value_band_rangejoin": events_value_band_rangejoin,
+        "doc_dedup_clusters": doc_dedup_clusters,
+        "dq_report": dq_report,
+        "doc_contamination": doc_contamination,
     }
     return reg, extra
 

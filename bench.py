@@ -68,6 +68,12 @@ HEADLINE = [
     "revenue_anomaly_weeks",
     "doc_phrase_search",
     "doc_heavy_terms",
+    # round-5 session-5 additions (all sf-proportional)
+    "lineitem_ols_trend",
+    "events_chi2_daypart",
+    "doc_bpe_merges",
+    "customer_supplier_link",
+    "part_triangles",
 ]
 
 
