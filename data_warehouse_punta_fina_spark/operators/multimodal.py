@@ -6,12 +6,18 @@ Arrow-batched pandas via ``mapInPandas`` — the only sanctioned Python
 path — so each task decodes a whole batch without per-row overhead, and
 partitioning stays fully distributed (payloads never visit the driver).
 
-The actual codec step is STUBBED: image/audio libraries are not in this
-container. ``decode_stub=True`` (default) produces deterministic fake
-features derived from the bytes; ``decode_stub=False`` raises
-NotImplementedError where a real decoder (PIL/librosa/ffmpeg) would slot
-in. The Spark-side contract — schema, batch shape, partition pruning —
-is real and tested either way.
+Codec posture (honest tiering — no codec libraries in this container):
+
+- **REAL, no gate**: raw-PCM16 audio DSP (:func:`audio_band_energies`,
+  numpy rfft) and uncompressed netpbm images (:func:`decode_netpbm` —
+  P5/PGM grayscale and P6/PPM RGB parse with plain numpy;
+  :func:`resize_images` auto-detects the magic and decodes genuinely).
+- **STUBBED**: compressed formats (JPEG/PNG/MP3/...) need PIL/librosa/
+  ffmpeg. ``decode_stub=True`` (default) produces deterministic fake
+  features from the bytes; ``decode_stub=False`` raises
+  NotImplementedError where the real decoder slots in. The Spark-side
+  contract — schema, batch shape, partition pruning — is real and
+  tested either way.
 """
 
 from __future__ import annotations
@@ -72,6 +78,68 @@ def extract_features(media: DataFrame, decode_stub: bool = True, batch_size_hint
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
+def decode_netpbm(b: bytes) -> "object":
+    """REAL image decode for the uncompressed netpbm family — pure numpy,
+    no codec gate: binary PGM (``P5``, grayscale) and PPM (``P6``, RGB →
+    BT.601 luma) with full header grammar (arbitrary whitespace,
+    ``#`` comments, maxval ≤ 255). Returns a float64 h×w array — exactly
+    what a PIL decode would hand the resize kernel. Raises ValueError on
+    a non-netpbm payload (callers auto-detect via the magic)."""
+    import numpy as np
+
+    if not b or b[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload (P5/P6 magic required)")
+    magic = b[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and # comments between header tokens
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        fields.append(int(b[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported (maxval > 255)")
+    ch = 1 if magic == b"P5" else 3
+    need = h * w * ch
+    raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos).astype(np.float64)
+    if ch == 1:
+        return raster.reshape(h, w)
+    rgb = raster.reshape(h, w, 3)
+    # BT.601 luma — the standard grayscale reduction
+    return rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+
+
+def pgm_encode(img) -> bytes:
+    """Binary PGM (P5) encoder for a uint8 h×w array — the test-payload
+    generator pairing :func:`decode_netpbm` (the image analogue of
+    :func:`pcm16_sine`)."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w = arr.shape
+    return f"P5\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def ppm_encode(img) -> bytes:
+    """Binary PPM (P6) encoder for a uint8 h×w×3 RGB array."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
 THUMB_SCHEMA = "asset_id long, height int, width int, thumb array<double>"
 
 
@@ -83,14 +151,19 @@ def resize_images(
     """Decode → resize each image to ``out_hw`` via Arrow-batched
     mapInPandas, with REAL array shapes end-to-end.
 
-    The stub decode is deterministic: payload bytes become a row-major
-    grayscale image (h = isqrt(n), w = ceil(n/h), zero-padded) — exactly
-    the ndarray a real ``PIL.Image.open`` would hand over, so the resize
-    stage (area mean-pooling over an h×w → H×W block grid, the standard
-    thumbnail/downsample kernel) runs real numpy on real shapes and the
-    swap-in for a production codec is one function. Output rows carry the
-    source dims + a flattened H·W float vector ready for the embedding /
-    near-dup operators (similarity.py) downstream.
+    Netpbm payloads (P5/P6 magic) decode FOR REAL via
+    :func:`decode_netpbm` — genuine header parse, genuine raster, genuine
+    luma — so for uncompressed images the whole path is production code
+    with no stub anywhere. Other payloads fall back to the deterministic
+    stub decode (bytes become a row-major grayscale image, h = isqrt(n),
+    w = ceil(n/h), zero-padded — the ndarray shape a real
+    ``PIL.Image.open`` would hand over), or raise when
+    ``decode_stub=False`` (where the compressed-format codec slots in).
+    Either way the resize stage (area mean-pooling over an h×w → H×W
+    block grid, the standard thumbnail/downsample kernel) runs real numpy
+    on real shapes. Output rows carry the source dims + a flattened H·W
+    float vector ready for the embedding / near-dup operators
+    (similarity.py) downstream.
     """
     import math
 
@@ -99,9 +172,11 @@ def resize_images(
     H, W = out_hw
 
     def _decode(b: bytes) -> "np.ndarray":
+        if b and b[:2] in (b"P5", b"P6"):
+            return decode_netpbm(b)
         if not decode_stub:
             raise NotImplementedError(
-                "real media decoding requires PIL/librosa/ffmpeg — not available in this container"
+                "real decoding of non-netpbm media requires PIL/librosa/ffmpeg — not available in this container"
             )
         arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
         h = max(1, math.isqrt(arr.size))
