@@ -1980,6 +1980,15 @@ def _build_registries():
         )
         return triangle_counts(edges)
 
+    def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # join/group-key skew diagnostics: top-10 hottest user_ids with
+        # share/cumulative share + exact per-key count percentiles and the
+        # max/mean skew ratio (operators.skew.key_skew_report)
+        from data_warehouse_punta_fina_spark.operators.skew import key_skew_report
+
+        ev = load_table(spark, sf_dir, "events")
+        return key_skew_report(ev, "user_id", top_k=10)
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2224,6 +2233,8 @@ def _build_registries():
         "batch_token_stats": batch_token_stats,
         "doc_pack_bins": doc_pack_bins,
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
+        # session-5: shuffle-key skew diagnostics
+        "events_key_skew": events_key_skew,
         # wave-8 demotions (driver-green r1-r4; families still covered)
         "sql_top_customer_per_nation": sql_top_customer_per_nation,
         "events_value_band_rangejoin": events_value_band_rangejoin,
@@ -4593,6 +4604,36 @@ SELECT event_type, daypart, observed,
        expected,
        {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
 FROM e
+"""
+
+    # session-5: key-skew diagnostics — exact per-key count percentiles
+    # (percentile ≡ quantile_cont), round-6 shares, same op order
+    _SKEW_R6 = "CAST(CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE)"
+    _skew_mean = "CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)"
+    o["events_key_skew"] = f"""
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n FROM events GROUP BY 1
+),
+summary AS (
+  SELECT SUM(n) AS total_rows, COUNT(*) AS n_keys,
+         quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.9) AS p90,
+         quantile_cont(n, 0.99) AS p99, MAX(n) AS max_per_key
+  FROM counts
+),
+top AS (
+  SELECT key, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank,
+         SUM(n) OVER (ORDER BY n DESC, key) AS _cum
+  FROM counts ORDER BY n DESC, key LIMIT 10
+)
+SELECT rank, key, n,
+       {_SKEW_R6.format(e="CAST(n AS DOUBLE) / CAST(total_rows AS DOUBLE)")} AS share,
+       {_SKEW_R6.format(e="CAST(_cum AS DOUBLE) / CAST(total_rows AS DOUBLE)")} AS cum_share,
+       CAST(total_rows AS BIGINT) AS total_rows, n_keys,
+       {_SKEW_R6.format(e=_skew_mean)} AS mean_per_key,
+       p50, p90, p99, max_per_key,
+       {_SKEW_R6.format(e=f"CAST(max_per_key AS DOUBLE) / ({_skew_mean})")} AS skew_ratio
+FROM top CROSS JOIN summary
 """
 
     # session-5: triangle counting over the part co-purchase graph —

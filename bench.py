@@ -74,6 +74,7 @@ HEADLINE = [
     "doc_bpe_merges",
     "customer_supplier_link",
     "part_triangles",
+    "events_key_skew",
 ]
 
 

@@ -931,3 +931,27 @@ def test_triangle_counts_known_graph(spark):
     # global triangle count: each triangle counted once per 3 nodes
     total = triangle_counts(edges).agg(F.sum("triangles")).collect()[0][0]
     assert total == 12  # 4 triangles x 3 corners
+
+
+def test_key_skew_report_known_distribution(spark):
+    from data_warehouse_punta_fina_spark.operators.skew import key_skew_report
+
+    # 100 rows of 'hot', 10 of 'warm', 1 each of 10 cold keys
+    rows = (
+        [("hot",)] * 100 + [("warm",)] * 10 + [(f"cold{i}",) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["rank"]: r for r in key_skew_report(df, "k", top_k=3).collect()}
+    assert len(out) == 3
+    r1, r2, r3 = out[1], out[2], out[3]
+    assert (r1["key"], r1["n"]) == ("hot", 100)
+    assert (r2["key"], r2["n"]) == ("warm", 10)
+    assert (r3["key"], r3["n"]) == ("cold0", 1)  # ties break on key asc
+    assert r1["total_rows"] == 120 and r1["n_keys"] == 12
+    assert r1["share"] == round(100 / 120, 6) or abs(r1["share"] - 100 / 120) < 1e-6
+    assert abs(r2["cum_share"] - 110 / 120) < 1e-6
+    assert r1["max_per_key"] == 100
+    # mean = 10 → skew_ratio = 10
+    assert r1["mean_per_key"] == 10.0 and r1["skew_ratio"] == 10.0
+    # p50 over per-key counts [100,10,1x10] = 1.0
+    assert r1["p50"] == 1.0
