@@ -1989,6 +1989,49 @@ def _build_registries():
         ev = load_table(spark, sf_dir, "events")
         return key_skew_report(ev, "user_id", top_k=10)
 
+    def events_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # exact quantile discretizer (fit/transform): decile cuts fitted
+        # on events.value, every row bucketized by broadcast cuts (pure
+        # map), per-bucket count/min/max (operators.stats.quantile_cuts_fit
+        # + bucketize_with_cuts)
+        from data_warehouse_punta_fina_spark.operators.stats import (
+            bucketize_with_cuts,
+            quantile_cuts_fit,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        cuts = quantile_cuts_fit(ev, "value", 10)
+        return (
+            bucketize_with_cuts(ev, cuts, "value")
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+        )
+
+    def doc_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # training-mixture water-filling: allocate a global token budget
+        # across languages by target weight; under-supplied languages
+        # saturate and their deficit redistributes
+        # (operators.mixture.mixture_allocation; unrolled-round oracle)
+        from data_warehouse_punta_fina_spark.functions.text import token_count
+        from data_warehouse_punta_fina_spark.operators.mixture import mixture_allocation
+
+        docs = load_table(spark, sf_dir, "documents")
+        per_lang = (
+            docs.select(F.col("lang").alias("source"), token_count("text").alias("_tc"))
+            .groupBy("source")
+            .agg(F.sum("_tc").alias("tokens"))
+        )
+        w = spark.createDataFrame(_MIX_WEIGHTS, "source string, weight double")
+        # water-filling converges in ≤ |sources| rounds (≥1 source
+        # saturates per non-converged round) — 5 languages → 5 rounds
+        return mixture_allocation(
+            per_lang.join(F.broadcast(w), "source"), _MIX_BUDGET, max_iter=len(_MIX_WEIGHTS)
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2235,6 +2278,10 @@ def _build_registries():
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
         # session-5: shuffle-key skew diagnostics
         "events_key_skew": events_key_skew,
+        # session-5: exact quantile discretizer (fit/transform binning)
+        "events_value_buckets": events_value_buckets,
+        # session-5: training-mixture water-filling token allocator
+        "doc_mixture_alloc": doc_mixture_alloc,
         # wave-8 demotions (driver-green r1-r4; families still covered)
         "sql_top_customer_per_nation": sql_top_customer_per_nation,
         "events_value_band_rangejoin": events_value_band_rangejoin,
@@ -2415,6 +2462,18 @@ _BM25_QUERIES: list[tuple[int, str]] = [
     (3, "customer order data"),
     (4, "stream batch merge sort"),
 ]
+
+# target mixture weights + token budget for doc_mixture_alloc — ONE
+# definition feeds the Spark literal frame and the oracle VALUES clause
+_MIX_WEIGHTS: list[tuple[str, float]] = [
+    ("de", 0.3),
+    ("en", 0.2),
+    ("es", 0.2),
+    ("fr", 0.15),
+    ("zh", 0.15),
+]
+_MIX_BUDGET = 20_000
+
 
 # Fellegi-Sunter comparator set for the customer↔supplier linkage query —
 # ONE definition feeds both the Spark plan and the generated oracle SQL
@@ -4604,6 +4663,40 @@ SELECT event_type, daypart, observed,
        expected,
        {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
 FROM e
+"""
+
+    # session-5: mixture water-filling — oracle generated with the same
+    # rounds from the same weights/budget literals
+    from data_warehouse_punta_fina_spark.operators.mixture import (
+        mixture_allocation_oracle_sql,
+    )
+
+    _mix_values = ", ".join(f"('{s}', {w!r})" for s, w in _MIX_WEIGHTS)
+    o["doc_mixture_alloc"] = mixture_allocation_oracle_sql(
+        f"""WITH tl AS (
+  SELECT lang AS source, SUM(len({_TOKENS})) AS tokens FROM documents GROUP BY lang
+), w(source, weight) AS (VALUES {_mix_values})
+SELECT tl.source, tl.tokens, w.weight FROM tl JOIN w USING (source)""",
+        _MIX_BUDGET,
+        max_iter=len(_MIX_WEIGHTS),
+    )
+
+    # session-5: exact quantile discretizer — decile cuts (quantile_cont
+    # ≡ percentile), bucket = 1 + Σ (x > cut_i), ties to the lower bucket
+    _bucket_cuts = ", ".join(
+        f"quantile_cont(value, {i / 10!r}) AS cut_{i}" for i in range(1, 10)
+    )
+    _bucket_expr = " + ".join(f"CAST(value > cut_{i} AS INT)" for i in range(1, 10))
+    o["events_value_buckets"] = f"""
+WITH src AS (SELECT event_id, value FROM events),
+cuts AS (SELECT {_bucket_cuts} FROM src),
+b AS (
+  SELECT value,
+         CASE WHEN value IS NOT NULL THEN 1 + {_bucket_expr} END AS bucket
+  FROM src CROSS JOIN cuts
+)
+SELECT bucket, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+FROM b GROUP BY bucket
 """
 
     # session-5: key-skew diagnostics — exact per-key count percentiles

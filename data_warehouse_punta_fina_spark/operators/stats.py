@@ -213,3 +213,42 @@ def chi2_independence(
             "chi2_term"
         ),
     )
+
+
+def quantile_cuts_fit(df: DataFrame, col: str, n_buckets: int) -> DataFrame:
+    """FIT half of an exact quantile discretizer (feature binning for ML
+    prep — Spark MLlib's QuantileDiscretizer, but exact and re-usable as
+    a persisted artifact): one row of ``n_buckets − 1`` cut points
+    ``cut_1..cut_{n-1}`` at the i/n percentiles of ``col``.
+
+    Exact ``percentile`` (bit-identical to DuckDB ``quantile_cont``), one
+    aggregate pass. The output is the *model*: persist it and
+    :func:`bucketize_with_cuts` applies the SAME cuts to any later batch
+    or stream — the fit/transform split that makes binning stable across
+    retraining data refreshes (re-fitting per batch silently shifts
+    feature semantics)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    return df.agg(
+        *[
+            F.percentile(F.col(col), F.lit(q)).alias(f"cut_{i+1}")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+
+def bucketize_with_cuts(
+    df: DataFrame, cuts: DataFrame, col: str, out: str = "bucket"
+) -> DataFrame:
+    """TRANSFORM half: assign each row the 1-based bucket of ``col``
+    under a fitted cut row — ``bucket = 1 + Σ_i (x > cut_i)`` (values
+    exactly on a cut go to the LOWER bucket; NULL stays NULL). The cut
+    row broadcasts; the data never shuffles — binning is a pure map at
+    any scale."""
+    cut_cols = [c for c in cuts.columns if c.startswith("cut_")]
+    x = F.col(col)
+    expr = F.lit(1)
+    for c in sorted(cut_cols, key=lambda s: int(s.split("_")[1])):
+        expr = expr + (x > F.col(c)).cast("int")
+    return df.crossJoin(F.broadcast(cuts)).select(
+        *df.columns, F.when(x.isNotNull(), expr).alias(out)
+    )

@@ -78,3 +78,70 @@ def test_chi2_independence_is_zero_for_independent_columns(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     out = chi2_independence(df, "a", "b")
     assert out.agg(F.sum("chi2_term")).collect()[0][0] == 0.0
+
+
+def test_quantile_discretizer_fit_transform(spark):
+    from data_warehouse_punta_fina_spark.operators.stats import (
+        bucketize_with_cuts,
+        quantile_cuts_fit,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    cuts = quantile_cuts_fit(df, "x", 4)
+    row = cuts.collect()[0]
+    # exact quartile cuts of 1..100 (percentile interpolates)
+    assert (row["cut_1"], row["cut_2"], row["cut_3"]) == (25.75, 50.5, 75.25)
+
+    out = bucketize_with_cuts(df, cuts, "x").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["x"])
+    assert sorted(by_bucket) == [1, 2, 3, 4]
+    assert all(len(v) == 25 for v in by_bucket.values())
+    assert max(by_bucket[1]) == 25.0 and min(by_bucket[4]) == 76.0
+
+    # fit/transform split: the SAME cuts applied to a later batch keep
+    # semantics (values past the fitted range land in the edge buckets)
+    later = spark.createDataFrame([(0.5,), (50.5,), (1e9,), (None,)], "x double")
+    got = {r["x"]: r["bucket"] for r in bucketize_with_cuts(later, cuts, "x").collect()}
+    assert got[0.5] == 1 and got[1e9] == 4 and got[None] is None
+    # a value exactly on a cut goes to the LOWER bucket
+    assert got[50.5] == 2
+
+
+def test_mixture_allocation_water_filling(spark):
+    from data_warehouse_punta_fina_spark.operators.mixture import mixture_allocation
+
+    # budget 1000; 'small' wants 50% = 500 but has only 100 -> saturates;
+    # deficit redistributes to a/b by weight (0.3:0.2 of remaining 900)
+    src = spark.createDataFrame(
+        [("small", 100, 0.5), ("a", 10_000, 0.3), ("b", 10_000, 0.2)],
+        "source string, tokens long, weight double",
+    )
+    got = {r["source"]: r for r in mixture_allocation(src, 1000, max_iter=3).collect()}
+    assert got["small"]["saturated"] and got["small"]["allocated"] == 100
+    assert not got["a"]["saturated"] and not got["b"]["saturated"]
+    # remaining 900 split 0.3/(0.3+0.2)=0.6 and 0.4
+    assert got["a"]["allocated"] == 540 and got["b"]["allocated"] == 360
+    assert got["small"]["sampling_rate"] == 1.0
+    assert abs(got["a"]["sampling_rate"] - 0.054) < 1e-9
+
+    # budget beyond total supply: everyone saturates, leftover unspent
+    got2 = {
+        r["source"]: r
+        for r in mixture_allocation(src, 10**9, max_iter=3).collect()
+    }
+    assert all(r["saturated"] for r in got2.values())
+    assert sum(r["allocated"] for r in got2.values()) == 20_100
+
+    # cascading saturation: after 'small' saturates, 'mid' (cap 200)
+    # saturates only in round 2 once redistribution pushes it over
+    src3 = spark.createDataFrame(
+        [("small", 10, 0.5), ("mid", 200, 0.25), ("big", 10_000, 0.25)],
+        "source string, tokens long, weight double",
+    )
+    got3 = {r["source"]: r for r in mixture_allocation(src3, 1000, max_iter=3).collect()}
+    # round 1: small 500>=10 sat; mid 250>=200 sat too (same round here);
+    # remaining 790 all to big
+    assert got3["small"]["allocated"] == 10 and got3["mid"]["allocated"] == 200
+    assert got3["big"]["allocated"] == 790
