@@ -984,3 +984,50 @@ def test_key_skew_report_known_distribution(spark):
     assert r1["mean_per_key"] == 10.0 and r1["skew_ratio"] == 10.0
     # p50 over per-key counts [100,10,1x10] = 1.0
     assert r1["p50"] == 1.0
+
+
+def test_txtable_read_changes_change_data_feed(spark, tmp_path):
+    """CDF on the native log: per-commit insert/delete row images derived
+    from file-set + row-multiset diffs. Copy-on-write UPDATE surfaces as
+    delete+insert; OPTIMIZE emits ZERO changes (rewrites preserve the row
+    multiset); the range filter and vacuum horizon are respected."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    v1 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    v2 = t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    v3 = t.delete_where("k = 2")
+    v4 = t.update_where(F.col("k") == 1, {"v": F.lit("z")})
+    v5 = t.compact(2)
+
+    ch = [
+        ((r["k"], r["v"]), r["_change_type"], r["_commit_version"])
+        for r in t.read_changes(0).collect()
+    ]
+    by_version = {}
+    for row, kind, v in ch:
+        by_version.setdefault(v, set()).add((row, kind))
+    assert by_version[v1] == {((1, "a"), "insert"), ((2, "b"), "insert")}
+    assert by_version[v2] == {((3, "c"), "insert")}
+    assert by_version[v3] == {((2, "b"), "delete")}
+    assert by_version[v4] == {((1, "a"), "delete"), ((1, "z"), "insert")}
+    assert v5 not in by_version  # pure rewrite: zero changes
+
+    # range filter: inclusive starting_version (Delta convention)
+    later = {r["_commit_version"] for r in t.read_changes(v3).collect()}
+    assert later == {v3, v4}
+
+    # final state reconstructible from the feed: inserts minus deletes
+    feed = t.read_changes(0)
+    ins = feed.filter(F.col("_change_type") == "insert").select("k", "v")
+    dels = feed.filter(F.col("_change_type") == "delete").select("k", "v")
+    assert {tuple(r) for r in ins.exceptAll(dels).collect()} == {
+        tuple(r) for r in t.read().collect()
+    }
+
+    # vacuum raises the horizon: pre-image reads below it must refuse
+    t.vacuum(retain_versions=1)
+    with pytest.raises(ValueError, match="horizon"):
+        t.read_changes(0)
