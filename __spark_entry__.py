@@ -2032,6 +2032,30 @@ def _build_registries():
             per_lang.join(F.broadcast(w), "source"), _MIX_BUDGET, max_iter=len(_MIX_WEIGHTS)
         )
 
+    def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # merge_asof NEAREST with tolerance + payload: each click joins
+        # the nearest purchase by the same user within 30 minutes,
+        # carrying the purchase value (operators.asof.asof_join_values)
+        from data_warehouse_punta_fina_spark.operators.asof import asof_join_values
+
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("pts"), "value"
+        )
+        return asof_join_values(
+            clicks,
+            purchases,
+            "user_id",
+            "ts",
+            "pts",
+            ["value"],
+            direction="nearest",
+            tolerance_seconds=1800,
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2282,6 +2306,8 @@ def _build_registries():
         "events_value_buckets": events_value_buckets,
         # session-5: training-mixture water-filling token allocator
         "doc_mixture_alloc": doc_mixture_alloc,
+        # session-5: merge_asof nearest-with-tolerance + payload carry
+        "events_asof_nearest": events_asof_nearest,
         # wave-8 demotions (driver-green r1-r4; families still covered)
         "sql_top_customer_per_nation": sql_top_customer_per_nation,
         "events_value_band_rangejoin": events_value_band_rangejoin,
@@ -4663,6 +4689,56 @@ SELECT event_type, daypart, observed,
        expected,
        {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
 FROM e
+"""
+
+    # session-5: merge_asof nearest — the same union+window construction
+    # in SQL (backward carry time-asc, forward carry time-desc, epoch-us
+    # deltas, per-direction tolerance BEFORE the nearest tie-break,
+    # ties prefer backward). last_value IGNORE NULLS carries the right
+    # row's time and value through the same window, so both columns come
+    # from the same matched row.
+    _ASOF_SEC = lambda e: f"CAST(epoch_us({e}) AS DOUBLE) / 1000000.0"  # noqa: E731
+    o["events_asof_nearest"] = f"""
+WITH l AS (
+  SELECT event_id, user_id AS _k, ts AS _t FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id AS _k, ts AS _t, MAX(value) AS val
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+u AS (
+  SELECT _k, _t, 1 AS isl, event_id, CAST(NULL AS DOUBLE) AS val FROM l
+  UNION ALL
+  SELECT _k, _t, 0, NULL, val FROM r
+),
+c AS (
+  SELECT *,
+    last_value(CASE WHEN isl = 0 THEN _t END IGNORE NULLS)
+      OVER (PARTITION BY _k ORDER BY _t ASC, isl ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt_b,
+    last_value(CASE WHEN isl = 0 THEN val END IGNORE NULLS)
+      OVER (PARTITION BY _k ORDER BY _t ASC, isl ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_b,
+    last_value(CASE WHEN isl = 0 THEN _t END IGNORE NULLS)
+      OVER (PARTITION BY _k ORDER BY _t DESC, isl ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt_f,
+    last_value(CASE WHEN isl = 0 THEN val END IGNORE NULLS)
+      OVER (PARTITION BY _k ORDER BY _t DESC, isl ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_f
+  FROM u
+),
+t AS (
+  SELECT event_id, _k AS user_id, _t AS ts,
+    CASE WHEN rt_b IS NOT NULL AND ({_ASOF_SEC('_t')} - {_ASOF_SEC('rt_b')}) <= 1800.0 THEN rt_b END AS tb,
+    CASE WHEN rt_b IS NOT NULL AND ({_ASOF_SEC('_t')} - {_ASOF_SEC('rt_b')}) <= 1800.0 THEN val_b END AS vb,
+    CASE WHEN rt_f IS NOT NULL AND ({_ASOF_SEC('rt_f')} - {_ASOF_SEC('_t')}) <= 1800.0 THEN rt_f END AS tf,
+    CASE WHEN rt_f IS NOT NULL AND ({_ASOF_SEC('rt_f')} - {_ASOF_SEC('_t')}) <= 1800.0 THEN val_f END AS vf
+  FROM c WHERE isl = 1
+)
+SELECT event_id, user_id, ts,
+  CASE WHEN tb IS NULL THEN tf WHEN tf IS NULL THEN tb
+       WHEN ({_ASOF_SEC('ts')} - {_ASOF_SEC('tb')}) <= ({_ASOF_SEC('tf')} - {_ASOF_SEC('ts')}) THEN tb
+       ELSE tf END AS pts_asof,
+  CASE WHEN tb IS NULL THEN vf WHEN tf IS NULL THEN vb
+       WHEN ({_ASOF_SEC('ts')} - {_ASOF_SEC('tb')}) <= ({_ASOF_SEC('tf')} - {_ASOF_SEC('ts')}) THEN vb
+       ELSE vf END AS value_asof
+FROM t
 """
 
     # session-5: mixture water-filling — oracle generated with the same

@@ -161,3 +161,114 @@ def gap_fill_locf(
         ],
     )
     return filled
+
+
+def asof_join_values(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Full ``merge_asof`` semantics: attach the matched right row's TIME
+    and PAYLOAD columns to every left row, per key.
+
+    - ``backward``: greatest right_time ≤ left_time (inclusive)
+    - ``forward``:  smallest right_time ≥ left_time (inclusive)
+    - ``nearest``:  whichever of the two is closer; ties prefer backward
+    - ``tolerance_seconds``: matches farther than this become NULL
+      (applied per direction BEFORE the nearest tie-break, like pandas)
+
+    Shape: the union+window trick of :func:`asof_join` — ONE shuffle on
+    the key, a per-key linear window, no range self-join (a naive
+    time-range join fans out quadratically on hot keys). The right
+    payload rides the window as a struct; duplicate right timestamps per
+    key resolve deterministically (max struct = latest by time, then by
+    payload values — pin distinct (key, time) upstream if the payload
+    must be unique). Output: ``left`` + ``{right_time}{suffix}`` +
+    ``{c}{suffix}`` per value column (NULL where unmatched / out of
+    tolerance).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    payload = F.struct(
+        F.col("_t").alias("_rt"), *[F.col(c) for c in value_cols]
+    )
+    r = (
+        right.select(
+            F.col(on).alias("_k"),
+            F.col(right_time).alias("_t"),
+            *[F.col(c) for c in value_cols],
+        )
+        # deterministic survivor for duplicate (key, time): max struct
+        .groupBy("_k", "_t")
+        .agg(F.max(payload).alias("_pay"))
+        .withColumn("_is_left", F.lit(0))
+    )
+    l_ = left.withColumn("_k", F.col(on)).withColumn("_t", F.col(left_time)).withColumn(
+        "_is_left", F.lit(1)
+    )
+    for c in l_.columns:
+        if c not in ("_k", "_t", "_is_left"):
+            r = r.withColumn(c, F.lit(None).cast(l_.schema[c].dataType))
+    l2 = l_.withColumn("_pay", F.lit(None).cast(r.schema["_pay"].dataType))
+    unioned = l2.unionByName(r.select(*l2.columns))
+
+    def carried(ascending: bool):
+        # right rows sort before left at equal time → inclusive in both
+        # directions; backward scans time-asc, forward time-desc
+        order = [F.col("_t").asc(), F.col("_is_left").asc()] if ascending else [
+            F.col("_t").desc(),
+            F.col("_is_left").asc(),
+        ]
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(
+            F.when(F.col("_is_left") == 0, F.col("_pay")), ignorenulls=True
+        ).over(w)
+
+    out = unioned
+    want_b = direction in ("backward", "nearest")
+    want_f = direction in ("forward", "nearest")
+    if want_b:
+        out = out.withColumn("_pb", carried(ascending=True))
+    if want_f:
+        out = out.withColumn("_pf", carried(ascending=False))
+    out = out.filter(F.col("_is_left") == 1)
+
+    def within(p):
+        if tolerance_seconds is None:
+            return p
+        delta = F.abs(
+            F.col("_t").cast("double") - p["_rt"].cast("double")
+        )
+        return F.when(delta <= F.lit(float(tolerance_seconds)), p)
+
+    if direction == "backward":
+        pick = within(F.col("_pb"))
+    elif direction == "forward":
+        pick = within(F.col("_pf"))
+    else:
+        pb, pf = within(F.col("_pb")), within(F.col("_pf"))
+        db = F.col("_t").cast("double") - pb["_rt"].cast("double")
+        df_ = pf["_rt"].cast("double") - F.col("_t").cast("double")
+        pick = (
+            F.when(pb.isNull(), pf)
+            .when(pf.isNull(), pb)
+            .when(db <= df_, pb)  # ties prefer backward
+            .otherwise(pf)
+        )
+    matched = out.withColumn("_pick", pick)
+    keep = [c for c in left.columns]
+    return matched.select(
+        *keep,
+        F.col("_pick")["_rt"].alias(f"{right_time}{suffix}"),
+        *[F.col("_pick")[c].alias(f"{c}{suffix}") for c in value_cols],
+    )

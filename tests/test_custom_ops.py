@@ -1031,3 +1031,69 @@ def test_txtable_read_changes_change_data_feed(spark, tmp_path):
     t.vacuum(retain_versions=1)
     with pytest.raises(ValueError, match="horizon"):
         t.read_changes(0)
+
+
+def test_asof_join_values_directions_and_tolerance(spark):
+    from data_warehouse_punta_fina_spark.operators.asof import asof_join_values
+
+    left = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01 10:00:00")),
+            (2, "u", _ts("2024-01-01 10:59:00")),
+            (3, "v", _ts("2024-01-01 10:00:00")),  # key without right rows
+        ],
+        "id int, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 09:30:00"), 100.0),
+            ("u", _ts("2024-01-01 11:00:00"), 200.0),
+        ],
+        "k string, rt timestamp, price double",
+    )
+
+    def run(direction, tol=None):
+        return {
+            r["id"]: (r["rt_asof"], r["price_asof"])
+            for r in asof_join_values(
+                left, right, "k", "t", "rt", ["price"], direction, tol
+            ).collect()
+        }
+
+    b = run("backward")
+    assert b[1] == (_ts("2024-01-01 09:30:00"), 100.0)
+    assert b[2] == (_ts("2024-01-01 09:30:00"), 100.0)
+    assert b[3] == (None, None)
+
+    f = run("forward")
+    assert f[1] == (_ts("2024-01-01 11:00:00"), 200.0)
+    assert f[2] == (_ts("2024-01-01 11:00:00"), 200.0)
+
+    n = run("nearest")
+    assert n[1] == (_ts("2024-01-01 09:30:00"), 100.0)  # 30min back < 60min fwd
+    assert n[2] == (_ts("2024-01-01 11:00:00"), 200.0)  # 1min fwd < 89min back
+
+    # tolerance: 40min drops the far side per-direction BEFORE nearest
+    nt = run("nearest", tol=2400)
+    assert nt[1] == (_ts("2024-01-01 09:30:00"), 100.0)
+    assert nt[2] == (_ts("2024-01-01 11:00:00"), 200.0)
+    bt = run("backward", tol=600)
+    assert bt[1] == (None, None)  # 30min back > 10min tolerance
+
+
+def test_asof_join_values_tie_prefers_backward_and_dup_times_resolve(spark):
+    from data_warehouse_punta_fina_spark.operators.asof import asof_join_values
+
+    left = spark.createDataFrame([(1, "u", _ts("2024-01-01 10:00:00"))], "id int, k string, t timestamp")
+    right = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 09:00:00"), 1.0),
+            ("u", _ts("2024-01-01 11:00:00"), 2.0),
+            # duplicate (key, time): max-struct survivor -> 9.0
+            ("u", _ts("2024-01-01 09:00:00"), 9.0),
+        ],
+        "k string, rt timestamp, price double",
+    )
+    n = asof_join_values(left, right, "k", "t", "rt", ["price"], "nearest").collect()[0]
+    # equidistant (60min both ways): backward wins
+    assert n["rt_asof"] == _ts("2024-01-01 09:00:00") and n["price_asof"] == 9.0
