@@ -2068,8 +2068,15 @@ def _build_registries():
         # round-4 late rotation: dim_direccion (left-enrichment + default
         # member, both certified via dim_cliente/every dim) demoted for the
         # SCD2 point-in-time temporal join — a distinct operator family
-        "scd2_pit_lookup": scd2_pit_lookup,
-        "dim_catalogs": dim_catalogs,
+        # (session-5 wave 9: scd2_pit_lookup demoted — driver-green r4,
+        # the temporal-join family stays in-window via events_asof_nearest
+        # and pytest-proven in streaming — for the merge_asof
+        # nearest/tolerance/payload tier)
+        "events_asof_nearest": events_asof_nearest,
+        # (wave 9: dim_catalogs demoted — driver-green r1-r4; every
+        # catalog dim stays individually mirror-checked — for
+        # events_key_skew, the shuffle-key skew diagnostics)
+        "events_key_skew": events_key_skew,
         # facts (SURVEY §2.3 J1/J3/J4, §2.4, §2.5, §2.9)
         "fact_ventas": fact_ventas,
         "fact_inventario": build_fact_inventario,
@@ -2081,7 +2088,11 @@ def _build_registries():
         # carried by fact_ventas + sql_top_customer_per_nation — for the
         # composed seasonal-residual anomaly screen)
         "revenue_anomaly_weeks": revenue_anomaly_weeks,
-        "lineitem_pricing_summary": lineitem_pricing_summary,
+        # (wave 9: lineitem_pricing_summary demoted — driver-green
+        # r1-r4, multi-agg family carried by the fact builds +
+        # ventas_daily_summary mirror — for events_value_buckets, the
+        # exact quantile discretizer)
+        "events_value_buckets": events_value_buckets,
         "customer_snapshot_diff": customer_snapshot_diff,
         "events_variant_stats": events_variant_stats,
         "emb_random_projection": emb_random_projection,
@@ -2167,7 +2178,10 @@ def _build_registries():
         # cosines — for doc_heavy_terms, the sketch-tier heavy hitters)
         "doc_heavy_terms": doc_heavy_terms,
         "emb_near_dup_trained": emb_near_dup_trained,
-        "media_features": media_features,
+        # (wave 9: media_features demoted — driver-green r1-r4, the
+        # multimodal tier is pytest-proven incl. the REAL netpbm decode —
+        # for doc_mixture_alloc, training-mix water-filling)
+        "doc_mixture_alloc": doc_mixture_alloc,
         # (wave 8: doc_dedup_clusters demoted — driver-green r1-r4,
         # both CC variants pytest-proven + doc_dedup_kept mirror — for
         # doc_bpe_merges, BPE tokenizer merge training)
@@ -2300,14 +2314,11 @@ def _build_registries():
         "batch_token_stats": batch_token_stats,
         "doc_pack_bins": doc_pack_bins,
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
-        # session-5: shuffle-key skew diagnostics
-        "events_key_skew": events_key_skew,
-        # session-5: exact quantile discretizer (fit/transform binning)
-        "events_value_buckets": events_value_buckets,
-        # session-5: training-mixture water-filling token allocator
-        "doc_mixture_alloc": doc_mixture_alloc,
-        # session-5: merge_asof nearest-with-tolerance + payload carry
-        "events_asof_nearest": events_asof_nearest,
+        # wave-9 demotions (driver-green r1-r4; families still covered)
+        "scd2_pit_lookup": scd2_pit_lookup,
+        "dim_catalogs": dim_catalogs,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "media_features": media_features,
         # wave-8 demotions (driver-green r1-r4; families still covered)
         "sql_top_customer_per_nation": sql_top_customer_per_nation,
         "events_value_band_rangejoin": events_value_band_rangejoin,

@@ -75,6 +75,8 @@ HEADLINE = [
     "customer_supplier_link",
     "part_triangles",
     "events_key_skew",
+    "events_value_buckets",
+    "events_asof_nearest",
 ]
 
 
