@@ -241,3 +241,200 @@ class SyntheticDocsFullDataSource(DataSource):
 
     def streamReader(self, schema):
         return _SyntheticDocsFullStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Transaction-log change feed as a STREAMING source (spark.readStream
+# .format("txlog_changes")) — the Delta change-data-feed consumption
+# pattern on the native log (sources/txlog.py). Offsets are log VERSIONS,
+# so micro-batches align exactly with commits and a restarted query
+# resumes from its checkpointed version: exactly-once by construction.
+# ---------------------------------------------------------------------------
+
+
+def _txlog_versions(log_dir: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+
+
+def _txlog_entry(log_dir: str, v: int) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(log_dir, f"{v:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _txlog_replay(log_dir: str, upto: int) -> tuple[list[str], str | None, int]:
+    """Pure-Python mirror of TxTable._snapshot_files (no SparkSession —
+    this runs inside the data source, driver- or executor-side)."""
+    files: list[str] = []
+    schema_json = None
+    horizon = 0
+    for v in _txlog_versions(log_dir):
+        if v > upto:
+            break
+        e = _txlog_entry(log_dir, v)
+        if e["action"] == "vacuum":
+            horizon = e["horizon"]
+            continue
+        if e["action"] == "overwrite":
+            files = list(e["files"])
+        else:
+            files.extend(e["files"])
+        schema_json = e["schema"]
+    return files, schema_json, horizon
+
+
+class _TxChangesStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch = the change rows of up to ``batch_versions`` commits.
+
+    Per commit the reader diffs the snapshot FILE sets (log metadata),
+    reads only the added/removed files with pyarrow, and takes the
+    row-level multiset difference (collections.Counter over row tuples) —
+    the same derivation as ``TxTable.read_changes``, executable without a
+    SparkSession. Copy-on-write UPDATE emits delete+insert images; pure
+    rewrites (OPTIMIZE/ZORDER) emit nothing. Column types must be
+    hashable (no arrays/maps) — true of every warehouse table here;
+    production CDC would write per-commit change files instead."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("txlog_changes requires a path option (the TxTable root)")
+        import os
+
+        self.log_dir = os.path.join(self.path, "_txlog")
+        self.data_dir = os.path.join(self.path, "data")
+        # None = uncapped: one read() span covers every available commit.
+        # availableNow with a Simple reader consumes ONE prefetched span
+        # (the prefetch-snapshot behavior documented on the synthetic
+        # source), so the cap is a LIVE-trigger rate limit only — capped
+        # availableNow drains would stop after batch_versions commits.
+        bv = options.get("batch_versions")
+        self.batch_versions = int(bv) if bv is not None else None
+        self.starting_version = int(options.get("starting_version", 0))
+        # pin the column list to the query-start schema: every commit's
+        # rows project to THESE columns (older commits null-fill ones
+        # added later), keeping tuple arity equal to the declared schema
+        vs = _txlog_versions(self.log_dir)
+        if not vs:
+            raise ValueError(f"no transaction log at {self.path}")
+        _, schema_json, _ = _txlog_replay(self.log_dir, vs[-1])
+        self.base_cols = self._cols(schema_json)
+
+    def initialOffset(self):
+        return {"next_version": self.starting_version}
+
+    def _cols(self, schema_json: str) -> list[str]:
+        import json
+
+        return [f["name"] for f in json.loads(schema_json)["fields"]]
+
+    def _rows_of(self, rel_files: list[str], cols: list[str]):
+        import os
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        counter: Counter = Counter()
+        for rel in rel_files:
+            tbl = pq.read_table(os.path.join(self.data_dir, rel))
+            d = tbl.to_pydict()
+            n = tbl.num_rows
+            series = [d.get(c, [None] * n) for c in cols]
+            for i in range(n):
+                counter[tuple(s[i] for s in series)] += 1
+        return counter
+
+    def _changes_for(self, v: int):
+        e = _txlog_entry(self.log_dir, v)
+        if e["action"] == "vacuum":
+            return []
+        prev, _, _ = _txlog_replay(self.log_dir, v - 1)
+        cur, _, _ = _txlog_replay(self.log_dir, v)
+        added = [f for f in cur if f not in set(prev)]
+        removed = [f for f in prev if f not in set(cur)]
+        if not added and not removed:
+            return []
+        ca = self._rows_of(added, self.base_cols)
+        cr = self._rows_of(removed, self.base_cols)
+        out = []
+        for row, n in sorted((ca - cr).items(), key=lambda kv: str(kv[0])):
+            out.extend([row + ("insert", v)] * n)
+        for row, n in sorted((cr - ca).items(), key=lambda kv: str(kv[0])):
+            out.extend([row + ("delete", v)] * n)
+        return out
+
+    def _span_rows(self, lo: int, hi: int):
+        _, _, horizon = _txlog_replay(self.log_dir, max(_txlog_versions(self.log_dir), default=0))
+        if horizon > 0 and lo <= horizon:
+            raise ValueError(
+                f"txlog_changes from version {lo}: time-travel horizon is {horizon} "
+                "(pre-images were vacuumed)"
+            )
+        rows = []
+        for v in _txlog_versions(self.log_dir):
+            if lo <= v < hi:
+                rows.extend(self._changes_for(v))
+        return rows
+
+    def read(self, start):
+        lo = int(start["next_version"])
+        vs = _txlog_versions(self.log_dir)
+        latest_next = (vs[-1] + 1) if vs else lo
+        hi = latest_next if self.batch_versions is None else min(
+            lo + self.batch_versions, latest_next
+        )
+        if hi <= lo:
+            return iter([]), {"next_version": lo}
+        return iter(self._span_rows(lo, hi)), {"next_version": hi}
+
+    def readBetweenOffsets(self, start, end):
+        # arbitrary spans: availableNow/replay may coalesce prefetches
+        return iter(self._span_rows(int(start["next_version"]), int(end["next_version"])))
+
+
+class TxChangesDataSource(DataSource):
+    """format name: ``txlog_changes`` — stream a TxTable's change data
+    feed (insert/delete row images per commit). Options: ``path`` (table
+    root, required), ``starting_version`` (inclusive, default 0),
+    ``batch_versions`` (commits per micro-batch — a LIVE-trigger rate
+    limit; default uncapped so availableNow drains fully). The schema
+    is the table's CURRENT schema + ``_change_type``/``_commit_version``
+    (older commits' rows null-fill columns added later)."""
+
+    @classmethod
+    def name(cls):
+        return "txlog_changes"
+
+    def schema(self):
+        import json
+        import os
+
+        from pyspark.sql import types as T
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txlog_changes requires a path option")
+        log_dir = os.path.join(path, "_txlog")
+        vs = _txlog_versions(log_dir)
+        if not vs:
+            raise ValueError(f"no transaction log at {path}")
+        _, schema_json, _ = _txlog_replay(log_dir, vs[-1])
+        base = T.StructType.fromJson(json.loads(schema_json))
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.IntegerType()),
+            ]
+        )
+
+    def simpleStreamReader(self, schema):
+        return _TxChangesStreamReader(self.options)

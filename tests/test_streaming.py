@@ -1012,3 +1012,53 @@ def test_stream_static_scd2_enrichment_equals_batch_pit_lookup(spark, tmp_path):
     assert got == want
     tiers = {r[0]: r[3] for r in got}
     assert tiers[100] == "bronze" and tiers[101] == "gold" and tiers[103] is None
+
+
+def test_txlog_change_feed_streaming_source(spark, tmp_path):
+    """spark.readStream.format('txlog_changes'): micro-batches align with
+    log versions, the drained stream equals batch read_changes, OPTIMIZE
+    emits nothing, and a restarted query resumes from its checkpointed
+    version without re-emitting (exactly-once)."""
+    from data_warehouse_punta_fina_spark.sources.pydatasource import TxChangesDataSource
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    t.delete_where("k = 2")
+    t.compact(1)
+
+    spark.dataSource.register(TxChangesDataSource)
+    out_dir = str(tmp_path / "cdf_out")
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_changes")
+            .option("path", str(tmp_path / "tx"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt_cdf"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    got = drain()
+    want = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in t.read_changes(0).collect()
+    }
+    assert got == want and len(got) == 4  # 3 inserts + 1 delete; compact silent
+
+    # new commits arrive; the RESUMED query appends only them (the sink
+    # accumulates, so the delta is got2 - got — exactly-once means no
+    # re-emitted old rows and exactly the one new insert)
+    t.append(spark.createDataFrame([(9, "z")], "k int, v string"))
+    got2 = drain()
+    assert got2 - got == {(9, "z", "insert", t._versions()[-1])}
+    assert len(got2) == len(got) + 1
