@@ -33,6 +33,14 @@ AUDITED = [
     "doc_segment_dedup",
     "doc_collocations",
     "events_drift_psi",
+    # round-5 session-5 additions
+    "lineitem_ols_trend",
+    "doc_bpe_merges",
+    "customer_supplier_link",
+    "part_triangles",
+    "events_key_skew",
+    "events_value_buckets",
+    "events_asof_nearest",
 ]
 
 
