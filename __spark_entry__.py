@@ -173,6 +173,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "doc_ngram_jaccard": ["jaccard"],
     "doc_lsh_verified": ["jaccard"],
     "ann_brute_topk": ["cosine"],
+    "ann_sq8_topk": ["cosine"],
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
     "ann_ivf_trained_probe3": ["cosine"],
@@ -2056,6 +2057,16 @@ def _build_registries():
             tolerance_seconds=1800,
         )
 
+    def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # int8 scalar-quantized ANN (FAISS SQ8 tier): asymmetric-distance
+        # scan over 1-byte codes, exact rerank of the top-20 candidates
+        # (operators.similarity.sq8_topk) — codes cut the scan 4x, the
+        # reported cosines stay exact
+        from data_warehouse_punta_fina_spark.operators.similarity import sq8_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return sq8_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, rerank=20)
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2314,6 +2325,8 @@ def _build_registries():
         "batch_token_stats": batch_token_stats,
         "doc_pack_bins": doc_pack_bins,
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
+        # session-5: int8 scalar-quantized ANN with exact rerank
+        "ann_sq8_topk": ann_sq8_topk,
         # wave-9 demotions (driver-green r1-r4; families still covered)
         "scd2_pit_lookup": scd2_pit_lookup,
         "dim_catalogs": dim_catalogs,
@@ -4700,6 +4713,51 @@ SELECT event_type, daypart, observed,
        expected,
        {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
 FROM e
+"""
+
+    # session-5: SQ8 scalar-quantized ANN — per-dim integer lo/hi fit,
+    # half-up rational code rounding, asymmetric scan at ×255 scale
+    # (scale cancels in cosine), exact rerank of the top-20
+    _sq8_xhat_sql = """list_transform(generate_series(1, 64), i ->
+      CASE WHEN f.hi[i] = f.lo[i] THEN f.lo[i] * 255
+           ELSE CAST(FLOOR(CAST((cv[i] - f.lo[i]) * 510 + (f.hi[i] - f.lo[i]) AS DOUBLE)
+                           / CAST(2 * (f.hi[i] - f.lo[i]) AS DOUBLE)) AS BIGINT)
+                * (f.hi[i] - f.lo[i]) + f.lo[i] * 255
+      END)"""
+    o["ann_sq8_topk"] = f"""
+WITH c AS (
+  SELECT vec_id, {_QUANT_VEC} AS cv FROM embeddings
+),
+per AS (
+  SELECT i, MIN(cv[i]) AS lo, MAX(cv[i]) AS hi
+  FROM c, generate_series(1, 64) AS g(i) GROUP BY i
+),
+f AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM per),
+enc AS (
+  SELECT vec_id, {_sq8_xhat_sql} AS xhat FROM c CROSS JOIN f
+),
+q AS (
+  SELECT vec_id AS query_id, {_QUANT_VEC} AS qv FROM embeddings WHERE vec_id < 8
+),
+approx AS (
+  SELECT q.query_id, enc.vec_id AS neighbor_id,
+         {_cosine_sql("q.qv", "enc.xhat")} AS approx
+  FROM q, enc WHERE enc.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS r
+    FROM approx
+  ) WHERE r <= 20
+),
+exact AS (
+  SELECT cand.query_id, cand.neighbor_id, {_cosine_sql("q.qv", "c.cv")} AS cosine
+  FROM cand JOIN c ON c.vec_id = cand.neighbor_id JOIN q USING (query_id)
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact
+) WHERE rank <= 5
 """
 
     # session-5: merge_asof nearest — the same union+window construction

@@ -79,6 +79,20 @@ HEADLINE = [
     "events_asof_nearest",
 ]
 
+# the round-4 headline (BENCH_r04.json) — kept verbatim so every later
+# bench can report a like-for-like subtotal next to the growing total
+R4_HEADLINE = [
+    "fact_ventas", "star_revenue_by_pais_trimestre", "ventas_daily_summary",
+    "fact_inventario", "fact_transacciones", "fact_balance",
+    "fact_estado_resultados", "lineitem_pricing_summary",
+    "top_discount_line_per_order", "dedup_lineitem", "events_tumbling_window",
+    "doc_text_stats", "doc_exact_dedup", "doc_minhash_lsh", "doc_ngram_jaccard",
+    "doc_simhash", "ann_brute_topk", "ann_ivf_topk", "emb_near_dup",
+    "sql_revenue_by_nation", "asof_last_order", "events_sessionized",
+    "corpus_term_freq", "doc_repetition", "doc_bm25_topk", "doc_surprisal",
+    "doc_incremental_dedup", "scd2_pit_lookup",
+]
+
 
 def _oracle_times(entrymod, sf_dir: str, names: list[str]) -> dict[str, float]:
     """Per-query DuckDB oracle wall times over the same parquet tables —
@@ -189,6 +203,15 @@ def main() -> None:
         # cross-round per-query comparisons to r1-r4 single-run series
         # should expect ~10-20% lower readings on the cheap tier
         "fast_query_min_of_2": True,
+        # cross-round comparability: the headline GROWS as operator
+        # families land (28 queries in r4 → 50 now), so the wall total is
+        # NOT a like-for-like series. This is the sum over exactly the
+        # 28-query r4 headline — compare THIS against BENCH_r04's 47.94 s
+        # (and the r4 value against BASELINE.md's 71.17 s reference).
+        "value_r4_subset_28q": round(
+            sum(times[n] for n in R4_HEADLINE if n in times), 3
+        ),
+        "r4_subset_queries": sorted(n for n in R4_HEADLINE if n in times),
     }
     if errors:
         out["errors"] = errors

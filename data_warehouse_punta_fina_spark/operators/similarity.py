@@ -368,3 +368,107 @@ def random_projection(
             .alias("value"),
         )
     )
+
+
+def sq8_fit(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """FIT half of int8 scalar quantization (the FAISS ``SQ8`` /
+    Milvus ``IVF_SQ8`` compression tier): one row with per-dimension
+    quantized ``lo``/``hi`` bounds (int64 arrays, ×1000 scale). The model
+    is tiny (2·d ints), broadcastable, persistable — codes encode any
+    later batch against the SAME bounds.
+
+    All integer: per-dim min/max over the quantized components (one
+    posexplode + map-side-combined groupBy(pos), re-assembled with
+    array_sort — never collect_list order)."""
+    ex = corpus.select(F.posexplode(quantize(vec_col)).alias("pos", "qx"))
+    per = ex.groupBy("pos").agg(F.min("qx").alias("lo"), F.max("qx").alias("hi"))
+    return per.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
+        ).alias("lo"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "hi"))), lambda s: s["hi"]
+        ).alias("hi"),
+    )
+
+
+def _sq8_xhat(qvec, lo, hi):
+    """Reconstructed vector at ×255 scale, pure int64: code_i = half-up
+    round of (x_i−lo_i)·255/span_i (integer rational rounding —
+    floor((2n+d)/2d); constant dims code 0), then x̂·255 = lo·255 +
+    code·span. Exact on both engines; scale factors cancel in cosine."""
+    spans = F.zip_with(hi, lo, lambda h, l: h - l)
+    deltas = F.zip_with(qvec, lo, lambda x, l: x - l)
+    codes = F.zip_with(
+        deltas,
+        spans,
+        lambda d, s: F.when(s == 0, F.lit(0).cast("long")).otherwise(
+            F.floor((d * 510 + s).cast("double") / (s * 2).cast("double")).cast("long")
+        ),
+    )
+    return F.zip_with(
+        F.zip_with(codes, spans, lambda c, s: c * s), lo, lambda cs, l: cs + l * 255
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """ANN top-k over int8 scalar-quantized codes with EXACT re-ranking —
+    the memory-compression tier next to the blocking tiers (sign buckets,
+    trained IVF): codes are d bytes instead of 4d, so the full-corpus
+    approximate scan reads ~4× less and the exact float path touches only
+    ``rerank`` candidates per query.
+
+    Stage 1 scores every (query, code) pair with the asymmetric distance
+    (query at full precision × reconstructed x̂ — integer-exact dot/norms,
+    one double division, round-6) and keeps the top ``rerank`` per query;
+    stage 2 re-scores ONLY those candidates with the exact quantized
+    cosine and emits the top ``k``. Output matches
+    :func:`brute_force_topk`: (query_id, neighbor_id, cosine, rank) with
+    EXACT cosines — SQ8 affects which candidates survive, never the
+    reported score. Both fit and queries broadcast; the corpus shuffles
+    only the per-query candidate reductions.
+    """
+    qid = query_id_col or id_col
+    fit = sq8_fit(corpus, vec_col)
+    enc = corpus.crossJoin(F.broadcast(fit)).select(
+        F.col(id_col),
+        _sq8_xhat(quantize(vec_col), F.col("lo"), F.col("hi")).alias("xhat"),
+    )
+    enc = enc.select(id_col, "xhat", norm_sq_q(F.col("xhat")).alias("xn"))
+    q = _prepare(queries, qid, vec_col).withColumnRenamed(qid, "query_id")
+    approx = (
+        enc.alias("c")
+        .join(F.broadcast(q.alias("q")), F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            cosine_q(F.col("q.qvec"), F.col("c.xhat"), F.col("q.nsq"), F.col("c.xn")).alias(
+                "approx"
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cand = approx.withColumn("_r", F.row_number().over(wa)).filter(F.col("_r") <= rerank)
+    cq = _prepare(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    exact = (
+        cand.select("query_id", "neighbor_id")
+        .join(cq.alias("c"), "neighbor_id")
+        .join(F.broadcast(q.alias("q")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(F.col("q.qvec"), F.col("c.qvec"), F.col("q.nsq"), F.col("c.nsq")).alias(
+                "cosine"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)

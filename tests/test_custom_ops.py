@@ -1097,3 +1097,38 @@ def test_asof_join_values_tie_prefers_backward_and_dup_times_resolve(spark):
     n = asof_join_values(left, right, "k", "t", "rt", ["price"], "nearest").collect()[0]
     # equidistant (60min both ways): backward wins
     assert n["rt_asof"] == _ts("2024-01-01 09:00:00") and n["price_asof"] == 9.0
+
+
+def test_sq8_topk_with_full_rerank_equals_brute_force(spark, sf_dir):
+    """With rerank >= corpus, SQ8's candidate stage cannot drop the true
+    neighbors, so the exact-rerank output must equal brute force exactly
+    (same ids, same cosines, same ranks). With a small rerank, every
+    reported (pair, cosine) must still be an exact brute-force score —
+    quantization may change WHICH candidates survive, never the score."""
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    n = emb.count()
+
+    brute = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in sq8_topk(emb, queries, k=5, rerank=n).collect()
+    }
+    assert full == brute
+
+    small = sq8_topk(emb, queries, k=5, rerank=10).collect()
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, queries, k=n - 1).collect()
+    }
+    for r in small:
+        assert exact_all[(r["query_id"], r["neighbor_id"])] == r["cosine"]

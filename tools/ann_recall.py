@@ -77,9 +77,12 @@ def main() -> None:
         .select("query_id", "neighbor_id")
     )
 
+    from data_warehouse_punta_fina_spark.operators.similarity import sq8_topk
+
     tiers = {
         "jl16_brute": brute_force_topk(proj, proj_q, k=k),
         "jl16_rerank50": rer,
+        "sq8_rerank20": sq8_topk(emb, queries, k=k, rerank=20),
         "ivf_sign4": ivf_topk(emb, queries, k=k, bits=4),
         "ivf_sign6": ivf_topk(emb, queries, k=k, bits=6),
         "ivf_sign6_multiprobe": ivf_topk(emb, queries, k=k, bits=6, multiprobe=True),
@@ -90,6 +93,7 @@ def main() -> None:
     scan_fraction = {
         "jl16_brute": 1.0,  # full scan, but every dot product costs 1/4
         "jl16_rerank50": 1.0,  # 1/4-cost scan + exact re-rank of 50/query
+        "sq8_rerank20": 1.0,  # full scan over 1-byte codes (4x less IO) + 20/query exact
         "ivf_sign4": 1 / 16,
         "ivf_sign6": 1 / 64,
         "ivf_sign6_multiprobe": 7 / 64,
