@@ -2067,6 +2067,23 @@ def _build_registries():
         emb = load_table(spark, sf_dir, "embeddings")
         return sq8_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, rerank=20)
 
+    def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # pairwise Pearson correlations among the lineitem measures per
+        # returnflag — multi-measure sufficient statistics, one aggregate
+        # (operators.stats.grouped_corr_matrix; generated oracle)
+        from data_warehouse_punta_fina_spark.operators.stats import grouped_corr_matrix
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("flag"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+        return grouped_corr_matrix(
+            li, ["flag"], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], scale=3
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2327,6 +2344,8 @@ def _build_registries():
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
         # session-5: int8 scalar-quantized ANN with exact rerank
         "ann_sq8_topk": ann_sq8_topk,
+        # session-5: per-group pairwise correlation matrix
+        "lineitem_corr_matrix": lineitem_corr_matrix,
         # wave-9 demotions (driver-green r1-r4; families still covered)
         "scd2_pit_lookup": scd2_pit_lookup,
         "dim_catalogs": dim_catalogs,
@@ -4714,6 +4733,17 @@ SELECT event_type, daypart, observed,
        {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
 FROM e
 """
+
+    # session-5: grouped correlation matrix — generated oracle from the
+    # same measures/scale
+    from data_warehouse_punta_fina_spark.operators.stats import grouped_corr_oracle_sql
+
+    o["lineitem_corr_matrix"] = grouped_corr_oracle_sql(
+        "SELECT l_returnflag AS flag, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem",
+        ["flag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        scale=3,
+    )
 
     # session-5: SQ8 scalar-quantized ANN — per-dim integer lo/hi fit,
     # half-up rational code rounding, asymmetric scan at ×255 scale

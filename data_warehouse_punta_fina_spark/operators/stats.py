@@ -252,3 +252,118 @@ def bucketize_with_cuts(
     return df.crossJoin(F.broadcast(cuts)).select(
         *df.columns, F.when(x.isNotNull(), expr).alias(out)
     )
+
+
+def grouped_corr_matrix(
+    df: DataFrame,
+    group_cols: list[str],
+    measures: list[str],
+    scale: int = 3,
+) -> DataFrame:
+    """Pairwise Pearson correlations among ``measures`` per group — the
+    multi-measure generalization of :func:`grouped_ols` (one aggregate of
+    sufficient statistics; no iteration, no per-pair passes).
+
+    One row per group × unordered measure pair (i < j):
+
+        (group_cols..., m_a, m_b, n, corr)
+
+    ``corr`` is NULL when either measure is constant in the group.
+    Exactness: every measure quantizes to int64 at ``scale`` decimals;
+    all Σx, Σx², Σxy accumulate exactly (decimal(38,0) products — the
+    sf100 posture); the closing corr is fixed-order IEEE + round-6.
+
+    Scale shape: ONE map-side-combined groupBy computing d + d(d+1)/2
+    fixed-width sums (d = |measures|) — 100 TB collapses to |groups|
+    rows; the pair explosion happens on the aggregated rows only.
+    """
+    d = len(measures)
+    qs = [_quant(m, scale).alias(f"_q{i}") for i, m in enumerate(measures)]
+    aggs = [F.count("*").alias("_n")]
+    for i in range(d):
+        aggs.append(F.sum(f"_q{i}").alias(f"_s{i}"))
+        for j in range(i, d):
+            aggs.append(
+                F.sum(F.col(f"_q{i}").cast("decimal(38,0)") * F.col(f"_q{j}")).alias(
+                    f"_p{i}_{j}"
+                )
+            )
+    agg = df.select(*[F.col(c) for c in group_cols], *qs).groupBy(*group_cols).agg(*aggs)
+    f = float(10**scale)
+    n = F.col("_n").cast("double")
+    r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+
+    def s(i):
+        return F.col(f"_s{i}").cast("double") / F.lit(f)
+
+    def p(i, j):
+        return F.col(f"_p{i}_{j}").cast("double") / F.lit(f * f)
+
+    rows = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            cov_n = n * p(i, j) - s(i) * s(j)
+            var_i = n * p(i, i) - s(i) * s(i)
+            var_j = n * p(j, j) - s(j) * s(j)
+            rows.append(
+                agg.select(
+                    *[F.col(c) for c in group_cols],
+                    F.lit(measures[i]).alias("m_a"),
+                    F.lit(measures[j]).alias("m_b"),
+                    F.col("_n").alias("n"),
+                    F.when(
+                        (var_i != 0) & (var_j != 0),
+                        r6(cov_n / F.sqrt(var_i * var_j)),
+                    ).alias("corr"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def grouped_corr_oracle_sql(
+    source_sql: str,
+    group_cols: list[str],
+    measures: list[str],
+    scale: int = 3,
+) -> str:
+    """DuckDB twin of :func:`grouped_corr_matrix`, generated from the
+    same measures/scale (BIGINT products at oracle scale factors)."""
+    g = ", ".join(group_cols)
+    f = float(10**scale)
+    d = len(measures)
+    qcols = ", ".join(
+        f"CAST(FLOOR({m} * {f} + 0.5) AS BIGINT) AS q{i}" for i, m in enumerate(measures)
+    )
+    sums = ["COUNT(*) AS _n"]
+    for i in range(d):
+        sums.append(f"SUM(q{i}) AS s{i}")
+        for j in range(i, d):
+            sums.append(f"SUM(CAST(q{i} AS DECIMAL(38,0)) * q{j}) AS p{i}_{j}")
+
+    def r6(e):
+        return f"CAST(CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE)"
+
+    selects = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            sn, si, sj = "CAST(_n AS DOUBLE)", f"(CAST(s{i} AS DOUBLE) / {f})", f"(CAST(s{j} AS DOUBLE) / {f})"
+            pij = f"(CAST(p{i}_{j} AS DOUBLE) / {f * f})"
+            pii = f"(CAST(p{i}_{i} AS DOUBLE) / {f * f})"
+            pjj = f"(CAST(p{j}_{j} AS DOUBLE) / {f * f})"
+            cov = f"({sn} * {pij} - {si} * {sj})"
+            vi = f"({sn} * {pii} - {si} * {si})"
+            vj = f"({sn} * {pjj} - {sj} * {sj})"
+            selects.append(
+                f"""SELECT {g}, '{measures[i]}' AS m_a, '{measures[j]}' AS m_b, _n AS n,
+       CASE WHEN {vi} <> 0 AND {vj} <> 0 THEN {r6(f"{cov} / sqrt({vi} * {vj})")} END AS corr
+FROM agg"""
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH q AS (SELECT {g}, {qcols} FROM ({source_sql}) src),
+agg AS (SELECT {g}, {', '.join(sums)} FROM q GROUP BY {g})
+{union}
+"""

@@ -145,3 +145,39 @@ def test_mixture_allocation_water_filling(spark):
     # remaining 790 all to big
     assert got3["small"]["allocated"] == 10 and got3["mid"]["allocated"] == 200
     assert got3["big"]["allocated"] == 790
+
+
+def test_grouped_corr_matrix_known_values(spark):
+    import math
+
+    from data_warehouse_punta_fina_spark.operators.stats import grouped_corr_matrix
+
+    rows = []
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    for x in xs:
+        rows.append(("g", x, 2.0 * x + 1.0, -3.0 * x, 7.0))
+    df = spark.createDataFrame(rows, "g string, a double, b double, c double, k double")
+    out = {
+        (r["m_a"], r["m_b"]): r["corr"]
+        for r in grouped_corr_matrix(df, ["g"], ["a", "b", "c", "k"], scale=3).collect()
+    }
+    assert len(out) == 6  # 4 choose 2
+    assert out[("a", "b")] == 1.0    # perfect positive
+    assert out[("a", "c")] == -1.0   # perfect negative
+    assert out[("b", "c")] == -1.0
+    # constant measure -> NULL corr with everything
+    assert out[("a", "k")] is None and out[("b", "k")] is None and out[("c", "k")] is None
+
+    # noisy pair matches the numpy closed form
+    ys = [2.1, 3.7, 6.2, 8.1, 11.0]
+    df2 = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, a double, b double"
+    )
+    got = grouped_corr_matrix(df2, ["g"], ["a", "b"], scale=4).collect()[0]["corr"]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert math.isclose(got, want, abs_tol=5e-6)
