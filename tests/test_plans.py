@@ -702,3 +702,36 @@ def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
     }, plan[:900]
     # the partition filter must be a directory prune, not a data filter
     assert re.search(r"PartitionFilters: \[[^\]]*l_returnflag", plan), plan[:900]
+
+
+def test_session5_query_plan_shapes(spark):
+    """Plan-shape gates for the session-5 families (the tf-idf precedent:
+    plan regressions are cheaper to catch than bench regressions):
+    - grouped OLS is ONE exchange (a single map-side-combined aggregate);
+    - the linkage block join broadcasts the small (supplier) side and
+      pushes the block-key IsNotNull filters into both scans;
+    - merge_asof pushes the event_type equality into both scans and never
+      produces a nested-loop / cartesian join.
+    """
+    import re
+
+    import __spark_entry__ as entrymod
+
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
+    sf = "/root/testdata/sf0.001"
+
+    ols = qs["lineitem_ols_trend"](spark, sf)
+    plan = ols._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange ", plan)) == 1, plan[:800]
+
+    link = qs["customer_supplier_link"](spark, sf)
+    plan = link._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "IsNotNull(c_nationkey)" in plan and "IsNotNull(s_nationkey)" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    asof = qs["events_asof_nearest"](spark, sf)
+    plan = asof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("EqualTo(event_type") >= 2, plan[:800]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
