@@ -1132,3 +1132,41 @@ def test_sq8_topk_with_full_rerank_equals_brute_force(spark, sf_dir):
     }
     for r in small:
         assert exact_all[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_txtable_concurrent_writers_serialize_without_lost_commits(spark, tmp_path):
+    """ACID under contention: N threads race appends against one table;
+    exclusive-create commits serialize them into N distinct versions with
+    every row present exactly once (losers retry on the next version, no
+    lost updates, no duplicated files)."""
+    import threading
+
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(0, -1)], "writer int, seq int"))
+
+    n_writers, rows_each = 6, 5
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            df = spark.createDataFrame(
+                [(w, i) for i in range(rows_each)], "writer int, seq int"
+            )
+            TxTable(spark, str(tmp_path / "tx")).append(df)
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(1, n_writers + 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    # every commit serialized: seed + one version per writer
+    assert len(t._versions()) == n_writers + 1
+    got = sorted((r["writer"], r["seq"]) for r in t.read().collect())
+    want = sorted([(0, -1)] + [(w, i) for w in range(1, n_writers + 1) for i in range(rows_each)])
+    assert got == want
