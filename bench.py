@@ -77,6 +77,8 @@ HEADLINE = [
     "events_key_skew",
     "events_value_buckets",
     "events_asof_nearest",
+    "ann_sq8_topk",
+    "lineitem_corr_matrix",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
