@@ -1583,3 +1583,52 @@ def test_psi_categorical_vanished_category(spark):
     assert drift["b"]["n_cur"] == 0 and float(drift["b"]["p_cur"]) == 1e-06
     total = sum(float(r["psi_term"]) for r in drift.values())
     assert 0.25 < total < 1e6  # clearly drifted, finite
+
+
+def test_plan_lsh_params_s_curve_optimizer():
+    from data_warehouse_punta_fina_spark.operators.dedup import plan_lsh_params
+
+    # low threshold -> many bands (recall); high threshold -> fewer,
+    # longer bands (precision); threshold_50 tracks the request
+    lo = plan_lsh_params(0.2, 12)
+    hi = plan_lsh_params(0.8, 12)
+    assert lo["bands"] > hi["bands"]
+    assert abs(lo["threshold_50"] - 0.2) < 0.25
+    assert abs(hi["threshold_50"] - 0.8) < 0.25
+    # the chosen split must beat every other divisor split on the
+    # weighted area under its own objective
+    import math
+
+    def areas(bands, rows, t):
+        fp = fn = 0.0
+        for i in range(1000):
+            s = (i + 0.5) / 1000
+            p = 1.0 - (1.0 - s**rows) ** bands
+            if s < t:
+                fp += p
+            else:
+                fn += 1.0 - p
+        return fp / 1000, fn / 1000
+
+    t = 0.5
+    got = plan_lsh_params(t, 16)
+    best_err = 0.5 * got["fp_area"] + 0.5 * got["fn_area"]
+    for b in (1, 2, 4, 8, 16):
+        fp, fn = areas(b, 16 // b, t)
+        # the planner reports round-6 areas -> compare at that precision
+        assert best_err <= 0.5 * fp + 0.5 * fn + 1e-6
+    # low thresholds drive toward the max-band split (recall-dominated:
+    # at t=0.2 the planner picks 12x1), mid thresholds balance (16 -> 4x4)
+    assert plan_lsh_params(0.2, 12)["bands"] == 12
+    assert (got["bands"], 16 // got["bands"]) == (4, 4)
+    # a recall-weighted objective never picks fewer bands than the
+    # precision-weighted one at the same threshold
+    assert (
+        plan_lsh_params(0.5, 16, fn_weight=0.9)["bands"]
+        >= plan_lsh_params(0.5, 16, fn_weight=0.1)["bands"]
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        plan_lsh_params(1.5, 12)
