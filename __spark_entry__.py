@@ -2084,6 +2084,51 @@ def _build_registries():
             li, ["flag"], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], scale=3
         )
 
+    def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the tokenizer loop closed: train 6 BPE merges on the corpus,
+        # apply them to the word vocabulary (broadcast — vocab-sized),
+        # count subword tokens per document (what budget/mixture
+        # accounting actually consumes)
+        from data_warehouse_punta_fina_spark.operators.bpe import (
+            bpe_apply,
+            bpe_train,
+            word_frequency,
+        )
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+
+        docs = load_table(spark, sf_dir, "documents")
+        wf = word_frequency(docs)
+        seg = bpe_apply(wf, bpe_train(wf, merges=6), merges=6).select(
+            "word", F.size(F.split("sym", " ")).alias("_nsub")
+        )
+        from data_warehouse_punta_fina_spark.functions.text import tokens as _toks
+
+        dw = (
+            _spread(docs.select("doc_id", _toks("text").alias("_t")))
+            .select("doc_id", F.explode("_t").alias("word"))
+            .groupBy("doc_id", "word")
+            .agg(F.count("*").alias("_c"))
+        )
+        per_doc = (
+            dw.join(F.broadcast(seg), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("_c").alias("n_words"),
+                F.sum(F.col("_c") * F.col("_nsub")).alias("n_bpe_tokens"),
+            )
+        )
+        return (
+            docs.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
+                F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+                .cast("bigint")
+                .alias("n_bpe_tokens"),
+            )
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2346,6 +2391,8 @@ def _build_registries():
         "ann_sq8_topk": ann_sq8_topk,
         # session-5: per-group pairwise correlation matrix
         "lineitem_corr_matrix": lineitem_corr_matrix,
+        # session-5: BPE applied — per-doc subword token accounting
+        "doc_bpe_token_counts": doc_bpe_token_counts,
         # wave-9 demotions (driver-green r1-r4; families still covered)
         "scd2_pit_lookup": scd2_pit_lookup,
         "dim_catalogs": dim_catalogs,
@@ -4967,12 +5014,33 @@ FROM supplier"""
 
     # session-5: BPE merge-table training — oracle generated for the same
     # merge count from the same word-count source (unrolled CTE per merge)
-    from data_warehouse_punta_fina_spark.operators.bpe import bpe_oracle_sql
-
-    o["doc_bpe_merges"] = bpe_oracle_sql(
-        f"SELECT word, COUNT(*) AS freq FROM (SELECT unnest({_TOKENS}) AS word FROM documents) GROUP BY word",
-        merges=6,
+    from data_warehouse_punta_fina_spark.operators.bpe import (
+        bpe_oracle_sql,
+        bpe_segmentation_oracle_sql,
     )
+
+    _BPE_WC_SQL = f"SELECT word, COUNT(*) AS freq FROM (SELECT unnest({_TOKENS}) AS word FROM documents) GROUP BY word"
+    o["doc_bpe_merges"] = bpe_oracle_sql(_BPE_WC_SQL, merges=6)
+
+    o["doc_bpe_token_counts"] = f"""
+WITH seg AS (
+  SELECT word, len(string_split(sym, ' ')) AS nsub
+  FROM ({bpe_segmentation_oracle_sql(_BPE_WC_SQL, merges=6)}) applied
+),
+dwc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_TOKENS}) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_words, SUM(c * nsub) AS n_bpe_tokens
+  FROM dwc JOIN seg USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
 
     # decimal→double at the output boundary (twin of _dbl_out; see module
     # docstring — the driver's hasher canonicalizes decimals inconsistently)

@@ -173,6 +173,17 @@ def bpe_apply(words: DataFrame, merge_table: DataFrame, merges: int) -> DataFram
     return out.select(*words.columns, sym.alias("sym"))
 
 
+def bpe_segmentation_oracle_sql(word_counts_sql: str, merges: int = 6) -> str:
+    """Oracle for the APPLIED tokenizer: (word, sym) after ``merges``
+    rounds — i.e. the final vocab CTE of :func:`bpe_oracle_sql`'s unroll,
+    exposed so composed queries (per-doc token counts) can reuse the
+    exact same training chain."""
+    full = bpe_oracle_sql(word_counts_sql, merges)
+    # keep the WITH chain, swap the final merge-table SELECT for the vocab
+    head = full.rsplit("\nSELECT 1 AS rank", 1)[0]
+    return head + f"\nSELECT word, sym FROM v{merges}"
+
+
 def bpe_oracle_sql(word_counts_sql: str, merges: int = 6) -> str:
     """DuckDB twin of :func:`bpe_train`, generated for the same number of
     merges from the same (word, freq) source SQL — the unrolled-iteration
