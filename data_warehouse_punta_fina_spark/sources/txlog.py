@@ -105,7 +105,14 @@ class TxTable:
                     st = c.statistics
                     if st is None or not st.has_min_max:
                         continue
-                    lo, hi = st.min, st.max
+                    try:
+                        lo, hi = st.min, st.max
+                    except Exception:
+                        # pyarrow cannot CAST some footer statistics to
+                        # Python values (e.g. decimal128 raises
+                        # ArrowNotImplementedError) — such columns simply
+                        # carry no skip stats, they must not fail a COMMIT
+                        continue
                     if isinstance(lo, bytes):
                         try:
                             lo, hi = lo.decode(), hi.decode()

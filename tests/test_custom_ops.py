@@ -1170,3 +1170,23 @@ def test_txtable_concurrent_writers_serialize_without_lost_commits(spark, tmp_pa
     got = sorted((r["writer"], r["seq"]) for r in t.read().collect())
     want = sorted([(0, -1)] + [(w, i) for w in range(1, n_writers + 1) for i in range(rows_each)])
     assert got == want
+
+
+def test_txtable_commit_survives_decimal_columns(spark, tmp_path):
+    """Regression: pyarrow raises ArrowNotImplementedError when casting
+    decimal128 footer statistics — a decimal-columned append must still
+    COMMIT (the column just carries no skip stats; other columns keep
+    theirs)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    df = spark.createDataFrame([(1, "3.50"), (2, "4.25")], "k int, amt string").select(
+        "k", F.col("amt").cast("decimal(15,2)").alias("amt")
+    )
+    v = t.append(df)  # must not raise
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    stats = t._entry(v).get("stats") or {}
+    per_file = next(iter(stats.values()))
+    assert "k" in per_file and "amt" not in per_file
