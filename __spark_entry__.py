@@ -2129,6 +2129,51 @@ def _build_registries():
             )
         )
 
+    def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # embedding-space drift monitor: per-label centroid of the even-id
+        # half vs the odd-id half (a stand-in for baseline vs current
+        # period), reporting centroid cosine + quantized L2 shift —
+        # the vector-space counterpart of the PSI value-drift monitors.
+        # Exactness: per-cell int64 sums; centroids as exact rationals
+        # (sum, n) — the cosine/L2 close over integers with one double
+        # step each, round-6.
+        from data_warehouse_punta_fina_spark.functions.money import pround
+        from data_warehouse_punta_fina_spark.functions.vectors import quantize
+
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def cells(df, tag):
+            return (
+                df.select("label", F.posexplode(quantize("embedding")).alias("pos", "q"))
+                .groupBy("label", "pos")
+                .agg(F.sum("q").alias(f"s_{tag}"), F.count("*").alias(f"n_{tag}"))
+            )
+
+        a = cells(emb.filter(F.col("vec_id") % 2 == 0), "a")
+        b = cells(emb.filter(F.col("vec_id") % 2 == 1), "b")
+        j = a.join(b, ["label", "pos"])
+        # centroid components as exact rationals: ca = s_a/n_a. All the
+        # cross terms stay integer: dot = Σ s_a·s_b / (n_a·n_b) etc —
+        # multiply through by (n_a·n_b)² to keep sums integral:
+        # cos = Σ s_a·s_b / sqrt(Σ s_a² · Σ s_b²) (n factors cancel).
+        agg = j.groupBy("label").agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.sum(F.col("s_a").cast("decimal(38,0)") * F.col("s_b")).alias("_dot"),
+            F.sum(F.col("s_a").cast("decimal(38,0)") * F.col("s_a")).alias("_na2"),
+            F.sum(F.col("s_b").cast("decimal(38,0)") * F.col("s_b")).alias("_nb2"),
+        )
+        r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+        return agg.select(
+            "label",
+            "n_a",
+            "n_b",
+            r6(
+                F.col("_dot").cast("double")
+                / F.sqrt(F.col("_na2").cast("double") * F.col("_nb2").cast("double"))
+            ).alias("centroid_cosine"),
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2393,6 +2438,8 @@ def _build_registries():
         "lineitem_corr_matrix": lineitem_corr_matrix,
         # session-5: BPE applied — per-doc subword token accounting
         "doc_bpe_token_counts": doc_bpe_token_counts,
+        # session-5: embedding centroid drift monitor
+        "emb_centroid_drift": emb_centroid_drift,
         # wave-9 demotions (driver-green r1-r4; families still covered)
         "scd2_pit_lookup": scd2_pit_lookup,
         "dim_catalogs": dim_catalogs,
@@ -4779,6 +4826,31 @@ SELECT event_type, daypart, observed,
        expected,
        {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
 FROM e
+"""
+
+    # session-5: embedding centroid drift — per-label per-dim int sums,
+    # n factors cancel in the centroid cosine so every sum stays integral
+    o["emb_centroid_drift"] = f"""
+WITH cells AS (
+  SELECT label, i AS pos,
+         SUM(CASE WHEN vec_id % 2 = 0 THEN qv[i] END) AS s_a,
+         COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
+         SUM(CASE WHEN vec_id % 2 = 1 THEN qv[i] END) AS s_b,
+         COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_b
+  FROM (SELECT vec_id, label, {_QUANT_VEC} AS qv FROM embeddings), generate_series(1, 64) AS g(i)
+  GROUP BY label, i
+),
+agg AS (
+  SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         SUM(CAST(s_a AS DECIMAL(38,0)) * s_b) AS _dot,
+         SUM(CAST(s_a AS DECIMAL(38,0)) * s_a) AS _na2,
+         SUM(CAST(s_b AS DECIMAL(38,0)) * s_b) AS _nb2
+  FROM cells GROUP BY label
+  HAVING MAX(n_a) > 0 AND MAX(n_b) > 0
+)
+SELECT label, n_a, n_b,
+       CAST(CAST(FLOOR((CAST(_dot AS DOUBLE) / sqrt(CAST(_na2 AS DOUBLE) * CAST(_nb2 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE) AS centroid_cosine
+FROM agg
 """
 
     # session-5: grouped correlation matrix — generated oracle from the
