@@ -174,6 +174,8 @@ _DEC_COLS: dict[str, list[str]] = {
     "doc_lsh_verified": ["jaccard"],
     "ann_brute_topk": ["cosine"],
     "ann_sq8_topk": ["cosine"],
+    "ann_pq_topk": ["cosine"],
+    "emb_mmr_diverse": ["relevance"],
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
     "ann_ivf_trained_probe3": ["cosine"],
@@ -2067,6 +2069,28 @@ def _build_registries():
         emb = load_table(spark, sf_dir, "embeddings")
         return sq8_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, rerank=20)
 
+    def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # product-quantization ANN (FAISS PQ tier, Jegou et al. 2011):
+        # 4 subspaces x 8 codebook centroids trained in ONE grouped Lloyd
+        # chain, asymmetric-distance scan over m-byte codes via a
+        # broadcast LUT, exact rerank of the top-20 candidates
+        # (operators.similarity.pq_topk) — at scale the scan reads
+        # 4 small ints per vector instead of 256 bytes
+        from data_warehouse_punta_fina_spark.operators.similarity import pq_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return pq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, m=4, n_centroids=8, iters=2, rerank=20)
+
+    def emb_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # maximal-marginal-relevance diversified top-5 (Carbonell &
+        # Goldstein 1998): greedy relevance-vs-redundancy selection over a
+        # top-20 relevance pool, λ=1/2 — all score comparisons in exact
+        # int64 millionths (operators.similarity.mmr_topk; unrolled oracle)
+        from data_warehouse_punta_fina_spark.operators.similarity import mmr_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return mmr_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, pool=20)
+
     def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pairwise Pearson correlations among the lineitem measures per
         # returnflag — multi-measure sufficient statistics, one aggregate
@@ -2434,6 +2458,10 @@ def _build_registries():
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
         # session-5: int8 scalar-quantized ANN with exact rerank
         "ann_sq8_topk": ann_sq8_topk,
+        # session-6: product-quantization ANN (ADC scan + exact rerank)
+        "ann_pq_topk": ann_pq_topk,
+        # session-6: MMR diversified selection over the relevance pool
+        "emb_mmr_diverse": emb_mmr_diverse,
         # session-5: per-group pairwise correlation matrix
         "lineitem_corr_matrix": lineitem_corr_matrix,
         # session-5: BPE applied — per-doc subword token accounting
@@ -2811,6 +2839,119 @@ def _kmeans_near_dup_sql(n_centroids: int = 16, iters: int = 2, threshold: float
         f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine\n"
         "FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id\n"
         f"WHERE {cos} >= {threshold}"
+    )
+
+
+def _pq_topk_sql(
+    m: int = 4, n_centroids: int = 8, iters: int = 2, k: int = 5, rerank: int = 20,
+    dims: int = 64,
+) -> str:
+    """SQL twin of operators.similarity.pq_topk: per-subspace Lloyd
+    iterations unrolled (grouped by ``sub`` — the m codebooks train in the
+    same CTE chain), ADC scoring via the (query, sub, cid) partial-dot
+    LUT, exact-cosine rerank of the top ``rerank``."""
+    d = dims // m
+
+    def sdist(sv: str, cv: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {d}), "
+            f"i -> ({sv}[i] - {cv}[i]) * ({sv}[i] - {cv}[i])))"
+        )
+
+    parts = [
+        f"v AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings)",
+        f"vs AS (SELECT vec_id, sub, qv[(sub * {d} + 1):((sub + 1) * {d})] AS sv "
+        f"FROM v CROSS JOIN range(0, {m}) t(sub))",
+        f"seed AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT {n_centroids})",
+        "c0 AS (SELECT vs.sub, vs.vec_id AS cid, vs.sv AS cv FROM vs JOIN seed USING (vec_id))",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts += [
+            f"d{it} AS (SELECT vs.vec_id, vs.sub, vs.sv, c.cid, {sdist('vs.sv', 'c.cv')} AS dist "
+            f"FROM vs JOIN {prev} c ON c.sub = vs.sub)",
+            f"a{it} AS (SELECT vec_id, sub, sv, cid FROM d{it} "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1)",
+            f"u{it} AS (SELECT sub, cid, i, SUM(sv[i]) AS s, COUNT(*) AS n "
+            f"FROM a{it} CROSS JOIN range(1, {d + 1}) t(i) GROUP BY sub, cid, i)",
+            f"c{it} AS (SELECT sub, cid, list(CAST(FLOOR((2 * s + n) / (2 * n)) AS BIGINT) ORDER BY i) AS cv "
+            f"FROM u{it} GROUP BY sub, cid)",
+        ]
+        prev = f"c{it}"
+    adot = "CAST(SUM(l.pdot) AS DOUBLE)"
+    xn2 = "CAST(SUM(l.cn2) AS DOUBLE)"
+    qn2 = "CAST(ANY_VALUE(l.qn2) AS DOUBLE)"
+    parts += [
+        f"dF AS (SELECT vs.vec_id, vs.sub, vs.sv, c.cid, {sdist('vs.sv', 'c.cv')} AS dist "
+        f"FROM vs JOIN {prev} c ON c.sub = vs.sub)",
+        "af AS (SELECT vec_id, sub, cid FROM dF "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1)",
+        f"cf AS (SELECT sub, cid, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM {prev})",
+        "q AS (SELECT vec_id AS query_id, qv, "
+        "list_sum(list_transform(qv, x -> x * x)) AS qn2 FROM v WHERE vec_id < 8)",
+        f"qs AS (SELECT query_id, qn2, sub, qv[(sub * {d} + 1):((sub + 1) * {d})] AS qsv "
+        f"FROM q CROSS JOIN range(0, {m}) t(sub))",
+        "lut AS (SELECT qs.query_id, qs.qn2, cf.sub, cf.cid, "
+        f"list_sum(list_transform(generate_series(1, {d}), i -> qs.qsv[i] * cf.cv[i])) AS pdot, "
+        "cf.cn2 FROM qs JOIN cf ON cf.sub = qs.sub)",
+        "approx AS (SELECT l.query_id, a.vec_id AS neighbor_id, "
+        f"{_r6(f'{adot} / sqrt({xn2} * {qn2})')} AS approx "
+        "FROM af a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid "
+        "WHERE a.vec_id <> l.query_id GROUP BY l.query_id, a.vec_id)",
+        "cand AS (SELECT query_id, neighbor_id FROM approx "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) <= {rerank})",
+        "exact AS (SELECT cand.query_id, cand.neighbor_id, "
+        f"{_cosine_sql('q.qv', 'cv2.qv')} AS cosine "
+        "FROM cand JOIN v cv2 ON cv2.vec_id = cand.neighbor_id "
+        "JOIN q ON q.query_id = cand.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (\n"
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank\n"
+        f"  FROM exact\n) WHERE rank <= {k}"
+    )
+
+
+def _mmr_sql(k: int = 5, pool: int = 20, lam_num: int = 1, lam_den: int = 2) -> str:
+    """SQL twin of operators.similarity.mmr_topk: the k−1 greedy rounds
+    unrolled as CTEs. Scores compare in exact BIGINT millionths derived
+    from the round-6 DECIMAL cosines (decimal × int is exact in both
+    engines), so the picked set is bit-identical."""
+    parts = [
+        f"v AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings)",
+        "q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < 8)",
+        "scored AS (SELECT q.query_id, v.vec_id AS neighbor_id, "
+        f"{_cosine_sql('q.qv', 'v.qv')} AS rel "
+        "FROM q JOIN v ON v.vec_id <> q.query_id)",
+        "pool AS (SELECT query_id, neighbor_id, rel, "
+        "CAST(rel * 1000000 AS BIGINT) AS rel_i FROM scored "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) <= {pool})",
+        "pairs AS (SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b, "
+        f"CAST({_cosine_sql('va.qv', 'vb.qv')} * 1000000 AS BIGINT) AS sim_i "
+        "FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id "
+        "JOIN v va ON va.vec_id = a.neighbor_id JOIN v vb ON vb.vec_id = b.neighbor_id)",
+        "sel1 AS (SELECT query_id, neighbor_id, 1 AS step, rel AS relevance FROM pool "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel_i DESC, neighbor_id) = 1)",
+    ]
+    prev = "sel1"
+    for step in range(2, k + 1):
+        parts += [
+            f"r{step} AS (SELECT p.query_id, p.neighbor_id, p.rel, p.rel_i, MAX(pr.sim_i) AS ms_i "
+            "FROM pool p "
+            f"LEFT JOIN {prev} sx ON sx.query_id = p.query_id AND sx.neighbor_id = p.neighbor_id "
+            "JOIN pairs pr ON pr.query_id = p.query_id AND pr.id_a = p.neighbor_id "
+            f"JOIN {prev} s ON s.query_id = pr.query_id AND s.neighbor_id = pr.id_b "
+            "WHERE sx.neighbor_id IS NULL GROUP BY 1, 2, 3, 4)",
+            f"p{step} AS (SELECT query_id, neighbor_id, {step} AS step, rel AS relevance FROM r{step} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+            f"({lam_num} * rel_i - {lam_den - lam_num} * ms_i) DESC, neighbor_id) = 1)",
+            f"sel{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{step})",
+        ]
+        prev = f"sel{step}"
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT query_id, neighbor_id, CAST(step AS INT) AS step, relevance FROM {prev}"
     )
 
 
@@ -3889,6 +4030,8 @@ SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
 FROM t GROUP BY bucket
 """
 
+    o["ann_pq_topk"] = _pq_topk_sql(m=4, n_centroids=8, iters=2, k=5, rerank=20)
+    o["emb_mmr_diverse"] = _mmr_sql(k=5, pool=20, lam_num=1, lam_den=2)
     o["ann_ivf_trained_topk"] = _kmeans_ivf_sql(n_centroids=16, iters=2, k=5)
     o["ann_ivf_trained_probe3"] = _kmeans_ivf_sql(n_centroids=16, iters=2, k=5, probes=3)
     o["emb_near_dup_trained"] = _kmeans_near_dup_sql(n_centroids=16, iters=2, threshold=0.35)

@@ -71,6 +71,9 @@ from data_warehouse_punta_fina_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     embedding_near_dup_pairs,
     ivf_topk,
+    mmr_topk,
+    pq_fit,
+    pq_topk,
     projection_matrix,
     random_projection,
     sign_bucket,

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_punta_fina_spark.functions.vectors import cosine_q, norm_sq_q, quantize
+from data_warehouse_punta_fina_spark.functions.vectors import cosine_q, dot_q, norm_sq_q, quantize
 
 
 def _prepare(df: DataFrame, id_col: str, vec_col: str, bucket_bits: int | None = None) -> DataFrame:
@@ -472,3 +472,316 @@ def sq8_topk(
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the FAISS PQ / IVF-PQ compression tier)
+# ---------------------------------------------------------------------------
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, dims: int) -> DataFrame:
+    """(id, sub, sv): each quantized vector split into ``m`` contiguous
+    subvectors of dims/m components. One projection + one explode of an
+    m-element array — the raw embedding column is touched once."""
+    d_sub = dims // m
+    q = quantize(vec_col)
+    subs = F.array(
+        *[
+            F.struct(F.lit(s).alias("sub"), F.slice(q, s * d_sub + 1, d_sub).alias("sv"))
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(subs).alias("_s")).select(
+        id_col, F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv")
+    )
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``m`` subvectors and k-means each subspace independently — a vector
+    is then representable as ``m`` small codes (m bytes at k≤256) instead
+    of 4·dims bytes, the compression tier below SQ8 (:func:`sq8_fit`).
+
+    All ``m`` subspace fits run as ONE grouped Lloyd iteration chain —
+    rows are (vec_id, sub, sv) and every step groups by ``sub``, so the
+    m codebooks train in a single pass over the corpus per iteration
+    (never m sequential jobs). Determinism matches :func:`kmeans_fit`:
+    seeds are the n_centroids smallest ids' subvectors (no RNG), exact
+    int64 squared-L2 argmin with (dist, cid) tie-break, means rounded to
+    int64 via floor((2s+n)/(2n)), emptied clusters drop out.
+
+    Returns (sub, cid, cvec, cn2): the codebook plus each centroid's
+    precomputed squared norm (int64) — the ADC scorer needs it for the
+    reconstructed-vector norm and it costs one array fold here vs one
+    per corpus row later.
+    """
+    if dims % m != 0:
+        raise ValueError(f"dims ({dims}) must be divisible by m ({m})")
+    vs = _subvectors(corpus, id_col, vec_col, m, dims)
+    # seed ids chosen once, globally (TakeOrdered — no global sort), then
+    # the per-sub seed codebooks are those ids' subvectors
+    seed_ids = corpus.select(id_col).orderBy(id_col).limit(n_centroids)
+    cent = vs.join(F.broadcast(seed_ids), id_col).select(
+        "sub", F.col(id_col).alias("cid"), F.col("sv").alias("cvec")
+    )
+    for _ in range(iters):
+        assigned = _assign_sub(vs, cent, id_col)
+        pos = assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "q"))
+        stats = pos.groupBy("sub", "cid", "pos").agg(
+            F.sum("q").alias("s"), F.count("*").alias("n")
+        )
+        comp = stats.withColumn(
+            "c", F.floor((2 * F.col("s") + F.col("n")) / (2 * F.col("n"))).cast("long")
+        )
+        cent = comp.groupBy("sub", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda t: t["c"]
+            ).alias("cvec")
+        )
+    return cent.withColumn("cn2", norm_sq_q(F.col("cvec")))
+
+
+def _assign_sub(vs: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Per-(vector, subspace) nearest-centroid assignment: broadcast the
+    m·k codebook rows, exact int64 argmin, (dist, cid) tie-break. The
+    window partitions on (id, sub) — n_centroids rows each, never
+    data-sized."""
+    scored = vs.join(F.broadcast(cent.select("sub", "cid", "cvec")), "sub").withColumn(
+        "dist", _sq_dist_q(F.col("sv"), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("dist", "cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub", "sv", "cid")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_centroids: int = 8,
+    iters: int = 2,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    dims: int = 64,
+    codebook_path: str | None = None,
+) -> DataFrame:
+    """ANN top-k over PQ codes with asymmetric-distance scoring and EXACT
+    re-ranking — the full IVF-PQ search recipe minus the coarse stage
+    (compose with :func:`ivf_trained_topk`'s cell assignment for that).
+
+    Stage 1 (ADC): each query precomputes a lookup table of partial dot
+    products against every (sub, centroid) — |Q|·m·k rows, broadcast —
+    and a corpus vector's approximate dot is the sum of m LUT hits keyed
+    by its codes. The shuffle carries (query_id, vec_id, int64 partial)
+    rows; document vectors themselves never move after encoding. The
+    approximate cosine divides by the RECONSTRUCTED norm (Σ sub-centroid
+    norms — exact int64 from the codebook's ``cn2``), so scores are
+    deterministic on any engine. Stage 2 re-scores only the top
+    ``rerank`` per query with the exact quantized cosine, exactly like
+    :func:`sq8_topk` — PQ decides which candidates survive, never the
+    reported score.
+
+    At 100 TB the corpus persists as (vec_id, sub, cid) int codes
+    (``codebook_path`` makes the codebook itself durable/reusable): the
+    approximate scan reads m small ints per vector instead of 4·dims
+    bytes — 64× less I/O at the defaults — and the exact path touches
+    rerank·|Q| vectors.
+    """
+    from data_warehouse_punta_fina_spark.functions.money import pround6
+    from data_warehouse_punta_fina_spark.operators.materialize import materialize
+
+    qid = query_id_col or id_col
+    cb = materialize(
+        pq_fit(corpus, m, n_centroids, iters, id_col, vec_col, dims), codebook_path
+    )
+    codes = _assign_sub(_subvectors(corpus, id_col, vec_col, m, dims), cb, id_col).select(
+        id_col, "sub", "cid"
+    )
+    q = _prepare(queries, qid, vec_col).withColumnRenamed(qid, "query_id")
+    # LUT: per (query, sub, centroid) partial dot of the query's SUBVECTOR
+    # against the centroid — tiny (|Q|·m·k rows), stays broadcast
+    d_sub = dims // m
+    qsub = q.select(
+        "query_id",
+        "nsq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice(F.col("qvec"), s * d_sub + 1, d_sub).alias("qsv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select("query_id", "nsq", F.col("_s.sub").alias("sub"), F.col("_s.qsv").alias("qsv"))
+    lut = qsub.join(cb, "sub").select(
+        "query_id",
+        "nsq",
+        "sub",
+        "cid",
+        dot_q(F.col("qsv"), F.col("cvec")).alias("pdot"),
+        "cn2",
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("pdot").alias("_adot"),
+            F.sum("cn2").alias("_xn2"),
+            F.first("nsq").alias("_qn2"),
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            pround6(
+                F.col("_adot").cast("double")
+                / F.sqrt(F.col("_xn2").cast("double") * F.col("_qn2").cast("double"))
+            ).alias("approx"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cand = approx.withColumn("_r", F.row_number().over(wa)).filter(F.col("_r") <= rerank)
+    cq = _prepare(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    exact = (
+        cand.select("query_id", "neighbor_id")
+        .join(cq.alias("c"), "neighbor_id")
+        .join(F.broadcast(q.alias("q")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(F.col("q.qvec"), F.col("c.qvec"), F.col("q.nsq"), F.col("c.nsq")).alias(
+                "cosine"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(wk).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR — diversified top-k selection (Carbonell & Goldstein 1998)
+# ---------------------------------------------------------------------------
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Maximal-marginal-relevance top-k: greedily pick documents that are
+    relevant to the query but DISSIMILAR to what's already picked —
+    the standard diversified-selection recipe for retrieval-augmented
+    example curation (a plain top-k returns k near-copies whenever the
+    corpus has duplicates; MMR returns k different ones).
+
+        MMR(d) = λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s)
+
+    λ is a RATIONAL ``lam_num/lam_den`` and every score comparison runs
+    in exact int64 (the round-6 cosines' unscaled millionths):
+    ``mmr_i = lam_num·rel_i − (lam_den−lam_num)·max_sim_i``, ordered by
+    (mmr_i desc, id). No float arithmetic anywhere in the selection, so
+    the picked set is bit-identical on any engine and any partitioning.
+
+    Scale shape: stage 1 is :func:`brute_force_topk`'s map-side top-
+    ``pool`` scan (the corpus never shuffles whole vectors); stage 2
+    computes the pool's pairwise sims ONCE — |Q|·pool² tiny rows,
+    materialized; the k−1 greedy rounds then touch only those two small
+    tables (each round: one anti-join + one max-agg + one pool-sized
+    argmax window). Greedy MMR is inherently sequential in k — k is
+    single digits in practice, and each round's frames are
+    query-count-sized, so the rounds cost scheduler time, not data time.
+
+    Output: (query_id, neighbor_id, step, relevance) — ``step`` 1..k in
+    pick order; ``relevance`` is the exact round-6 cosine to the query.
+    """
+    if not (0 < lam_num <= lam_den):
+        raise ValueError(f"need 0 < lam_num <= lam_den, got {lam_num}/{lam_den}")
+    top = brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
+                           query_id_col=query_id_col)
+    # exact int64 millionths of the round-6 cosine
+    rel_i = (F.col("cosine") * F.lit(1_000_000)).cast("long")
+    pool_df = top.select(
+        "query_id", "neighbor_id", F.col("cosine").alias("relevance"), rel_i.alias("rel_i")
+    ).localCheckpoint(eager=False)
+    # pairwise sims among each query's pool members (pool² per query, tiny)
+    pv = pool_df.select("query_id", "neighbor_id").join(
+        _prepare(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id"),
+        "neighbor_id",
+    )
+    a, b = pv.alias("a"), pv.alias("b")
+    sim_i = (
+        cosine_q(F.col("a.qvec"), F.col("b.qvec"), F.col("a.nsq"), F.col("b.nsq"))
+        * F.lit(1_000_000)
+    ).cast("long")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("id_a"),
+            F.col("b.neighbor_id").alias("id_b"),
+            sim_i.alias("sim_i"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel_i"), F.asc("neighbor_id"))
+    selected = (
+        pool_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("step"), "relevance")
+    ).localCheckpoint(eager=False)
+    for step in range(2, k + 1):
+        remaining = pool_df.join(
+            selected.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        )
+        max_sim = (
+            pairs.join(
+                selected.select("query_id", F.col("neighbor_id").alias("id_b")),
+                ["query_id", "id_b"],
+            )
+            .groupBy("query_id", F.col("id_a").alias("neighbor_id"))
+            .agg(F.max("sim_i").alias("ms_i"))
+        )
+        scored = remaining.join(max_sim, ["query_id", "neighbor_id"]).withColumn(
+            "mmr_i",
+            F.lit(lam_num) * F.col("rel_i") - F.lit(lam_den - lam_num) * F.col("ms_i"),
+        )
+        ws = Window.partitionBy("query_id").orderBy(F.desc("mmr_i"), F.asc("neighbor_id"))
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(ws))
+            .filter(F.col("_rn") == 1)
+            .select("query_id", "neighbor_id", F.lit(step).alias("step"), "relevance")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(
+        "query_id", "neighbor_id", F.col("step").cast("int").alias("step"), "relevance"
+    )

@@ -1632,3 +1632,104 @@ def test_plan_lsh_params_s_curve_optimizer():
 
     with _pytest.raises(ValueError):
         plan_lsh_params(1.5, 12)
+
+
+def test_pq_fit_codebook_shape_and_grouping(spark):
+    # m codebooks train in one grouped chain: m*k rows (minus any emptied
+    # clusters), subvector length dims/m, cn2 = exact squared norm
+    from data_warehouse_punta_fina_spark.operators.similarity import pq_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_fit(emb, m=4, n_centroids=8, iters=1).collect()
+    assert len(cb) <= 32 and len({(r["sub"], r["cid"]) for r in cb}) == len(cb)
+    assert {r["sub"] for r in cb} == {0, 1, 2, 3}
+    for r in cb:
+        assert len(r["cvec"]) == 16
+        assert r["cn2"] == sum(c * c for c in r["cvec"])
+
+
+def test_pq_topk_with_full_rerank_equals_brute_force(spark):
+    # rerank >= corpus size makes the ADC stage pure candidate generation
+    # over everything — the exact rerank must then reproduce brute force
+    # bit-for-bit (scores AND ranks)
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in pq_topk(emb, q, k=3, m=4, n_centroids=8, iters=1, rerank=10_000).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    assert got == want
+
+
+def test_pq_topk_scores_are_exact_cosines(spark):
+    # PQ decides WHICH candidates survive, never the reported score: every
+    # emitted cosine must equal the exact quantized cosine of that pair
+    from data_warehouse_punta_fina_spark.functions.vectors import QUANT
+    from data_warehouse_punta_fina_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def quant(v):
+        import math
+
+        return [math.floor(float(x) * QUANT + 0.5) for x in v]
+
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 2), k=5, rerank=20).collect()
+    assert len(out) == 10
+    import math
+
+    for r in out:
+        a, b = quant(vecs[r["query_id"]]), quant(vecs[r["neighbor_id"]])
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        want = math.floor(dot / math.sqrt(na * nb) * 1e6 + 0.5) / 1e6
+        assert float(r["cosine"]) == want
+
+
+def test_mmr_skips_near_duplicates_plain_topk_does_not(spark):
+    # corpus: two near-identical highly-relevant vectors + one moderately
+    # relevant orthogonal one. Plain top-2 returns the duplicate pair;
+    # MMR picks one of them, then the orthogonal doc.
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    dim = 64
+    a = [1.0] + [0.0] * (dim - 1)           # cluster A
+    a2 = [1.0, 0.01] + [0.0] * (dim - 2)    # near-duplicate of A
+    b = [0.0] * 32 + [1.0] + [0.0] * 31     # orthogonal cluster B
+    qv = [0.8] + [0.0] * 31 + [0.6] + [0.0] * 31  # between A and B, closer to A
+    emb = spark.createDataFrame(
+        [(1, a), (2, a2), (3, b)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame([(0, qv)], "vec_id long, embedding array<float>")
+
+    plain = [r["neighbor_id"] for r in
+             brute_force_topk(emb, q, k=2).orderBy("rank").collect()]
+    assert plain == [1, 2]  # top-2 by pure relevance = the duplicate pair
+
+    mmr = {(r["step"], r["neighbor_id"]) for r in mmr_topk(emb, q, k=2, pool=3).collect()}
+    assert mmr == {(1, 1), (2, 3)}  # step 2 skips the near-copy, takes B
+
+
+def test_mmr_steps_are_distinct_and_pool_bound(spark):
+    from data_warehouse_punta_fina_spark.operators.similarity import mmr_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = mmr_topk(emb, emb.filter(F.col("vec_id") < 3), k=4, pool=10).collect()
+    assert len(out) == 12
+    for qid in (0, 1, 2):
+        picks = [r["neighbor_id"] for r in out if r["query_id"] == qid]
+        assert len(set(picks)) == 4  # no repeats across steps
