@@ -176,6 +176,9 @@ _DEC_COLS: dict[str, list[str]] = {
     "ann_sq8_topk": ["cosine"],
     "ann_pq_topk": ["cosine"],
     "emb_mmr_diverse": ["relevance"],
+    "events_type_hour_mi": ["mi_term"],
+    "events_ks_value_drift": ["f_base", "f_cur", "ks_term"],
+    "nation_revenue_concentration": ["total", "gini", "top_share"],
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
     "ann_ivf_trained_probe3": ["cosine"],
@@ -1921,6 +1924,49 @@ def _build_registries():
             {"a": "event_type", "b": "daypart"}
         )
 
+    def events_type_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # mutual-information decomposition of the same contingency the χ²
+        # screen tests: per-cell (n_ab/N)·ln(N·n_ab/(n_a·n_b)) in nats,
+        # SUM = I(type; daypart) — operators.stats.mutual_information
+        from data_warehouse_punta_fina_spark.operators.stats import mutual_information
+
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_type"),
+            (F.floor(F.hour("ts") / F.lit(6)) * F.lit(6)).cast("int").alias("daypart"),
+        )
+        return mutual_information(ev, "event_type", "daypart").withColumnsRenamed(
+            {"a": "event_type", "b": "daypart"}
+        )
+
+    def events_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # two-sample KS on the baseline's decile grid: click-events' value
+        # CDF vs everything else, exact counts at each fitted cut
+        # (operators.stats.ks_grid_drift ∘ quantile_cuts_fit — grid-KS is
+        # within 1/10 of exact KS by construction); MAX(ks_term) is the
+        # statistic, the per-cut rows are the drill-down
+        from data_warehouse_punta_fina_spark.operators.stats import (
+            ks_grid_drift,
+            quantile_cuts_fit,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+        grid = quantile_cuts_fit(ev.filter(F.col("event_type") == "click"), "value", 10)
+        return ks_grid_drift(ev, "value", "event_type", "click", grid)
+
+    def nation_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-nation Gini + top-customer share of order revenue — the
+        # sorted-rank Gini identity, one group-partitioned window, exact
+        # int64 sufficient statistics (operators.stats.group_concentration)
+        from data_warehouse_punta_fina_spark.operators.stats import group_concentration
+
+        o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+        c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        joined = o.join(c, o.o_custkey == c.c_custkey).join(
+            F.broadcast(n), c.c_nationkey == n.n_nationkey
+        )
+        return group_concentration(joined, ["n_name"], "c_custkey", "o_totalprice", 2)
+
     def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BPE tokenizer training (Sennrich et al. 2016): the first 6 merge
         # rules learned from the corpus word-frequency table — one
@@ -2462,6 +2508,10 @@ def _build_registries():
         "ann_pq_topk": ann_pq_topk,
         # session-6: MMR diversified selection over the relevance pool
         "emb_mmr_diverse": emb_mmr_diverse,
+        # session-6: information/inequality/drift statistics
+        "events_type_hour_mi": events_type_hour_mi,
+        "events_ks_value_drift": events_ks_value_drift,
+        "nation_revenue_concentration": nation_revenue_concentration,
         # session-5: per-group pairwise correlation matrix
         "lineitem_corr_matrix": lineitem_corr_matrix,
         # session-5: BPE applied — per-doc subword token accounting
@@ -4969,6 +5019,82 @@ SELECT event_type, daypart, observed,
        expected,
        {_CHI_R6.format(e="(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected")} AS chi2_term
 FROM e
+"""
+
+    # session-6: mutual information over the same contingency as the χ²
+    # screen — lr rounded FIRST (absorbs ln's last ulp), term second,
+    # mirroring operators.stats.mutual_information's op order
+    o["events_type_hour_mi"] = f"""
+WITH cells AS (
+  SELECT event_type, CAST(CAST(FLOOR(hour(ts) / 6) AS BIGINT) * 6 AS INT) AS daypart,
+         COUNT(*) AS observed
+  FROM events GROUP BY 1, 2
+),
+ra AS (SELECT event_type, SUM(observed) AS _na FROM cells GROUP BY event_type),
+cb AS (SELECT daypart, SUM(observed) AS _nb FROM cells GROUP BY daypart),
+tot AS (SELECT SUM(observed) AS _n FROM cells),
+e AS (
+  SELECT c.event_type, c.daypart, c.observed, tot._n,
+         {_CHI_R6.format(e="ln(CAST(_n AS DOUBLE) * CAST(observed AS DOUBLE) / (CAST(_na AS DOUBLE) * CAST(_nb AS DOUBLE)))")} AS _lr
+  FROM cells c JOIN ra USING (event_type) JOIN cb USING (daypart) CROSS JOIN tot
+)
+SELECT event_type, daypart, observed,
+       {_CHI_R6.format(e="(CAST(observed AS DOUBLE) / CAST(_n AS DOUBLE)) * _lr")} AS mi_term
+FROM e
+"""
+
+    # session-6: grid-KS drift — decile cuts fitted on the click slice,
+    # exact conditional counts, round-6 CDFs (operators.stats.ks_grid_drift)
+    _ks_cuts = ", ".join(
+        f"quantile_cont(value, {j / 10!r}) AS cut_{j}" for j in range(1, 10)
+    )
+    _ks_counts = ", ".join(
+        f"SUM(CASE WHEN event_type = 'click' AND value <= cut_{j} THEN 1 ELSE 0 END) AS cb{j}, "
+        f"SUM(CASE WHEN event_type <> 'click' AND value <= cut_{j} THEN 1 ELSE 0 END) AS cc{j}"
+        for j in range(1, 10)
+    )
+    _ks_rows = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, CAST(cut_{j} AS DOUBLE) AS cut, n_base, n_cur, cb{j} AS _cb, cc{j} AS _cc FROM agg, cuts"
+        for j in range(1, 10)
+    )
+    o["events_ks_value_drift"] = f"""
+WITH src AS (SELECT event_type, value FROM events),
+cuts AS (SELECT {_ks_cuts} FROM src WHERE event_type = 'click'),
+agg AS (
+  SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS n_cur,
+         {_ks_counts}
+  FROM src CROSS JOIN cuts
+),
+rows_ AS ({_ks_rows})
+SELECT CAST(j AS INT) AS j, cut, n_base, n_cur,
+       {_CHI_R6.format(e="CAST(_cb AS DOUBLE) / CAST(n_base AS DOUBLE)")} AS f_base,
+       {_CHI_R6.format(e="CAST(_cc AS DOUBLE) / CAST(n_cur AS DOUBLE)")} AS f_cur,
+       {_CHI_R6.format(e="abs(CAST(_cb AS DOUBLE) / CAST(n_base AS DOUBLE) - CAST(_cc AS DOUBLE) / CAST(n_cur AS DOUBLE))")} AS ks_term
+FROM rows_
+"""
+
+    # session-6: per-nation Gini via the sorted-rank identity — unit
+    # totals are exact int64 cents, rank-weighted sums exact, closing
+    # formula mirrors operators.stats.group_concentration's op order
+    o["nation_revenue_concentration"] = f"""
+WITH t AS (
+  SELECT n_name, c_custkey AS u,
+         CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS xq
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+tot AS (SELECT n_name, u, SUM(xq) AS x FROM t GROUP BY 1, 2),
+rk AS (SELECT n_name, u, x, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY x, u) AS i FROM tot),
+a AS (
+  SELECT n_name, COUNT(*) AS n_units, SUM(x) AS sx, SUM(i * x) AS six, MAX(x) AS xmax
+  FROM rk GROUP BY n_name
+)
+SELECT n_name, n_units,
+       {_CHI_R6.format(e="CAST(sx AS DOUBLE) / 100.0")} AS total,
+       {_CHI_R6.format(e="2.0 * CAST(six AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(sx AS DOUBLE)) - (CAST(n_units AS DOUBLE) + 1.0) / CAST(n_units AS DOUBLE)")} AS gini,
+       {_CHI_R6.format(e="CAST(xmax AS DOUBLE) / CAST(sx AS DOUBLE)")} AS top_share
+FROM a
 """
 
     # session-5: embedding centroid drift — per-label per-dim int sums,

@@ -367,3 +367,185 @@ WITH q AS (SELECT {g}, {qcols} FROM ({source_sql}) src),
 agg AS (SELECT {g}, {', '.join(sums)} FROM q GROUP BY {g})
 {union}
 """
+
+
+def ks_grid_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    baseline: str,
+    grid: DataFrame,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift evaluated on an explicit CUT
+    GRID — the numeric companion to the categorical PSI monitor
+    (``quality.psi_report_categorical``): compare the empirical CDFs of a
+    numeric column between a baseline slice and everything else, at each
+    grid point.
+
+    The exact KS statistic needs the supremum over ALL observed values —
+    a data-sized global ordering (the one window shape this repo bans at
+    scale). Evaluating both CDFs on a FIXED grid bounds the error by the
+    grid's mesh (max CDF mass between adjacent cuts) and keeps the
+    computation one scan: compose with :func:`quantile_cuts_fit` on the
+    baseline so the grid is the baseline's quantiles — then each gap
+    holds ~1/n_buckets of baseline mass, so grid-KS ≥ exact-KS −
+    1/n_buckets, a calibrated resolution knob, not a silent heuristic.
+
+    ``grid`` is a 1-row DataFrame of ``cut_*`` columns (exactly
+    :func:`quantile_cuts_fit`'s output, or any literal row). One row per
+    cut: (j, cut, n_base, n_cur, f_base, f_cur, ks_term) with
+    ``ks_term = |f_base − f_cur|``; ``MAX(ks_term)`` is the statistic.
+
+    Shape: the grid row broadcasts; counts are ONE conditional aggregate
+    over the scan (2·|grid| exact integer sums + 2 totals — no
+    data×grid row blow-up, no shuffle beyond the 1-row agg); CDFs are
+    single divisions on exact ints, round-6.
+    """
+    cut_cols = sorted(
+        (c for c in grid.columns if c.startswith("cut_")),
+        key=lambda s: int(s.split("_")[1]),
+    )
+    is_base = F.col(side_col) == F.lit(baseline)
+    x = F.col(value_col)
+    with_grid = df.select(x.alias("_x"), is_base.alias("_b")).crossJoin(F.broadcast(grid))
+    aggs = [
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("_nb"),
+        F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("_nc"),
+    ]
+    for j, c in enumerate(cut_cols, start=1):
+        below = F.col("_x") <= F.col(c)
+        aggs += [
+            F.sum(F.when(F.col("_b") & below, 1).otherwise(0)).alias(f"_cb{j}"),
+            F.sum(F.when((~F.col("_b")) & below, 1).otherwise(0)).alias(f"_cc{j}"),
+            F.first(F.col(c)).alias(f"_g{j}"),
+        ]
+    one = with_grid.agg(*aggs)
+    per_cut = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"_g{j}").cast("double").alias("cut"),
+                        F.col("_nb").alias("n_base"),
+                        F.col("_nc").alias("n_cur"),
+                        F.col(f"_cb{j}").alias("_cb"),
+                        F.col(f"_cc{j}").alias("_cc"),
+                    )
+                    for j in range(1, len(cut_cols) + 1)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+    fb = F.col("_cb").cast("double") / F.col("n_base").cast("double")
+    fc = F.col("_cc").cast("double") / F.col("n_cur").cast("double")
+    return per_cut.select(
+        F.col("j").cast("int").alias("j"),
+        "cut",
+        "n_base",
+        "n_cur",
+        r6(fb).alias("f_base"),
+        r6(fc).alias("f_cur"),
+        r6(F.abs(fb - fc)).alias("ks_term"),
+    )
+
+
+def group_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    unit_col: str,
+    value_col: str,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Per-group concentration profile of ``value_col`` across units —
+    Gini coefficient plus the top-unit share (e.g. "how concentrated is
+    revenue across customers within each nation?"). The inequality lens
+    a curation pipeline points at corpus composition too (token share
+    across sources/domains).
+
+    Gini from the sorted-rank identity: with unit totals x_1≤…≤x_n
+    (ranked ascending), G = (2·Σ i·x_i)/(n·Σ x_i) − (n+1)/n — one
+    window pass per group, no pairwise |x_i − x_j| join. Ties on the
+    total are rank-assignment INVARIANT (two tied units contribute
+    t·(r + r+1) either way), and the (total, unit) ordering is total, so
+    the value is deterministic regardless.
+
+    Exactness: unit totals are quantized int64 sums (scale
+    ``value_scale``); Σ i·x_i and Σ x_i are exact int64; the closing
+    formula is fixed-order IEEE on those ints, round-6. Windows
+    partition by GROUP (group-sized, never global). Output: one row per
+    group — (group…, n_units, total, gini, top_share).
+    """
+    from pyspark.sql import Window
+
+    totals = df.groupBy(*group_cols, F.col(unit_col).alias("_unit")).agg(
+        F.sum(_quant(value_col, value_scale)).alias("_x")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_x"), F.asc("_unit"))
+    ranked = totals.withColumn("_i", F.row_number().over(w))
+    r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count("*").alias("n_units"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_i").cast("long") * F.col("_x")).alias("_six"),
+        F.max("_x").alias("_xmax"),
+    )
+    n = F.col("n_units").cast("double")
+    sx = F.col("_sx").cast("double")
+    gini = (F.lit(2.0) * F.col("_six").cast("double")) / (n * sx) - (n + F.lit(1.0)) / n
+    return agg.select(
+        *group_cols,
+        "n_units",
+        r6(sx / F.lit(float(10**value_scale))).alias("total"),
+        r6(gini).alias("gini"),
+        r6(F.col("_xmax").cast("double") / sx).alias("top_share"),
+    )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pointwise mutual-information decomposition between two categorical
+    columns — the information-theoretic companion to
+    :func:`chi2_independence` (same contingency shape, different lens:
+    MI measures the strength of association in nats, per cell).
+
+    One row per observed (a, b) cell:
+
+        (a, b, observed, mi_term)   with
+        mi_term = (n_ab/N)·ln(N·n_ab/(n_a·n_b))
+
+    so ``SUM(mi_term)`` is the mutual information I(A;B). Structural
+    zeros contribute exactly 0 to MI (lim p→0 of p·ln p terms), so
+    emitting only observed cells loses nothing — unlike χ², where the
+    missing-cell mass is real (see :func:`chi2_independence`'s note).
+
+    Exactness: counts are exact ints; ln is the one engine-library call
+    — round-6 immediately absorbs any last-ulp divergence (the BM25 idf
+    argument); the term is a second fixed-order product, round-6'd.
+    Shape: one (a,b) count with map-side combine + two tiny marginal
+    re-aggregations broadcast back.
+    """
+    cells = (
+        df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").alias("observed"))
+        .localCheckpoint(eager=False)
+    )
+    ra = cells.groupBy("a").agg(F.sum("observed").alias("_na"))
+    cb = cells.groupBy("b").agg(F.sum("observed").alias("_nb"))
+    tot = cells.agg(F.sum("observed").alias("_n"))
+    r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+    nab = F.col("observed").cast("double")
+    n = F.col("_n").cast("double")
+    ratio = (n * nab) / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+    return (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_lr", r6(F.log(ratio)))
+        .select(
+            "a",
+            "b",
+            "observed",
+            r6((nab / n) * F.col("_lr")).alias("mi_term"),
+        )
+    )

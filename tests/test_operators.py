@@ -1733,3 +1733,61 @@ def test_mmr_steps_are_distinct_and_pool_bound(spark):
     for qid in (0, 1, 2):
         picks = [r["neighbor_id"] for r in out if r["query_id"] == qid]
         assert len(set(picks)) == 4  # no repeats across steps
+
+
+def test_group_concentration_uniform_vs_monopoly(spark):
+    from data_warehouse_punta_fina_spark.operators.stats import group_concentration
+
+    rows = [("eq", f"u{i}", 10.0) for i in range(4)] + [
+        ("mono", "u0", 100.0),
+        ("mono", "u1", 0.0),
+        ("mono", "u2", 0.0),
+        ("mono", "u3", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, u string, v double")
+    out = {r["g"]: r for r in group_concentration(df, ["g"], "u", "v").collect()}
+    assert out["eq"]["gini"] == 0.0 and out["eq"]["top_share"] == 0.25
+    # all mass on one of 4 units: G = (n-1)/n = 0.75
+    assert out["mono"]["gini"] == 0.75 and out["mono"]["top_share"] == 1.0
+    assert out["eq"]["total"] == 40.0 and out["eq"]["n_units"] == 4
+
+
+def test_mutual_information_zero_iff_independent(spark):
+    from data_warehouse_punta_fina_spark.operators.stats import mutual_information
+
+    # perfectly independent 2x2 (balanced) -> every term ln(1) = 0
+    ind = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 3, "a string, b string"
+    )
+    terms = [float(r["mi_term"]) for r in mutual_information(ind, "a", "b").collect()]
+    assert terms == [0.0, 0.0, 0.0, 0.0]
+
+    # perfectly dependent (a == b) -> MI = ln(2) for 2 balanced classes
+    dep = spark.createDataFrame([("a", "a"), ("b", "b")] * 6, "a string, b string")
+    mi = sum(float(r["mi_term"]) for r in mutual_information(dep, "a", "b").collect())
+    import math
+
+    assert abs(mi - math.log(2)) < 2e-6  # two round-6 terms
+
+
+def test_ks_grid_zero_on_identical_one_on_separated(spark):
+    from data_warehouse_punta_fina_spark.operators.stats import ks_grid_drift
+
+    grid = spark.createDataFrame([(5.0, 15.0)], "cut_1 double, cut_2 double")
+    same = spark.createDataFrame(
+        [("base", float(v)) for v in range(10)] + [("cur", float(v)) for v in range(10)],
+        "side string, value double",
+    )
+    out = ks_grid_drift(same, "value", "side", "base", grid).collect()
+    assert all(float(r["ks_term"]) == 0.0 for r in out)
+    assert {r["j"] for r in out} == {1, 2}
+
+    # base in [0,10), cur in [20,30): at cut 15 the CDFs are 1 vs 0
+    apart = spark.createDataFrame(
+        [("base", float(v)) for v in range(10)]
+        + [("cur", float(v + 20)) for v in range(10)],
+        "side string, value double",
+    )
+    by_j = {r["j"]: r for r in ks_grid_drift(apart, "value", "side", "base", grid).collect()}
+    assert float(by_j[2]["ks_term"]) == 1.0
+    assert by_j[2]["n_base"] == 10 and by_j[2]["n_cur"] == 10
