@@ -2029,6 +2029,23 @@ def _build_registries():
         )
         return triangle_counts(edges)
 
+    def trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # k-core of the bipartite customer–supplier trade graph (iterative
+        # peel, early-exit at the fixed point): the trading nucleus —
+        # nodes with >= 10 within-core counterparties. Supplier ids offset
+        # to disjoint the bipartite sides (operators.graph.kcore; unrolled
+        # oracle; the part co-purchase graph is too dense to peel —
+        # min degree 42 at sf0.01)
+        from data_warehouse_punta_fina_spark.operators.graph import kcore
+
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        return kcore(edges, k=10, max_iter=6)
+
     def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join/group-key skew diagnostics: top-10 hottest user_ids with
         # share/cumulative share + exact per-key count percentiles and the
@@ -2512,6 +2529,8 @@ def _build_registries():
         "events_type_hour_mi": events_type_hour_mi,
         "events_ks_value_drift": events_ks_value_drift,
         "nation_revenue_concentration": nation_revenue_concentration,
+        # session-6: k-core peel over the trade graph
+        "trade_kcore": trade_kcore,
         # session-5: per-group pairwise correlation matrix
         "lineitem_corr_matrix": lineitem_corr_matrix,
         # session-5: BPE applied — per-doc subword token accounting
@@ -5096,6 +5115,37 @@ SELECT n_name, n_units,
        {_CHI_R6.format(e="CAST(xmax AS DOUBLE) / CAST(sx AS DOUBLE)")} AS top_share
 FROM a
 """
+
+    # session-6: k-core peel unrolled to the same max_iter as the Spark
+    # side (early exit never desynchronizes — converged rounds are no-ops)
+    _kcore_rounds = []
+    _prev_e = "e0"
+    for _r in range(1, 7):
+        # MATERIALIZED: each round references its predecessor ~5x; default
+        # CTE inlining would expand the chain exponentially (observed as
+        # "too many open files" on the lineitem scan at depth 6)
+        _kcore_rounds.append(
+            f"d{_r} AS (SELECT node, COUNT(*) AS deg FROM "
+            f"(SELECT u AS node FROM {_prev_e} UNION ALL SELECT v AS node FROM {_prev_e}) GROUP BY node),\n"
+            f"k{_r} AS (SELECT node FROM d{_r} WHERE deg >= 10),\n"
+            f"e{_r} AS MATERIALIZED (SELECT e.u, e.v FROM {_prev_e} e "
+            f"JOIN k{_r} a ON a.node = e.u JOIN k{_r} b ON b.node = e.v)"
+        )
+        _prev_e = f"e{_r}"
+    o["trade_kcore"] = (
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+"""
+        + ",\n".join(_kcore_rounds)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM {_prev_e} UNION ALL SELECT v AS node FROM {_prev_e})
+GROUP BY node HAVING COUNT(*) >= 10
+"""
+    )
 
     # session-5: embedding centroid drift — per-label per-dim int sums,
     # n factors cancel in the centroid cosine so every sum stays integral

@@ -192,3 +192,69 @@ def triangle_counts(
             ).alias("clustering"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 6,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove nodes
+    whose CURRENT degree is < k until the survivor set is stable — the
+    standard cohesion filter (a node in the k-core has k neighbors that
+    each have k neighbors, recursively), stricter than raw degree and
+    cheaper than triangle counting. Corpus-curation reading: the k-core
+    of a near-duplicate graph is the boilerplate heart of a template
+    family; the k-core of a co-purchase graph is the basket nucleus.
+
+    Per peel round: one degree aggregate over the live edge multiset +
+    one semi-join to drop edges touching removed nodes — both keyed on
+    node ids, Pregel-shaped, no global structure. Each round ends in an
+    ephemeral localCheckpoint (linear iteration chain, the pagerank
+    discipline) and the loop exits early once a round removes nothing
+    (an exact count, the dedup_clusters convergence pattern). Peeling
+    removes ≥ 1 node per non-converged round, so ``max_iter`` bounds
+    DEPTH, not correctness — on typical graphs the cascade dies in a few
+    rounds; raise it for adversarial chain graphs (the oracle unrolls
+    the same bound; converged extra rounds are no-ops on both engines,
+    so early exit never desynchronizes them).
+
+    Input may be directed/duplicated/self-looping (symmetrized, deduped,
+    de-looped first). Output: (node, core_degree) for nodes IN the
+    k-core, where core_degree is the node's degree within the core.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    live = und
+    for _ in range(max_iter):
+        deg = (
+            live.select(F.col("u").alias("node"))
+            .unionByName(live.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("_deg"))
+        )
+        keep = deg.filter(F.col("_deg") >= k).select("node").localCheckpoint(eager=False)
+        nxt = (
+            live.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == live.count():
+            live = nxt
+            break
+        live = nxt
+    return (
+        live.select(F.col("u").alias("node"))
+        .unionByName(live.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )

@@ -1791,3 +1791,26 @@ def test_ks_grid_zero_on_identical_one_on_separated(spark):
     by_j = {r["j"]: r for r in ks_grid_drift(apart, "value", "side", "base", grid).collect()}
     assert float(by_j[2]["ks_term"]) == 1.0
     assert by_j[2]["n_base"] == 10 and by_j[2]["n_cur"] == 10
+
+
+def test_kcore_peels_cascading_tail(spark):
+    # path tail hanging off a clique: the 2-core must peel the whole tail
+    # (each removal exposes the next — multi-round cascade), keep the clique
+    from data_warehouse_punta_fina_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + tail, "src int, dst int")
+    out = {r["node"]: r["core_degree"] for r in kcore(edges, k=2, max_iter=8).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}  # tail edges gone from core degrees
+
+
+def test_kcore_empty_when_k_exceeds_connectivity(spark):
+    from data_warehouse_punta_fina_spark.operators.graph import kcore
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src int, dst int"
+    )
+    assert kcore(ring, k=3, max_iter=8).count() == 0  # a ring has no 3-core
+    assert kcore(ring, k=2, max_iter=8).count() == 5  # but IS its own 2-core
