@@ -2268,8 +2268,12 @@ def _build_registries():
         # round-5 rotation: dim_cliente (J2/U1/W4 — all certified via
         # dim_producto + every dim, driver-green r1-r4) demoted so the
         # round-4 text operators get driver-hashed; see reg tail
-        "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
-        "dim_producto": build_dim_producto,
+        # (wave 10: dim_fecha + dim_producto demoted — driver-green r1-r4
+        # four rounds running; the generated-sequence source and the
+        # full dim build stay exercised via fact_ventas' dim lookups and
+        # the mirror — for the session-6 statistics tier)
+        "events_type_hour_mi": events_type_hour_mi,
+        "nation_revenue_concentration": nation_revenue_concentration,
         # round-4 late rotation: dim_direccion (left-enrichment + default
         # member, both certified via dim_cliente/every dim) demoted for the
         # SCD2 point-in-time temporal join — a distinct operator family
@@ -2286,8 +2290,12 @@ def _build_registries():
         "fact_ventas": fact_ventas,
         "fact_inventario": build_fact_inventario,
         "fact_transacciones": fact_transacciones,
-        "fact_balance": fact_balance,
-        "fact_estado_resultados": fact_estado_resultados,
+        # (wave 10: fact_balance + fact_estado_resultados demoted —
+        # driver-green r1-r4; the conditional-sum/pivot/running-balance
+        # families stay in-window via fact_ventas/fact_transacciones —
+        # for grid-KS drift and the k-core peel)
+        "events_ks_value_drift": events_ks_value_drift,
+        "trade_kcore": trade_kcore,
         # relational operator probes
         # (wave 6: star_revenue_by_pais_trimestre demoted — star rollup
         # carried by fact_ventas + sql_top_customer_per_nation — for the
@@ -2408,8 +2416,12 @@ def _build_registries():
         # catalogs; both stay mirror-checked in extras)
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "source_quality_report": source_quality_report,
-        "ann_ivf_trained_topk": ann_ivf_trained_topk,
-        "doc_lsh_verified": doc_lsh_verified,
+        # (wave 10: ann_ivf_trained_topk + doc_lsh_verified demoted —
+        # driver-green r4; trained-kmeans stays in-window via
+        # emb_near_dup_trained, LSH-verify via doc_incremental_dedup —
+        # for the PQ ANN tier and MMR diversified selection)
+        "ann_pq_topk": ann_pq_topk,
+        "emb_mmr_diverse": emb_mmr_diverse,
         # (wave 6: doc_pack_bins demoted — packing/chunking family carried
         # in-window by doc_chunks — for part_pagerank, the iterative tier)
         "part_pagerank": part_pagerank,
@@ -2521,16 +2533,13 @@ def _build_registries():
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
         # session-5: int8 scalar-quantized ANN with exact rerank
         "ann_sq8_topk": ann_sq8_topk,
-        # session-6: product-quantization ANN (ADC scan + exact rerank)
-        "ann_pq_topk": ann_pq_topk,
-        # session-6: MMR diversified selection over the relevance pool
-        "emb_mmr_diverse": emb_mmr_diverse,
-        # session-6: information/inequality/drift statistics
-        "events_type_hour_mi": events_type_hour_mi,
-        "events_ks_value_drift": events_ks_value_drift,
-        "nation_revenue_concentration": nation_revenue_concentration,
-        # session-6: k-core peel over the trade graph
-        "trade_kcore": trade_kcore,
+        # wave-10 demotions (driver-green r1-r4; families still in-window)
+        "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
+        "dim_producto": build_dim_producto,
+        "fact_balance": fact_balance,
+        "fact_estado_resultados": fact_estado_resultados,
+        "ann_ivf_trained_topk": ann_ivf_trained_topk,
+        "doc_lsh_verified": doc_lsh_verified,
         # session-5: per-group pairwise correlation matrix
         "lineitem_corr_matrix": lineitem_corr_matrix,
         # session-5: BPE applied — per-doc subword token accounting

@@ -79,6 +79,13 @@ HEADLINE = [
     "events_asof_nearest",
     "ann_sq8_topk",
     "lineitem_corr_matrix",
+    # round-5 session-6 additions (all sf-proportional)
+    "ann_pq_topk",
+    "emb_mmr_diverse",
+    "events_type_hour_mi",
+    "events_ks_value_drift",
+    "nation_revenue_concentration",
+    "trade_kcore",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

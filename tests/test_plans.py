@@ -735,3 +735,43 @@ def test_session5_query_plan_shapes(spark):
     plan = asof._jdf.queryExecution().executedPlan().toString()
     assert plan.count("EqualTo(event_type") >= 2, plan[:800]
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session6_query_plan_shapes(spark):
+    """Plan-shape gates for the session-6 families:
+    - mutual information scans events ONCE (marginals re-aggregate the
+      checkpointed cell table, never the source);
+    - grid-KS touches events at most twice (cut fit + the one conditional
+      aggregate) and has no cartesian anywhere (the 1-row grid attaches
+      via a broadcast nested-loop on a literal row, never a shuffle);
+    - the Gini query broadcasts the 25-row nation dim and never falls
+      back to a cartesian;
+    - the PQ ADC scan joins codes to the LUT with a BROADCAST hash join
+      (the LUT is |Q|·m·k rows) — a shuffle there would move the whole
+      code table per query batch.
+    """
+    import __spark_entry__ as entrymod
+
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
+    sf = "/root/testdata/sf0.001"
+
+    mi = qs["events_type_hour_mi"](spark, sf)
+    plan = mi._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 1, plan.count("FileScan parquet")
+    assert "CartesianProduct" not in plan
+
+    ks = qs["events_ks_value_drift"](spark, sf)
+    plan = ks._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 2, plan.count("FileScan parquet")
+    assert "CartesianProduct" not in plan
+
+    gini = qs["nation_revenue_concentration"](spark, sf)
+    plan = gini._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    pq = qs["ann_pq_topk"](spark, sf)
+    plan = pq._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

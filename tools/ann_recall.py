@@ -77,12 +77,15 @@ def main() -> None:
         .select("query_id", "neighbor_id")
     )
 
-    from data_warehouse_punta_fina_spark.operators.similarity import sq8_topk
+    from data_warehouse_punta_fina_spark.operators.similarity import pq_topk, sq8_topk
 
     tiers = {
         "jl16_brute": brute_force_topk(proj, proj_q, k=k),
         "jl16_rerank50": rer,
         "sq8_rerank20": sq8_topk(emb, queries, k=k, rerank=20),
+        "pq4x8_rerank20": pq_topk(emb, queries, k=k, m=4, n_centroids=8, rerank=20),
+        "pq8x8_rerank20": pq_topk(emb, queries, k=k, m=8, n_centroids=8, rerank=20),
+        "pq8x8_rerank50": pq_topk(emb, queries, k=k, m=8, n_centroids=8, rerank=50),
         "ivf_sign4": ivf_topk(emb, queries, k=k, bits=4),
         "ivf_sign6": ivf_topk(emb, queries, k=k, bits=6),
         "ivf_sign6_multiprobe": ivf_topk(emb, queries, k=k, bits=6, multiprobe=True),
@@ -94,6 +97,9 @@ def main() -> None:
         "jl16_brute": 1.0,  # full scan, but every dot product costs 1/4
         "jl16_rerank50": 1.0,  # 1/4-cost scan + exact re-rank of 50/query
         "sq8_rerank20": 1.0,  # full scan over 1-byte codes (4x less IO) + 20/query exact
+        "pq4x8_rerank20": 1.0,  # full scan over 4 int codes/vec (64x less IO) + 20/query exact
+        "pq8x8_rerank20": 1.0,  # 8 codes/vec (32x less IO) + 20/query exact
+        "pq8x8_rerank50": 1.0,  # 8 codes/vec + 50/query exact
         "ivf_sign4": 1 / 16,
         "ivf_sign6": 1 / 64,
         "ivf_sign6_multiprobe": 7 / 64,
