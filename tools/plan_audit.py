@@ -41,6 +41,13 @@ AUDITED = [
     "events_key_skew",
     "events_value_buckets",
     "events_asof_nearest",
+    # round-5 session-6 additions
+    "ann_pq_topk",
+    "emb_mmr_diverse",
+    "events_type_hour_mi",
+    "events_ks_value_drift",
+    "nation_revenue_concentration",
+    "trade_kcore",
 ]
 
 
