@@ -179,6 +179,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "events_type_hour_mi": ["mi_term"],
     "events_ks_value_drift": ["f_base", "f_cur", "ks_term"],
     "nation_revenue_concentration": ["total", "gini", "top_share"],
+    "doc_curation_report": ["quality"],
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
     "ann_ivf_trained_probe3": ["cosine"],
@@ -587,6 +588,59 @@ def _build_registries():
     def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+    def doc_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the END-TO-END curation decision, one row per document: every
+        # filter a training pipeline runs — exact dedup (keep-first by
+        # content hash), LSH-verified near-dup (keep-first: the larger id
+        # of a verified pair drops), length, quality, language — composed
+        # into flags + a precedence verdict. Each stage is the
+        # already-verified operator; this query proves they COMPOSE
+        from data_warehouse_punta_fina_spark.operators.dedup import (
+            exact_dedup,
+            lsh_verified_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        canon = exact_dedup(docs)  # (content_hash, canonical_id, n_copies)
+        hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+        exact_flag = hashed.join(canon, "content_hash").select(
+            "doc_id", (F.col("doc_id") != F.col("canonical_id")).alias("is_exact_dup")
+        )
+        near_ids = (
+            lsh_verified_pairs(docs, num_hashes=12, bands=4, threshold=0.2)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .withColumn("_near", F.lit(True))
+        )
+        base = docs.select(
+            "doc_id",
+            token_count("text").cast("int").alias("n_tokens"),
+            quality_score("text").alias("quality"),
+            lang_id("text").alias("lang_pred"),
+        )
+        out = (
+            base.join(exact_flag, "doc_id")
+            .join(near_ids, "doc_id", "left")
+            .withColumn("is_near_dup", F.coalesce(F.col("_near"), F.lit(False)))
+        )
+        verdict = (
+            F.when(F.col("is_exact_dup"), "exact_dup")
+            .when(F.col("is_near_dup"), "near_dup")
+            .when(F.col("n_tokens") < 10, "too_short")
+            .when(F.col("quality") < 0.5, "low_quality")
+            .when(F.col("lang_pred") == "und", "unknown_lang")
+            .otherwise("keep")
+        )
+        return out.select(
+            "doc_id",
+            "is_exact_dup",
+            "is_near_dup",
+            "n_tokens",
+            "quality",
+            "lang_pred",
+            verdict.alias("verdict"),
+        )
 
     def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -2533,6 +2587,8 @@ def _build_registries():
         "star_revenue_by_pais_trimestre": star_revenue_by_pais_trimestre,
         # session-5: int8 scalar-quantized ANN with exact rerank
         "ann_sq8_topk": ann_sq8_topk,
+        # session-6: the end-to-end curation verdict (composition proof)
+        "doc_curation_report": doc_curation_report,
         # wave-10 demotions (driver-green r1-r4; families still in-window)
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
@@ -4060,6 +4116,48 @@ FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} >= 0.2
+"""
+
+    # session-6: the end-to-end curation verdict — composes the exact-dup
+    # canonical map, the LSH-verified near-dup drop set, and the
+    # quality/length/language metrics (all already-verified fragments)
+    o["doc_curation_report"] = f"""
+WITH cand AS ({_MINHASH_PAIRS_SQL}),
+shc AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id
+), common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cand c
+  JOIN shc a ON a.doc_id = c.id_a
+  JOIN shc b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+), near AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} >= 0.2
+), canon AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS canonical FROM documents GROUP BY 1
+), base AS (
+  SELECT doc_id, md5(text) AS h, CAST({n_tok} AS INT) AS n_tokens,
+         {_r6(quality)} AS quality, {lang_case} AS lang_pred
+  FROM documents
+)
+SELECT b.doc_id,
+       (b.doc_id <> c.canonical) AS is_exact_dup,
+       (n.doc_id IS NOT NULL) AS is_near_dup,
+       b.n_tokens, b.quality, b.lang_pred,
+       CASE WHEN b.doc_id <> c.canonical THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            WHEN b.n_tokens < 10 THEN 'too_short'
+            WHEN b.quality < 0.5 THEN 'low_quality'
+            WHEN b.lang_pred = 'und' THEN 'unknown_lang'
+            ELSE 'keep' END AS verdict
+FROM base b JOIN canon c ON c.h = b.h
+LEFT JOIN near n ON n.doc_id = b.doc_id
 """
 
     from data_warehouse_punta_fina_spark.functions.text import PII_PATTERNS

@@ -86,6 +86,7 @@ HEADLINE = [
     "events_ks_value_drift",
     "nation_revenue_concentration",
     "trade_kcore",
+    "doc_curation_report",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -1190,3 +1190,37 @@ def test_txtable_commit_survives_decimal_columns(spark, tmp_path):
     stats = t._entry(v).get("stats") or {}
     per_file = next(iter(stats.values()))
     assert "k" in per_file and "amt" not in per_file
+
+
+def test_curation_report_composition_all_verdicts(spark, tmp_path):
+    # handcrafted corpus exercising every branch of the composed verdict:
+    # exact dup (identical text, larger id drops), LSH near-dup (one word
+    # changed), too-short, low-quality (punctuation soup), unknown lang
+    import __spark_entry__ as entrymod
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and the cat sat on the mat "
+        "with the small bird of the house and is happy to see the sun in the sky "
+        "while the dog is with the fox and the mat is under the cat near the door"
+    )
+    docs = [
+        (1, base, "en", "web"),
+        (2, base, "en", "web"),                      # exact dup of 1
+        (3, base.replace("happy", "glad"), "en", "web"),  # near dup of 1
+        (4, "the cat", "en", "web"),                 # too short
+        (5, "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( ))) " * 3 + "the and of to is with a b c d", "en", "web"),
+        (6, "zzz qqq xxx vvv kkk jjj www yyy mmm nnn ppp rrr", "xx", "web"),  # unknown lang
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    qs = dict(entrymod.extra_queries())
+    out = {r["doc_id"]: r["verdict"] for r in qs["doc_curation_report"](spark, sf).collect()}
+    assert out[1] == "keep"
+    assert out[2] == "exact_dup"
+    assert out[3] == "near_dup"
+    assert out[4] == "too_short"
+    assert out[5] == "low_quality"
+    assert out[6] == "unknown_lang"
