@@ -180,6 +180,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "events_ks_value_drift": ["f_base", "f_cur", "ks_term"],
     "nation_revenue_concentration": ["total", "gini", "top_share"],
     "doc_curation_report": ["quality"],
+    "emb_hard_negatives": ["cosine"],
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
     "ann_ivf_trained_probe3": ["cosine"],
@@ -588,6 +589,26 @@ def _build_registries():
     def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+    def doc_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # contrastive training-pair mining: positives = LSH-verified
+        # near-dup pairs (both orientations anchor), negatives = 3
+        # deterministic hash-sampled docs per anchor from a broadcast
+        # 64-doc pool, positives/self anti-joined out
+        # (operators.pairs.contrastive_pairs — md5 rankings, no RNG)
+        from data_warehouse_punta_fina_spark.operators.pairs import contrastive_pairs
+
+        docs = load_table(spark, sf_dir, "documents")
+        return contrastive_pairs(docs, threshold=0.2, n_neg=3, neg_pool=64)
+
+    def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # hard negatives for dense-retrieval training: each query's exact
+        # cosine neighbors ranked 6..10 — informative near-misses below
+        # the presumed-positive top-5 (operators.pairs.hard_negatives)
+        from data_warehouse_punta_fina_spark.operators.pairs import hard_negatives
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return hard_negatives(emb, emb.filter(F.col("vec_id") < 8), lo_rank=6, hi_rank=10)
 
     def doc_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the END-TO-END curation decision, one row per document: every
@@ -2589,6 +2610,9 @@ def _build_registries():
         "ann_sq8_topk": ann_sq8_topk,
         # session-6: the end-to-end curation verdict (composition proof)
         "doc_curation_report": doc_curation_report,
+        # session-6: training-pair mining
+        "doc_contrastive_pairs": doc_contrastive_pairs,
+        "emb_hard_negatives": emb_hard_negatives,
         # wave-10 demotions (driver-green r1-r4; families still in-window)
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
@@ -4158,6 +4182,65 @@ SELECT b.doc_id,
             ELSE 'keep' END AS verdict
 FROM base b JOIN canon c ON c.h = b.h
 LEFT JOIN near n ON n.doc_id = b.doc_id
+"""
+
+    # session-6: contrastive pair mining — positives reuse the verified
+    # near-dup fragments; negatives are md5-ranked (pool draw + per-anchor
+    # ranking), so the exact pair set reproduces cross-engine
+    o["doc_contrastive_pairs"] = f"""
+WITH cand AS ({_MINHASH_PAIRS_SQL}),
+shc AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id
+), common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cand c
+  JOIN shc a ON a.doc_id = c.id_a
+  JOIN shc b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+), verified AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE {_r6("CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)")} >= 0.2
+), pos AS (
+  SELECT id_a AS anchor_id, id_b AS other_id FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+), anchors AS (SELECT DISTINCT anchor_id FROM pos),
+pool AS (
+  SELECT doc_id AS cand_id FROM documents
+  ORDER BY md5(concat_ws('|', 'cp1', CAST(doc_id AS VARCHAR))), doc_id LIMIT 64
+), candn AS (
+  SELECT a.anchor_id, p.cand_id,
+         md5(concat_ws('|', 'cp1', CAST(a.anchor_id AS VARCHAR), CAST(p.cand_id AS VARCHAR))) AS pk
+  FROM anchors a JOIN pool p ON p.cand_id <> a.anchor_id
+  LEFT JOIN pos x ON x.anchor_id = a.anchor_id AND x.other_id = p.cand_id
+  WHERE x.other_id IS NULL
+), neg AS (
+  SELECT anchor_id, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY pk, cand_id) AS rn
+  FROM candn QUALIFY rn <= 3
+)
+SELECT anchor_id, other_id, 'pos' AS label, CAST(0 AS INT) AS pair_rank FROM pos
+UNION ALL
+SELECT anchor_id, cand_id AS other_id, 'neg' AS label, CAST(rn AS INT) AS pair_rank FROM neg
+"""
+
+    o["emb_hard_negatives"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_QUANT_VEC} AS qv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, {_QUANT_VEC} AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_cosine_sql("q.qv", "c.cv")} AS cosine
+  FROM q, c WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank BETWEEN 6 AND 10
 """
 
     from data_warehouse_punta_fina_spark.functions.text import PII_PATTERNS

@@ -87,6 +87,8 @@ HEADLINE = [
     "nation_revenue_concentration",
     "trade_kcore",
     "doc_curation_report",
+    "doc_contrastive_pairs",
+    "emb_hard_negatives",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -1224,3 +1224,45 @@ def test_curation_report_composition_all_verdicts(spark, tmp_path):
     assert out[4] == "too_short"
     assert out[5] == "low_quality"
     assert out[6] == "unknown_lang"
+
+
+def test_contrastive_pairs_structure_and_determinism(spark, tmp_path):
+    from data_warehouse_punta_fina_spark.operators.pairs import contrastive_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and the cat sat on the mat "
+        "with the small bird of the house and is happy to see the sun in the sky"
+    )
+    # fillers are disjoint word soups — no shared shingles, so the only
+    # verified near-dup pair is (1, 2)
+    rows = [(1, base), (2, base.replace("happy", "glad"))] + [
+        (i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(3, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = contrastive_pairs(docs, threshold=0.2, n_neg=3, neg_pool=16).collect()
+
+    pos = {(r["anchor_id"], r["other_id"]) for r in out if r["label"] == "pos"}
+    neg = [(r["anchor_id"], r["other_id"], r["pair_rank"]) for r in out if r["label"] == "neg"]
+    assert (1, 2) in pos and (2, 1) in pos  # both orientations anchor
+    # negatives: 3 per anchor, never self, never a positive
+    by_anchor = {}
+    for a, o, rk in neg:
+        assert a != o and (a, o) not in pos
+        by_anchor.setdefault(a, []).append(rk)
+    assert set(by_anchor) == {1, 2}
+    assert all(sorted(v) == [1, 2, 3] for v in by_anchor.values())
+
+    again = contrastive_pairs(docs, threshold=0.2, n_neg=3, neg_pool=16).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in again}  # no RNG anywhere
+
+
+def test_hard_negatives_excludes_top_ranks(spark):
+    from data_warehouse_punta_fina_spark.operators.pairs import hard_negatives
+    from data_warehouse_punta_fina_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 4")
+    hn = hard_negatives(emb, q, lo_rank=6, hi_rank=10).collect()
+    assert len(hn) == 4 * 5 and all(6 <= r["rank"] <= 10 for r in hn)
+    top5 = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    assert all((r["query_id"], r["neighbor_id"]) not in top5 for r in hn)
