@@ -1814,3 +1814,44 @@ def test_kcore_empty_when_k_exceeds_connectivity(spark):
     )
     assert kcore(ring, k=3, max_iter=8).count() == 0  # a ring has no 3-core
     assert kcore(ring, k=2, max_iter=8).count() == 5  # but IS its own 2-core
+
+
+def test_group_concentration_matches_pairwise_gini_definition(spark):
+    # the sorted-rank identity must equal the mean-absolute-difference
+    # definition G = sum|xi-xj| / (2 n^2 mean) — checked on an awkward
+    # value set (ties, zeros, big spread) computed exactly in Python
+    from data_warehouse_punta_fina_spark.operators.stats import group_concentration
+
+    vals = [0.0, 0.0, 1.25, 1.25, 3.5, 10.0, 10.0, 250.75, 4.2, 0.01]
+    df = spark.createDataFrame(
+        [("g", f"u{i}", v) for i, v in enumerate(vals)], "g string, u string, v double"
+    )
+    got = group_concentration(df, ["g"], "u", "v").collect()[0]
+
+    import math
+
+    q = [math.floor(v * 100 + 0.5) for v in vals]  # the operator's int64 cents
+    n = len(q)
+    pairwise = sum(abs(a - b) for a in q for b in q) / (2 * n * n * (sum(q) / n))
+    want = math.floor(pairwise * 1e6 + 0.5) / 1e6
+    # rank identity: compute the same way the operator does for the exact
+    # IEEE op order, then compare both closed forms at round-6
+    xs = sorted(q)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    rank_form = (2.0 * six) / (n * float(sum(q))) - (n + 1.0) / n
+    assert math.floor(rank_form * 1e6 + 0.5) / 1e6 == want
+    assert float(got["gini"]) == want
+
+
+def test_mmr_pool_smaller_than_k_returns_whole_pool(spark):
+    # corpus of 3 neighbors, k=5: selection exhausts the pool and stops
+    # emitting — no crash, no duplicates, steps stay dense 1..3
+    from data_warehouse_punta_fina_spark.operators.similarity import mmr_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 4"
+    )
+    out = mmr_topk(emb, emb.filter("vec_id = 0"), k=5, pool=10).collect()
+    picks = [(r["step"], r["neighbor_id"]) for r in out]
+    assert sorted(s for s, _ in picks) == [1, 2, 3]
+    assert len({n for _, n in picks}) == 3
