@@ -181,6 +181,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "nation_revenue_concentration": ["total", "gini", "top_share"],
     "doc_curation_report": ["quality"],
     "emb_hard_negatives": ["cosine"],
+    "emb_cluster_quality": ["mean_sq_dist", "mean_silhouette"],
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
     "ann_ivf_trained_probe3": ["cosine"],
@@ -589,6 +590,19 @@ def _build_registries():
     def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+    def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # evaluation for the trained IVF quantizer: per-cell member count,
+        # mean squared distance to the centroid, and mean SIMPLIFIED
+        # silhouette (centroid-based — the O(n²) pairwise form never
+        # materializes); same 16-cell/2-iter fit as ann_ivf_trained_topk
+        # (operators.similarity.kmeans_quality_report)
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            kmeans_quality_report,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return kmeans_quality_report(emb, n_centroids=16, iters=2)
 
     def doc_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contrastive training-pair mining: positives = LSH-verified
@@ -2613,6 +2627,8 @@ def _build_registries():
         # session-6: training-pair mining
         "doc_contrastive_pairs": doc_contrastive_pairs,
         "emb_hard_negatives": emb_hard_negatives,
+        # session-6: clustering-quality evaluation for the IVF tier
+        "emb_cluster_quality": emb_cluster_quality,
         # wave-10 demotions (driver-green r1-r4; families still in-window)
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
@@ -4288,6 +4304,29 @@ SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
        MIN(n) AS min_tokens, MAX(n) AS max_tokens
 FROM t GROUP BY bucket
 """
+
+    # session-6: clustering quality over the SAME 16-cell fit as the
+    # trained IVF — the chain's final distance CTE (df) already scores
+    # every (vec, centroid) pair
+    _cq_parts = _kmeans_cells_sql(16, 2) + [
+        "r AS (SELECT vec_id, cid, dist, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df)",
+        "pv AS (SELECT vec_id, MIN(CASE WHEN rn = 1 THEN cid END) AS cid, "
+        "MIN(CASE WHEN rn = 1 THEN dist END) AS a, "
+        "MIN(CASE WHEN rn = 2 THEN dist END) AS b "
+        "FROM r WHERE rn <= 2 GROUP BY vec_id)",
+        "s AS (SELECT cid, a, "
+        + _r6("CAST(b - a AS DOUBLE) / CAST(greatest(a, b, 1) AS DOUBLE)")
+        + " AS sil FROM pv)",
+    ]
+    _cq_r6 = "CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))"
+    o["emb_cluster_quality"] = (
+        "WITH " + ",\n".join(_cq_parts) + "\n"
+        "SELECT cid, COUNT(*) AS n_vecs,\n"
+        f"  {_cq_r6.format(e='CAST(SUM(a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')} AS mean_sq_dist,\n"
+        f"  {_cq_r6.format(e='CAST(SUM(sil) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')} AS mean_silhouette\n"
+        "FROM s GROUP BY cid"
+    )
 
     o["ann_pq_topk"] = _pq_topk_sql(m=4, n_centroids=8, iters=2, k=5, rerank=20)
     o["emb_mmr_diverse"] = _mmr_sql(k=5, pool=20, lam_num=1, lam_den=2)

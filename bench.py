@@ -89,6 +89,7 @@ HEADLINE = [
     "doc_curation_report",
     "doc_contrastive_pairs",
     "emb_hard_negatives",
+    "emb_cluster_quality",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

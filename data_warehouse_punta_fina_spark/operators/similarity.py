@@ -785,3 +785,74 @@ def mmr_topk(
     return selected.select(
         "query_id", "neighbor_id", F.col("step").cast("int").alias("step"), "relevance"
     )
+
+
+def kmeans_quality_report(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Clustering-quality report for the trained coarse quantizer — the
+    evaluation the IVF tier needs before anyone trusts its cells: per
+    cell, the member count, the mean squared distance to the centroid
+    (dispersion), and the mean SIMPLIFIED silhouette
+
+        s_i = (b_i − a_i) / max(a_i, b_i)
+
+    with a_i = squared distance to the OWN centroid and b_i = squared
+    distance to the nearest OTHER centroid (the centroid-based
+    silhouette — the O(n²) pairwise form never materializes, which is
+    the only form that survives 100 TB). s ≈ 1 = tight well-separated
+    cell; s ≈ 0 = boundary mush — cells to split or multiprobe.
+
+    Exactness: distances are exact int64 (quantized vectors); each
+    per-vector silhouette is ONE double division round-6'd to
+    DECIMAL(12,6); per-cell means are exact decimal sums divided once,
+    round-6. Shape: one broadcast of k centroids, one (vec × k) scored
+    projection, a (vec)-partitioned rank over k rows, one groupBy(cid).
+    Output: (cid, n_vecs, mean_sq_dist, mean_silhouette).
+    """
+    from data_warehouse_punta_fina_spark.functions.money import pround
+
+    if n_centroids < 2:
+        raise ValueError("silhouette needs >= 2 centroids (b_i is the nearest OTHER cell)")
+    cent = kmeans_fit(corpus, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col)
+    v = corpus.select(F.col(id_col), quantize(vec_col).alias("qvec"))
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col), "cid", _sq_dist_q(F.col("qvec"), F.col("cvec")).alias("dist")
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 2)
+    per_vec = ranked.groupBy(id_col).agg(
+        F.min(F.when(F.col("_rn") == 1, F.col("cid"))).alias("cid"),
+        F.min(F.when(F.col("_rn") == 1, F.col("dist"))).alias("_a"),
+        F.min(F.when(F.col("_rn") == 2, F.col("dist"))).alias("_b"),
+    )
+    sil = pround(
+        (F.col("_b") - F.col("_a")).cast("double")
+        / F.greatest(F.col("_a"), F.col("_b"), F.lit(1)).cast("double"),
+        6,
+        12,
+    )
+    r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+    return (
+        per_vec.withColumn("_s", sil)
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("_a").alias("_sum_a"),
+            F.sum("_s").alias("_sum_s"),
+        )
+        .select(
+            "cid",
+            "n_vecs",
+            r6(F.col("_sum_a").cast("double") / F.col("n_vecs").cast("double")).alias(
+                "mean_sq_dist"
+            ),
+            r6(F.col("_sum_s").cast("double") / F.col("n_vecs").cast("double")).alias(
+                "mean_silhouette"
+            ),
+        )
+    )

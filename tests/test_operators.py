@@ -1855,3 +1855,32 @@ def test_mmr_pool_smaller_than_k_returns_whole_pool(spark):
     picks = [(r["step"], r["neighbor_id"]) for r in out]
     assert sorted(s for s, _ in picks) == [1, 2, 3]
     assert len({n for _, n in picks}) == 3
+
+
+def test_kmeans_quality_report_separated_clusters_score_high(spark):
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        kmeans_quality_report,
+    )
+
+    dim = 64
+    # two tight, well-separated blobs -> near-perfect silhouettes
+    rows = []
+    for i in range(6):
+        v = [0.0] * dim
+        v[0] = 10.0 + 0.001 * i
+        rows.append((i, v))
+    for i in range(6, 12):
+        v = [0.0] * dim
+        v[1] = 10.0 + 0.001 * i
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_quality_report(emb, n_centroids=2, iters=3).collect()
+    assert len(out) == 2 and sum(r["n_vecs"] for r in out) == 12
+    for r in out:
+        assert float(r["mean_silhouette"]) > 0.99
+        assert float(r["mean_sq_dist"]) < 100.0  # tight: ~1e-3-scale spread
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmeans_quality_report(emb, n_centroids=1)
