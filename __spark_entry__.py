@@ -591,6 +591,47 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
 
+    def fact_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # accumulating-snapshot fact (the Kimball milestone pattern the
+        # star schemas don't cover): one row per order with its milestone
+        # dates (first/last ship), lag measures between them, and the
+        # completion flag; orders with no lines keep null milestones
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.to_date("l_shipdate").alias("_ship"),
+            "l_linestatus",
+        )
+        m = li.groupBy("l_orderkey").agg(
+            F.count("*").alias("n_lines"),
+            F.min("_ship").alias("first_ship"),
+            F.max("_ship").alias("last_ship"),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        )
+        return (
+            o.join(m, o.o_orderkey == m.l_orderkey, "left")
+            .select(
+                "o_orderkey",
+                "order_date",
+                F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+                F.coalesce(F.col("n_finished"), F.lit(0)).cast("bigint").alias("n_finished"),
+                "first_ship",
+                "last_ship",
+                F.datediff(F.col("first_ship"), F.col("order_date")).cast("int").alias(
+                    "days_to_first_ship"
+                ),
+                F.datediff(F.col("last_ship"), F.col("first_ship")).cast("int").alias(
+                    "ship_span_days"
+                ),
+                F.coalesce(
+                    F.col("n_finished") == F.col("n_lines"), F.lit(False)
+                ).alias("all_finished"),
+            )
+        )
+
     def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # evaluation for the trained IVF quantizer: per-cell member count,
         # mean squared distance to the centroid, and mean SIMPLIFIED
@@ -2629,6 +2670,8 @@ def _build_registries():
         "emb_hard_negatives": emb_hard_negatives,
         # session-6: clustering-quality evaluation for the IVF tier
         "emb_cluster_quality": emb_cluster_quality,
+        # session-6: accumulating-snapshot fact (Kimball milestone pattern)
+        "fact_order_lifecycle": fact_order_lifecycle,
         # wave-10 demotions (driver-green r1-r4; families still in-window)
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
@@ -4303,6 +4346,27 @@ WITH t AS (
 SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
        MIN(n) AS min_tokens, MAX(n) AS max_tokens
 FROM t GROUP BY bucket
+"""
+
+    # session-6: accumulating-snapshot fact — milestone dates + lag
+    # measures; lineless orders keep NULL milestones, zero counts, false
+    # completion (COALESCE mirrors the Spark projection)
+    o["fact_order_lifecycle"] = """
+WITH m AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+         MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+         SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(n_finished, 0) AS BIGINT) AS n_finished,
+       first_ship, last_ship,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), first_ship) AS INT) AS days_to_first_ship,
+       CAST(date_diff('day', first_ship, last_ship) AS INT) AS ship_span_days,
+       COALESCE(n_finished = n_lines, FALSE) AS all_finished
+FROM orders LEFT JOIN m ON o_orderkey = l_orderkey
 """
 
     # session-6: clustering quality over the SAME 16-cell fit as the

@@ -90,6 +90,7 @@ HEADLINE = [
     "doc_contrastive_pairs",
     "emb_hard_negatives",
     "emb_cluster_quality",
+    "fact_order_lifecycle",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
