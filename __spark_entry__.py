@@ -591,6 +591,24 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
 
+    def scd3_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # SCD Type 3 (previous-value column): even-key customers get a
+        # segment update — keys divisible by 4 re-assert the old value
+        # (prev stays NULL), the rest change (prev captures the old one),
+        # odd keys pass through (operators.scd.type3_update)
+        from data_warehouse_punta_fina_spark.operators.scd import type3_update
+
+        c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        old_seg = F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos")
+        target = c.select("c_custkey", old_seg.alias("segment")).withColumn(
+            "prev_segment", F.lit(None).cast("string")
+        )
+        upd_seg = F.when(F.col("c_custkey") % 4 == 0, old_seg).otherwise(F.lit("vip"))
+        updates = c.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", upd_seg.alias("segment")
+        )
+        return type3_update(target, updates, ["c_custkey"], "segment", "prev_segment")
+
     def fact_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # accumulating-snapshot fact (the Kimball milestone pattern the
         # star schemas don't cover): one row per order with its milestone
@@ -2672,6 +2690,8 @@ def _build_registries():
         "emb_cluster_quality": emb_cluster_quality,
         # session-6: accumulating-snapshot fact (Kimball milestone pattern)
         "fact_order_lifecycle": fact_order_lifecycle,
+        # session-6: SCD Type 3 previous-value column
+        "scd3_customer_segment": scd3_customer_segment,
         # wave-10 demotions (driver-green r1-r4; families still in-window)
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
@@ -4346,6 +4366,24 @@ WITH t AS (
 SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
        MIN(n) AS min_tokens, MAX(n) AS max_tokens
 FROM t GROUP BY bucket
+"""
+
+    # session-6: SCD Type 3 — the oracle mirrors type3_update's left-join
+    # semantics (match → Type-1 overwrite; CHANGE → prev captures the old
+    # value; re-assertion keeps prev NULL; non-matches pass through)
+    o["scd3_customer_segment"] = """
+WITH c AS (
+  SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS old_seg
+  FROM customer
+),
+u AS (
+  SELECT c_custkey, CASE WHEN c_custkey % 4 = 0 THEN old_seg ELSE 'vip' END AS new_seg
+  FROM c WHERE c_custkey % 2 = 0
+)
+SELECT c.c_custkey,
+       COALESCE(u.new_seg, c.old_seg) AS segment,
+       CASE WHEN u.c_custkey IS NOT NULL AND u.new_seg <> c.old_seg THEN c.old_seg END AS prev_segment
+FROM c LEFT JOIN u USING (c_custkey)
 """
 
     # session-6: accumulating-snapshot fact — milestone dates + lag

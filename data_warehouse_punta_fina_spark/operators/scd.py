@@ -177,3 +177,69 @@ def pit_lookup(
     else:
         right = d
     return f.join(right, cond, how)
+
+
+def type3_update(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: str,
+    prev_col: str | None = None,
+) -> DataFrame:
+    """Type-3 (previous-value column) dimension update — the third
+    Kimball SCD flavor next to :func:`type1_upsert` (overwrite) and
+    :func:`scd2_merge` (versioned rows): the row is overwritten like
+    Type 1, but the OLD value of the one tracked attribute survives in
+    a ``prev_<attr>`` column, giving exactly one generation of "before"
+    for soft-transition reporting (both the old and new rollup stay
+    queryable without version rows).
+
+    Semantics (standard): on key match with a CHANGED tracked value,
+    ``tracked`` takes the update's value and ``prev_col`` the target's
+    old one; a match with an unchanged value keeps the existing
+    ``prev_col`` (re-asserting a value is not a change); unmatched
+    target rows pass through; brand-new keys insert with NULL
+    ``prev_col``. Non-tracked attributes always take the update's
+    values (Type-1 behavior).
+
+    One left join keyed on the natural key (the updates batch is
+    normally the small side and broadcasts) — the target is read once
+    and never shuffled on anything but the key.
+    """
+    prev_col = prev_col or f"prev_{tracked}"
+    if prev_col not in target.columns:
+        target = target.withColumn(prev_col, F.lit(None).cast(target.schema[tracked].dataType))
+    upd_cols = [c for c in updates.columns if c not in keys]
+    # explicit match marker — an update may legitimately carry NULLs, so
+    # "some update column is not null" is NOT a valid match test
+    u = updates.select(
+        *keys,
+        F.lit(True).alias("_u_matched"),
+        *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
+    )
+    joined = target.join(u, keys, "left")
+    matched = F.col("_u_matched").eqNullSafe(F.lit(True))
+    changed = matched & (
+        ~F.col(f"_u_{tracked}").eqNullSafe(F.col(tracked))
+    )
+    out_cols = list(keys)
+    for c in target.columns:
+        if c in keys:
+            continue
+        if c == tracked:
+            expr = F.when(matched, F.col(f"_u_{tracked}")).otherwise(F.col(tracked))
+        elif c == prev_col:
+            expr = F.when(changed, F.col(tracked)).otherwise(F.col(prev_col))
+        elif c in upd_cols:
+            expr = F.when(matched, F.col(f"_u_{c}")).otherwise(F.col(c))
+        else:
+            expr = F.col(c)
+        out_cols.append(expr.alias(c))
+    existing = joined.select(*out_cols)
+    new_rows = updates.join(target.select(*keys), keys, "left_anti")
+    for c in target.columns:
+        if c not in new_rows.columns:
+            new_rows = new_rows.withColumn(
+                c, F.lit(None).cast(target.schema[c].dataType)
+            )
+    return existing.unionByName(new_rows.select(*[c for c in target.columns]))

@@ -1884,3 +1884,35 @@ def test_kmeans_quality_report_separated_clusters_score_high(spark):
 
     with pytest.raises(ValueError):
         kmeans_quality_report(emb, n_centroids=1)
+
+
+def test_scd_type3_previous_value_semantics(spark):
+    from data_warehouse_punta_fina_spark.operators.scd import type3_update
+
+    target = spark.createDataFrame(
+        [(1, "north", "old-n", "x1"), (2, "south", None, "x2"), (3, "east", "old-e", "x3")],
+        "k int, region string, prev_region string, other string",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "west", "y1"),    # changed -> prev_region takes 'north'
+            (2, "south", "y2"),   # re-asserted same value -> prev stays None
+            (4, "mid", "y4"),     # brand new key -> NULL prev
+        ],
+        "k int, region string, other string",
+    )
+    out = {r["k"]: r for r in type3_update(target, updates, ["k"], "region").collect()}
+    assert len(out) == 4
+    assert (out[1]["region"], out[1]["prev_region"], out[1]["other"]) == ("west", "north", "y1")
+    assert (out[2]["region"], out[2]["prev_region"], out[2]["other"]) == ("south", None, "y2")
+    assert (out[3]["region"], out[3]["prev_region"], out[3]["other"]) == ("east", "old-e", "x3")
+    assert (out[4]["region"], out[4]["prev_region"], out[4]["other"]) == ("mid", None, "y4")
+
+
+def test_scd_type3_creates_prev_column_when_absent(spark):
+    from data_warehouse_punta_fina_spark.operators.scd import type3_update
+
+    target = spark.createDataFrame([(1, "a")], "k int, seg string")
+    updates = spark.createDataFrame([(1, "b")], "k int, seg string")
+    row = type3_update(target, updates, ["k"], "seg").collect()[0]
+    assert (row["seg"], row["prev_seg"]) == ("b", "a")
