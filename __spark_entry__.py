@@ -182,6 +182,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "doc_curation_report": ["quality"],
     "emb_hard_negatives": ["cosine"],
     "emb_cluster_quality": ["mean_sq_dist", "mean_silhouette"],
+    "weekly_revenue_decompose": ["rev"],
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
     "ann_ivf_trained_probe3": ["cosine"],
@@ -590,6 +591,21 @@ def _build_registries():
     def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+    def weekly_revenue_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # classical additive decomposition of the weekly revenue series:
+        # value = trend (centered 2x4 MA) + seasonal (re-centered phase
+        # means) + residual — the explain-side companion to the
+        # revenue_anomaly_weeks screen (operators.timeseries)
+        from data_warehouse_punta_fina_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        weekly = orders.groupBy(
+            F.date_trunc("week", F.col("o_orderdate")).alias("wk")
+        ).agg(F.sum(pround2("o_totalprice")).cast("decimal(18,2)").alias("rev"))
+        return seasonal_decompose(weekly, "wk", "rev", period=4)
 
     def scd3_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SCD Type 3 (previous-value column): even-key customers get a
@@ -2692,6 +2708,8 @@ def _build_registries():
         "fact_order_lifecycle": fact_order_lifecycle,
         # session-6: SCD Type 3 previous-value column
         "scd3_customer_segment": scd3_customer_segment,
+        # session-6: additive seasonal decomposition of the weekly series
+        "weekly_revenue_decompose": weekly_revenue_decompose,
         # wave-10 demotions (driver-green r1-r4; families still in-window)
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
@@ -4366,6 +4384,51 @@ WITH t AS (
 SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
        MIN(n) AS min_tokens, MAX(n) AS max_tokens
 FROM t GROUP BY bucket
+"""
+
+    # session-6: additive seasonal decomposition — every closing op
+    # mirrors operators.timeseries.seasonal_decompose exactly (2xMA with
+    # edge half-weights, phase means over round-6 decimal sums, grand-
+    # mean re-centering, rounded seasonal reused in the residual)
+    _TS_R6 = "CAST(CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE)"
+    o["weekly_revenue_decompose"] = f"""
+WITH wkrev AS (
+  SELECT date_trunc('week', o_orderdate) AS wk,
+         CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) / 100 AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT wk, rev, CAST(FLOOR(CAST(rev AS DOUBLE) * 100 + 0.5) AS BIGINT) AS q,
+         ROW_NUMBER() OVER (ORDER BY wk) AS rn
+  FROM wkrev
+),
+t AS (
+  SELECT *, COUNT(q) OVER w5 AS cnt,
+         SUM(q * 2) OVER w5 - FIRST_VALUE(q) OVER w5 - LAST_VALUE(q) OVER w5 AS tot2,
+         CAST((rn - 1) % 4 AS INT) AS phase
+  FROM b WINDOW w5 AS (ORDER BY wk ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+),
+d AS (SELECT *, CASE WHEN cnt = 5 THEN CAST(tot2 AS DOUBLE) / 8.0 END AS trend_i FROM t),
+d2 AS (SELECT *, CASE WHEN trend_i IS NOT NULL THEN CAST(q AS DOUBLE) - trend_i END AS det FROM d),
+ph AS (
+  SELECT phase, SUM(CAST(FLOOR(det * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS s, COUNT(*) AS n
+  FROM d2 WHERE det IS NOT NULL GROUP BY phase
+),
+pm AS (SELECT phase, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM ph),
+g AS (
+  SELECT CAST(SUM(CAST(FLOOR(m * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS gm
+  FROM pm
+),
+se AS (
+  SELECT phase, CAST(CAST(FLOOR((m - gm) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE) AS seasonal_q
+  FROM pm CROSS JOIN g
+)
+SELECT CAST(d2.wk AS TIMESTAMP) AS wk, CAST(d2.rev AS DOUBLE) AS rev,
+       {_TS_R6.format(e="trend_i / 100.0")} AS trend,
+       {_TS_R6.format(e="seasonal_q / 100.0")} AS seasonal,
+       {_TS_R6.format(e="(det - seasonal_q) / 100.0")} AS residual
+FROM d2 LEFT JOIN se USING (phase)
 """
 
     # session-6: SCD Type 3 — the oracle mirrors type3_update's left-join

@@ -91,6 +91,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "emb_cluster_quality",
     "fact_order_lifecycle",
+    "weekly_revenue_decompose",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -1916,3 +1916,46 @@ def test_scd_type3_creates_prev_column_when_absent(spark):
     updates = spark.createDataFrame([(1, "b")], "k int, seg string")
     row = type3_update(target, updates, ["k"], "seg").collect()[0]
     assert (row["seg"], row["prev_seg"]) == ("b", "a")
+
+
+def test_seasonal_decompose_recovers_known_components(spark):
+    # value = 10t + seasonal [5,-5,0,0]: trend MA must recover 10t where
+    # the window is full, seasonal the exact pattern, residual zero
+    from data_warehouse_punta_fina_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    rows = [(t, 10.0 * t + [5.0, -5.0, 0.0, 0.0][t % 4]) for t in range(16)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = {r["t"]: r for r in seasonal_decompose(df, "t", "v", period=4).collect()}
+    assert out[0]["trend"] is None and out[1]["trend"] is None  # incomplete edges
+    for t in range(2, 14):
+        assert out[t]["trend"] == 10.0 * t
+        assert out[t]["seasonal"] == [5.0, -5.0, 0.0, 0.0][t % 4]
+        assert out[t]["residual"] == 0.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "t", "v", period=1)
+
+
+def test_seasonal_decompose_grouped_series_partition_independently(spark):
+    from data_warehouse_punta_fina_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    rows = [("a", t, 100.0 + [2.0, -2.0, 0.0][t % 3]) for t in range(9)] + [
+        ("b", t, 50.0 + [0.0, 6.0, -6.0][t % 3]) for t in range(9)
+    ]
+    df = spark.createDataFrame(rows, "s string, t int, v double")
+    out = seasonal_decompose(df, "t", "v", period=3, series_cols=["s"]).collect()
+    a = {r["t"]: r for r in out if r["s"] == "a"}
+    b = {r["t"]: r for r in out if r["s"] == "b"}
+    # flat trend per series where windows are full; each series keeps its
+    # OWN seasonal pattern (no cross-series leakage)
+    for t in range(1, 8):
+        assert a[t]["trend"] == 100.0 and b[t]["trend"] == 50.0
+        assert a[t]["seasonal"] == [2.0, -2.0, 0.0][t % 3]
+        assert b[t]["seasonal"] == [0.0, 6.0, -6.0][t % 3]
+        assert a[t]["residual"] == 0.0 and b[t]["residual"] == 0.0
