@@ -183,6 +183,8 @@ _DEC_COLS: dict[str, list[str]] = {
     "emb_hard_negatives": ["cosine"],
     "emb_cluster_quality": ["mean_sq_dist", "mean_silhouette"],
     "weekly_revenue_decompose": ["rev"],
+    "basket_frequent_triples": ["support"],
+    "events_linear_attribution": ["credited"],
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
     "ann_ivf_trained_probe3": ["cosine"],
@@ -591,6 +593,27 @@ def _build_registries():
     def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+    def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # A-priori level 3: frequent part TRIPLES per order, candidates
+        # generated only from frequent pairs (downward closure) — the
+        # iteration after basket_part_affinity's pair stage
+        # (operators.behavior.frequent_triples)
+        from data_warehouse_punta_fina_spark.operators.behavior import frequent_triples
+
+        li = load_table(spark, sf_dir, "lineitem")
+        return frequent_triples(li, "l_orderkey", "l_partkey", min_count=2, top_k=50)
+
+    def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # linear multi-touch attribution: each purchase splits one unit
+        # of credit equally over its 24h view/click touches (no touch →
+        # 'organic'); round-6 decimal weights make the channel sums exact
+        # (operators.behavior.linear_attribution)
+        from data_warehouse_punta_fina_spark.operators.behavior import (
+            linear_attribution,
+        )
+
+        return linear_attribution(load_table(spark, sf_dir, "events"))
 
     def weekly_revenue_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         # classical additive decomposition of the weekly revenue series:
@@ -2710,6 +2733,9 @@ def _build_registries():
         "scd3_customer_segment": scd3_customer_segment,
         # session-6: additive seasonal decomposition of the weekly series
         "weekly_revenue_decompose": weekly_revenue_decompose,
+        # session-6: A-priori triples + multi-touch attribution
+        "basket_frequent_triples": basket_frequent_triples,
+        "events_linear_attribution": events_linear_attribution,
         # wave-10 demotions (driver-green r1-r4; families still in-window)
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
@@ -4384,6 +4410,51 @@ WITH t AS (
 SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
        MIN(n) AS min_tokens, MAX(n) AS max_tokens
 FROM t GROUP BY bucket
+"""
+
+    # session-6: A-priori triples — the oracle is the BRUTE triple join
+    # (the downward-closure prune is pure efficiency: the qualifying
+    # triple set is identical by definition)
+    o["basket_frequent_triples"] = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+t AS (
+  SELECT x.it AS item_a, y.it AS item_b, z.it AS item_c, COUNT(*) AS n_triple
+  FROM b x
+  JOIN b y ON x.bk = y.bk AND x.it < y.it
+  JOIN b z ON z.bk = x.bk AND z.it > y.it
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+)
+SELECT item_a, item_b, item_c, CAST(n_triple AS BIGINT) AS n_triple,
+       {_r6("CAST(n_triple AS DOUBLE) / CAST(n AS DOUBLE)")}::DOUBLE AS support
+FROM t CROSS JOIN nb
+ORDER BY n_triple DESC, item_a, item_b, item_c LIMIT 50
+"""
+
+    # session-6: linear multi-touch attribution — round-6 decimal weights
+    # (1/k per touch, 1 for organic), exact decimal channel sums
+    o["events_linear_attribution"] = """
+WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS cid FROM events WHERE event_type = 'purchase'),
+tch AS (SELECT user_id AS u, ts AS tts, event_type AS channel FROM events WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT conv.cid, tch.channel
+  FROM conv LEFT JOIN tch
+    ON tch.u = conv.u AND tch.tts <= conv.cts AND tch.tts >= conv.cts - INTERVAL 24 HOURS
+),
+k AS (
+  SELECT cid, COALESCE(channel, 'organic') AS channel,
+         COUNT(channel) OVER (PARTITION BY cid) AS kk
+  FROM j
+),
+w AS (
+  SELECT cid, channel,
+         CASE WHEN kk = 0 THEN CAST(1.0 AS DECIMAL(12,6))
+              ELSE CAST(FLOOR(1.0 / CAST(kk AS DOUBLE) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6)) END AS wgt
+  FROM k
+)
+SELECT channel, CAST(COUNT(DISTINCT cid) AS BIGINT) AS conversions,
+       CAST(SUM(wgt) AS DOUBLE) AS credited
+FROM w GROUP BY channel
 """
 
     # session-6: additive seasonal decomposition — every closing op

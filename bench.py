@@ -92,6 +92,8 @@ HEADLINE = [
     "emb_cluster_quality",
     "fact_order_lifecycle",
     "weekly_revenue_decompose",
+    "basket_frequent_triples",
+    "events_linear_attribution",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -20,7 +20,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -231,4 +231,162 @@ def basket_affinity(
         )
         .orderBy(F.desc("lift"), "item_a", "item_b")
         .limit(top_k)
+    )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 3,
+    top_k: int = 50,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Frequent item TRIPLES — the A-priori level after
+    :func:`basket_affinity`'s pairs (Agrawal & Srikant 1994): candidate
+    triples are generated ONLY by extending frequent pairs (downward
+    closure: every sub-pair of a frequent triple is frequent), so the
+    combinatorial k=3 space never materializes.
+
+    Shape: distinct (basket, item) → frequent-pair set (basket-keyed
+    self-join, counts ≥ min_count; vocabulary-sized, broadcast) →
+    occurrences of frequent pairs per basket extend with a third item
+    c > b from the same basket (basket-keyed join) → A-priori prune:
+    (a, c) AND (b, c) must also be frequent (two broadcast semi-joins)
+    → count, filter ≥ min_count, top-k by (count desc, items).
+    ``max_basket_items`` is the same skew cap as the pair stage.
+    Output: (item_a, item_b, item_c, n_triple, support), support =
+    n_triple / n_baskets (round-6; n_baskets counted AFTER the cap).
+    """
+    from data_warehouse_punta_fina_spark.functions.money import pround
+
+    b = df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")).distinct()
+    if max_basket_items is not None:
+        big = (
+            b.groupBy("_b")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") > max_basket_items)
+            .select("_b")
+        )
+        b = b.join(F.broadcast(big), "_b", "left_anti")
+    b = b.localCheckpoint(eager=False)
+    n_baskets = b.agg(F.countDistinct("_b").alias("_n"))
+    pair_occ = (
+        b.alias("x")
+        .join(b.alias("y"), (F.col("x._b") == F.col("y._b")) & (F.col("x._i") < F.col("y._i")))
+        .select(F.col("x._b").alias("_b"), F.col("x._i").alias("a"), F.col("y._i").alias("bb"))
+        .localCheckpoint(eager=False)
+    )
+    freq_pairs = (
+        pair_occ.groupBy("a", "bb").agg(F.count("*").alias("_c")).filter(F.col("_c") >= min_count)
+        .select("a", "bb")
+        .localCheckpoint(eager=False)
+    )
+    fp_occ = pair_occ.join(F.broadcast(freq_pairs), ["a", "bb"], "left_semi").alias("fp")
+    cand = (
+        fp_occ.join(
+            b.alias("z"),
+            (F.col("fp._b") == F.col("z._b")) & (F.col("z._i") > F.col("fp.bb")),
+        )
+        .select(F.col("fp._b").alias("_b"), "a", "bb", F.col("z._i").alias("c"))
+        # downward closure: (a, c) and (bb, c) must be frequent pairs too
+        .join(
+            F.broadcast(freq_pairs.select(F.col("a"), F.col("bb").alias("c"))),
+            ["a", "c"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(freq_pairs.select(F.col("a").alias("bb"), F.col("bb").alias("c"))),
+            ["bb", "c"],
+            "left_semi",
+        )
+    )
+    counted = (
+        cand.groupBy("a", "bb", "c")
+        .agg(F.count("*").alias("n_triple"))
+        .filter(F.col("n_triple") >= min_count)
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("bb").alias("item_b"),
+            F.col("c").alias("item_c"),
+            F.col("n_triple").cast("bigint").alias("n_triple"),
+            pround(F.col("n_triple").cast("double") / F.col("_n").cast("double"), 6, 12)
+            .cast("double")
+            .alias("support"),
+        )
+    )
+    return counted.orderBy(
+        F.desc("n_triple"), F.asc("item_a"), F.asc("item_b"), F.asc("item_c")
+    ).limit(top_k)
+
+
+def linear_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    window_hours: int = 24,
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion splits ONE unit of
+    credit equally across ALL its touches in the preceding window
+    (last-touch — the union-window as-of variant — credits only the
+    latest; linear is the standard alternative when journeys have many
+    touches). Conversions with no touch in the window credit 'organic'.
+
+    Shape: conversions join touches on the USER key with the time window
+    as a residual predicate — fan-out is touches-per-user-per-window
+    (bounded by real behavior), never user×user; per-conversion touch
+    counts come from one aggregate; per-touch weights are round-6
+    decimals (1/k), so the per-channel credit sums are EXACT and
+    partition-order independent. Output: (channel, conversions,
+    credited) where ``credited`` sums the fractional credits (round-6 at
+    the boundary) and ``conversions`` counts conversions that credited
+    the channel at all. Conversions are identified by ``id_col`` so
+    same-timestamp purchases never merge or double their touch counts.
+    """
+    from data_warehouse_punta_fina_spark.functions.money import pround
+
+    conv = events.filter(F.col(type_col) == conv_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_cts"),
+        F.col(id_col).alias("_cid"),
+    )
+    touch = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(type_col).alias("channel"),
+    )
+    joined = conv.join(
+        touch,
+        (conv["_u"] == touch["_u"])
+        & (F.col("_tts") <= F.col("_cts"))
+        & (F.col("_tts") >= F.col("_cts") - F.expr(f"INTERVAL {window_hours} HOURS")),
+        "left",
+    ).select(conv["_u"].alias("_u"), "_cid", "channel")
+    k = Window.partitionBy("_cid")
+    with_k = joined.withColumn(
+        "_k", F.count("channel").over(k)
+    ).withColumn(
+        "channel", F.coalesce(F.col("channel"), F.lit("organic"))
+    ).withColumn(
+        "_w",
+        F.when(F.col("_k") == 0, pround(F.lit(1.0), 6, 12)).otherwise(
+            pround(F.lit(1.0) / F.col("_k").cast("double"), 6, 12)
+        ),
+    )
+    return (
+        with_k.groupBy("channel")
+        .agg(
+            F.countDistinct("_cid").alias("conversions"),
+            F.sum("_w").alias("_credited"),
+        )
+        .select(
+            "channel",
+            F.col("conversions").cast("bigint").alias("conversions"),
+            F.col("_credited").cast("double").alias("credited"),
+        )
     )

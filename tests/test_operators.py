@@ -1959,3 +1959,41 @@ def test_seasonal_decompose_grouped_series_partition_independently(spark):
         assert a[t]["seasonal"] == [2.0, -2.0, 0.0][t % 3]
         assert b[t]["seasonal"] == [0.0, 6.0, -6.0][t % 3]
         assert a[t]["residual"] == 0.0 and b[t]["residual"] == 0.0
+
+
+def test_frequent_triples_apriori_semantics(spark):
+    from data_warehouse_punta_fina_spark.operators.behavior import frequent_triples
+
+    rows = (
+        [(f"b{i}", x) for i in range(3) for x in ("a", "b", "c")]  # abc x3
+        + [("b3", "a"), ("b3", "b"), ("b3", "d")]                  # ab+d once
+        + [("b4", "x"), ("b4", "y"), ("b4", "z")]                  # xyz once
+    )
+    df = spark.createDataFrame(rows, "bk string, it string")
+    out = frequent_triples(df, "bk", "it", min_count=2, top_k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["item_c"], r["n_triple"]) == ("a", "b", "c", 3)
+    assert float(r["support"]) == 0.6  # 3 of 5 baskets
+
+
+def test_linear_attribution_splits_credit_and_keeps_organic(spark):
+    from data_warehouse_punta_fina_spark.operators.behavior import linear_attribution
+
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1: 2 touches (view, click) then a purchase -> 0.5 each
+        (1, dt(2024, 1, 1, 10), "view", 1),
+        (1, dt(2024, 1, 1, 11), "click", 2),
+        (1, dt(2024, 1, 1, 12), "purchase", 3),
+        # user 2: no touch in window -> organic
+        (2, dt(2024, 1, 5, 12), "purchase", 4),
+        # user 2 old view 3 days before: outside the 24h window
+        (2, dt(2024, 1, 2, 12), "view", 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    out = {r["channel"]: (r["conversions"], r["credited"]) for r in linear_attribution(df).collect()}
+    assert out["view"] == (1, 0.5)
+    assert out["click"] == (1, 0.5)
+    assert out["organic"] == (1, 1.0)
