@@ -185,6 +185,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "weekly_revenue_decompose": ["rev"],
     "basket_frequent_triples": ["support"],
     "events_linear_attribution": ["credited"],
+    "order_sample_allocation": ["std", "quota"],
     "ann_ivf_topk": ["cosine"],
     "ann_ivf_trained_topk": ["cosine"],
     "ann_ivf_trained_probe3": ["cosine"],
@@ -593,6 +594,18 @@ def _build_registries():
     def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+    def order_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Neyman optimal allocation: split a 1000-row sample budget across
+        # order-priority strata proportional to N_h·S_h (size × std of
+        # o_totalprice) — largest-remainder integer seats, exact
+        # sufficient statistics (operators.sampling.neyman_allocation)
+        from data_warehouse_punta_fina_spark.operators.sampling import (
+            neyman_allocation,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        return neyman_allocation(orders, ["o_orderpriority"], "o_totalprice", 1000)
 
     def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         # A-priori level 3: frequent part TRIPLES per order, candidates
@@ -2736,6 +2749,8 @@ def _build_registries():
         # session-6: A-priori triples + multi-touch attribution
         "basket_frequent_triples": basket_frequent_triples,
         "events_linear_attribution": events_linear_attribution,
+        # session-6: Neyman stratified-sampling allocation
+        "order_sample_allocation": order_sample_allocation,
         # wave-10 demotions (driver-green r1-r4; families still in-window)
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
@@ -4410,6 +4425,47 @@ WITH t AS (
 SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
        MIN(n) AS min_tokens, MAX(n) AS max_tokens
 FROM t GROUP BY bucket
+"""
+
+    # session-6: Neyman allocation — exact sufficient stats, round-6
+    # weights, largest-remainder seats (ties -> stratum key ascending)
+    _NY_R6 = "CAST(CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE)"
+    o["order_sample_allocation"] = f"""
+WITH base AS (
+  SELECT o_orderpriority, CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS q
+  FROM orders
+),
+s AS (
+  SELECT o_orderpriority, COUNT(*) AS n_pop,
+         SUM(CAST(q AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(q AS DECIMAL(38,0)) * q) AS s2
+  FROM base GROUP BY 1
+),
+w AS (
+  SELECT *, sqrt(greatest(
+    (CAST(n_pop AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+    / (CAST(n_pop AS DOUBLE) * CAST(n_pop AS DOUBLE)), 0.0)) AS std_q
+  FROM s
+),
+w2 AS (SELECT *, {_NY_R6.format(e="CAST(n_pop AS DOUBLE) * std_q")} AS wgt FROM w),
+tot AS (
+  SELECT SUM(CAST(FLOOR(wgt * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))) AS tw,
+         SUM(n_pop) AS nn
+  FROM w2
+),
+qta AS (
+  SELECT w2.*, 1000.0 * (CASE WHEN CAST(tw AS DOUBLE) > 0.0 THEN wgt / CAST(tw AS DOUBLE)
+                              ELSE CAST(n_pop AS DOUBLE) / CAST(nn AS DOUBLE) END) AS quota
+  FROM w2 CROSS JOIN tot
+),
+fl AS (SELECT *, CAST(FLOOR(quota) AS BIGINT) AS flr, quota - FLOOR(quota) AS frac FROM qta),
+lo AS (SELECT CAST(1000 - SUM(flr) AS BIGINT) AS leftv FROM fl),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, o_orderpriority) AS rk FROM fl)
+SELECT o_orderpriority, n_pop,
+       {_NY_R6.format(e="std_q / 100.0")} AS std,
+       {_NY_R6.format(e="quota")} AS quota,
+       flr + CASE WHEN rk <= leftv THEN 1 ELSE 0 END AS alloc
+FROM rk CROSS JOIN lo
 """
 
     # session-6: A-priori triples — the oracle is the BRUTE triple join

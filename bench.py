@@ -94,6 +94,7 @@ HEADLINE = [
     "weekly_revenue_decompose",
     "basket_frequent_triples",
     "events_linear_attribution",
+    "order_sample_allocation",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -110,3 +110,87 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
         .filter(F.col("n_occurrences") * F.lit(k) > F.col("_n"))
         .select(F.col("_i").alias(col), "n_occurrences")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_cols: list[str],
+    value_col: str,
+    total_n: int,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Neyman optimal allocation for stratified sampling: assign a total
+    sample budget across strata proportional to ``N_h · S_h`` (stratum
+    size × population standard deviation) — the design that minimizes
+    the variance of the stratified mean estimator (Neyman 1934). The
+    planning step in front of :func:`weighted_sample` /
+    fingerprint-bucket stratified sampling: spend the budget where the
+    data varies, not just where it is plentiful.
+
+    Exactness: S_h comes from exact sufficient statistics (int64
+    quantized values, DECIMAL(38,0) squared sums — the grouped_ols
+    discipline) via the population-variance identity
+    ``(n·Σq² − (Σq)²)/n²``; the one sqrt and the quota division are
+    fixed-order IEEE, round-6'd. Integer allocations use the
+    largest-remainder (Hamilton) method: floor every exact quota, hand
+    the leftover seats to the largest fractional remainders (ties →
+    stratum key ascending) — deterministic on any engine, total always
+    exactly ``total_n``. Constant strata (S_h = 0) get quota 0 — callers
+    needing a minimum per stratum add it before calling.
+
+    Shape: one map-side-combined aggregate to strata-sized rows; the
+    rank/remainder windows run over the tiny strata table. Output:
+    (strata…, n_pop, std, quota, alloc).
+    """
+    from pyspark.sql import Window
+
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(10**value_scale)) + F.lit(0.5)
+    ).cast("long")
+    stats = df.select(*strata_cols, q.alias("_q")).groupBy(*strata_cols).agg(
+        F.count("*").alias("n_pop"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_s"),
+        F.sum(F.col("_q").cast("decimal(38,0)") * F.col("_q")).alias("_s2"),
+    )
+    n = F.col("n_pop").cast("double")
+    var = (n * F.col("_s2").cast("double") - F.col("_s").cast("double") * F.col("_s").cast("double")) / (
+        n * n
+    )
+    r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+    scale = F.lit(float(10**value_scale))
+    with_std = stats.withColumn("_std_q", F.sqrt(F.greatest(var, F.lit(0.0))))
+    with_w = with_std.withColumn("_w", r6(n * F.col("_std_q")))
+    tot = with_w.agg(
+        F.sum(pround(F.col("_w"), 6, 28)).alias("_tw"),
+        F.sum("n_pop").alias("_N"),
+    )
+    # all-constant-strata edge (every S_h = 0): fall back to proportional-
+    # to-size allocation instead of a 0/0 quota
+    quota = F.lit(float(total_n)) * F.when(
+        F.col("_tw").cast("double") > 0.0,
+        F.col("_w") / F.col("_tw").cast("double"),
+    ).otherwise(n / F.col("_N").cast("double"))
+    ordk = [F.asc(c) for c in strata_cols]
+    w_rem = Window.partitionBy(F.pmod(F.xxhash64(*strata_cols), F.lit(1))).orderBy(
+        F.desc("_frac"), *ordk
+    )
+    with_quota = (
+        with_w.crossJoin(F.broadcast(tot))
+        .withColumn("_quota", quota)
+        .withColumn("_floor", F.floor(F.col("_quota")).cast("long"))
+        .withColumn("_frac", F.col("_quota") - F.col("_floor"))
+    )
+    leftover = with_quota.agg(
+        (F.lit(total_n) - F.sum("_floor")).cast("long").alias("_left")
+    )
+    return (
+        with_quota.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(w_rem))
+        .select(
+            *strata_cols,
+            "n_pop",
+            r6(F.col("_std_q") / scale).alias("std"),
+            r6(F.col("_quota")).alias("quota"),
+            (F.col("_floor") + (F.col("_rk") <= F.col("_left")).cast("long")).alias("alloc"),
+        )
+    )

@@ -1997,3 +1997,26 @@ def test_linear_attribution_splits_credit_and_keeps_organic(spark):
     assert out["view"] == (1, 0.5)
     assert out["click"] == (1, 0.5)
     assert out["organic"] == (1, 1.0)
+
+
+def test_neyman_allocation_favors_variable_strata_and_sums_exactly(spark):
+    from data_warehouse_punta_fina_spark.operators.sampling import neyman_allocation
+
+    # stratum 'wild': huge spread; 'calm': same size, tiny spread
+    rows = [("wild", float(v)) for v in (0, 1000, 0, 1000, 0, 1000)] + [
+        ("calm", 500.0 + 0.01 * i) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {r["s"]: r for r in neyman_allocation(df, ["s"], "v", 100).collect()}
+    assert out["wild"]["alloc"] + out["calm"]["alloc"] == 100  # budget exact
+    assert out["wild"]["alloc"] > 90  # nearly all budget to the variable stratum
+    assert out["wild"]["n_pop"] == out["calm"]["n_pop"] == 6
+
+
+def test_neyman_allocation_constant_strata_fall_back_proportional(spark):
+    from data_warehouse_punta_fina_spark.operators.sampling import neyman_allocation
+
+    rows = [("a", 5.0)] * 30 + [("b", 7.0)] * 10
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {r["s"]: r["alloc"] for r in neyman_allocation(df, ["s"], "v", 20).collect()}
+    assert out == {"a": 15, "b": 5}  # proportional to size when every S_h = 0
