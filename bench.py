@@ -1,9 +1,13 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+detailed JSON line ({"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., per-query oracle ratios, ...}) and
+then a compact summary JSON line LAST — the detailed line outgrew the
+driver's 2000-char tail capture at 67 queries (BENCH_r05 parsed=null),
+so the final line is guaranteed short; full detail also lands in
+BENCH_DETAIL.json.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). Session startup is excluded — the reference baseline
@@ -261,10 +265,35 @@ def main() -> None:
         out["vs_r01"] = {
             name: round(t / floor[name], 2) for name, t in times.items() if floor.get(name)
         }
+    # driver contract (round-6 fix, VERDICT r5 #5): the detailed line grew
+    # past the driver's 2000-char tail capture in round 5, so BENCH_r05
+    # recorded parsed=null. Emit the full detail FIRST (and persist it to
+    # BENCH_DETAIL.json for humans/judges), then print a compact summary
+    # as the LAST line so the tail window always contains one complete,
+    # parseable JSON object with the headline numbers.
     print(json.dumps(out))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w"
+        ) as fh:
+            json.dump(out, fh, indent=1)
+    except OSError as exc:
+        print(f"bench: could not persist BENCH_DETAIL.json: {exc}", file=sys.stderr)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "value_r4_subset_28q": out["value_r4_subset_28q"],
+        "vs_oracle_median": out.get("vs_oracle_median"),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
-    # exit 0 iff at least one query produced a timing; the JSON line above
-    # is printed regardless
+    # exit 0 iff at least one query produced a timing; the JSON lines above
+    # are printed regardless
     sys.exit(0 if times else 1)
 
 

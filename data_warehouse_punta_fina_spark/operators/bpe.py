@@ -221,7 +221,7 @@ def bpe_oracle_sql(word_counts_sql: str, merges: int = 6) -> str:
 )"""
         )
     selects = " UNION ALL ".join(
-        f"SELECT {k} AS rank, pair, merged, cnt AS pair_count FROM b{k}"
+        f"SELECT {k} AS rank, pair, merged, CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
         for k in range(1, merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + selects

@@ -202,6 +202,16 @@ def type3_update(
     ``prev_col``. Non-tracked attributes always take the update's
     values (Type-1 behavior).
 
+    NULL tracked values in an update are taken LITERALLY (null-safe
+    compare): an explicit NULL differing from the current value IS a
+    change — ``tracked`` becomes NULL and ``prev_col`` captures the old
+    value. This deliberately diverges from the COALESCE-keeps-old
+    convention: updates here are whole-row assertions (matching
+    :func:`type1_upsert`), so "I don't know anymore" must be
+    representable. Callers wanting keep-old-on-NULL should pre-filter
+    ``updates.filter(col(tracked).isNotNull())``. Pinned by
+    ``test_type3_null_tracked_update_overwrites``.
+
     One left join keyed on the natural key (the updates batch is
     normally the small side and broadcasts) — the target is read once
     and never shuffled on anything but the key.

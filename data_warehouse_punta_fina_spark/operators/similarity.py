@@ -482,9 +482,23 @@ def sq8_topk(
 def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, dims: int) -> DataFrame:
     """(id, sub, sv): each quantized vector split into ``m`` contiguous
     subvectors of dims/m components. One projection + one explode of an
-    m-element array — the raw embedding column is touched once."""
+    m-element array — the raw embedding column is touched once.
+
+    ``dims`` is verified against every vector inline (JVM-side branch,
+    no extra job): a wrong ``dims`` would otherwise make ``F.slice``
+    silently emit truncated/empty subvectors and train a garbage
+    codebook (ADVICE r5)."""
     d_sub = dims // m
-    q = quantize(vec_col)
+    q0 = quantize(vec_col)
+    q = F.when(F.size(q0) == dims, q0).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pq: embedding length "),
+                F.size(q0).cast("string"),
+                F.lit(f" != dims={dims}"),
+            )
+        )
+    )
     subs = F.array(
         *[
             F.struct(F.lit(s).alias("sub"), F.slice(q, s * d_sub + 1, d_sub).alias("sv"))

@@ -112,3 +112,70 @@ def test_jdbc_idempotent_append_skips_existing_keys(spark, derby_url):
     back = read_jdbc(spark, derby_url, table="t_idem", driver=DRIVER)
     assert back.count() == 40
     assert back.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+
+
+# --- catalog-driven conformance (reference §1.4 mechanism 3) ----------------
+
+
+def test_conform_column_mapping_rules():
+    from data_warehouse_punta_fina_spark.sources.conform import conform_column_mapping
+
+    m = conform_column_mapping(
+        ["venta_id", "cuenta_contable_id", "monto", "extra", "UPDATED_AT"],
+        ["venta_id", "cuenta_id", "monto", "created_at", "updated_at", "missing"],
+    )
+    # exact match always wins; fuzzy *_id picks the longer, more specific col
+    assert m == {"venta_id": "venta_id", "cuenta_id": "cuenta_contable_id", "monto": "monto"}
+    # exact beats fuzzy even when a longer candidate exists
+    m2 = conform_column_mapping(
+        ["cuenta_id", "cuenta_contable_id"], ["cuenta_id"]
+    )
+    assert m2 == {"cuenta_id": "cuenta_id"}
+    # most-specific (longest) candidate wins among several
+    m3 = conform_column_mapping(
+        ["centro_costo_id", "centro_id_x", "centro_gasto_operativo_id"], ["centro_id"]
+    )
+    assert m3 == {"centro_id": "centro_gasto_operativo_id"}
+
+
+def test_conform_to_table_loads_misnamed_columns(spark, derby_url):
+    """A DF whose columns only fuzzily match the DDL loads after
+    conformance (`database_loader.py:94-134`): extended *_id names are
+    renamed to the catalog's, strings are cast to the catalog types,
+    and unmapped extras are dropped."""
+    from data_warehouse_punta_fina_spark.sources.conform import load_conformed_jdbc
+    from data_warehouse_punta_fina_spark.sources.readers import read_jdbc
+
+    # target DDL, created via a seed write: (cuenta_id INT, monto DOUBLE, name VARCHAR)
+    seed = spark.range(1).select(
+        F.col("id").cast("int").alias("cuenta_id"),
+        F.lit(0.0).alias("monto"),
+        F.lit("seed").alias("name"),
+    )
+    write_jdbc(seed, derby_url, "t_conform", mode="overwrite", driver=DRIVER)
+
+    incoming = spark.range(5).select(
+        F.col("id").cast("int").alias("cuenta_contable_id"),  # fuzzy *_id
+        (F.col("id") * 1.5).cast("string").alias("monto"),    # needs cast
+        F.concat(F.lit("n"), F.col("id")).alias("name"),      # exact
+        F.lit("drop-me").alias("extranea"),                   # unmapped
+    )
+    conformed = load_conformed_jdbc(
+        incoming, spark, derby_url, "t_conform", mode="append", driver=DRIVER
+    )
+    # Derby folds unquoted identifiers to upper case — mapping is case-insensitive
+    assert sorted(c.upper() for c in conformed.columns) == ["CUENTA_ID", "MONTO", "NAME"]
+    back = read_jdbc(spark, derby_url, table="t_conform", driver=DRIVER)
+    assert back.count() == 6
+    got = {r[0]: r[1] for r in back.select("cuenta_id", "monto").collect()}
+    assert got[3] == 4.5  # '4.5' string arrived as DOUBLE via the catalog cast
+
+
+def test_conform_to_table_raises_on_zero_mappable_columns(spark, derby_url):
+    from data_warehouse_punta_fina_spark.sources.conform import conform_to_table
+
+    seed = spark.range(1).select(F.col("id").cast("int").alias("only_col"))
+    write_jdbc(seed, derby_url, "t_conform_none", mode="overwrite", driver=DRIVER)
+    stranger = spark.range(1).select(F.col("id").alias("unrelated"))
+    with pytest.raises(ValueError):
+        conform_to_table(stranger, spark, derby_url, "t_conform_none", driver=DRIVER)

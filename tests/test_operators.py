@@ -1648,6 +1648,20 @@ def test_pq_fit_codebook_shape_and_grouping(spark):
         assert r["cn2"] == sum(c * c for c in r["cvec"])
 
 
+def test_pq_fit_rejects_wrong_dims(spark):
+    """A dims mismatch must raise, not silently train a truncated
+    codebook via short F.slice subvectors (ADVICE r5): the guard is an
+    inline JVM-side raise_error on every vector's real length."""
+    import pytest as _pytest
+
+    from data_warehouse_punta_fina_spark.operators.similarity import pq_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(Exception) as exc:
+        pq_fit(emb, m=4, n_centroids=8, iters=1, dims=32).collect()
+    assert "!= dims=32" in str(exc.value)
+
+
 def test_pq_topk_with_full_rerank_equals_brute_force(spark):
     # rerank >= corpus size makes the ADC stage pure candidate generation
     # over everything — the exact rerank must then reproduce brute force
@@ -1907,6 +1921,27 @@ def test_scd_type3_previous_value_semantics(spark):
     assert (out[2]["region"], out[2]["prev_region"], out[2]["other"]) == ("south", None, "y2")
     assert (out[3]["region"], out[3]["prev_region"], out[3]["other"]) == ("east", "old-e", "x3")
     assert (out[4]["region"], out[4]["prev_region"], out[4]["other"]) == ("mid", None, "y4")
+
+
+def test_type3_null_tracked_update_overwrites(spark):
+    """Pins the documented NULL-overwrite corner (ADVICE r5): an explicit
+    NULL tracked value in an update IS a change — tracked becomes NULL,
+    prev captures the old value; NULL-to-NULL re-assertion is NOT a
+    change (null-safe compare)."""
+    from data_warehouse_punta_fina_spark.operators.scd import type3_update
+
+    target = spark.createDataFrame(
+        [(1, "north", "old-n"), (2, None, "old-s")],
+        "k int, region string, prev_region string",
+    )
+    updates = spark.createDataFrame(
+        [(1, None), (2, None)], "k int, region string"
+    )
+    out = {r["k"]: r for r in type3_update(target, updates, ["k"], "region").collect()}
+    # explicit NULL overwrote, prev captured the old value
+    assert (out[1]["region"], out[1]["prev_region"]) == (None, "north")
+    # NULL == NULL null-safely -> unchanged, prev untouched
+    assert (out[2]["region"], out[2]["prev_region"]) == (None, "old-s")
 
 
 def test_scd_type3_creates_prev_column_when_absent(spark):

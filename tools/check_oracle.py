@@ -11,6 +11,16 @@ driver reported 23. Cells now compare by exact repr: floats bit-exact,
 decimals full-scale. Queries must not emit DecimalType at all (the
 _dbl_out boundary); any decimal in an output is flagged loudly.
 
+ARROW-TYPED oracle side (round-6 fix): round 5's mirror fetched DuckDB
+results via ``fetchall()``, which coerces HUGEINT (the result type of an
+uncast ``SUM(integer)``) to Python int — masking a typed-hash mismatch
+the driver catches (CORRECTNESS_r05: 5 hash fails, all decimal128 on the
+oracle side vs int64 on Spark). The oracle side is now fetched as an
+Arrow table and BOTH sides are schema-gated: any output column whose
+(Arrow/Spark) type is outside {int32/64, float64, string, bool, date,
+timestamp, list/struct thereof} is a loud failure even when the values
+stringify identically.
+
 Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
@@ -39,6 +49,37 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         return repr(v)  # bit-exact: repr round-trips doubles
     return str(v)
+
+
+#: Arrow types the driver's typed hasher treats as canonical — anything
+#: else on the oracle side (HUGEINT/decimal128, uint*, float32, ...) is
+#: a latent hash mismatch and must be cast in the oracle SQL itself.
+def arrow_type_ok(t) -> bool:
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return arrow_type_ok(t.value_type)
+    if pa.types.is_struct(t):
+        return all(arrow_type_ok(f.type) for f in t)
+    return (
+        pa.types.is_int32(t)
+        or pa.types.is_int64(t)
+        or pa.types.is_float64(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_date(t)
+        or pa.types.is_timestamp(t)
+    )
+
+
+def spark_type_ok(dtype: str) -> bool:
+    base = dtype.split("(")[0]
+    if base.startswith("array<") and base.endswith(">"):
+        return spark_type_ok(dtype[6:-1])
+    if base.startswith("struct<"):
+        return True  # element types surface via Arrow on collect; keep shallow
+    return base in {"int", "bigint", "double", "string", "boolean", "date", "timestamp", "timestamp_ntz"}
 
 
 def df_to_multiset(cols, rows):
@@ -83,6 +124,9 @@ def main() -> None:
         dec_cols = [c for c, t in stypes.items() if t.startswith("decimal")]
         if dec_cols:
             problems.append(f"DECIMAL output columns (must be double at the boundary): {dec_cols}")
+        bad_spark = [f"{c}:{t}" for c, t in stypes.items() if not t.startswith("decimal") and not spark_type_ok(t)]
+        if bad_spark:
+            problems.append(f"non-canonical Spark output types: {bad_spark}")
         if name not in oracles:
             if problems:
                 failures.append(name)
@@ -91,9 +135,16 @@ def main() -> None:
                 print(f"SKIP  {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = atbl.column_names
+            bad_arrow = [
+                f"{f.name}:{f.type}" for f in atbl.schema if not arrow_type_ok(f.type)
+            ]
+            if bad_arrow:
+                problems.append(
+                    f"non-canonical oracle Arrow types (cast in the SQL): {bad_arrow}"
+                )
+            drows = list(zip(*(atbl.column(c).to_pylist() for c in dcols))) if atbl.num_rows else []
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
