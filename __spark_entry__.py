@@ -2498,13 +2498,20 @@ def _build_registries():
         # (wave 6: star_revenue_by_pais_trimestre demoted — star rollup
         # carried by fact_ventas + sql_top_customer_per_nation — for the
         # composed seasonal-residual anomaly screen)
-        "revenue_anomaly_weeks": revenue_anomaly_weeks,
+        # (round-6 rotation, wave 11: every swap below trades a
+        # driver-green-r5 veteran for a same-or-adjacent-family round-5
+        # addition that had only ever been mirror-checked — VERDICT r5 #7.
+        # revenue_anomaly_weeks out for weekly_revenue_decompose: the
+        # anomaly screen is BUILT on the decomposition's residuals)
+        "weekly_revenue_decompose": weekly_revenue_decompose,
         # (wave 9: lineitem_pricing_summary demoted — driver-green
         # r1-r4, multi-agg family carried by the fact builds +
         # ventas_daily_summary mirror — for events_value_buckets, the
         # exact quantile discretizer)
         "events_value_buckets": events_value_buckets,
-        "customer_snapshot_diff": customer_snapshot_diff,
+        # (wave 11: customer_snapshot_diff out — CDC diff green r5; SCD
+        # family keeps a fresh carrier via the Type-3 previous-value col)
+        "scd3_customer_segment": scd3_customer_segment,
         "events_variant_stats": events_variant_stats,
         "emb_random_projection": emb_random_projection,
         "doc_pii_redaction": doc_pii_redaction,
@@ -2533,20 +2540,28 @@ def _build_registries():
         # for events_chi2_daypart, the categorical-independence screen)
         "events_chi2_daypart": events_chi2_daypart,
         "events_robust_outliers": events_robust_outliers,
-        "events_funnel": events_funnel,
+        # (wave 11: events_funnel out, green r5 — the milestone-ordering
+        # machinery recurs in the accumulating-snapshot lifecycle fact)
+        "fact_order_lifecycle": fact_order_lifecycle,
         # (wave 6: batch_token_stats demoted — the Arrow mapInPandas
         # contract is carried in-window by media_features — for
         # basket_part_affinity)
-        "basket_part_affinity": basket_part_affinity,
+        # (wave 11: basket_part_affinity out, green r5 — superseded
+        # in-window by the A-priori triple extension of the same miner)
+        "basket_frequent_triples": basket_frequent_triples,
         "events_retention": events_retention,
         "events_session_window": events_session_window,
         # (wave 7: order_reconciliation demoted — full-outer reconcile
         # family adjacent to the in-window customer_snapshot_diff CDC — for
         # doc_weighted_sample, the A-ES weighted sampling primitive)
-        "doc_weighted_sample": doc_weighted_sample,
+        # (wave 11: doc_weighted_sample out, green r5 — sampling family
+        # carried by the Neyman optimal-allocation tier)
+        "order_sample_allocation": order_sample_allocation,
         "lineitem_cube": lineitem_cube,
         "events_gap_fill": events_gap_fill,
-        "events_attribution": events_attribution,
+        # (wave 11: events_attribution out, green r5 — last-touch is the
+        # degenerate case of the linear multi-touch credit split)
+        "events_linear_attribution": events_linear_attribution,
         "doc_chunks": doc_chunks,
         # north-star: text analysis / dedup / similarity / multimodal
         # (round-5 rotation, two waves. Wave 1: doc_repetition /
@@ -2573,7 +2588,9 @@ def _build_registries():
         # events_gap_fill (user_last_event out: max_by drives gap_fill's
         # daily pre-agg), events_funnel (customer_balance_quartiles out:
         # the distributed-rank machinery also assigns every dim SK).)
-        "doc_quality_gate": doc_quality_gate,
+        # (wave 11: doc_quality_gate out, green r5 — the gate's quality
+        # score is the stratified cut's own ranking signal)
+        "doc_quality_stratified": doc_quality_stratified,
         "doc_edit_distance_dups": doc_edit_distance_dups,
         # (session 3: doc_ngram_jaccard demoted — exact-Jaccard machinery
         # also verified in-window via doc_lsh_verified's candidate-bounded
@@ -2588,11 +2605,16 @@ def _build_registries():
         # ann_ivf_trained_topk, whose verify path computes the same exact
         # cosines — for doc_heavy_terms, the sketch-tier heavy hitters)
         "doc_heavy_terms": doc_heavy_terms,
-        "emb_near_dup_trained": emb_near_dup_trained,
+        # (wave 11: emb_near_dup_trained out, green r5 — trained-cell
+        # blocking stays exercised via its k-means; the cluster-quality
+        # evaluator of that same k-means enters)
+        "emb_cluster_quality": emb_cluster_quality,
         # (wave 9: media_features demoted — driver-green r1-r4, the
         # multimodal tier is pytest-proven incl. the REAL netpbm decode —
         # for doc_mixture_alloc, training-mix water-filling)
-        "doc_mixture_alloc": doc_mixture_alloc,
+        # (wave 11: doc_mixture_alloc out, green r5 — water-filling
+        # family carried by the per-language token-budget mix fill)
+        "doc_token_budget_mix": doc_token_budget_mix,
         # (wave 8: doc_dedup_clusters demoted — driver-green r1-r4,
         # both CC variants pytest-proven + doc_dedup_kept mirror — for
         # doc_bpe_merges, BPE tokenizer merge training)
@@ -2628,11 +2650,16 @@ def _build_registries():
         # and doc_incremental_dedup — for part_triangles, triangle
         # counting with degree-ordered orientation)
         "part_triangles": part_triangles,
-        "doc_repetition": doc_repetition,
+        # (wave 11: doc_repetition out, green r5 — the repetition profile
+        # feeds the in-window quality tiers; the end-to-end fuzzy-dedup
+        # kept-corpus emitter enters with its reachability oracle)
+        "doc_dedup_kept": doc_dedup_kept,
         "doc_repeated_spans": doc_repeated_spans,
         "doc_collocations": doc_collocations,
         "doc_bm25_topk": doc_bm25_topk,
-        "doc_surprisal": doc_surprisal,
+        # (wave 11: doc_surprisal out, green r5 — unigram surprisal is
+        # the bigram LM's own backoff term)
+        "doc_bigram_surprisal": doc_bigram_surprisal,
         "doc_incremental_dedup": doc_incremental_dedup,
     }
     assert len(reg) == 50, f"driver window must hold exactly 50 queries, got {len(reg)}"
@@ -2685,11 +2712,20 @@ def _build_registries():
         "dim_sitio_web": _legacy("build_dim_sitio_web"),
         "dim_direccion": _legacy("build_dim_direccion"),
         "ann_ivf_trained_probe3": ann_ivf_trained_probe3,
-        "doc_dedup_kept": doc_dedup_kept,
-        "doc_quality_stratified": doc_quality_stratified,
-        "doc_token_budget_mix": doc_token_budget_mix,
-        "doc_bigram_surprisal": doc_bigram_surprisal,
         "doc_stratified_sample": doc_stratified_sample,
+        # round-6 wave-11 demotions (ALL driver-green r5; each one's
+        # family keeps an in-window carrier — see the reg comments)
+        "revenue_anomaly_weeks": revenue_anomaly_weeks,
+        "basket_part_affinity": basket_part_affinity,
+        "events_attribution": events_attribution,
+        "doc_weighted_sample": doc_weighted_sample,
+        "doc_surprisal": doc_surprisal,
+        "doc_quality_gate": doc_quality_gate,
+        "doc_mixture_alloc": doc_mixture_alloc,
+        "customer_snapshot_diff": customer_snapshot_diff,
+        "emb_near_dup_trained": emb_near_dup_trained,
+        "events_funnel": events_funnel,
+        "doc_repetition": doc_repetition,
         # round-5 demotions (driver-green r1-r4; families still in-window)
         "dim_cliente": build_dim_cliente,
         "doc_lang_id": doc_lang_id,
@@ -2736,19 +2772,6 @@ def _build_registries():
         # session-6: training-pair mining
         "doc_contrastive_pairs": doc_contrastive_pairs,
         "emb_hard_negatives": emb_hard_negatives,
-        # session-6: clustering-quality evaluation for the IVF tier
-        "emb_cluster_quality": emb_cluster_quality,
-        # session-6: accumulating-snapshot fact (Kimball milestone pattern)
-        "fact_order_lifecycle": fact_order_lifecycle,
-        # session-6: SCD Type 3 previous-value column
-        "scd3_customer_segment": scd3_customer_segment,
-        # session-6: additive seasonal decomposition of the weekly series
-        "weekly_revenue_decompose": weekly_revenue_decompose,
-        # session-6: A-priori triples + multi-touch attribution
-        "basket_frequent_triples": basket_frequent_triples,
-        "events_linear_attribution": events_linear_attribution,
-        # session-6: Neyman stratified-sampling allocation
-        "order_sample_allocation": order_sample_allocation,
         # wave-10 demotions (driver-green r1-r4; families still in-window)
         "dim_fecha": lambda spark, sf: build_dim_fecha(spark, sf),
         "dim_producto": build_dim_producto,
