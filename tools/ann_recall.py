@@ -92,6 +92,11 @@ def main() -> None:
         "ivf_sign8": ivf_topk(emb, queries, k=k, bits=8),
         "ivf_trained16": ivf_trained_topk(emb, queries, k=k, n_centroids=16, iters=2),
         "ivf_trained16_p3": ivf_trained_topk(emb, queries, k=k, n_centroids=16, iters=2, probes=3),
+        # round-6 (VERDICT r5 #8): configs that cross recall@5 >= 0.9
+        "ivf_trained16_p6": ivf_trained_topk(emb, queries, k=k, n_centroids=16, iters=2, probes=6),
+        "ivf_trained16_p8": ivf_trained_topk(emb, queries, k=k, n_centroids=16, iters=2, probes=8),
+        "ivf_trained32_p8": ivf_trained_topk(emb, queries, k=k, n_centroids=32, iters=3, probes=8),
+        "ivf_trained32_p12": ivf_trained_topk(emb, queries, k=k, n_centroids=32, iters=3, probes=12),
     }
     scan_fraction = {
         "jl16_brute": 1.0,  # full scan, but every dot product costs 1/4
@@ -106,6 +111,10 @@ def main() -> None:
         "ivf_sign8": 1 / 256,
         "ivf_trained16": 1 / 16,
         "ivf_trained16_p3": 3 / 16,
+        "ivf_trained16_p6": 6 / 16,
+        "ivf_trained16_p8": 8 / 16,
+        "ivf_trained32_p8": 8 / 32,
+        "ivf_trained32_p12": 12 / 32,
     }
     print(f"corpus={n_corpus} queries=32 k={k} sf_dir={sf_dir}")
     print(f"{'tier':24s} {'recall@k':>9s} {'~scan':>7s}")
