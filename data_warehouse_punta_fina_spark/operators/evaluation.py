@@ -1,0 +1,172 @@
+"""Binary-classifier evaluation at corpus scale (model-eval tier).
+
+A training-data pipeline that scores documents (quality gates, language
+ID, dedup verdicts) needs to EVALUATE those scorers against labels at
+the same scale it applies them. Three classical evaluation operators,
+each exact (no sampling, no sketch) and shuffle-lean:
+
+- :func:`binary_auc` — exact ROC-AUC via the Mann-Whitney U rank
+  identity with average-rank tie handling. All arithmetic until the
+  final division is int64 on score-DISTINCT aggregates, so the result
+  is bit-reproducible across engines.
+- :func:`decile_lift` — the classic gains/lift table over exact,
+  front-loaded NTILE deciles (no global window;
+  :func:`~data_warehouse_punta_fina_spark.operators.windows.exact_ntile`).
+- :func:`woe_encoding` — Weight-of-Evidence categorical encoding with
+  half-count smoothing, the standard supervised encoder for
+  high-cardinality categoricals.
+
+Scale posture: every operator aggregates FIRST (per distinct score /
+per decile / per category) and only then windows or divides, so window
+partitions are aggregate-sized; nothing shuffles raw rows more than
+once. The reference has no evaluation surface at all — this tier is
+part of the LLM-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_punta_fina_spark.functions.money import pround6
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC per group via Mann-Whitney U:
+
+        AUC = (sum of positive ranks − n_pos(n_pos+1)/2) / (n_pos·n_neg)
+
+    with ties taking the average rank. Computed on the score-DISTINCT
+    aggregate: per score value s, ``cnt_s`` rows of which ``pos_s``
+    positive; ascending cumulative count gives every row of s the
+    average rank ``cum_before + (cnt+1)/2``. Doubling keeps it integer:
+    2·Σ pos-ranks = Σ pos_s·(2·cum_before_s + cnt_s + 1), so
+
+        AUC = (Σ − n_pos(n_pos+1)) / (2·n_pos·n_neg)
+
+    is a ratio of exact int64s — one double division at the end
+    (portable round-6). The ordering window runs over DISTINCT scores
+    (bounded by score quantization — round-6 scores at most 2e6 values
+    per unit interval), not rows. AUC is NULL for single-class groups.
+
+    ``label_col`` must be boolean or 0/1.
+    """
+    g = list(group_cols or [])
+    lab = F.col(label_col).cast("int")
+    per_score = df.groupBy(*g, F.col(score_col).alias("_s")).agg(
+        F.count("*").alias("_cnt"), F.sum(lab).alias("_pos")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in g] or [F.lit(0)]).orderBy("_s")
+    cum = per_score.withColumn(
+        "_cum_before",
+        F.coalesce(
+            F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    agg = cum.groupBy(*g).agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_cnt") - F.col("_pos")).alias("n_neg"),
+        F.sum(F.col("_pos") * (2 * F.col("_cum_before") + F.col("_cnt") + 1)).alias("_s2"),
+    )
+    auc = (F.col("_s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double") / (
+        2 * F.col("n_pos") * F.col("n_neg")
+    ).cast("double")
+    return agg.select(
+        *g,
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), pround6(auc)).alias("auc"),
+    )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_cols: list[str],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Gains/lift table: rows ranked by score DESCENDING into
+    ``n_buckets`` exact front-loaded NTILE buckets (``id_cols`` break
+    ties into a total order), then per bucket n, n_pos, pos_rate,
+    cumulative capture of all positives, and lift vs the base rate.
+    All counts exact int64; the three rates are single double divisions
+    (portable round-6)."""
+    from data_warehouse_punta_fina_spark.operators.windows import exact_ntile
+
+    lab = F.col(label_col).cast("int")
+    scored = df.select(
+        F.col(score_col).alias("_sc"), lab.alias("_y"), *[F.col(c) for c in id_cols]
+    ).withColumn("_neg", -F.col("_sc"))
+    bucketed = exact_ntile(scored, ["_neg", *id_cols], n_buckets, out="bucket")
+    per = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("_y").alias("n_pos")
+    )
+    tot = per.agg(
+        F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")
+    )
+    # constant partition key (the ranked_sequential_id idiom): the window
+    # is n_buckets rows, but an explicit partition keeps the repo's
+    # no-global-window warning gate meaningful
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            pround6(F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+            pround6(F.col("cum_pos").cast("double") / F.col("_tp").cast("double")).alias(
+                "cum_capture"
+            ),
+            pround6(
+                (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+                / (F.col("_tp").cast("double") / F.col("_tn").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return out
+
+
+def woe_encoding(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-Evidence per category with half-count smoothing:
+
+        WOE(c) = ln( ((pos_c + 0.5)/pos_tot) / ((neg_c + 0.5)/neg_tot) )
+
+    plus the category's Information-Value term
+    ``iv = (pos_share − neg_share)·woe``. One groupBy + one broadcast
+    of the 2-value totals; ln/division are the only double ops
+    (portable round-6)."""
+    lab = F.col(label_col).cast("int")
+    per = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count("*").alias("n"), F.sum(lab).alias("n_pos")
+    )
+    tot = per.agg(F.sum("n_pos").alias("_pt"), F.sum(F.col("n") - F.col("n_pos")).alias("_nt"))
+    ps = (F.col("n_pos") + F.lit(0.5)).cast("double") / F.col("_pt").cast("double")
+    ns = (F.col("n") - F.col("n_pos") + F.lit(0.5)).cast("double") / F.col("_nt").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n",
+            "n_pos",
+            pround6(F.log(ps / ns)).alias("woe"),
+            pround6((ps - ns) * F.log(ps / ns)).alias("iv_term"),
+        )
+    )

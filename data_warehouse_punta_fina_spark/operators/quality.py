@@ -337,3 +337,38 @@ def psi_report_categorical(
             pround((p_cur - p_base) * F.log(p_cur / p_base), 6, 12).alias("psi_term"),
         )
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    determinants: list[str],
+    dependents: list[str],
+) -> DataFrame:
+    """Functional-dependency audit: rows where ``determinants`` →
+    ``dependents`` is VIOLATED — the same determinant value maps to
+    more than one distinct dependent tuple (the integrity premise
+    behind every grain declaration; `check_grain_unique` only counts
+    duplicate keys, this explains WHICH keys disagree and how).
+
+    Output per violating determinant value: ``n_rows``, ``n_variants``
+    (distinct dependent tuples), and the lexicographically first/last
+    variant rendered as strings for inspection. One hash aggregation on
+    the determinant key; dependent tuples compare as concatenated
+    strings with a NUL separator (NULL → the literal '<null>'), so the
+    distinct-count never builds a struct shuffle."""
+    rendered = F.concat_ws(
+        "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in dependents]
+    )
+    per = df.groupBy(*[F.col(c) for c in determinants]).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(rendered).alias("n_variants"),
+        F.min(rendered).alias("first_variant"),
+        F.max(rendered).alias("last_variant"),
+    )
+    return per.filter(F.col("n_variants") > 1).select(
+        *determinants,
+        "n_rows",
+        "n_variants",
+        F.regexp_replace("first_variant", "\x00", " | ").alias("first_variant"),
+        F.regexp_replace("last_variant", "\x00", " | ").alias("last_variant"),
+    )

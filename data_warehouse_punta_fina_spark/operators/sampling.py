@@ -159,7 +159,11 @@ def neyman_allocation(
     r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
     scale = F.lit(float(10**value_scale))
     with_std = stats.withColumn("_std_q", F.sqrt(F.greatest(var, F.lit(0.0))))
-    with_w = with_std.withColumn("_w", r6(n * F.col("_std_q")))
+    # N_h·S_h needs DECIMAL(28,6), not (18,6): at 5× sf0.1 a stratum's
+    # n·std(cents) already exceeds 1e12 (found by the sf0.5 scaling run —
+    # ANSI overflow, not silent truncation); (28,6) holds to n·std ≈ 1e22,
+    # comfortably past 1e12-row strata at 100 TB
+    with_w = with_std.withColumn("_w", pround(n * F.col("_std_q"), 6, 28).cast("double"))
     tot = with_w.agg(
         F.sum(pround(F.col("_w"), 6, 28)).alias("_tw"),
         F.sum("n_pop").alias("_N"),
@@ -194,3 +198,28 @@ def neyman_allocation(
             (F.col("_floor") + (F.col("_rk") <= F.col("_left")).cast("long")).alias("alloc"),
         )
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    order_by: list[str],
+    every_k: int,
+    offset: int = 0,
+) -> DataFrame:
+    """Systematic (every k-th) sampling over a total order — the
+    classical design when the frame is sorted by an auxiliary variable
+    (date, key): deterministic, evenly spread over the order, zero RNG.
+
+    The global position comes from the two-pass range-partitioned
+    :func:`~data_warehouse_punta_fina_spark.operators.windows.ranked_sequential_id`
+    (no global window); a row is kept iff ``(pos − 1) % k == offset``.
+    ``order_by`` must be a total order (append the key), or positions —
+    and therefore the sample — would be tie-ambiguous."""
+    from data_warehouse_punta_fina_spark.operators.windows import ranked_sequential_id
+
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    if not 0 <= offset < every_k:
+        raise ValueError(f"offset must be in [0, {every_k}), got {offset}")
+    ranked = ranked_sequential_id(df, order_by, out="_pos")
+    return ranked.filter((F.col("_pos") - 1) % every_k == offset).drop("_pos")

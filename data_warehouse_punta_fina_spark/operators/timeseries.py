@@ -112,3 +112,182 @@ def seasonal_decompose(
         r6(F.col("_seasonal") / scale).alias("seasonal"),
         r6((F.col("_det") - F.col("_seasonal")) / scale).alias("residual"),
     )
+
+
+def ewma(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    span: int = 10,
+    series_cols: list[str] | None = None,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2, truncated at
+    ``span`` lags — the half-life smoother for aggregated daily series.
+
+    Exactness: weight (1/2)^j is implemented as the INTEGER weight
+    2^(span−1−j) on int64-quantized values, so numerator and
+    denominator are exact int64 sums over at most ``span`` ``lag``
+    terms; the single double division at the end is portable round-6.
+    (The untruncated tail the span cut drops carries weight < 2^−span —
+    under one round-6 ulp of the result for span ≥ 10 at daily scales.)
+    A missing lag (series head) simply drops out of BOTH sums — the
+    pandas ``adjust=True`` normalization.
+
+    Windows are per-series lags over the AGGREGATED series (one row per
+    bucket), never over raw facts — same scale posture as
+    :func:`seasonal_decompose`.
+    """
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    sc = series_cols or []
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(10**value_scale)) + F.lit(0.5)
+    ).cast("long")
+    df = series.select(
+        *sc, F.col(time_col).alias("_t"), F.col(value_col).alias("_v"), q.alias("_q")
+    )
+    part = sc if sc else [F.pmod(F.xxhash64("_t"), F.lit(1))]
+    w = Window.partitionBy(*part).orderBy("_t")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(span):
+        lagv = F.col("_q") if j == 0 else F.lag("_q", j).over(w)
+        weight = F.lit(1 << (span - 1 - j)).cast("long")
+        num = num + F.coalesce(lagv * weight, F.lit(0))
+        den = den + F.when(lagv.isNotNull(), weight).otherwise(F.lit(0))
+    scale = F.lit(float(10**value_scale))
+    return df.select(
+        *sc,
+        F.col("_t").alias(time_col),
+        F.col("_v").alias(value_col),
+        pround(num.cast("double") / den.cast("double") / scale, 6, 18)
+        .cast("double")
+        .alias("ewma"),
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    series_cols: list[str] | None = None,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Offline CUSUM changepoint screen: the cumulative sum of
+    deviations from the series mean peaks (in absolute value) at the
+    most likely single change point — the classic Page/Taylor offline
+    estimator.
+
+    Exactness end-to-end in int64: values quantize at ``value_scale``;
+    the centered deviation uses ``n·x − Σx`` (deviations scaled by n,
+    avoiding a fractional mean entirely), so the running sum, the
+    per-series max |cusum|, and the ``is_changepoint`` comparison are
+    all exact integer arithmetic. ``cusum`` is reported unscaled back
+    to value units: (Σ n·dev)/(n·10^scale) — one double division,
+    round-6.
+
+    Output: (series…, time, value, cusum, is_changepoint). Multiple
+    rows can tie at the max — all are flagged (deterministic; callers
+    wanting one take the earliest time).
+    """
+    sc = series_cols or []
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(10**value_scale)) + F.lit(0.5)
+    ).cast("long")
+    df = series.select(
+        *sc, F.col(time_col).alias("_t"), F.col(value_col).alias("_v"), q.alias("_q")
+    )
+    stats = df.groupBy(*sc).agg(F.sum("_q").alias("_sum"), F.count("*").alias("_n"))
+    joined = df.join(stats, sc) if sc else df.crossJoin(F.broadcast(stats))
+    part = sc if sc else [F.pmod(F.xxhash64("_t"), F.lit(1))]
+    w = Window.partitionBy(*part).orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(*part)
+    # dev scaled by n: n*x - sum  (exact); running sum stays int64 —
+    # |values| ≤ n * max|x|·10^scale ≈ 1e3 · 1e13 — within int64
+    dev_n = F.col("_n") * F.col("_q") - F.col("_sum")
+    cum = joined.withColumn("_cusum_n", F.sum(dev_n).over(w))
+    cum = cum.withColumn("_max_abs", F.max(F.abs(F.col("_cusum_n"))).over(wall))
+    scale = F.lit(float(10**value_scale))
+    return cum.select(
+        *sc,
+        F.col("_t").alias(time_col),
+        F.col("_v").alias(value_col),
+        pround(F.col("_cusum_n").cast("double") / F.col("_n").cast("double") / scale, 6, 18)
+        .cast("double")
+        .alias("cusum"),
+        (
+            (F.abs(F.col("_cusum_n")) == F.col("_max_abs")) & (F.col("_max_abs") > 0)
+        ).alias("is_changepoint"),
+    )
+
+
+def interpolate_linear(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    series_cols: list[str] | None = None,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a (possibly gap-filled)
+    daily series — the refinement of
+    :func:`~data_warehouse_punta_fina_spark.operators.asof.gap_fill_locf`:
+    instead of carrying the last observation flat, a missing day gets
+
+        prev + floor((next − prev) · days_since_prev / gap_days)
+
+    in int64-quantized units (floor division DOCUMENTED as the exact
+    cross-engine semantics; the error vs true linear is < one quantum).
+    Leading NULLs backfill from the first observation; trailing NULLs
+    carry the last (both edges have only one anchor). ``interpolated``
+    marks rows whose value was filled.
+
+    Two per-series ordered windows (last/first ignoreNulls) over the
+    AGGREGATED daily grid — no joins, no shuffle beyond the series
+    partition.
+    """
+    sc = series_cols or []
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(10**value_scale)) + F.lit(0.5)
+    ).cast("long")
+    df = series.select(
+        *sc,
+        F.col(time_col).alias("_t"),
+        F.when(F.col(value_col).isNotNull(), q).alias("_q"),
+    )
+    part = sc if sc else [F.pmod(F.xxhash64("_t"), F.lit(1))]
+    wb = (
+        Window.partitionBy(*part)
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*part)
+        .orderBy("_t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    tq = F.when(F.col("_q").isNotNull(), F.col("_t"))
+    filled = (
+        df.withColumn("_pv", F.last("_q", ignorenulls=True).over(wb))
+        .withColumn("_pt", F.last(tq, ignorenulls=True).over(wb))
+        .withColumn("_nv", F.first("_q", ignorenulls=True).over(wf))
+        .withColumn("_nt", F.first(tq, ignorenulls=True).over(wf))
+    )
+    gap = F.datediff(F.col("_nt"), F.col("_pt"))
+    pos = F.datediff(F.col("_t"), F.col("_pt"))
+    interp = F.col("_pv") + F.floor(
+        ((F.col("_nv") - F.col("_pv")) * pos) / gap
+    ).cast("long")
+    qout = (
+        F.when(F.col("_q").isNotNull(), F.col("_q"))
+        .when(F.col("_pv").isNull(), F.col("_nv"))  # leading edge: backfill
+        .when(F.col("_nv").isNull(), F.col("_pv"))  # trailing edge: LOCF
+        .otherwise(interp)
+    )
+    scale = F.lit(float(10**value_scale))
+    return filled.select(
+        *sc,
+        F.col("_t").alias(time_col),
+        pround(qout.cast("double") / scale, 6, 18).cast("double").alias(value_col),
+        F.col("_q").isNull().alias("interpolated"),
+    )

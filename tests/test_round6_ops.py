@@ -1,0 +1,249 @@
+"""Round-6 operator tests: EWMA / CUSUM / interpolation, FD audit,
+Bloom semi-join, evaluation tier (AUC / lift / WOE), systematic
+sampling, and the catalog conformance mapping (tested with Derby in
+test_jdbc_roundtrip.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- timeseries -------------------------------------------------------------
+
+
+def test_ewma_integer_weights_exact(spark):
+    from data_warehouse_punta_fina_spark.operators.timeseries import ewma
+
+    s = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 4.0)],
+        "d string, v double",
+    ).select(F.col("d").cast("date").alias("d"), "v")
+    out = {r["d"].day: r["ewma"] for r in ewma(s, "d", "v", span=10, value_scale=0).collect()}
+    # hand-rolled: num/den with weights 512,256,128…
+    assert out[1] == 1.0
+    assert out[2] == round((2 * 512 + 1 * 256) / 768, 6)  # 1.666667
+    assert abs(out[2] - 1.666667) < 1e-9
+    assert out[3] == 3.0  # (4*512 + 2*256 + 1*128)/896
+
+
+def test_ewma_partitions_by_series(spark):
+    from data_warehouse_punta_fina_spark.operators.timeseries import ewma
+
+    s = spark.createDataFrame(
+        [("a", "2024-01-01", 1.0), ("a", "2024-01-02", 3.0), ("b", "2024-01-02", 100.0)],
+        "k string, d string, v double",
+    ).select("k", F.col("d").cast("date").alias("d"), "v")
+    out = {(r["k"], r["d"].day): r["ewma"] for r in ewma(s, "d", "v", series_cols=["k"], value_scale=0).collect()}
+    assert out[("b", 2)] == 100.0  # b's head sees no bleed from a
+    assert out[("a", 2)] == round((3 * 512 + 1 * 256) / 768, 6)
+
+
+def test_cusum_peaks_at_level_shift(spark):
+    from data_warehouse_punta_fina_spark.operators.timeseries import cusum_changepoint
+
+    rows = [(f"2024-01-0{i+1}", v) for i, v in enumerate([0.0, 0.0, 0.0, 10.0, 10.0])]
+    s = spark.createDataFrame(rows, "d string, v double").select(
+        F.col("d").cast("date").alias("d"), "v"
+    )
+    out = sorted(
+        cusum_changepoint(s, "d", "v", value_scale=0).collect(), key=lambda r: r["d"]
+    )
+    assert [r["cusum"] for r in out] == [-4.0, -8.0, -12.0, -6.0, 0.0]
+    assert [r["is_changepoint"] for r in out] == [False, False, True, False, False]
+
+
+def test_cusum_constant_series_flags_nothing(spark):
+    from data_warehouse_punta_fina_spark.operators.timeseries import cusum_changepoint
+
+    s = spark.createDataFrame(
+        [("2024-01-01", 5.0), ("2024-01-02", 5.0)], "d string, v double"
+    ).select(F.col("d").cast("date").alias("d"), "v")
+    out = cusum_changepoint(s, "d", "v", value_scale=0).collect()
+    assert all(not r["is_changepoint"] for r in out)
+    assert all(r["cusum"] == 0.0 for r in out)
+
+
+def test_interpolate_linear_floor_blend_and_edges(spark):
+    from data_warehouse_punta_fina_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        ("2024-01-01", 10.0),
+        ("2024-01-02", None),
+        ("2024-01-03", None),
+        ("2024-01-04", 16.0),
+        ("2024-01-05", None),  # trailing -> LOCF
+    ]
+    s = spark.createDataFrame(rows, "d string, v double").select(
+        F.col("d").cast("date").alias("d"), "v"
+    )
+    out = sorted(
+        interpolate_linear(s, "d", "v", value_scale=0).collect(), key=lambda r: r["d"]
+    )
+    assert [r["v"] for r in out] == [10.0, 12.0, 14.0, 16.0, 16.0]
+    assert [r["interpolated"] for r in out] == [False, True, True, False, True]
+
+
+def test_interpolate_linear_leading_backfill(spark):
+    from data_warehouse_punta_fina_spark.operators.timeseries import interpolate_linear
+
+    s = spark.createDataFrame(
+        [("2024-01-01", None), ("2024-01-02", 7.0)], "d string, v double"
+    ).select(F.col("d").cast("date").alias("d"), "v")
+    out = sorted(
+        interpolate_linear(s, "d", "v", value_scale=0).collect(), key=lambda r: r["d"]
+    )
+    assert [r["v"] for r in out] == [7.0, 7.0]
+    assert [r["interpolated"] for r in out] == [True, False]
+
+
+# --- FD audit ---------------------------------------------------------------
+
+
+def test_fd_violations_reports_only_violators(spark):
+    from data_warehouse_punta_fina_spark.operators.quality import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (2, "c"), (3, None), (3, "d")],
+        "k int, dep string",
+    )
+    out = {r["k"]: r for r in fd_violations(df, ["k"], ["dep"]).collect()}
+    assert set(out) == {1, 3}  # key 2 repeats but does not violate
+    assert out[1]["n_variants"] == 2 and out[1]["n_rows"] == 2
+    assert out[1]["first_variant"] == "a" and out[1]["last_variant"] == "b"
+    assert out[3]["first_variant"] == "<null>"  # NULL renders explicitly
+
+
+def test_fd_violations_multi_column_rendering(spark):
+    from data_warehouse_punta_fina_spark.operators.quality import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "x", 10), (1, "x", 11)], "k int, a string, b int"
+    )
+    row = fd_violations(df, ["k"], ["a", "b"]).collect()[0]
+    assert row["first_variant"] == "x | 10"
+    assert row["last_variant"] == "x | 11"
+
+
+# --- Bloom semi-join --------------------------------------------------------
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from data_warehouse_punta_fina_spark.operators.bloomjoin import bloom_semi_join
+
+    big = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") % 13).alias("x"))
+    small = spark.range(300).select((F.col("id") * 7).alias("sk"))
+    got = bloom_semi_join(big, small, "k", "sk", m_bits=1 << 12, hashes=2)
+    want = big.join(small.select(F.col("sk").alias("k")).distinct(), "k", "left_semi")
+    assert sorted(r["k"] for r in got.collect()) == sorted(r["k"] for r in want.collect())
+
+
+def test_bloom_bitmap_is_compact(spark):
+    from data_warehouse_punta_fina_spark.operators.bloomjoin import bloom_bitmap
+
+    small = spark.range(1000).select(F.col("id").alias("k"))
+    words = bloom_bitmap(small, "k", m_bits=1 << 12, hashes=2)
+    # the broadcast payload is at most m/64 words regardless of key count
+    assert words.count() <= (1 << 12) // 64
+
+
+# --- evaluation tier --------------------------------------------------------
+
+
+def test_binary_auc_with_ties_matches_hand_computation(spark):
+    from data_warehouse_punta_fina_spark.operators.evaluation import binary_auc
+
+    df = spark.createDataFrame(
+        [(0.1, False), (0.2, False), (0.3, True), (0.3, False), (0.4, True)],
+        "s double, y boolean",
+    )
+    row = binary_auc(df, "s", "y").collect()[0]
+    # asc ranks: 1, 2, 3.5, 3.5, 5 -> pos ranks 3.5+5=8.5
+    # AUC = (8.5 - 2*3/2) / (2*3) = 0.916667
+    assert (row["n_pos"], row["n_neg"]) == (2, 3)
+    assert abs(float(row["auc"]) - 0.916667) < 1e-9
+
+
+def test_binary_auc_single_class_is_null_and_groups_split(spark):
+    from data_warehouse_punta_fina_spark.operators.evaluation import binary_auc
+
+    df = spark.createDataFrame(
+        [("g1", 0.1, True), ("g1", 0.9, True), ("g2", 0.2, False), ("g2", 0.8, True)],
+        "g string, s double, y boolean",
+    )
+    out = {r["g"]: r for r in binary_auc(df, "s", "y", group_cols=["g"]).collect()}
+    assert out["g1"]["auc"] is None  # no negatives -> undefined
+    assert float(out["g2"]["auc"]) == 1.0  # perfectly separated
+
+
+def test_decile_lift_exact_buckets(spark):
+    from data_warehouse_punta_fina_spark.operators.evaluation import decile_lift
+
+    # scores 10..1, positives on the top five -> perfect ranking
+    df = spark.createDataFrame(
+        [(i, float(11 - i), i <= 5) for i in range(1, 11)], "id int, s double, y boolean"
+    )
+    out = {r["bucket"]: r for r in decile_lift(df, "s", "y", ["id"], n_buckets=5).collect()}
+    assert [out[b]["n"] for b in range(1, 6)] == [2, 2, 2, 2, 2]
+    assert [out[b]["n_pos"] for b in range(1, 6)] == [2, 2, 1, 0, 0]
+    assert float(out[1]["lift"]) == 2.0  # 1.0 rate vs 0.5 base
+    assert float(out[1]["cum_capture"]) == 0.4
+    assert float(out[3]["cum_capture"]) == 1.0
+
+
+def test_woe_encoding_hand_computed(spark):
+    from data_warehouse_punta_fina_spark.operators.evaluation import woe_encoding
+
+    df = spark.createDataFrame(
+        [("A", True), ("A", True), ("A", False), ("B", False), ("B", False)],
+        "c string, y boolean",
+    )
+    out = {r["category"]: r for r in woe_encoding(df, "c", "y").collect()}
+    # pt=2, nt=3; A: ps=2.5/2, ns=1.5/3 -> ln(2.5); B: ps=0.5/2, ns=2.5/3 -> ln(0.3)
+    assert abs(float(out["A"]["woe"]) - math.log(2.5)) < 1e-6
+    assert abs(float(out["B"]["woe"]) - math.log(0.3)) < 1e-6
+    assert abs(float(out["A"]["iv_term"]) - (1.25 - 0.5) * math.log(2.5)) < 1e-6
+
+
+# --- systematic sampling ----------------------------------------------------
+
+
+def test_systematic_sample_exact_positions(spark):
+    from data_warehouse_punta_fina_spark.operators.sampling import systematic_sample
+
+    df = spark.range(10).select(F.col("id"))
+    got = sorted(r["id"] for r in systematic_sample(df, ["id"], 3).collect())
+    assert got == [0, 3, 6, 9]
+    got1 = sorted(r["id"] for r in systematic_sample(df, ["id"], 3, offset=1).collect())
+    assert got1 == [1, 4, 7]
+
+
+def test_systematic_sample_validates_params(spark):
+    from data_warehouse_punta_fina_spark.operators.sampling import systematic_sample
+
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        systematic_sample(df, ["id"], 0)
+    with pytest.raises(ValueError):
+        systematic_sample(df, ["id"], 3, offset=3)
+
+
+# --- neyman decimal headroom (sf0.5 scaling-run regression) -----------------
+
+
+def test_neyman_allocation_survives_large_n_times_std(spark):
+    """n_h·S_h over ~1e12 overflowed DECIMAL(18,6) under ANSI mode at the
+    sf0.5 scaling run; the weight now rounds into DECIMAL(28,6)."""
+    from data_warehouse_punta_fina_spark.operators.sampling import neyman_allocation
+
+    # two strata, values scaled so n*std(cents) > 1e12: std(cents) ~ 5e9
+    # with n=300 -> w ~ 1.5e12
+    rows = [("a", float(i % 2) * 1e8) for i in range(300)] + [
+        ("b", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["k"]: r for r in neyman_allocation(df, ["k"], "v", 100).collect()}
+    assert out["a"]["alloc"] + out["b"]["alloc"] == 100
+    assert out["a"]["alloc"] > out["b"]["alloc"]  # variance-heavy stratum wins
