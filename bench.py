@@ -99,6 +99,13 @@ HEADLINE = [
     "basket_frequent_triples",
     "events_linear_attribution",
     "order_sample_allocation",
+    # round-6 additions (all sf-proportional)
+    "events_ewma_daily",
+    "revenue_cusum_changepoint",
+    "urgent_lineitems_bloom",
+    "lineitem_fd_violations",
+    "doc_quality_auc",
+    "orders_systematic_sample",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -775,3 +775,59 @@ def test_session6_query_plan_shapes(spark):
     plan = pq._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round6_query_plan_shapes(spark):
+    """Plan-shape gates for the round-6 families:
+    - the Bloom semi-join probes attach via BROADCAST joins (the bitmap
+      is ≤ m/64 words) and the big side scans lineitem exactly once;
+    - EWMA reads events once (lags are one window pass, no self-join);
+    - CUSUM's 1-row stats row attaches via broadcast, never cartesian;
+    - AUC aggregates documents once (the cumulative window runs on the
+      score-distinct aggregate, not the corpus);
+    - the systematic sample inherits ranked_sequential_id's no-global-
+      window guarantee (no single-partition Exchange anywhere).
+    """
+    import __spark_entry__ as entrymod
+
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
+    sf = "/root/testdata/sf0.001"
+
+    bloom = qs["urgent_lineitems_bloom"](spark, sf)
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan.count("BroadcastHashJoin")
+    import re
+
+    li_scans = len(re.findall(r"FileScan parquet.*lineitem", plan))
+    assert li_scans == 1, f"lineitem scanned {li_scans}x"
+
+    ew = qs["events_ewma_daily"](spark, sf)
+    plan = ew._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+    cu = qs["revenue_cusum_changepoint"](spark, sf)
+    plan = cu._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") <= 2
+
+    auc = qs["doc_quality_auc"](spark, sf)
+    plan = auc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+    sample = qs["orders_systematic_sample"](spark, sf)
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # ranked_sequential_id's only single-partition exchanges are the
+    # SAMPLE-sized cutpoint collect_lists (input pre-filtered to ~n/512
+    # by the xxhash stride): every one must sit directly on a partial
+    # collect_list, never on a data-sized Sort (a global sort would show
+    # Sort feeding Exchange SinglePartition)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "partial_collect_list" in below, below
