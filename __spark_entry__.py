@@ -2660,6 +2660,86 @@ def _build_registries():
             every_k=97,
         )
 
+    # ---- round-6 wave 2: PR-curve evaluation, leakage-free target
+    # encoding, the hashing trick, graph assortativity, robust means ----
+
+    def doc_quality_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # exact average precision (pessimistic tie convention) of the
+        # quality score as an en-detector, per source — the PR-curve
+        # complement of doc_quality_auc (operators.evaluation)
+        from data_warehouse_punta_fina_spark.operators.evaluation import (
+            average_precision,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        scored = docs.select(
+            "source",
+            quality_score("text").alias("q"),
+            (F.col("lang") == "en").alias("y"),
+        )
+        return average_precision(scored, "q", "y", group_cols=["source"])
+
+    def orders_loo_priority_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # leave-one-out mean-price encoding of the order priority — the
+        # leakage-free supervised encoder (operators.evaluation); the
+        # custkey stride keeps the per-row output driver-hashable
+        from data_warehouse_punta_fina_spark.operators.evaluation import (
+            loo_target_encoding,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_custkey") % 100 == 0
+        )
+        pre = orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c"),
+        )
+        out = loo_target_encoding(pre, "o_orderpriority", "price_c")
+        return out.select("o_orderkey", "o_orderpriority", "price_c", "loo_mean")
+
+    def part_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Newman degree assortativity of the part co-purchase graph —
+        # hub-to-hub vs hub-and-spoke in one exact Pearson coefficient
+        # (operators.graph.degree_assortativity)
+        from data_warehouse_punta_fina_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem")
+        b = li.select(
+            F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+        ).distinct()
+        edges = (
+            b.alias("x")
+            .join(
+                b.alias("y"),
+                (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") < F.col("y.it")),
+            )
+            .select(F.col("x.it").alias("u"), F.col("y.it").alias("v"))
+            .distinct()
+        )
+        return degree_assortativity(edges)
+
+    def events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # 10% symmetric trimmed mean of the event value per type — the
+        # robust location estimate between mean and median
+        # (operators.stats.trimmed_mean)
+        from data_warehouse_punta_fina_spark.operators.stats import trimmed_mean
+
+        ev = load_table(spark, sf_dir, "events")
+        return trimmed_mean(ev, ["event_type"], "value", trim=0.1)
+
+    def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the hashing trick: fixed 16-dim signed token-count vectors, no
+        # vocabulary, md5-deterministic (operators.features)
+        from data_warehouse_punta_fina_spark.operators.features import feature_hashing
+
+        docs = load_table(spark, sf_dir, "documents")
+        return feature_hashing(docs, "doc_id", "text", dims=16)
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -2939,6 +3019,11 @@ def _build_registries():
         "doc_quality_lift": doc_quality_lift,
         "doc_source_woe": doc_source_woe,
         "orders_systematic_sample": orders_systematic_sample,
+        "doc_quality_avg_precision": doc_quality_avg_precision,
+        "orders_loo_priority_encoding": orders_loo_priority_encoding,
+        "part_copurchase_assortativity": part_copurchase_assortativity,
+        "events_trimmed_mean": events_trimmed_mean,
+        "doc_feature_hashing": doc_feature_hashing,
         # round-5 demotions (driver-green r1-r4; families still in-window)
         "dim_cliente": build_dim_cliente,
         "doc_lang_id": doc_lang_id,
@@ -6399,6 +6484,139 @@ SELECT category, n, n_pos,
        {_R6D.format(e=_woe)} AS woe,
        {_R6D.format(e=f"{_woe_d} * {_woe}")} AS iv_term
 FROM per, tot
+"""
+
+    # exact AP, pessimistic tie convention: per desc-ordered distinct-
+    # score block, positives contribute (P_b+i)/(N_b+c−p+i), i=1..p —
+    # the explode is n_pos-sized (mirrors evaluation.average_precision)
+    _ap_term = "CAST(pb + i AS DOUBLE) / CAST(nb + c - p + i AS DOUBLE)"
+    o["doc_quality_avg_precision"] = f"""
+WITH scored AS (SELECT source, {_r6(quality)} AS q, (lang = 'en') AS y FROM documents),
+per AS (
+  SELECT source, q, COUNT(*) AS c,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM scored GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, COALESCE(CAST(SUM(c) OVER wd AS BIGINT), 0) AS nb,
+            COALESCE(CAST(SUM(p) OVER wd AS BIGINT), 0) AS pb
+  FROM per
+  WINDOW wd AS (PARTITION BY source ORDER BY q DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+terms AS (
+  SELECT source, CAST(FLOOR(({_ap_term}) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS term
+  FROM cum, unnest(range(1, p + 1)) t(i) WHERE p > 0
+),
+agg AS (SELECT source, SUM(term) AS ts FROM terms GROUP BY source),
+universe AS (
+  SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(c) AS BIGINT) AS n
+  FROM per GROUP BY source
+)
+SELECT u.source, u.n, u.n_pos,
+       CASE WHEN u.n_pos > 0
+            THEN {_R6D.format(e="CAST(a.ts AS DOUBLE) / CAST(u.n_pos AS DOUBLE)")}
+       END AS avg_precision
+FROM universe u LEFT JOIN agg a USING (source)
+"""
+
+    # leave-one-out target encoding: (Σ_cat − own)/(n_cat − 1), exact
+    # int64 subtraction, singleton categories NULL
+    o["orders_loo_priority_encoding"] = f"""
+WITH pre AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders WHERE o_custkey % 100 = 0
+),
+st AS (
+  SELECT o_orderpriority, CAST(SUM(price_c) AS BIGINT) AS cs, COUNT(*) AS cn
+  FROM pre GROUP BY 1
+)
+SELECT o_orderkey, o_orderpriority, price_c,
+       CASE WHEN cn > 1
+            THEN {_R6D.format(e="CAST(cs - price_c AS DOUBLE) / CAST(cn - 1 AS DOUBLE)")}
+       END AS loo_mean
+FROM pre JOIN st USING (o_orderpriority)
+"""
+
+    # Newman degree assortativity over the symmetrized stub list —
+    # DECIMAL(38,0) sufficient statistics, closing Pearson in the same
+    # fixed IEEE order as operators.graph.degree_assortativity
+    _as_cov = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    _as_vx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    _as_vy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    o["part_copurchase_assortativity"] = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+e AS (SELECT DISTINCT x.it AS u, y.it AS v FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node
+),
+t AS (
+  SELECT du.deg AS xdeg, dv.deg AS ydeg
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+stubs AS (SELECT xdeg AS x, ydeg AS y FROM t UNION ALL SELECT ydeg, xdeg FROM t),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM stubs
+),
+c AS (
+  SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+         CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+)
+SELECT n_nodes, n_edges,
+       {_R6D.format(e="CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)")} AS mean_degree,
+       CASE WHEN {_as_vx} > 0 AND {_as_vy} > 0
+            THEN {_R6D.format(e=f"{_as_cov} / (sqrt({_as_vx}) * sqrt({_as_vy}))")}
+       END AS assortativity
+FROM c CROSS JOIN s
+"""
+
+    # symmetric 10% trim: rank ORDER BY value (tie order arbitrary — the
+    # retained multiset is tie-invariant), exact int64 middle sum
+    o["events_trimmed_mean"] = f"""
+WITH base AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS q FROM events
+),
+r AS (
+  SELECT event_type, q,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY q) AS rr,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+kept AS (
+  SELECT *, CAST(FLOOR(n * 0.1) AS BIGINT) AS k
+  FROM r WHERE rr > FLOOR(n * 0.1) AND rr <= n - FLOOR(n * 0.1)
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(k) AS BIGINT) AS n_trimmed_each_side,
+       {_R6D.format(e="CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0")} AS trimmed_mean
+FROM kept GROUP BY event_type
+"""
+
+    # hashing trick: md5-derived index/sign (the _hex13 idiom — Spark's
+    # conv(substr(md5,1,13),16,10) twin), dense 16-vector via the
+    # doc × dim grid + ordered list aggregate
+    _fh_ix = f"CAST({_hex13('md5(t)')} % 16 AS INT)"
+    _fh_sg = "CAST(1 - 2 * ((strpos('0123456789abcdef', substr(md5(t), 14, 1)) - 1) % 2) AS BIGINT)"
+    o["doc_feature_hashing"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS t FROM documents),
+h AS (SELECT doc_id, {_fh_ix} AS ix, {_fh_sg} AS sg FROM tok),
+per AS (SELECT doc_id, ix, CAST(SUM(sg) AS BIGINT) AS v FROM h GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, CAST(g.i AS INT) AS ix
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+),
+dense AS (
+  SELECT grid.doc_id, grid.ix, COALESCE(per.v, 0) AS v
+  FROM grid LEFT JOIN per ON per.doc_id = grid.doc_id AND per.ix = grid.ix
+)
+SELECT doc_id, list(v ORDER BY ix) AS features FROM dense GROUP BY doc_id
 """
 
     # systematic every-97th over the (date, key) total order

@@ -170,3 +170,103 @@ def woe_encoding(
             pround6((ps - ns) * F.log(ps / ns)).alias("iv_term"),
         )
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact average precision (area under the PR curve's step form) per
+    group, with the PESSIMISTIC tie convention: within a tied-score
+    block, positives rank LAST (the floor any tie-order achieves — so
+    reported AP never flatters the scorer; conventions differ here and
+    this one is documented + mirrored by the oracle).
+
+    Computed on the score-DISTINCT aggregate ordered descending: a block
+    with c rows / p positives after (N_b, P_b) better rows/positives
+    contributes Σ_{i=1..p} (P_b + i)/(N_b + c − p + i). The per-positive
+    terms explode via ``sequence(1, p)`` — total exploded rows = n_pos,
+    never corpus-sized. Terms round-6 into exact decimal sums, one final
+    division by n_pos. AP is NULL when a group has no positives.
+    """
+    g = list(group_cols or [])
+    lab = F.col(label_col).cast("int")
+    per = df.groupBy(*g, F.col(score_col).alias("_s")).agg(
+        F.count("*").alias("_c"), F.sum(lab).alias("_p")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in g] or [F.lit(0)]).orderBy(F.desc("_s"))
+    cum = per.withColumn(
+        "_nb",
+        F.coalesce(F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+    ).withColumn(
+        "_pb",
+        F.coalesce(F.sum("_p").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+    )
+    terms = cum.filter(F.col("_p") > 0).select(
+        *g,
+        "_c",
+        "_p",
+        "_nb",
+        "_pb",
+        F.explode(F.sequence(F.lit(1), F.col("_p"))).alias("_i"),
+    )
+    term = (F.col("_pb") + F.col("_i")).cast("double") / (
+        F.col("_nb") + F.col("_c") - F.col("_p") + F.col("_i")
+    ).cast("double")
+    agg = terms.groupBy(*g).agg(
+        F.sum(pround6(term, 18)).alias("_ts"), F.max(F.col("_pb") + F.col("_p")).alias("_np")
+    )
+    # groups with zero positives never produce terms — restore them with
+    # NULL ap via a left join from the group universe (constant-key join
+    # in the ungrouped case: a crossJoin against an EMPTY agg would drop
+    # the universe row when the data has no positives at all)
+    universe = per.groupBy(*g).agg(F.sum("_p").alias("n_pos"), F.sum("_c").alias("n"))
+    if g:
+        joined = universe.join(agg, g, "left")
+    else:
+        joined = universe.withColumn("_k", F.lit(0)).join(
+            F.broadcast(agg.withColumn("_k", F.lit(0))), "_k", "left"
+        ).drop("_k")
+    return joined.select(
+        *g,
+        "n",
+        "n_pos",
+        F.when(
+            F.col("n_pos") > 0,
+            pround6(F.col("_ts").cast("double") / F.col("n_pos").cast("double")),
+        ).alias("avg_precision"),
+    )
+
+
+def loo_target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    target_cents_col: str,
+    out: str = "loo_mean",
+) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-free supervised
+    encoder: each row's category mean EXCLUDES its own target,
+    ``(Σ_cat − own)/(n_cat − 1)``. Categories with a single row encode
+    NULL (no leave-one-out evidence; callers coalesce to a prior).
+
+    ``target_cents_col`` must already be int64-quantized (the caller
+    picks the scale), so the subtraction is exact and the single double
+    division round-6s. One broadcast-joined aggregate — rows never
+    reshuffle."""
+    stats = df.groupBy(cat_col).agg(
+        F.sum(target_cents_col).alias("_cs"), F.count("*").alias("_cn")
+    )
+    joined = df.join(F.broadcast(stats), cat_col)
+    # precision 18: the encoded mean is in the CALLER's integer units
+    # (cents), so the default (12,6) container is too narrow
+    enc = F.when(
+        F.col("_cn") > 1,
+        pround6(
+            (F.col("_cs") - F.col(target_cents_col)).cast("double")
+            / (F.col("_cn") - 1).cast("double"),
+            18,
+        ),
+    )
+    return joined.withColumn(out, enc).drop("_cs", "_cn")

@@ -258,3 +258,59 @@ def kcore(
         .agg(F.count("*").cast("bigint").alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
+
+
+def degree_assortativity(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all edge stubs — positive on
+    hub-to-hub networks, negative on hub-and-spoke. One row out:
+    (n_nodes, n_edges, mean_degree, assortativity).
+
+    Scale shape: one degree aggregate, two broadcast-sized joins to tag
+    each edge with its endpoint degrees, then ONE aggregate of exact
+    DECIMAL(38,0) sufficient statistics over the symmetrized 2m stubs
+    (the grouped_ols discipline — sf100 stub counts cannot overflow).
+    The closing Pearson formula is fixed-order IEEE, round-6. NULL when
+    degrees are constant (0/0, e.g. a perfect matching or a cycle).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("_dv"))
+    tagged = e.join(du, "u").join(dv, "v")
+    # symmetrize: every undirected edge contributes both stub orders
+    stubs = tagged.select(F.col("_du").alias("x"), F.col("_dv").alias("y")).unionByName(
+        tagged.select(F.col("_dv").alias("x"), F.col("_du").alias("y"))
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = stubs.agg(
+        F.count("*").alias("_n"),
+        F.sum(d38("x")).alias("_sx"),
+        F.sum(d38("y")).alias("_sy"),
+        F.sum(d38("x") * F.col("y")).alias("_sxy"),
+        F.sum(d38("x") * F.col("x")).alias("_sxx"),
+        F.sum(d38("y") * F.col("y")).alias("_syy"),
+    )
+    counts = e.agg(
+        F.count("*").alias("n_edges"),
+    ).crossJoin(F.broadcast(deg.agg(F.count("*").alias("n_nodes"))))
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov = n * F.col("_sxy").cast("double") - sx * sy
+    vx = n * F.col("_sxx").cast("double") - sx * sx
+    vy = n * F.col("_syy").cast("double") - sy * sy
+    r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+    return counts.crossJoin(F.broadcast(s)).select(
+        "n_nodes",
+        "n_edges",
+        r6(sx / n).alias("mean_degree"),
+        F.when(
+            (vx > 0) & (vy > 0), r6(cov / (F.sqrt(vx) * F.sqrt(vy)))
+        ).alias("assortativity"),
+    )

@@ -549,3 +549,50 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             r6((nab / n) * F.col("_lr")).alias("mi_term"),
         )
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    trim: float = 0.1,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Per-group symmetric trimmed mean: drop the lowest and highest
+    ``floor(n·trim)`` values, average the middle exactly (int64-quantized
+    sums, one double division, round-6). The robust location estimate
+    between the mean (trim=0) and the median (trim→0.5).
+
+    Tie note: the rank that picks which duplicates fall in the trimmed
+    tails is ORDER BY value only — tie order is arbitrary, but the
+    RETAINED multiset (hence the sum) is tie-invariant, so the result is
+    deterministic on any engine/partitioning. Windows partition by
+    group; groups are assumed to fit a partition (the quantile/NTILE
+    machinery covers the population-scale case).
+
+    Output: (group…, n, n_trimmed_each_side, trimmed_mean).
+    """
+    from pyspark.sql import Window
+
+    if not 0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(10**value_scale)) + F.lit(0.5)
+    ).cast("long")
+    base = df.select(*group_cols, q.alias("_q"))
+    w = Window.partitionBy(*group_cols).orderBy("_q")
+    ranked = base.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy(*group_cols))
+    )
+    k = F.floor(F.col("_n") * F.lit(float(trim))).cast("long")
+    kept = ranked.filter((F.col("_r") > k) & (F.col("_r") <= F.col("_n") - k))
+    scale = F.lit(float(10**value_scale))
+    return kept.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        F.max(k).alias("n_trimmed_each_side"),
+        pround(
+            F.sum("_q").cast("double") / F.count("*").cast("double") / scale, 6, 18
+        )
+        .cast("double")
+        .alias("trimmed_mean"),
+    )

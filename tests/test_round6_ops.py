@@ -247,3 +247,96 @@ def test_neyman_allocation_survives_large_n_times_std(spark):
     out = {r["k"]: r for r in neyman_allocation(df, ["k"], "v", 100).collect()}
     assert out["a"]["alloc"] + out["b"]["alloc"] == 100
     assert out["a"]["alloc"] > out["b"]["alloc"]  # variance-heavy stratum wins
+
+
+# --- wave 2: AP / LOO / assortativity / trimmed mean / feature hashing ------
+
+
+def test_average_precision_hand_computed_and_pessimistic_ties(spark):
+    from data_warehouse_punta_fina_spark.operators.evaluation import average_precision
+
+    df = spark.createDataFrame(
+        [(0.9, True), (0.8, False), (0.7, True), (0.7, False)], "s double, y boolean"
+    )
+    row = average_precision(df, "s", "y").collect()[0]
+    # blocks desc: 0.9 -> 1/1; 0.7 (tied, positive LAST) -> 2/4; AP = 0.75
+    assert (row["n"], row["n_pos"]) == (4, 2)
+    assert abs(float(row["avg_precision"]) - 0.75) < 1e-9
+
+    tie = spark.createDataFrame([(0.5, True), (0.5, False)], "s double, y boolean")
+    r2 = average_precision(tie, "s", "y").collect()[0]
+    assert abs(float(r2["avg_precision"]) - 0.5) < 1e-9  # pessimistic, not 1.0
+
+
+def test_average_precision_no_positives_is_null(spark):
+    from data_warehouse_punta_fina_spark.operators.evaluation import average_precision
+
+    df = spark.createDataFrame([(0.3, False), (0.8, False)], "s double, y boolean")
+    row = average_precision(df, "s", "y").collect()[0]
+    assert row["n_pos"] == 0 and row["avg_precision"] is None
+
+
+def test_loo_target_encoding_excludes_own_row(spark):
+    from data_warehouse_punta_fina_spark.operators.evaluation import loo_target_encoding
+
+    df = spark.createDataFrame(
+        [("A", 1, 10), ("A", 2, 20), ("A", 3, 30), ("B", 4, 99)],
+        "c string, id int, t long",
+    )
+    out = {r["id"]: r["loo_mean"] for r in loo_target_encoding(df, "c", "t").collect()}
+    assert float(out[1]) == 25.0  # (20+30)/2
+    assert float(out[2]) == 20.0
+    assert out[4] is None  # singleton category has no LOO evidence
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from data_warehouse_punta_fina_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "u int, v int")
+    row = degree_assortativity(star).collect()[0]
+    assert (row["n_nodes"], row["n_edges"]) == (4, 3)
+    assert abs(row["assortativity"] - (-1.0)) < 1e-9
+
+
+def test_degree_assortativity_constant_degrees_null(spark):
+    from data_warehouse_punta_fina_spark.operators.graph import degree_assortativity
+
+    cycle = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "u int, v int")
+    row = degree_assortativity(cycle).collect()[0]
+    assert row["assortativity"] is None  # zero degree variance
+
+
+def test_trimmed_mean_drops_outliers(spark):
+    from data_warehouse_punta_fina_spark.operators.stats import trimmed_mean
+
+    vals = [0.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    row = trimmed_mean(df, ["k"], "v", trim=0.1, value_scale=0).collect()[0]
+    assert row["n"] == 10 and row["n_trimmed_each_side"] == 1
+    assert row["trimmed_mean"] == 5.5  # mean of 2..9, outliers gone
+    with pytest.raises(ValueError):
+        trimmed_mean(df, ["k"], "v", trim=0.5)
+
+
+def test_feature_hashing_matches_reference_md5_formula(spark):
+    import hashlib
+
+    from data_warehouse_punta_fina_spark.operators.features import feature_hashing
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, ""), (3, "!!!")], "id int, text string"
+    )
+    out = {r["id"]: list(r["features"]) for r in feature_hashing(df, "id", "text").collect()}
+
+    def expect(tokens, dims=16):
+        vec = [0] * dims
+        for t in tokens:
+            h = hashlib.md5(t.encode()).hexdigest()
+            ix = int(h[:13], 16) % dims
+            sg = 1 - 2 * (int(h[13], 16) % 2)
+            vec[ix] += sg
+        return vec
+
+    assert out[1] == expect(["alpha", "beta", "beta"])
+    assert out[2] == [0] * 16  # empty text -> explicit zero vector
+    assert out[3] == [0] * 16  # no alphanumeric tokens
