@@ -2740,6 +2740,48 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return feature_hashing(docs, "doc_id", "text", dims=16)
 
+    # ---- round-6 wave 3: lossless set-similarity join, sequence
+    # pattern matching ----
+
+    def doc_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ALL token-set pairs with Jaccard >= 0.95 via prefix filtering —
+        # exact, unlike the LSH tier; candidates join only on each doc's
+        # rarest-token prefix (operators.setjoin.prefix_jaccard_join)
+        from data_warehouse_punta_fina_spark.operators.setjoin import (
+            prefix_jaccard_join,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        return prefix_jaccard_join(docs, "doc_id", "text", threshold=0.95)
+
+    def events_purchase_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # MATCH_RECOGNIZE-lite: sessions containing click → purchase with
+        # only view/error/signup between, counted as non-overlapping
+        # regex matches over the session's ordered symbol string
+        # (operators.patterns.session_pattern_match)
+        from data_warehouse_punta_fina_spark.operators.patterns import (
+            session_pattern_match,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        out = session_pattern_match(
+            ev,
+            "user_id",
+            "ts",
+            "event_type",
+            {"click": "c", "view": "v", "purchase": "p", "signup": "s", "error": "e"},
+            "c[ves]*p",
+            gap_seconds=6 * 3600,
+            tiebreak=["event_id"],
+        )
+        return out.select(
+            "user_id",
+            "session_seq",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "n_matches",
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -3024,6 +3066,8 @@ def _build_registries():
         "part_copurchase_assortativity": part_copurchase_assortativity,
         "events_trimmed_mean": events_trimmed_mean,
         "doc_feature_hashing": doc_feature_hashing,
+        "doc_prefix_jaccard_pairs": doc_prefix_jaccard_pairs,
+        "events_purchase_path_match": events_purchase_path_match,
         # round-5 demotions (driver-green r1-r4; families still in-window)
         "dim_cliente": build_dim_cliente,
         "doc_lang_id": doc_lang_id,
@@ -6617,6 +6661,65 @@ dense AS (
   FROM grid LEFT JOIN per ON per.doc_id = grid.doc_id AND per.ix = grid.ix
 )
 SELECT doc_id, list(v ORDER BY ix) AS features FROM dense GROUP BY doc_id
+"""
+
+    # prefix filtering is LOSSLESS, so the oracle is the brute shared-
+    # token all-pairs Jaccard (identical qualifying set by construction)
+    o["doc_prefix_jaccard_pairs"] = f"""
+WITH toks AS (SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS intersection
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, na.nt AS n_a, nb.nt AS n_b, intersection,
+       {_R6D.format(e="CAST(intersection AS DOUBLE) / CAST(na.nt + nb.nt - intersection AS DOUBLE)")} AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(intersection AS DOUBLE) / CAST(na.nt + nb.nt - intersection AS DOUBLE) >= 0.95
+"""
+
+    # session symbol-string pattern match: same gap sessionization as
+    # operators.asof.sessionize (exact integer microseconds), ordered
+    # string_agg, non-overlapping leftmost regex count
+    o["events_purchase_path_match"] = """
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+lagd AS (
+  SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM base
+),
+flag AS (
+  SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 21600 * CAST(1000000 AS BIGINT)
+                 THEN 1 ELSE 0 END AS nf
+  FROM lagd
+),
+ses AS (
+  SELECT *, CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+  FROM flag
+),
+symed AS (
+  SELECT user_id, session_seq, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              WHEN 'error' THEN 'e' ELSE '_' END AS sym
+  FROM ses
+),
+agg AS (
+  SELECT user_id, session_seq, MIN(ts) AS session_start, COUNT(*) AS n_events,
+         string_agg(sym, '' ORDER BY ts, event_id) AS seq
+  FROM symed GROUP BY 1, 2
+)
+SELECT user_id, session_seq,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       n_events,
+       CAST(len(regexp_extract_all(seq, 'c[ves]*p')) AS BIGINT) AS n_matches
+FROM agg
+WHERE len(regexp_extract_all(seq, 'c[ves]*p')) > 0
 """
 
     # systematic every-97th over the (date, key) total order

@@ -106,6 +106,11 @@ HEADLINE = [
     "lineitem_fd_violations",
     "doc_quality_auc",
     "orders_systematic_sample",
+    "events_trimmed_mean",
+    "doc_feature_hashing",
+    "doc_quality_avg_precision",
+    "doc_prefix_jaccard_pairs",
+    "events_purchase_path_match",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -340,3 +340,86 @@ def test_feature_hashing_matches_reference_md5_formula(spark):
     assert out[1] == expect(["alpha", "beta", "beta"])
     assert out[2] == [0] * 16  # empty text -> explicit zero vector
     assert out[3] == [0] * 16  # no alphanumeric tokens
+
+
+# --- wave 3: prefix-filter set join, sequence pattern match -----------------
+
+
+def test_prefix_jaccard_join_equals_brute_force(spark):
+    """Prefix filtering is LOSSLESS: the exact same qualifying pair set
+    as the brute all-pairs join, on the real corpus."""
+    from data_warehouse_punta_fina_spark.functions.text import tokens
+    from data_warehouse_punta_fina_spark.operators.setjoin import prefix_jaccard_join
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_join(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    toks = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), "t")
+    tb = toks.select(F.col("doc_id").alias("b"), "t")
+    inter = (
+        ta.join(tb, "t")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    brute = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .filter(
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.9
+        )
+    )
+    want = {(r["a"], r["b"]) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_prefix_jaccard_join_validates_threshold(spark):
+    from data_warehouse_punta_fina_spark.operators.setjoin import prefix_jaccard_join
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        prefix_jaccard_join(docs, "doc_id", "text", threshold=0.0)
+
+
+def test_session_pattern_match_counts_and_sessions(spark):
+    from data_warehouse_punta_fina_spark.operators.patterns import session_pattern_match
+
+    rows = [
+        # user 1, session 1: c v p  -> one match
+        (1, 1, "2024-01-01 10:00:00", "click"),
+        (1, 2, "2024-01-01 10:05:00", "view"),
+        (1, 3, "2024-01-01 10:10:00", "purchase"),
+        # user 1, session 2 (7h later): c e c p -> ONE non-overlapping match
+        (1, 4, "2024-01-01 18:00:00", "click"),
+        (1, 5, "2024-01-01 18:01:00", "error"),
+        (1, 6, "2024-01-01 18:02:00", "click"),
+        (1, 7, "2024-01-01 18:03:00", "purchase"),
+        # user 2: p c -> purchase BEFORE click, no match (session filtered out)
+        (2, 8, "2024-01-01 09:00:00", "purchase"),
+        (2, 9, "2024-01-01 09:01:00", "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, event_id int, ts string, event_type string").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = {
+        (r["user_id"], r["session_seq"]): r["n_matches"]
+        for r in session_pattern_match(
+            ev,
+            "user_id",
+            "ts",
+            "event_type",
+            {"click": "c", "view": "v", "purchase": "p", "error": "e"},
+            "c[ve]*p",
+            gap_seconds=6 * 3600,
+            tiebreak=["event_id"],
+        ).collect()
+    }
+    assert out == {(1, 1): 1, (1, 2): 1}  # user 2 absent: no match
