@@ -2782,6 +2782,55 @@ def _build_registries():
             "n_matches",
         )
 
+    # ---- round-6 wave 4: robust trend, rolling distinct counts ----
+
+    def weekly_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Theil-Sen robust slope + Mann-Kendall S over the weekly revenue
+        # series — the median-of-pairwise-slopes trend OLS can't have its
+        # breakdown point match (operators.stats.theil_sen_trend)
+        from data_warehouse_punta_fina_spark.operators.stats import theil_sen_trend
+
+        orders = load_table(spark, sf_dir, "orders")
+        weekly = orders.groupBy(
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+        ).agg(
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+        return theil_sen_trend(weekly, "week", "revenue")
+
+    def events_trailing_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # rolling 7-day distinct active users per day: each (user, day)
+        # contributes to the 7 trailing windows it falls in (explode a
+        # 7-day sequence), then one count-distinct per day — no
+        # data-sized range self-join, no window over raw events
+        ev = load_table(spark, sf_dir, "events")
+        du = ev.select(
+            "user_id", F.col("ts").cast("date").alias("day")
+        ).distinct()
+        expanded = du.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("wday"),
+        )
+        counts = expanded.groupBy("wday").agg(
+            F.count_distinct("user_id").alias("dau_7d")
+        )
+        bounds = ev.agg(
+            F.min(F.col("ts").cast("date")).alias("lo"),
+            F.max(F.col("ts").cast("date")).alias("hi"),
+        )
+        return (
+            counts.crossJoin(F.broadcast(bounds))
+            .filter((F.col("wday") >= F.col("lo")) & (F.col("wday") <= F.col("hi")))
+            .select(F.col("wday").alias("day"), "dau_7d")
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -3068,6 +3117,8 @@ def _build_registries():
         "doc_feature_hashing": doc_feature_hashing,
         "doc_prefix_jaccard_pairs": doc_prefix_jaccard_pairs,
         "events_purchase_path_match": events_purchase_path_match,
+        "weekly_revenue_theilsen": weekly_revenue_theilsen,
+        "events_trailing_dau": events_trailing_dau,
         # round-5 demotions (driver-green r1-r4; families still in-window)
         "dim_cliente": build_dim_cliente,
         "doc_lang_id": doc_lang_id,
@@ -6720,6 +6771,59 @@ SELECT user_id, session_seq,
        CAST(len(regexp_extract_all(seq, 'c[ves]*p')) AS BIGINT) AS n_matches
 FROM agg
 WHERE len(regexp_extract_all(seq, 'c[ves]*p')) > 0
+"""
+
+    # Theil-Sen + Mann-Kendall: pairwise slopes over the weekly series,
+    # median by value order (tie positions arbitrary, median value
+    # invariant), integer S — mirrors operators.stats.theil_sen_trend
+    o["weekly_revenue_theilsen"] = f"""
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+  FROM orders GROUP BY 1
+),
+d AS (SELECT week, q, CAST(ROW_NUMBER() OVER (ORDER BY week) AS BIGINT) AS x FROM weekly),
+pairs AS (
+  SELECT a.x AS xa, a.q AS qa, b.x AS xb, b.q AS qb,
+         CAST(b.q - a.q AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s,
+         CAST(sign(CAST(b.q - a.q AS DOUBLE)) AS BIGINT) AS sgn
+  FROM d a JOIN d b ON a.x < b.x
+),
+ranked AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS r, COUNT(*) OVER () AS m FROM pairs),
+med AS (
+  SELECT SUM(s) / COUNT(*) AS slope_c, CAST(MAX(m) AS BIGINT) AS n_pairs
+  FROM ranked WHERE r = FLOOR((m + 1) / 2) OR r = FLOOR(m / 2) + 1
+),
+mk AS (SELECT CAST(SUM(sgn) AS BIGINT) AS mk_s FROM pairs),
+resid AS (
+  SELECT CAST(d.q AS DOUBLE) - med.slope_c * CAST(d.x AS DOUBLE) AS res FROM d, med
+),
+rranked AS (SELECT res, ROW_NUMBER() OVER (ORDER BY res) AS r, COUNT(*) OVER () AS n FROM resid),
+imed AS (
+  SELECT SUM(res) / COUNT(*) AS icept_c, CAST(MAX(n) AS BIGINT) AS n
+  FROM rranked WHERE r = FLOOR((n + 1) / 2) OR r = FLOOR(n / 2) + 1
+)
+SELECT imed.n AS n, med.n_pairs,
+       {_R6D.format(e="med.slope_c / 100.0")} AS slope,
+       {_R6D.format(e="imed.icept_c / 100.0")} AS intercept,
+       mk.mk_s
+FROM med CROSS JOIN mk CROSS JOIN imed
+"""
+
+    # rolling 7-day DAU: every (user, day) feeds the 7 trailing windows
+    # it belongs to; count-distinct per window day, clipped to the
+    # observed range
+    o["events_trailing_dau"] = """
+WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+b AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events),
+expanded AS (
+  SELECT user_id, CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS wday
+  FROM du
+)
+SELECT wday AS day, COUNT(DISTINCT user_id) AS dau_7d
+FROM expanded, b
+WHERE wday >= lo AND wday <= hi
+GROUP BY 1
 """
 
     # systematic every-97th over the (date, key) total order

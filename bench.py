@@ -111,6 +111,8 @@ HEADLINE = [
     "doc_quality_avg_precision",
     "doc_prefix_jaccard_pairs",
     "events_purchase_path_match",
+    "weekly_revenue_theilsen",
+    "events_trailing_dau",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

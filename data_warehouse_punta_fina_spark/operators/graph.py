@@ -233,6 +233,11 @@ def kcore(
         .localCheckpoint(eager=False)
     )
     live = und
+    # carry the live-edge count across rounds: each round then costs ONE
+    # action (nxt.count) instead of two — the sf0.5 scaling run flagged
+    # kcore as the one super-linear query, and the per-round job floor
+    # is half its residual-round cost
+    live_count = None
     for _ in range(max_iter):
         deg = (
             live.select(F.col("u").alias("node"))
@@ -247,10 +252,14 @@ def kcore(
             .select("u", "v")
             .localCheckpoint(eager=False)
         )
-        if nxt.count() == live.count():
+        nxt_count = nxt.count()
+        if live_count is None:
+            live_count = live.count()
+        if nxt_count == live_count:
             live = nxt
             break
         live = nxt
+        live_count = nxt_count
     return (
         live.select(F.col("u").alias("node"))
         .unionByName(live.select(F.col("v").alias("node")))

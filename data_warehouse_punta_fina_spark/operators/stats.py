@@ -596,3 +596,94 @@ def trimmed_mean(
         .cast("double")
         .alias("trimmed_mean"),
     )
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    series_cols: list[str] | None = None,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Theil–Sen robust trend + Mann–Kendall test per series: the median
+    of all pairwise slopes (breakdown point 29%, vs 0% for OLS) with the
+    matching median-residual intercept, plus the exact Mann–Kendall S
+    statistic (Σ sign(y_j − y_i) over ordered pairs — the standard
+    nonparametric monotone-trend test).
+
+    x is the ROW INDEX of the time-ordered series (regular buckets, the
+    seasonal_decompose convention). Pairwise slopes are doubles of exact
+    int64 quantities ((q_j−q_i)/(j−i)) — identical IEEE values on any
+    engine, so value-ordering is engine-portable; tie positions are
+    arbitrary but the MEDIAN VALUE of the multiset is tie-invariant
+    (the trimmed-mean argument). Medians average the middle one/two
+    values; S is exact integer.
+
+    Scale: the O(n²) pair table is built from the AGGREGATED series (n =
+    buckets per series, e.g. 344 weeks → 59k pairs), partitioned per
+    series — never over raw facts. Output: (series…, n, n_pairs, slope,
+    intercept, mk_s).
+    """
+    from pyspark.sql import Window
+
+    sc = series_cols or []
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(10**value_scale)) + F.lit(0.5)
+    ).cast("long")
+    part = sc if sc else [F.pmod(F.xxhash64(F.col("_t")), F.lit(1))]
+    wt = Window.partitionBy(*part).orderBy("_t")
+    d = series.select(*sc, F.col(time_col).alias("_t"), q.alias("_q")).withColumn(
+        "_x", F.row_number().over(wt).cast("long")
+    )
+    a = d.select(*sc, F.col("_x").alias("_xa"), F.col("_q").alias("_qa"))
+    b = d.select(*sc, F.col("_x").alias("_xb"), F.col("_q").alias("_qb"))
+    on = sc if sc else None
+    pairs = (a.join(b, on) if on else a.crossJoin(b)).filter(F.col("_xa") < F.col("_xb"))
+    slope = (F.col("_qb") - F.col("_qa")).cast("double") / (
+        F.col("_xb") - F.col("_xa")
+    ).cast("double")
+    pairs = pairs.withColumn("_s", slope).withColumn(
+        "_sgn",
+        F.signum((F.col("_qb") - F.col("_qa")).cast("double")).cast("long"),
+    )
+    pp = sc if sc else [F.lit(0)]
+    ws = Window.partitionBy(*pp).orderBy("_s")
+    ranked = pairs.withColumn("_r", F.row_number().over(ws)).withColumn(
+        "_m", F.count("*").over(Window.partitionBy(*pp))
+    )
+    med_rows = ranked.filter(
+        (F.col("_r") == F.floor((F.col("_m") + 1) / 2))
+        | (F.col("_r") == F.floor(F.col("_m") / 2) + 1)
+    )
+    med = med_rows.groupBy(*sc).agg(
+        (F.sum("_s") / F.count("*")).alias("_slope"),
+        F.max("_m").alias("n_pairs"),
+    )
+    mk = pairs.groupBy(*sc).agg(F.sum("_sgn").alias("mk_s"))
+    # intercept: median of (q_i − slope·x_i), same median machinery
+    resid = (d.join(med, sc) if sc else d.crossJoin(F.broadcast(med))).withColumn(
+        "_res", F.col("_q").cast("double") - F.col("_slope") * F.col("_x").cast("double")
+    )
+    wr = Window.partitionBy(*pp).orderBy("_res")
+    rr = resid.withColumn("_r", F.row_number().over(wr)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy(*pp))
+    )
+    imed = rr.filter(
+        (F.col("_r") == F.floor((F.col("_n") + 1) / 2))
+        | (F.col("_r") == F.floor(F.col("_n") / 2) + 1)
+    ).groupBy(*sc).agg(
+        (F.sum("_res") / F.count("*")).alias("_icept"), F.max("_n").alias("n")
+    )
+    scale = F.lit(float(10**value_scale))
+    r6 = lambda c: pround(c, 6, 18).cast("double")  # noqa: E731
+    base = med.join(mk, sc).join(imed, sc) if sc else med.crossJoin(
+        F.broadcast(mk)
+    ).crossJoin(F.broadcast(imed))
+    return base.select(
+        *sc,
+        "n",
+        "n_pairs",
+        r6(F.col("_slope") / scale).alias("slope"),
+        r6(F.col("_icept") / scale).alias("intercept"),
+        "mk_s",
+    )

@@ -423,3 +423,60 @@ def test_session_pattern_match_counts_and_sessions(spark):
         ).collect()
     }
     assert out == {(1, 1): 1, (1, 2): 1}  # user 2 absent: no match
+
+
+# --- wave 4: robust trend, rolling distinct -----------------------------
+
+
+def test_theil_sen_exact_line_and_outlier_robustness(spark):
+    from data_warehouse_punta_fina_spark.operators.stats import theil_sen_trend
+
+    # y = 3 + 2x on x=1..9, with ONE wild outlier at x=5: the median
+    # slope must stay 2 (OLS would not), intercept median-residual 3
+    rows = []
+    for i, d in enumerate(range(1, 10)):
+        y = 3 + 2 * (i + 1)
+        if d == 5:
+            y = 1000.0
+        rows.append((f"2024-01-0{d}", float(y)))
+    s = spark.createDataFrame(rows, "d string, v double").select(
+        F.col("d").cast("date").alias("d"), "v"
+    )
+    row = theil_sen_trend(s, "d", "v", value_scale=0).collect()[0]
+    assert row["n"] == 9 and row["n_pairs"] == 36
+    assert row["slope"] == 2.0
+    assert row["intercept"] == 3.0
+    assert row["mk_s"] > 0  # increasing trend
+
+
+def test_theil_sen_flat_series(spark):
+    from data_warehouse_punta_fina_spark.operators.stats import theil_sen_trend
+
+    s = spark.createDataFrame(
+        [(f"2024-01-0{d}", 7.0) for d in range(1, 6)], "d string, v double"
+    ).select(F.col("d").cast("date").alias("d"), "v")
+    row = theil_sen_trend(s, "d", "v", value_scale=0).collect()[0]
+    assert row["slope"] == 0.0 and row["intercept"] == 7.0 and row["mk_s"] == 0
+
+
+def test_trailing_dau_window_membership(spark):
+    # user A active day 1; user B active days 1 and 8: day 7 window sees
+    # only A+B(from day1); day 8 sees only B's day-8 activity
+    import __spark_entry__ as entrymod  # noqa: F401 — query-level check lives in the oracle gate
+
+    from pyspark.sql import functions as F2
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (2, "2024-01-08")],
+        "user_id int, d string",
+    ).select("user_id", F2.col("d").cast("date").alias("day"))
+    expanded = ev.distinct().select(
+        "user_id",
+        F2.explode(F2.sequence(F2.col("day"), F2.date_add(F2.col("day"), 6))).alias("wday"),
+    )
+    got = {
+        str(r["wday"]): r["n"]
+        for r in expanded.groupBy("wday").agg(F2.count_distinct("user_id").alias("n")).collect()
+    }
+    assert got["2024-01-07"] == 2  # both users' day-1 activity still in window
+    assert got["2024-01-08"] == 1  # only B, via its day-8 activity
