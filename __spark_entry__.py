@@ -2831,6 +2831,42 @@ def _build_registries():
             .select(F.col("wday").alias("day"), "dau_7d")
         )
 
+    # ---- round-6 wave 5: calibration, Brier, stratified k-fold ----
+
+    def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # reliability diagram + ECE terms for the quality score as an
+        # en-probability (operators.evaluation.calibration_bins)
+        from data_warehouse_punta_fina_spark.operators.evaluation import (
+            calibration_bins,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        scored = docs.select(
+            quality_score("text").alias("q"), (F.col("lang") == "en").alias("y")
+        )
+        return calibration_bins(scored, "q", "y", n_bins=10)
+
+    def doc_quality_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-source Brier score of the quality-as-probability forecast
+        # (operators.evaluation.brier_score; exact integer-lattice MSE)
+        from data_warehouse_punta_fina_spark.operators.evaluation import brier_score
+
+        docs = load_table(spark, sf_dir, "documents")
+        scored = docs.select(
+            "source", quality_score("text").alias("q"), (F.col("lang") == "en").alias("y")
+        )
+        return brier_score(scored, "q", "y", group_cols=["source"])
+
+    def doc_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # deterministic stratified 5-fold split balanced per language
+        # (operators.evaluation.stratified_kfold; zero RNG)
+        from data_warehouse_punta_fina_spark.operators.evaluation import (
+            stratified_kfold,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        return stratified_kfold(docs.select("doc_id", "lang"), ["lang"], ["doc_id"], k=5)
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -3119,6 +3155,9 @@ def _build_registries():
         "events_purchase_path_match": events_purchase_path_match,
         "weekly_revenue_theilsen": weekly_revenue_theilsen,
         "events_trailing_dau": events_trailing_dau,
+        "doc_quality_calibration": doc_quality_calibration,
+        "doc_quality_brier": doc_quality_brier,
+        "doc_kfold_assignment": doc_kfold_assignment,
         # round-5 demotions (driver-green r1-r4; families still in-window)
         "dim_cliente": build_dim_cliente,
         "doc_lang_id": doc_lang_id,
@@ -6824,6 +6863,56 @@ SELECT wday AS day, COUNT(DISTINCT user_id) AS dau_7d
 FROM expanded, b
 WHERE wday >= lo AND wday <= hi
 GROUP BY 1
+"""
+
+    # reliability bins + ECE terms on the round-6 integer-millionth
+    # lattice (mirrors operators.evaluation.calibration_bins op-for-op)
+    _cal_mean = "CAST(sq6 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0"
+    _cal_rate = "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
+    o["doc_quality_calibration"] = f"""
+WITH scored AS (SELECT {_r6(quality)} AS q, (lang = 'en') AS y FROM documents),
+q6 AS (
+  SELECT CAST(FLOOR(CAST(q AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q6,
+         CASE WHEN y THEN 1 ELSE 0 END AS yy
+  FROM scored
+),
+binned AS (SELECT CAST(LEAST(FLOOR(q6 * 10 / 1000000), 9) AS INT) AS bin, q6, yy FROM q6),
+per AS (
+  SELECT bin, COUNT(*) AS n, CAST(SUM(yy) AS BIGINT) AS n_pos,
+         CAST(SUM(q6) AS BIGINT) AS sq6
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM per)
+SELECT bin, n, n_pos,
+       {_R6D.format(e=_cal_mean)} AS mean_score,
+       {_R6D.format(e=_cal_rate)} AS pos_rate,
+       {_R6D.format(e=f"(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * abs({_cal_mean} - {_cal_rate})")} AS ece_term
+FROM per CROSS JOIN tot
+"""
+
+    # Brier: exact integer-lattice squared errors, DECIMAL(38,0) sums
+    o["doc_quality_brier"] = f"""
+WITH scored AS (SELECT source, {_r6(quality)} AS q, (lang = 'en') AS y FROM documents),
+e AS (
+  SELECT source,
+         CAST(FLOOR(CAST(q AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           - (CASE WHEN y THEN 1000000 ELSE 0 END) AS err
+  FROM scored
+),
+per AS (
+  SELECT source, COUNT(*) AS n, SUM(CAST(err AS DECIMAL(38,0)) * err) AS se2
+  FROM e GROUP BY source
+)
+SELECT source, n,
+       {_R6D.format(e="CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12")} AS brier
+FROM per
+"""
+
+    # deterministic stratified k-fold: (per-stratum rank − 1) mod k
+    o["doc_kfold_assignment"] = """
+SELECT doc_id, lang,
+       CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 5 AS INT) AS fold
+FROM documents
 """
 
     # systematic every-97th over the (date, key) total order

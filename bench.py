@@ -113,6 +113,9 @@ HEADLINE = [
     "events_purchase_path_match",
     "weekly_revenue_theilsen",
     "events_trailing_dau",
+    "doc_quality_calibration",
+    "doc_quality_brier",
+    "doc_kfold_assignment",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
@@ -152,21 +155,40 @@ def _oracle_times(entrymod, sf_dir: str, names: list[str]) -> dict[str, float]:
         )
     oracles = entrymod.oracle_sql()
     out: dict[str, float] = {}
+    # wall budget for the WHOLE oracle pass (round 6): at 80 queries the
+    # min-of-2 pass alone ran ~275 s — a driver-side bench timeout would
+    # lose the Spark timings too, which are the primary artifact. On
+    # budget exhaustion the remaining oracles are SKIPPED AND NAMED
+    # (no silent caps).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "240"))
+    started = time.time()
+    skipped: list[str] = []
     for name in names:
         sql = oracles.get(name)
         if not sql:
+            continue
+        if time.time() - started > budget:
+            skipped.append(name)
             continue
         try:
             t0 = time.time()
             con.execute(sql).fetchall()
             t = time.time() - t0
-            if t < 5.0:
+            # min-of-2 for fast oracles (first-touch IO fairness); the
+            # threshold dropped 5.0 -> 2.0 s in round 6 to keep the pass
+            # inside the budget at 80 queries
+            if t < 2.0:
                 t1 = time.time()
                 con.execute(sql).fetchall()
                 t = min(t, time.time() - t1)
             out[name] = round(t, 3)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             print(f"bench: oracle {name} failed: {exc}", file=sys.stderr)
+    if skipped:
+        print(
+            f"bench: oracle budget ({budget:.0f}s) exhausted — skipped {len(skipped)}: {skipped}",
+            file=sys.stderr,
+        )
     return out
 
 

@@ -270,3 +270,101 @@ def loo_target_encoding(
         ),
     )
     return joined.withColumn(out, enc).drop("_cs", "_cn")
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data + Expected-Calibration-Error terms:
+    scores bin into ``n_bins`` equal-width [0,1] buckets; per bin the
+    mean predicted score, the observed positive rate, and the ECE term
+    ``(n_b/N)·|mean_score − pos_rate|``. ``Σ ece_term`` IS the ECE.
+
+    Determinism: scores are round-6 quantized to integer millionths, so
+    bin assignment, per-bin integer sums, and the three closing
+    divisions are exact/portable. Bin ids cover only observed bins
+    (empty bins contribute 0 to ECE by definition)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    lab = F.col(label_col).cast("int")
+    # integer millionths: the round-6 lattice the whole repo scores on
+    q6 = F.floor(F.col(score_col).cast("double") * 1_000_000 + F.lit(0.5)).cast("long")
+    binned = df.select(
+        F.least(F.floor(q6 * n_bins / 1_000_000), F.lit(n_bins - 1))
+        .cast("int")
+        .alias("bin"),
+        q6.alias("_q6"),
+        lab.alias("_y"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.sum("_q6").alias("_sq6"),
+    )
+    tot = per.agg(F.sum("n").alias("_N"))
+    mean_score = F.col("_sq6").cast("double") / F.col("n").cast("double") / 1_000_000.0
+    pos_rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            pround6(mean_score).alias("mean_score"),
+            pround6(pos_rate).alias("pos_rate"),
+            pround6(
+                (F.col("n").cast("double") / F.col("_N").cast("double"))
+                * F.abs(mean_score - pos_rate)
+            ).alias("ece_term"),
+        )
+    )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Brier score per group: mean squared error of the probability
+    forecast, ``mean((q − y)²)``. Per-row squared errors compute on the
+    round-6 score lattice in exact int64 millionths-squared (error² ≤
+    1e12 · n rows — DECIMAL(38,0) sums, the grouped_ols discipline), so
+    the partition-order float-sum hazard never arises; one double
+    division at the end."""
+    g = list(group_cols or [])
+    lab = F.col(label_col).cast("int")
+    q6 = F.floor(F.col(score_col).cast("double") * 1_000_000 + F.lit(0.5)).cast("long")
+    err = q6 - lab * 1_000_000
+    per = df.select(*g, (err * err).cast("decimal(38,0)").alias("_e2")).groupBy(*g).agg(
+        F.count("*").alias("n"), F.sum("_e2").alias("_se2")
+    )
+    return per.select(
+        *g,
+        "n",
+        pround6(
+            F.col("_se2").cast("double") / F.col("n").cast("double") / 1e12
+        ).alias("brier"),
+    )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    strata_cols: list[str],
+    order_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within each stratum,
+    rows rank by ``order_cols`` (must be a total order) and fold =
+    (rank − 1) mod k — every fold gets ⌈n_h/k⌉ or ⌊n_h/k⌋ rows of each
+    stratum (the class-balance guarantee plain modulo-on-id lacks).
+    Zero RNG: the same input always folds identically on any engine."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    w = Window.partitionBy(*strata_cols).orderBy(*order_cols)
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("int")
+    )

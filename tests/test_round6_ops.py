@@ -480,3 +480,62 @@ def test_trailing_dau_window_membership(spark):
     }
     assert got["2024-01-07"] == 2  # both users' day-1 activity still in window
     assert got["2024-01-08"] == 1  # only B, via its day-8 activity
+
+
+# --- wave 5: calibration / Brier / k-fold -----------------------------------
+
+
+def test_calibration_bins_and_ece(spark):
+    from data_warehouse_punta_fina_spark.operators.evaluation import calibration_bins
+
+    # two bins: scores 0.1/0.15 (bin 1, 0/2 pos), 0.95/0.95 (bin 9, 2/2)
+    df = spark.createDataFrame(
+        [(0.1, False), (0.15, False), (0.95, True), (0.95, True)],
+        "s double, y boolean",
+    )
+    out = {r["bin"]: r for r in calibration_bins(df, "s", "y").collect()}
+    assert set(out) == {1, 9}
+    assert float(out[1]["pos_rate"]) == 0.0 and float(out[9]["pos_rate"]) == 1.0
+    assert abs(float(out[1]["mean_score"]) - 0.125) < 1e-9
+    # ece terms: (2/4)*|0.125-0| + (2/4)*|0.95-1| = 0.0625 + 0.025
+    assert abs(float(out[1]["ece_term"]) - 0.0625) < 1e-6
+    assert abs(float(out[9]["ece_term"]) - 0.025) < 1e-6
+    # score exactly 1.0 clamps into the last bin
+    top = calibration_bins(
+        spark.createDataFrame([(1.0, True)], "s double, y boolean"), "s", "y"
+    ).collect()[0]
+    assert top["bin"] == 9
+
+
+def test_brier_score_hand_computed(spark):
+    from data_warehouse_punta_fina_spark.operators.evaluation import brier_score
+
+    df = spark.createDataFrame(
+        [("a", 1.0, True), ("a", 0.0, True), ("b", 0.5, False)],
+        "g string, s double, y boolean",
+    )
+    out = {r["g"]: float(r["brier"]) for r in brier_score(df, "s", "y", ["g"]).collect()}
+    assert abs(out["a"] - 0.5) < 1e-9  # (0 + 1)/2
+    assert abs(out["b"] - 0.25) < 1e-9
+
+
+def test_stratified_kfold_balances_within_strata(spark):
+    from data_warehouse_punta_fina_spark.operators.evaluation import stratified_kfold
+
+    rows = [(i, "x" if i < 10 else "y") for i in range(17)]  # 10 x, 7 y
+    df = spark.createDataFrame(rows, "id int, s string")
+    out = stratified_kfold(df, ["s"], ["id"], k=5)
+    counts = {
+        (r["s"], r["fold"]): r["n"]
+        for r in out.groupBy("s", "fold").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(counts[("x", f)] == 2 for f in range(5))  # 10/5 exactly
+    assert sorted(counts[("y", f)] for f in range(5)) == [1, 1, 1, 2, 2]  # 7 = 2+2+1+1+1
+    # deterministic: same input -> identical folds
+    again = {
+        r["id"]: r["fold"] for r in stratified_kfold(df, ["s"], ["id"], k=5).collect()
+    }
+    first = {r["id"]: r["fold"] for r in out.collect()}
+    assert first == again
+    with pytest.raises(ValueError):
+        stratified_kfold(df, ["s"], ["id"], k=1)
