@@ -234,7 +234,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _build_registries():
-    from data_warehouse_punta_fina_spark.functions.money import pround2
+    from data_warehouse_punta_fina_spark.functions.money import pround, pround2, pround6
     from data_warehouse_punta_fina_spark.functions.strings import (
         coded_id,
         contains_ci,
@@ -2867,6 +2867,91 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return stratified_kfold(docs.select("doc_id", "lang"), ["lang"], ["doc_id"], k=5)
 
+    # ---- round-6 wave 6: Pareto concentration, ties-aware top-k,
+    # multiplicative means ----
+
+    def revenue_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # 80/20 analysis: parts ranked by exact revenue cents desc,
+        # cumulative share, and the minimal prefix reaching 80% flagged —
+        # the cumulative window runs over the part AGGREGATE (one row per
+        # part), never raw lineitems
+        li = load_table(spark, sf_dir, "lineitem")
+        per = li.groupBy("l_partkey").agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("_cents")
+        )
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(F.desc("_cents"), F.asc("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        tot = per.agg(F.sum("_cents").alias("_tot"))
+        ranked = (
+            per.crossJoin(F.broadcast(tot))
+            .withColumn("_cum", F.sum("_cents").over(w))
+            .withColumn("_rank", F.count("*").over(w))
+        )
+        cum_share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
+        # in_top80: strictly before the crossing point, plus the crossing
+        # row itself (integer compare: 5*cum_prev < 4*total)
+        prev = F.col("_cum") - F.col("_cents")
+        return ranked.select(
+            "l_partkey",
+            F.col("_rank").cast("long").alias("rank"),
+            (F.col("_cents").cast("double") / 100.0).alias("revenue"),
+            pround6(cum_share).cast("double").alias("cum_share"),
+            (5 * prev < 4 * F.col("_tot")).alias("in_top80"),
+        ).filter(F.col("_rank") <= 200)
+
+    def top_discount_lines_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # RANK-with-ties top-k (vs the row_number top-1 family): every
+        # line sharing the 2 highest discount levels of its order
+        # qualifies — the ties-included SQL semantics ROW_NUMBER loses
+        li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.desc(F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long"))
+        )
+        return (
+            li.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= 2)
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.col("rnk").cast("int").alias("rnk"),
+                (
+                    F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long").cast(
+                        "double"
+                    )
+                    / 10000.0
+                ).alias("discount"),
+            )
+        )
+
+    def events_multiplicative_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # geometric + harmonic means per event type (positive values):
+        # ln/reciprocal terms round-6 into exact decimal sums, one
+        # exp/division at the end — the multiplicative complements of
+        # the trimmed/arithmetic means
+        ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+        lnterm = pround6(F.log(F.col("value").cast("double")), 18)
+        invterm = pround(F.lit(1.0) / F.col("value").cast("double"), 9, 18)
+        per = ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(lnterm).alias("_sln"),
+            F.sum(invterm).alias("_sinv"),
+        )
+        return per.select(
+            "event_type",
+            "n",
+            pround6(F.exp(F.col("_sln").cast("double") / F.col("n").cast("double")))
+            .cast("double")
+            .alias("geo_mean"),
+            pround6(F.col("n").cast("double") / F.col("_sinv").cast("double"))
+            .cast("double")
+            .alias("harmonic_mean"),
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -3158,6 +3243,9 @@ def _build_registries():
         "doc_quality_calibration": doc_quality_calibration,
         "doc_quality_brier": doc_quality_brier,
         "doc_kfold_assignment": doc_kfold_assignment,
+        "revenue_pareto_parts": revenue_pareto_parts,
+        "top_discount_lines_with_ties": top_discount_lines_with_ties,
+        "events_multiplicative_means": events_multiplicative_means,
         # round-5 demotions (driver-green r1-r4; families still in-window)
         "dim_cliente": build_dim_cliente,
         "doc_lang_id": doc_lang_id,
@@ -6913,6 +7001,63 @@ FROM per
 SELECT doc_id, lang,
        CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 5 AS INT) AS fold
 FROM documents
+"""
+
+    # Pareto 80/20: cumulative share over the part aggregate; the
+    # crossing test is pure integer (5·cum_prev < 4·total)
+    o["revenue_pareto_parts"] = f"""
+WITH per AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM per),
+ranked AS (
+  SELECT l_partkey, cents, t,
+         CAST(SUM(cents) OVER w AS BIGINT) AS cum,
+         CAST(COUNT(*) OVER w AS BIGINT) AS rank
+  FROM per, tot
+  WINDOW w AS (ORDER BY cents DESC, l_partkey ROWS UNBOUNDED PRECEDING)
+)
+SELECT l_partkey, rank, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       {_R6D.format(e="CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)")} AS cum_share,
+       (5 * (cum - cents) < 4 * t) AS in_top80
+FROM ranked WHERE rank <= 200
+"""
+
+    # RANK-with-ties top-k: every line at the order's top-2 discount
+    # levels (the ties-included semantics row_number loses)
+    o["top_discount_lines_with_ties"] = """
+WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0),
+d AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS d4
+  FROM li
+),
+r AS (SELECT *, RANK() OVER (PARTITION BY l_orderkey ORDER BY d4 DESC) AS rnk FROM d)
+SELECT l_orderkey, l_linenumber, CAST(rnk AS INT) AS rnk,
+       CAST(d4 AS DOUBLE) / 10000.0 AS discount
+FROM r WHERE rnk <= 2
+"""
+
+    # geometric + harmonic means: round-6/round-9 terms summed as exact
+    # decimals, one exp/division at the close
+    o["events_multiplicative_means"] = f"""
+WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value > 0),
+t AS (
+  SELECT event_type,
+         CAST(FLOOR(ln(v) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS lnterm,
+         CAST(FLOOR((1.0 / v) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(18,9)) AS invterm
+  FROM ev
+),
+per AS (
+  SELECT event_type, COUNT(*) AS n, SUM(lnterm) AS sln, SUM(invterm) AS sinv
+  FROM t GROUP BY 1
+)
+SELECT event_type, n,
+       {_R6D.format(e="exp(CAST(sln AS DOUBLE) / CAST(n AS DOUBLE))")} AS geo_mean,
+       {_R6D.format(e="CAST(n AS DOUBLE) / CAST(sinv AS DOUBLE)")} AS harmonic_mean
+FROM per
 """
 
     # systematic every-97th over the (date, key) total order

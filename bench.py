@@ -116,6 +116,9 @@ HEADLINE = [
     "doc_quality_calibration",
     "doc_quality_brier",
     "doc_kfold_assignment",
+    "revenue_pareto_parts",
+    "top_discount_lines_with_ties",
+    "events_multiplicative_means",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

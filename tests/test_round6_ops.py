@@ -539,3 +539,80 @@ def test_stratified_kfold_balances_within_strata(spark):
     assert first == again
     with pytest.raises(ValueError):
         stratified_kfold(df, ["s"], ["id"], k=1)
+
+
+# --- wave 6: Pareto, ties-aware top-k, multiplicative means -----------------
+
+
+def test_pareto_crossing_flag(spark):
+    import __spark_entry__ as entrymod
+
+    # synthetic check of the integer crossing rule via the real query is
+    # oracle-covered; here pin the flag semantics on a crafted frame
+    per = spark.createDataFrame(
+        [(1, 50.0), (2, 30.0), (3, 15.0), (4, 5.0)], "k int, rev double"
+    )
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("rev") * 100 + F.lit(0.5)).cast("long")
+    d = per.select("k", cents.alias("c"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.desc("c"), F.asc("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = d.agg(F.sum("c").alias("t"))
+    ranked = d.crossJoin(F.broadcast(tot)).withColumn("cum", F.sum("c").over(w))
+    flags = {
+        r["k"]: r["f"]
+        for r in ranked.select(
+            "k", ((5 * (F.col("cum") - F.col("c"))) < 4 * F.col("t")).alias("f")
+        ).collect()
+    }
+    # 50 -> in (prev 0); 30 -> in (prev 50); 15 -> OUT: the prefix
+    # {50, 30} already reaches exactly 80%, so the minimal-prefix rule
+    # (5*prev < 4*total, strict) excludes it; 5 -> out
+    assert flags == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_rank_with_ties_includes_all_tied_lines(spark):
+    from pyspark.sql import Window
+
+    li = spark.createDataFrame(
+        [(1, 1, 0.10), (1, 2, 0.10), (1, 3, 0.05), (1, 4, 0.01)],
+        "o int, ln int, d double",
+    )
+    w = Window.partitionBy("o").orderBy(
+        F.desc(F.floor(F.col("d") * 10000 + F.lit(0.5)).cast("long"))
+    )
+    out = li.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 2)
+    got = {(r["ln"], r["rnk"]) for r in out.collect()}
+    # both 0.10 lines tie at rank 1; 0.05 is rank 3 (rank, not dense) -> excluded
+    assert got == {(1, 1), (2, 1)}
+
+
+def test_multiplicative_means_hand_computed(spark):
+    import math
+
+    import __spark_entry__ as entrymod  # noqa: F401
+
+    from data_warehouse_punta_fina_spark.functions.money import pround, pround6
+
+    ev = spark.createDataFrame(
+        [("t", 2.0), ("t", 8.0)], "event_type string, value double"
+    )
+    lnterm = pround6(F.log(F.col("value").cast("double")), 18)
+    invterm = pround(F.lit(1.0) / F.col("value").cast("double"), 9, 18)
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(lnterm).alias("s"), F.sum(invterm).alias("i")
+    )
+    row = per.select(
+        pround6(F.exp(F.col("s").cast("double") / F.col("n").cast("double")))
+        .cast("double")
+        .alias("g"),
+        pround6(F.col("n").cast("double") / F.col("i").cast("double"))
+        .cast("double")
+        .alias("h"),
+    ).collect()[0]
+    assert abs(row["g"] - 4.0) < 1e-5          # sqrt(2*8)
+    assert abs(row["h"] - 3.2) < 1e-6          # 2/(1/2+1/8)
