@@ -632,8 +632,14 @@ def theil_sen_trend(
     ).cast("long")
     part = sc if sc else [F.pmod(F.xxhash64(F.col("_t")), F.lit(1))]
     wt = Window.partitionBy(*part).orderBy("_t")
-    d = series.select(*sc, F.col(time_col).alias("_t"), q.alias("_q")).withColumn(
-        "_x", F.row_number().over(wt).cast("long")
+    # the ranked series and the pair table each feed 3+ downstream
+    # branches (slope median, Mann-Kendall, residual median) — without a
+    # materialization the ORIGINAL series scan re-executes once per
+    # branch (7 scans observed); both tables are aggregate-sized
+    d = (
+        series.select(*sc, F.col(time_col).alias("_t"), q.alias("_q"))
+        .withColumn("_x", F.row_number().over(wt).cast("long"))
+        .localCheckpoint(eager=False)
     )
     a = d.select(*sc, F.col("_x").alias("_xa"), F.col("_q").alias("_qa"))
     b = d.select(*sc, F.col("_x").alias("_xb"), F.col("_q").alias("_qb"))
@@ -645,7 +651,7 @@ def theil_sen_trend(
     pairs = pairs.withColumn("_s", slope).withColumn(
         "_sgn",
         F.signum((F.col("_qb") - F.col("_qa")).cast("double")).cast("long"),
-    )
+    ).localCheckpoint(eager=False)
     pp = sc if sc else [F.lit(0)]
     ws = Window.partitionBy(*pp).orderBy("_s")
     ranked = pairs.withColumn("_r", F.row_number().over(ws)).withColumn(

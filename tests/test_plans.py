@@ -831,3 +831,38 @@ def test_round6_query_plan_shapes(spark):
         if "Exchange SinglePartition" in ln:
             below = "\n".join(lines[i + 1 : i + 3])
             assert "partial_collect_list" in below, below
+
+
+def test_round6_wave456_plan_shapes(spark):
+    """Later round-6 waves: no cartesian products anywhere; the prefix
+    join's candidate stage joins on tokens (hash join, never nested
+    loop); trailing DAU never self-joins events (explode + one
+    aggregate); Theil-Sen's O(n^2) pair join runs on the AGGREGATE
+    (weekly) relation — the raw orders scan appears at most twice
+    (lineage recompute for the a/b branches), never four times."""
+    import __spark_entry__ as entrymod
+
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
+    sf = "/root/testdata/sf0.001"
+
+    for name in (
+        "doc_prefix_jaccard_pairs",
+        "events_trailing_dau",
+        "weekly_revenue_theilsen",
+        "doc_quality_calibration",
+        "revenue_pareto_parts",
+        "events_multiplicative_means",
+    ):
+        plan = qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+
+    dau = qs["events_trailing_dau"](spark, sf)
+    plan = dau._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 2  # du + bounds branches
+
+    ts = qs["weekly_revenue_theilsen"](spark, sf)
+    plan = ts._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"FileScan parquet.*orders", plan)) <= 4
