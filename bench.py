@@ -109,7 +109,11 @@ HEADLINE = [
     "events_trimmed_mean",
     "doc_feature_hashing",
     "doc_quality_avg_precision",
-    "doc_prefix_jaccard_pairs",
+    # doc_prefix_jaccard_pairs stays OUT of the headline (the
+    # doc_tfidf_pairs precedent): an EXACT all-pairs similarity join is
+    # deliberately the expensive lossless tier (69 s at sf0.1 — the cost
+    # the LSH tier exists to avoid); it stays oracle-checked in the
+    # correctness gates
     "events_purchase_path_match",
     "weekly_revenue_theilsen",
     "events_trailing_dau",
@@ -281,7 +285,14 @@ def main() -> None:
     # slower than the single-node columnar floor at this SF)
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
         try:
-            osec = _oracle_times(entrymod, sf_dir, [n for n in HEADLINE if n in times])
+            # cheapest Spark queries first: their oracles are cheap too,
+            # so the wall budget buys per-query coverage for the MANY
+            # instead of exhausting on a few expensive ones
+            osec = _oracle_times(
+                entrymod,
+                sf_dir,
+                sorted((n for n in HEADLINE if n in times), key=lambda n: times[n]),
+            )
             if osec:
                 out["oracle_sec"] = osec
                 ratios = {n: round(times[n] / osec[n], 2) for n in osec if osec[n] > 0}

@@ -54,10 +54,18 @@ def prefix_jaccard_join(
     prefix = ordered.filter(
         F.col("_rn") <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1
     )
+    # PPJoin length filter: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t, so
+    # cross-length prefix collisions drop BEFORE the distinct/verify
+    # stages (lossless, like the prefix itself)
+    pa_ = prefix.select(F.col("_id").alias("id_a"), "tok", F.col("_n").alias("_na"))
+    pb_ = prefix.select(F.col("_id").alias("id_b"), "tok", F.col("_n").alias("_nb"))
     cand = (
-        prefix.select(F.col("_id").alias("id_a"), "tok")
-        .join(prefix.select(F.col("_id").alias("id_b"), "tok"), "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pa_.join(pb_, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_nb").cast("double") >= F.lit(threshold) * F.col("_na"))
+            & (F.col("_na").cast("double") >= F.lit(threshold) * F.col("_nb"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
