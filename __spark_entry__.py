@@ -2228,13 +2228,17 @@ def _build_registries():
         return triangle_counts(edges)
 
     def trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # k-core of the bipartite customer–supplier trade graph (iterative
-        # peel, early-exit at the fixed point): the trading nucleus —
-        # nodes with >= 10 within-core counterparties. Supplier ids offset
-        # to disjoint the bipartite sides (operators.graph.kcore; unrolled
-        # oracle; the part co-purchase graph is too dense to peel —
-        # min degree 42 at sf0.01)
-        from data_warehouse_punta_fina_spark.operators.graph import kcore
+        # k-core of the bipartite customer–supplier trade graph: the
+        # trading nucleus — nodes with >= 10 within-core counterparties.
+        # Round 6 swapped the re-aggregating peel for the DELTA peel
+        # (operators.graph.kcore_delta — per-round cost proportional to
+        # frontier-incident edges; the sf0.5 scaling run flagged the old
+        # peel as the one super-linear query). Round semantics are
+        # identical (pytest-pinned ==), so the unrolled fixed-round
+        # oracle still matches at the fixed point. Supplier ids offset
+        # to disjoint the bipartite sides; the part co-purchase graph is
+        # too dense to peel (min degree 42 at sf0.01).
+        from data_warehouse_punta_fina_spark.operators.graph import kcore_delta as kcore
 
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
