@@ -2956,6 +2956,58 @@ def _build_registries():
             .alias("harmonic_mean"),
         )
 
+    # ---- round-6 wave 7: blocking-quality evaluation ----
+
+    def lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # "measure, don't guess" for the lossy tier itself: the LOSSLESS
+        # prefix join (token Jaccard >= 0.95) is the ground-truth pair
+        # set; MinHash-LSH banding is the blocker under evaluation. One
+        # row: blocking recall (caught/true) and reduction ratio
+        # (1 - candidates/all-pairs) — the two numbers every blocking
+        # design trades against each other. On THIS corpus the result
+        # is deliberately instructive: recall ~0.01 at reduction 0.9998
+        # (sf0.01) because 3-shingle MinHash blocks on word ORDER while
+        # the truth here is order-free token-set Jaccard — the
+        # definition mismatch a real pipeline must check before trusting
+        # its blocker, which is exactly what this query measures
+        from data_warehouse_punta_fina_spark.operators.setjoin import (
+            prefix_jaccard_join,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        truth = prefix_jaccard_join(docs, "doc_id", "text", threshold=0.95).select(
+            "id_a", "id_b"
+        )
+        cand = minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+        t = truth.agg(F.count("*").alias("n_true"))
+        c = cand.agg(F.count("*").alias("n_candidates"))
+        caught = (
+            truth.join(cand, ["id_a", "id_b"], "left_semi")
+            .agg(F.count("*").alias("n_caught"))
+        )
+        nd = docs.agg(F.count("*").alias("n_docs"))
+        row = (
+            t.crossJoin(F.broadcast(c))
+            .crossJoin(F.broadcast(caught))
+            .crossJoin(F.broadcast(nd))
+        )
+        all_pairs = (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double") / 2.0
+        return row.select(
+            "n_docs",
+            "n_true",
+            "n_candidates",
+            "n_caught",
+            F.when(
+                F.col("n_true") > 0,
+                pround6(F.col("n_caught").cast("double") / F.col("n_true").cast("double")),
+            )
+            .cast("double")
+            .alias("blocking_recall"),
+            pround6(F.lit(1.0) - F.col("n_candidates").cast("double") / all_pairs)
+            .cast("double")
+            .alias("reduction_ratio"),
+        )
+
     # the driver evaluates the FIRST 50 queries() entries — exactly this
     # dict, one entry per operator family, every entry oracle-backed
     reg = {
@@ -3250,6 +3302,7 @@ def _build_registries():
         "revenue_pareto_parts": revenue_pareto_parts,
         "top_discount_lines_with_ties": top_discount_lines_with_ties,
         "events_multiplicative_means": events_multiplicative_means,
+        "lsh_blocking_quality": lsh_blocking_quality,
         # round-5 demotions (driver-green r1-r4; families still in-window)
         "dim_cliente": build_dim_cliente,
         "doc_lang_id": doc_lang_id,
@@ -7062,6 +7115,35 @@ SELECT event_type, n,
        {_R6D.format(e="exp(CAST(sln AS DOUBLE) / CAST(n AS DOUBLE))")} AS geo_mean,
        {_R6D.format(e="CAST(n AS DOUBLE) / CAST(sinv AS DOUBLE)")} AS harmonic_mean
 FROM per
+"""
+
+    # blocking quality: lossless token-Jaccard truth vs the MinHash
+    # banding candidates (reuses _MINHASH_PAIRS_SQL verbatim)
+    o["lsh_blocking_quality"] = f"""
+WITH toksq AS (SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok FROM documents),
+sizesq AS (SELECT doc_id, COUNT(*) AS nt FROM toksq GROUP BY doc_id),
+interq AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM toksq a JOIN toksq b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b FROM interq
+  JOIN sizesq na ON na.doc_id = id_a JOIN sizesq nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(na.nt + nb.nt - i AS DOUBLE) >= 0.95
+),
+cand AS (SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL}) c),
+tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_caught
+       FROM truth t JOIN cand c USING (id_a, id_b)),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT n_docs, n_true, n_candidates, n_caught,
+       CASE WHEN n_true > 0
+            THEN {_R6D.format(e="CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE)")}
+       END AS blocking_recall,
+       {_R6D.format(e="1.0 - CAST(n_candidates AS DOUBLE) / (CAST(n_docs * (n_docs - 1) AS DOUBLE) / 2.0)")} AS reduction_ratio
+FROM tc CROSS JOIN cc CROSS JOIN ca CROSS JOIN nd
 """
 
     # systematic every-97th over the (date, key) total order
