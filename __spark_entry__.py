@@ -2228,17 +2228,20 @@ def _build_registries():
         return triangle_counts(edges)
 
     def trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # k-core of the bipartite customer–supplier trade graph: the
-        # trading nucleus — nodes with >= 10 within-core counterparties.
-        # Round 6 swapped the re-aggregating peel for the DELTA peel
-        # (operators.graph.kcore_delta — per-round cost proportional to
-        # frontier-incident edges; the sf0.5 scaling run flagged the old
-        # peel as the one super-linear query). Round semantics are
-        # identical (pytest-pinned ==), so the unrolled fixed-round
-        # oracle still matches at the fixed point. Supplier ids offset
-        # to disjoint the bipartite sides; the part co-purchase graph is
-        # too dense to peel (min degree 42 at sf0.01).
-        from data_warehouse_punta_fina_spark.operators.graph import kcore_delta as kcore
+        # k-core of the bipartite customer–supplier trade graph (iterative
+        # peel, early-exit at the fixed point): the trading nucleus —
+        # nodes with >= 10 within-core counterparties. Round 6 TRIED the
+        # delta peel here (operators.graph.kcore_delta) and measured it
+        # SLOWER at sf0.5 (23.3 s vs 13.5 s in bench context): this
+        # graph peels in huge frontiers, so "frontier-incident" is most
+        # of the graph and the delta version's extra anti-joins cost
+        # more than the re-aggregation they replace — kcore_delta stays
+        # available for the deep-cascade shapes it actually wins on
+        # (docs/BENCH_NOTES.md). Supplier ids offset to disjoint the
+        # bipartite sides (operators.graph.kcore; unrolled oracle; the
+        # part co-purchase graph is too dense to peel — min degree 42
+        # at sf0.01)
+        from data_warehouse_punta_fina_spark.operators.graph import kcore
 
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
