@@ -48,6 +48,16 @@ AUDITED = [
     "events_ks_value_drift",
     "nation_revenue_concentration",
     "trade_kcore",
+    # round-6 additions
+    "urgent_lineitems_bloom",
+    "events_ewma_daily",
+    "revenue_cusum_changepoint",
+    "doc_quality_auc",
+    "doc_prefix_jaccard_pairs",
+    "events_purchase_path_match",
+    "weekly_revenue_theilsen",
+    "events_trailing_dau",
+    "lsh_blocking_quality",
 ]
 
 
