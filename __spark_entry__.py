@@ -2240,7 +2240,17 @@ def _build_registries():
         # (docs/BENCH_NOTES.md). Supplier ids offset to disjoint the
         # bipartite sides (operators.graph.kcore; unrolled oracle; the
         # part co-purchase graph is too dense to peel — min degree 42
-        # at sf0.01)
+        # at sf0.01).
+        # max_iter=3 is MEASURED, not guessed (VERDICT r6 #5): the k=10
+        # peel of this graph converges after ONE effective round at every
+        # SF probed (sf0.001/0.01/0.1 testdata AND the 2.93M-edge
+        # .scaling/sf0.5 — DuckDB fixed-point loop, 2026-08-14, see
+        # docs/BENCH_NOTES.md round-7 note), so depth 3 = the effective
+        # round + the convergence-proof no-op + one margin round. The
+        # oracle unrolls the SAME depth, so even a hypothetical
+        # deeper-peeling input keeps both engines in agreement (both cap
+        # identically); the previous depth-6 unroll made the ORACLE pay
+        # 4 corpus-sized no-op rounds at sf0.5.
         from data_warehouse_punta_fina_spark.operators.graph import kcore
 
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -2249,7 +2259,7 @@ def _build_registries():
             F.col("o_custkey").alias("src"),
             (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
         )
-        return kcore(edges, k=10, max_iter=6)
+        return kcore(edges, k=10, max_iter=3)
 
     def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join/group-key skew diagnostics: top-10 hottest user_ids with
@@ -2878,24 +2888,31 @@ def _build_registries():
     # multiplicative means ----
 
     def revenue_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # 80/20 analysis: parts ranked by exact revenue cents desc,
-        # cumulative share, and the minimal prefix reaching 80% flagged —
-        # the cumulative window runs over the part AGGREGATE (one row per
-        # part), never raw lineitems
+        # 80/20 analysis, SCALE-SAFE: the per-part aggregate grows
+        # linearly with data (20M+ parts at sf100), so the top-200 prefix
+        # is taken FIRST via orderBy+limit (TakeOrderedAndProject: a
+        # per-partition top-k + tiny merge — never a single-partition
+        # sort of the full aggregate); the cumulative window then runs
+        # over <=200 rows behind a non-foldable constant key.
+        # cumsum-of-prefix == prefix-of-cumsum, so values are identical
+        # to the full cumulative restricted to rank <= 200.
+        from data_warehouse_punta_fina_spark.operators.windows import const_partition
+
         li = load_table(spark, sf_dir, "lineitem")
         per = li.groupBy("l_partkey").agg(
             F.sum(
                 F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
             ).alias("_cents")
         )
+        top = per.orderBy(F.desc("_cents"), F.asc("l_partkey")).limit(200)
         w = (
-            Window.partitionBy(F.lit(0))
+            Window.partitionBy(const_partition("l_partkey"))
             .orderBy(F.desc("_cents"), F.asc("l_partkey"))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         tot = per.agg(F.sum("_cents").alias("_tot"))
         ranked = (
-            per.crossJoin(F.broadcast(tot))
+            top.crossJoin(F.broadcast(tot))
             .withColumn("_cum", F.sum("_cents").over(w))
             .withColumn("_rank", F.count("*").over(w))
         )
@@ -2909,7 +2926,7 @@ def _build_registries():
             (F.col("_cents").cast("double") / 100.0).alias("revenue"),
             pround6(cum_share).cast("double").alias("cum_share"),
             (5 * prev < 4 * F.col("_tot")).alias("in_top80"),
-        ).filter(F.col("_rank") <= 200)
+        )
 
     def top_discount_lines_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         # RANK-with-ties top-k (vs the row_number top-1 family): every
@@ -3377,6 +3394,72 @@ def _build_registries():
         "dq_report": dq_report,
         "doc_contamination": doc_contamination,
     }
+
+    # ---- round-7 rotation (wave 12) ----------------------------------
+    # VERDICT r6 #3/#8: 60 of 188 queries had never had a green driver
+    # row — this wave promotes the round-6 additions (evaluation tier,
+    # Theil-Sen, Pareto (now top-k-first), prefix-Jaccard, pattern
+    # match, Bloom join, LSH-quality, systematic sample, CUSUM, EWMA,
+    # feature hashing, assortativity) plus the never-driver-checked §2
+    # dim/summary carriers. Every demotion is a multi-round driver-green
+    # veteran whose family keeps an in-window carrier (noted inline);
+    # demotions stay oracle-checked in extras via tools/check_oracle.py.
+    _promote_r7 = [
+        "doc_quality_auc",           # Mann-Whitney AUC (evaluation tier)
+        "doc_quality_lift",          # decile gains/lift
+        "doc_quality_calibration",   # reliability bins + ECE
+        "doc_quality_brier",         # Brier score
+        "doc_kfold_assignment",      # stratified k-fold
+        "weekly_revenue_theilsen",   # Theil-Sen + Mann-Kendall
+        "revenue_pareto_parts",      # top-200-first cumulative share
+        "doc_prefix_jaccard_pairs",  # lossless PPJoin
+        "events_purchase_path_match",  # MATCH_RECOGNIZE-lite
+        "urgent_lineitems_bloom",    # bloom-bitmap semi-join
+        "lsh_blocking_quality",      # blocking recall/reduction eval
+        "orders_systematic_sample",  # every-k sampling, no global window
+        "revenue_cusum_changepoint", # offline CUSUM
+        "events_ewma_daily",         # integer-lattice EWMA
+        "doc_feature_hashing",       # hashing-trick vectors
+        "part_copurchase_assortativity",  # degree assortativity
+        # §2 carriers that never had a driver row (VERDICT r6 #8)
+        "dim_envio",
+        "dim_impuestos",
+        "dim_orden",
+        "dim_proveedor",
+        "ventas_daily_summary",
+        "top_discount_line_per_order",
+        "corpus_term_freq",
+    ]
+    _demote_r7 = [
+        "basket_frequent_triples",   # basket family: affinity+triples mirror
+        "customer_rfm",              # RFM green r6; funnel/attribution/retention mirror-checked
+        "customer_supplier_link",    # linkage green r6; blocking machinery shared with LSH tiers
+        "doc_bigram_surprisal",      # surprisal family mirror-checked
+        "doc_bm25_topk",             # retrieval carried by doc_phrase_search
+        "doc_bpe_merges",            # BPE green r6; apply-side mirror
+        "doc_chunks",                # packing family mirror
+        "doc_collocations",          # PMI family mirror
+        "doc_dedup_kept",            # dedup carried by doc_incremental_dedup + segment
+        "doc_heavy_terms",           # sketch tier green r6 (heaviest bench query)
+        "doc_pii_redaction",         # scalar/regex family in scalar_showcase mirror
+        "doc_quality_stratified",    # quality family now carried by AUC/lift/calibration/brier
+        "doc_repeated_spans",        # span dedup green r6; family carried in-window
+        "doc_token_budget_mix",      # mixture family green r6
+        "emb_cluster_quality",       # k-means eval green r6; kmeans inside IVF stays
+        "emb_mmr_diverse",           # MMR green r6
+        "emb_random_projection",     # JL green r6
+        "events_chi2_daypart",       # stats family: theilsen/cusum/ewma enter
+        "events_linear_attribution", # attribution green r6; last-touch mirror
+        "events_retention",          # cohort green r6
+        "events_type_hour_mi",       # MI green r6
+        "lineitem_cube",             # grouping sets green r6; rollup mirror
+        "part_triangles",            # graph carried by trade_kcore + assortativity
+    ]
+    for _n in _promote_r7:
+        reg[_n] = extra.pop(_n)
+    for _n in _demote_r7:
+        extra[_n] = reg.pop(_n)
+    assert len(reg) == 50, f"post-rotation window must be 50, got {len(reg)}"
     return reg, extra
 
 
@@ -6242,10 +6325,13 @@ FROM a
 """
 
     # session-6: k-core peel unrolled to the same max_iter as the Spark
-    # side (early exit never desynchronizes — converged rounds are no-ops)
+    # side (early exit never desynchronizes — converged rounds are no-ops).
+    # Depth 3 since round 7: measured convergence is 1 effective round at
+    # every probed SF incl. .scaling/sf0.5 (see trade_kcore's query
+    # comment); rounds 2-3 are the convergence no-op + margin.
     _kcore_rounds = []
     _prev_e = "e0"
-    for _r in range(1, 7):
+    for _r in range(1, 4):
         # MATERIALIZED: each round references its predecessor ~5x; default
         # CTE inlining would expand the chain exponentially (observed as
         # "too many open files" on the lineitem scan at depth 6)
@@ -6958,6 +7044,7 @@ SELECT user_id, session_seq,
        CAST(len(regexp_extract_all(seq, 'c[ves]*p')) AS BIGINT) AS n_matches
 FROM agg
 WHERE len(regexp_extract_all(seq, 'c[ves]*p')) > 0
+  AND n_events <= 10000
 """
 
     # Theil-Sen + Mann-Kendall: pairwise slopes over the weekly series,

@@ -140,7 +140,9 @@ R4_HEADLINE = [
 ]
 
 
-def _oracle_times(entrymod, sf_dir: str, names: list[str]) -> dict[str, float]:
+def _oracle_times(
+    entrymod, sf_dir: str, names: list[str]
+) -> tuple[dict[str, float], list[str]]:
     """Per-query DuckDB oracle wall times over the same parquet tables —
     the engine-relative floor that catches single-query regressions the
     wall total hides. Disable with SPARK_GRAFT_BENCH_ORACLE=0.
@@ -196,7 +198,7 @@ def _oracle_times(entrymod, sf_dir: str, names: list[str]) -> dict[str, float]:
             f"bench: oracle budget ({budget:.0f}s) exhausted — skipped {len(skipped)}: {skipped}",
             file=sys.stderr,
         )
-    return out
+    return out, skipped
 
 
 def main() -> None:
@@ -288,11 +290,15 @@ def main() -> None:
             # cheapest Spark queries first: their oracles are cheap too,
             # so the wall budget buys per-query coverage for the MANY
             # instead of exhausting on a few expensive ones
-            osec = _oracle_times(
+            osec, oskipped = _oracle_times(
                 entrymod,
                 sf_dir,
                 sorted((n for n in HEADLINE if n in times), key=lambda n: times[n]),
             )
+            # budget-skipped oracles go in the ARTIFACT, not just stderr
+            # (VERDICT r6 #6 — the driver doesn't keep stderr)
+            if oskipped:
+                out["oracle_skipped"] = oskipped
             if osec:
                 out["oracle_sec"] = osec
                 ratios = {n: round(times[n] / osec[n], 2) for n in osec if osec[n] > 0}
@@ -338,6 +344,7 @@ def main() -> None:
         "n_errors": len(errors),
         "value_r4_subset_28q": out["value_r4_subset_28q"],
         "vs_oracle_median": out.get("vs_oracle_median"),
+        "n_oracle_skipped": len(out.get("oracle_skipped", [])),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(compact))

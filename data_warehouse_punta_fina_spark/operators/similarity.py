@@ -692,6 +692,149 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 32,
+    probes: int = 4,
+    m: int = 8,
+    n_centroids: int = 8,
+    iters: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    centroids_path: str | None = None,
+    codebook_path: str | None = None,
+) -> DataFrame:
+    """The full IVF-PQ search recipe (Jégou et al. 2011 §V): a TRAINED
+    coarse quantizer restricts the scan to ``probes``/``n_cells`` of the
+    corpus, the ADC stage scores only the probed cells' PQ codes, and an
+    exact re-rank of the top ``rerank`` decides the reported scores —
+    the composition VERDICT r6 #4 asked for (trained IVF alone reached
+    0.944 recall but scanned 37.5%; PQ alone scanned 100% of codes).
+
+    Pipeline, all deterministic (no RNG anywhere):
+
+    1. coarse: :func:`kmeans_fit` → ``n_cells`` centroids; corpus rows
+       assign to exactly one cell, queries to their ``probes`` nearest
+       cells (standard nprobe);
+    2. encode: :func:`pq_fit` codebooks on the RAW vectors (not
+       residuals — the integer-lattice codebook stays reusable across
+       cells and the exact re-rank absorbs the residual-encoding recall
+       gap at these rerank depths) → each vector is ``m`` small codes;
+    3. ADC scan: candidate pairs are (query, vector-in-probed-cell);
+       each pair's approximate dot is the sum of ``m`` broadcast-LUT
+       hits — the scan reads m ints per candidate, never the vector;
+    4. exact re-rank: the top ``rerank`` per query re-score with the
+       exact quantized cosine (:func:`sq8_topk`'s discipline — the
+       approximation chooses candidates, never the reported value).
+
+    At 100 TB: corpus persists as (vec_id, cid, m codes) partitioned by
+    ``cid``; a query touches ``probes`` partitions of m-byte codes plus
+    ``rerank`` full vectors — the measured recall/scan row lives in
+    tools/ann_recall.py + docs/SCALE.md.
+    """
+    from data_warehouse_punta_fina_spark.functions.money import pround6
+    from data_warehouse_punta_fina_spark.operators.materialize import materialize
+
+    coarse = materialize(
+        kmeans_fit(corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col),
+        centroids_path,
+    )
+    cv = corpus.select(F.col(id_col), quantize(vec_col).alias("qvec"))
+    c_cells = _assign(cv, coarse, id_col).select(id_col, "cid")
+    q_cells = (
+        _assign(
+            queries.select(F.col(id_col), quantize(vec_col).alias("qvec")),
+            coarse,
+            id_col,
+            probes=probes,
+        )
+        .withColumnRenamed(id_col, "query_id")
+        .select("query_id", "cid")
+    )
+
+    cb = materialize(
+        pq_fit(corpus, m, n_centroids, iters, id_col, vec_col, dims), codebook_path
+    )
+    codes = _assign_sub(_subvectors(corpus, id_col, vec_col, m, dims), cb, id_col).select(
+        id_col, "sub", F.col("cid").alias("scid")
+    )
+
+    # candidate pairs: one row per (query, corpus vector in a probed
+    # cell) — the cell join happens BEFORE the m-way code expansion
+    pairs = c_cells.join(F.broadcast(q_cells), "cid").filter(
+        F.col(id_col) != F.col("query_id")
+    ).select("query_id", id_col)
+
+    # per-query LUT: partial dots against every (sub, centroid) — tiny
+    # (|Q|·m·n_centroids rows), broadcast
+    q = _prepare(queries, id_col, vec_col).withColumnRenamed(id_col, "query_id")
+    d_sub = dims // m
+    qsub = q.select(
+        "query_id",
+        "nsq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice(F.col("qvec"), s * d_sub + 1, d_sub).alias("qsv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select("query_id", "nsq", F.col("_s.sub").alias("sub"), F.col("_s.qsv").alias("qsv"))
+    lut = qsub.join(cb.withColumnRenamed("cid", "scid"), "sub").select(
+        "query_id",
+        "nsq",
+        "sub",
+        "scid",
+        dot_q(F.col("qsv"), F.col("cvec")).alias("pdot"),
+        "cn2",
+    )
+    approx = (
+        pairs.join(codes, id_col)
+        .join(F.broadcast(lut), ["query_id", "sub", "scid"])
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("pdot").alias("_adot"),
+            F.sum("cn2").alias("_xn2"),
+            F.first("nsq").alias("_qn2"),
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            pround6(
+                F.col("_adot").cast("double")
+                / F.sqrt(F.col("_xn2").cast("double") * F.col("_qn2").cast("double"))
+            ).alias("approx"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cand = approx.withColumn("_r", F.row_number().over(wa)).filter(F.col("_r") <= rerank)
+    cq = _prepare(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    exact = (
+        cand.select("query_id", "neighbor_id")
+        .join(cq.alias("c"), "neighbor_id")
+        .join(F.broadcast(q.alias("q")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(F.col("q.qvec"), F.col("c.qvec"), F.col("q.nsq"), F.col("c.nsq")).alias(
+                "cosine"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(wk).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------------------
 # MMR — diversified top-k selection (Carbonell & Goldstein 1998)
 # ---------------------------------------------------------------------------

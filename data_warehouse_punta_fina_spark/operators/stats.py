@@ -652,7 +652,12 @@ def theil_sen_trend(
         "_sgn",
         F.signum((F.col("_qb") - F.col("_qa")).cast("double")).cast("long"),
     ).localCheckpoint(eager=False)
-    pp = sc if sc else [F.lit(0)]
+    # ungrouped fallback: constant-valued NON-FOLDABLE key (a foldable
+    # lit(0) constant-folds to an empty spec — a true global window);
+    # anchored per-table on a real column (operators.windows.const_partition)
+    from data_warehouse_punta_fina_spark.operators.windows import const_partition
+
+    pp = sc if sc else [const_partition("_s")]
     ws = Window.partitionBy(*pp).orderBy("_s")
     ranked = pairs.withColumn("_r", F.row_number().over(ws)).withColumn(
         "_m", F.count("*").over(Window.partitionBy(*pp))
@@ -670,9 +675,10 @@ def theil_sen_trend(
     resid = (d.join(med, sc) if sc else d.crossJoin(F.broadcast(med))).withColumn(
         "_res", F.col("_q").cast("double") - F.col("_slope") * F.col("_x").cast("double")
     )
-    wr = Window.partitionBy(*pp).orderBy("_res")
+    ppr = sc if sc else [const_partition("_res")]
+    wr = Window.partitionBy(*ppr).orderBy("_res")
     rr = resid.withColumn("_r", F.row_number().over(wr)).withColumn(
-        "_n", F.count("*").over(Window.partitionBy(*pp))
+        "_n", F.count("*").over(Window.partitionBy(*ppr))
     )
     imed = rr.filter(
         (F.col("_r") == F.floor((F.col("_n") + 1) / 2))

@@ -140,6 +140,16 @@ def ewma(
     """
     if span < 1:
         raise ValueError(f"span must be >= 1, got {span}")
+    # int64 headroom: the largest integer weight is 2^(span-1) and the
+    # numerator is a sum of span weight·|q| terms bounded by
+    # 2^span·max|q|, so span 40 leaves max|q| ≈ 8.4e6 (84k.00 at
+    # value_scale=2) before overflow — beyond that the tail weight
+    # (< 2^-40) is sub-ulp anyway, so larger spans buy nothing
+    if span > 40:
+        raise ValueError(
+            f"span must be <= 40 (int64 weight headroom: 2^span·max|q| "
+            f"must stay under 2^63), got {span}"
+        )
     sc = series_cols or []
     q = F.floor(
         F.col(value_col).cast("double") * F.lit(float(10**value_scale)) + F.lit(0.5)

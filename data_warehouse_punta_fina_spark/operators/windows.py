@@ -12,6 +12,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def const_partition(anchor: str | Column) -> Column:
+    """A constant-valued but NON-FOLDABLE window partition key.
+
+    ``Window.partitionBy(F.lit(0))`` does NOT produce a constant-keyed
+    hash partition: Catalyst constant-folds any foldable partition
+    expression away (even ``xxhash64(lit(0))`` folds — probed), leaving
+    an EMPTY partition spec, i.e. a true global window with WindowExec's
+    "No Partition Defined" warning and a ``SinglePartition`` exchange.
+    Anchoring the hash on a REAL column keeps the expression non-foldable
+    while still evaluating to 0 for every row (``pmod(x, 1) == 0``), so
+    the plan is an ordinary hash exchange and the repo's
+    no-global-window warning gate stays meaningful. Use ONLY for
+    aggregate-sized inputs (bins, buckets, per-series aggregates) —
+    all rows still land in one partition.
+    """
+    col = F.col(anchor) if isinstance(anchor, str) else anchor
+    return F.pmod(F.xxhash64(col), F.lit(1))
+
+
 def running_total(
     df: DataFrame,
     value: str,
@@ -186,7 +205,7 @@ def ranked_sequential_id(
     # constant-key partition of those ≤ n rows, and the result broadcasts
     # back. No driver action anywhere.
     wcum = (
-        Window.partitionBy(F.pmod(F.xxhash64("_pid"), F.lit(1)))
+        Window.partitionBy(const_partition("_pid"))
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -203,6 +222,89 @@ def ranked_sequential_id(
         .withColumn("_rn", F.row_number().over(w))
         .withColumn(out, (F.col("_rn") + F.col("_off") + F.lit(start - 1)).cast("long"))
         .drop("_pid", "_rn", "_off")
+    )
+
+
+def range_partitioned_cumsum(
+    df: DataFrame,
+    order_by: str | list[str],
+    value: str,
+    out: str = "cum",
+    inclusive: bool = True,
+    partitions: int | None = None,
+    sample_mod: int = 512,
+) -> DataFrame:
+    """Global running sum of ``value`` ordered by ``order_by`` WITHOUT a
+    single-partition window — the cumulative-sum analogue of
+    :func:`ranked_sequential_id`, same two-branch design:
+
+    1. deterministic hash-sample of the keys → ≤ n-1 range cutpoints →
+       every row's bucket ``_pid`` (a pure function of the key);
+    2. per-bucket value totals → exclusive cumulative offsets (≤ n rows
+       through one non-foldable constant-key partition) → broadcast;
+    3. per-bucket local running sum + the bucket's offset.
+
+    ``inclusive=False`` yields the EXCLUSIVE prefix sum (sum of strictly
+    earlier rows, 0 for the first row). Ties within equal ``order_by``
+    keys accumulate in arbitrary order (the standard rowsBetween hazard)
+    — pass a total order, or distinct keys (e.g. a per-key aggregate),
+    for engine-portable results. This is how an ungrouped cumulative over
+    a linearly-growing aggregate (distinct scores, per-part revenue)
+    stays multi-partition at 100 TB.
+    """
+    ob = [order_by] if isinstance(order_by, str) else list(order_by)
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    key = F.struct(*[F.col(c).alias(c) for c in ob])
+
+    sample = (
+        df.na.drop("any", subset=ob)
+        .filter(F.pmod(F.xxhash64(*[F.col(c) for c in ob]), F.lit(sample_mod)) == 0)
+        .select(key.alias("_k"))
+    )
+    agged = sample.agg(F.sort_array(F.collect_list("_k")).alias("_all"))
+    if n > 1:
+        pick = F.transform(
+            F.sequence(F.lit(1), F.lit(n - 1)),
+            lambda i: F.element_at(
+                F.col("_all"),
+                F.least((i * F.size("_all") / F.lit(n)).cast("int") + 1, F.size("_all")),
+            ),
+        )
+        cuts_expr = F.when(F.size("_all") >= 2, F.array_distinct(pick)).otherwise(
+            F.slice(F.col("_all"), 1, 0)
+        )
+    else:
+        cuts_expr = F.slice(F.col("_all"), 1, 0)
+    cuts = agged.select(cuts_expr.alias("_cuts"))
+
+    withpid = (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("_pid", F.size(F.filter(F.col("_cuts"), lambda c: key >= c)))
+        .drop("_cuts")
+    )
+    wcum = (
+        Window.partitionBy(const_partition("_pid"))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        withpid.groupBy("_pid")
+        .agg(F.sum(value).alias("_tot"))
+        .withColumn("_boff", F.coalesce(F.sum("_tot").over(wcum), F.lit(0)))
+        .select("_pid", "_boff")
+    )
+    upper = 0 if inclusive else -1
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(*ob)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    return (
+        withpid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out, F.coalesce(F.sum(value).over(wloc), F.lit(0)) + F.col("_boff")
+        )
+        .drop("_pid", "_boff")
     )
 
 
@@ -234,7 +336,7 @@ def partitioned_sequential_id(
     if pin:
         df2 = df2.localCheckpoint(eager=False)
     wcum = (
-        Window.partitionBy(F.pmod(F.xxhash64("_pid"), F.lit(1)))
+        Window.partitionBy(const_partition("_pid"))
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

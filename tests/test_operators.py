@@ -774,29 +774,49 @@ def test_partitioned_sequential_id_dense_on_shuffle_fed_input(spark):
         assert len(set(got)) == 997, f"colliding ids with pin={pin}"
 
 
-def test_no_partition_defined_warnings_in_dim_and_rank_paths():
-    """WindowExec's 'No Partition Defined' warning must not fire for the
-    bounded constant-key windows (dim SK assignment, tiny top-k ranks) —
-    a warning stream that cries wolf hides a future real global window."""
+def test_no_partition_defined_warnings_registry_wide():
+    """WindowExec's 'No Partition Defined' warning must not fire for ANY
+    registered query — a foldable constant partition key (lit(0), even
+    xxhash64(lit(0))) is constant-folded to an EMPTY partition spec, i.e.
+    a true single-partition global window, and this sweep is how that
+    class gets caught before commit (the round-6 3-query version of this
+    gate missed exactly that in the evaluation tier). Full registry,
+    noop-write at sf0.001; any offender is named in the failure."""
     import subprocess
     import sys as _sys
 
     snippet = (
-        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import sys, traceback; sys.path.insert(0, '/root/repo')\n"
         "import __spark_entry__ as m\n"
         "from data_warehouse_punta_fina_spark import get_spark\n"
         "spark = get_spark('warncheck')\n"
         "qs = dict(m.queries()); qs.update(m.extra_queries())\n"
-        "for name in ('dim_producto', 'dim_catalogs', 'corpus_term_freq'):\n"
-        "    qs[name](spark, '/root/testdata/sf0.001').write.format('noop')"
+        "for name in sorted(qs):\n"
+        "    print('RUNNING::' + name, file=sys.stderr, flush=True)\n"
+        "    try:\n"
+        "        qs[name](spark, '/root/testdata/sf0.001').write.format('noop')"
         ".mode('overwrite').save()\n"
+        "    except Exception:\n"
+        "        print('FAILED::' + name, file=sys.stderr, flush=True)\n"
+        "        traceback.print_exc()\n"
+        "        raise\n"
         "spark.stop()\n"
     )
     proc = subprocess.run(
-        [_sys.executable, "-c", snippet], capture_output=True, text=True, timeout=300
+        [_sys.executable, "-c", snippet], capture_output=True, text=True, timeout=1800
     )
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "No Partition Defined" not in proc.stderr
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    if "No Partition Defined" in proc.stderr:
+        # attribute each warning to the query running when it fired
+        current, offenders = "<setup>", []
+        for line in proc.stderr.splitlines():
+            if line.startswith("RUNNING::"):
+                current = line.split("::", 1)[1]
+            elif "No Partition Defined" in line:
+                offenders.append(current)
+        raise AssertionError(
+            f"global windows (No Partition Defined) in: {sorted(set(offenders))}"
+        )
 
 
 def test_repetition_metrics_known_values(spark):

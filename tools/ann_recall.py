@@ -77,7 +77,11 @@ def main() -> None:
         .select("query_id", "neighbor_id")
     )
 
-    from data_warehouse_punta_fina_spark.operators.similarity import pq_topk, sq8_topk
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+        sq8_topk,
+    )
 
     tiers = {
         "jl16_brute": brute_force_topk(proj, proj_q, k=k),
@@ -97,6 +101,15 @@ def main() -> None:
         "ivf_trained16_p8": ivf_trained_topk(emb, queries, k=k, n_centroids=16, iters=2, probes=8),
         "ivf_trained32_p8": ivf_trained_topk(emb, queries, k=k, n_centroids=32, iters=3, probes=8),
         "ivf_trained32_p12": ivf_trained_topk(emb, queries, k=k, n_centroids=32, iters=3, probes=12),
+        # round-7 (VERDICT r6 #4): the IVF-PQ composition — probe trained
+        # cells, ADC-scan only probed cells' codes, exact rerank. The
+        # target row: recall@5 >= 0.9 at <= 15% scan.
+        "ivfpq_c32_p4_r50": ivfpq_topk(emb, queries, k=k, n_cells=32, probes=4, m=8, iters=3, rerank=50),
+        "ivfpq_c32_p8_r50": ivfpq_topk(emb, queries, k=k, n_cells=32, probes=8, m=8, iters=3, rerank=50),
+        "ivfpq_c64_p8_r50": ivfpq_topk(emb, queries, k=k, n_cells=64, probes=8, m=8, iters=3, rerank=50),
+        "ivfpq_c64_p9_r80": ivfpq_topk(emb, queries, k=k, n_cells=64, probes=9, m=8, iters=3, rerank=80),
+        # the cell-recall ceiling of the c64_p8/p9 rows (no PQ, no rerank cap)
+        "ivf_trained64_p8": ivf_trained_topk(emb, queries, k=k, n_centroids=64, iters=3, probes=8),
     }
     scan_fraction = {
         "jl16_brute": 1.0,  # full scan, but every dot product costs 1/4
@@ -115,6 +128,13 @@ def main() -> None:
         "ivf_trained16_p8": 8 / 16,
         "ivf_trained32_p8": 8 / 32,
         "ivf_trained32_p12": 12 / 32,
+        # ivfpq scan = probed fraction of CODES (m ints/vector, ~1/32 the
+        # bytes of the raw vector) + rerank/query full vectors
+        "ivfpq_c32_p4_r50": 4 / 32,
+        "ivfpq_c32_p8_r50": 8 / 32,
+        "ivfpq_c64_p8_r50": 8 / 64,
+        "ivfpq_c64_p9_r80": 9 / 64,
+        "ivf_trained64_p8": 8 / 64,
     }
     print(f"corpus={n_corpus} queries=32 k={k} sf_dir={sf_dir}")
     print(f"{'tier':24s} {'recall@k':>9s} {'~scan':>7s}")
