@@ -123,6 +123,8 @@ HEADLINE = [
     "revenue_pareto_parts",
     "top_discount_lines_with_ties",
     "events_multiplicative_means",
+    # round-7 addition: the IVF-PQ composed ANN search (sf-proportional)
+    "ann_ivfpq_topk",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -211,18 +211,32 @@ def average_precision(
     per = df.groupBy(*g, F.col(score_col).alias("_s")).agg(
         F.count("*").alias("_c"), F.sum(lab).alias("_p")
     )
-    # ungrouped fallback: non-foldable constant key (score-distinct rows,
-    # quantization-bounded) — a foldable lit(0) folds to a global window
-    w = Window.partitionBy(
-        *[F.col(c) for c in g] or [const_partition("_s")]
-    ).orderBy(F.desc("_s"))
-    cum = per.withColumn(
-        "_nb",
-        F.coalesce(F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
-    ).withColumn(
-        "_pb",
-        F.coalesce(F.sum("_p").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
-    )
+    if g:
+        w = Window.partitionBy(*[F.col(c) for c in g]).orderBy(F.desc("_s"))
+        cum = per.withColumn(
+            "_nb",
+            F.coalesce(
+                F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        ).withColumn(
+            "_pb",
+            F.coalesce(
+                F.sum("_p").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    else:
+        # ungrouped: both exclusive cumulatives range-partition in one
+        # pass (desc order via the negated score) — the binary_auc
+        # scale path, no constant-keyed single partition
+        cum = range_partitioned_cumsum(
+            per.withColumn("_negs", -F.col("_s")),
+            "_negs",
+            ["_c", "_p"],
+            out=["_nb", "_pb"],
+            inclusive=False,
+        ).drop("_negs")
     terms = cum.filter(F.col("_p") > 0).select(
         *g,
         "_c",

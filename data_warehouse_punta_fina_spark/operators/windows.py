@@ -228,8 +228,8 @@ def ranked_sequential_id(
 def range_partitioned_cumsum(
     df: DataFrame,
     order_by: str | list[str],
-    value: str,
-    out: str = "cum",
+    value: str | list[str],
+    out: str | list[str] = "cum",
     inclusive: bool = True,
     partitions: int | None = None,
     sample_mod: int = 512,
@@ -251,8 +251,17 @@ def range_partitioned_cumsum(
     for engine-portable results. This is how an ungrouped cumulative over
     a linearly-growing aggregate (distinct scores, per-part revenue)
     stays multi-partition at 100 TB.
+
+    ``value``/``out`` accept parallel lists to compute several running
+    sums over the SAME ordering in one pass (one bucket assignment, one
+    offsets broadcast, one local window) — average_precision needs the
+    cumulative row AND positive counts together.
     """
     ob = [order_by] if isinstance(order_by, str) else list(order_by)
+    vals = [value] if isinstance(value, str) else list(value)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(vals) != len(outs):
+        raise ValueError(f"value/out length mismatch: {len(vals)} vs {len(outs)}")
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     key = F.struct(*[F.col(c).alias(c) for c in ob])
 
@@ -287,25 +296,26 @@ def range_partitioned_cumsum(
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        withpid.groupBy("_pid")
-        .agg(F.sum(value).alias("_tot"))
-        .withColumn("_boff", F.coalesce(F.sum("_tot").over(wcum), F.lit(0)))
-        .select("_pid", "_boff")
+    offsets = withpid.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_tot{i}") for i, v in enumerate(vals)]
     )
+    for i in range(len(vals)):
+        offsets = offsets.withColumn(
+            f"_boff{i}", F.coalesce(F.sum(f"_tot{i}").over(wcum), F.lit(0))
+        )
+    offsets = offsets.select("_pid", *[f"_boff{i}" for i in range(len(vals))])
     upper = 0 if inclusive else -1
     wloc = (
         Window.partitionBy("_pid")
         .orderBy(*ob)
         .rowsBetween(Window.unboundedPreceding, upper)
     )
-    return (
-        withpid.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            out, F.coalesce(F.sum(value).over(wloc), F.lit(0)) + F.col("_boff")
+    res = withpid.join(F.broadcast(offsets), "_pid")
+    for i, (v, o) in enumerate(zip(vals, outs)):
+        res = res.withColumn(
+            o, F.coalesce(F.sum(v).over(wloc), F.lit(0)) + F.col(f"_boff{i}")
         )
-        .drop("_pid", "_boff")
-    )
+    return res.drop("_pid", *[f"_boff{i}" for i in range(len(vals))])
 
 
 def partitioned_sequential_id(

@@ -256,7 +256,9 @@ def test_bm25_tokenizes_corpus_once(spark):
     dominant map cost — a second scan doubles it (round-4 VERDICT #2)."""
     import __spark_entry__ as entrymod
 
-    df = entrymod.queries()["doc_bm25_topk"](spark, "/root/testdata/sf0.001")
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
+    df = qs["doc_bm25_topk"](spark, "/root/testdata/sf0.001")
     df.collect()  # finalize THIS DataFrame's adaptive plan (a .write would
     # spawn a separate QueryExecution and leave this one un-finalized)
     plan = df._jdf.queryExecution().executedPlan().toString()

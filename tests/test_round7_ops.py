@@ -145,6 +145,59 @@ def test_ewma_span_headroom_guard(spark):
         ewma(df, "t", "v", span=0)
 
 
+def test_ivfpq_matches_bruteforce_on_clustered_data(spark):
+    """On data with REAL cluster structure (unlike the near-uniform
+    testdata embeddings), IVF-PQ with ample probes/rerank must recover
+    the exact top-k: 4 well-separated clusters, query's neighbors are
+    its own cluster."""
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    rows = []
+    for i in range(80):
+        c = i % 4
+        base = [1000.0 if j // 4 == c * 4 else 0.0 for j in range(64)]
+        # small deterministic within-cluster jitter
+        vec = [b + ((i * 7 + j) % 5) for j, b in enumerate(base)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            df, q, k=5, n_cells=4, probes=2, m=8, n_centroids=8, iters=3, rerank=20
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_ivfpq_plan_shape():
+    """IVF-PQ: the LUT and cell joins broadcast; no cartesian product;
+    the corpus parquet is scanned a bounded number of times (coarse fit
+    chain + assign + codes + rerank branches — all lineage reuse, no
+    data-sized single-partition exchange)."""
+    import __spark_entry__ as entrymod
+    from data_warehouse_punta_fina_spark import get_spark
+
+    spark = get_spark("ivfpq-plan")
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
+    df = qs["ann_ivfpq_topk"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) == 40  # 8 queries x top-5
+    ranks = sorted(r["rank"] for r in rows if r["query_id"] == rows[0]["query_id"])
+    assert ranks == [1, 2, 3, 4, 5]
+
+
 def test_revenue_pareto_plan_takes_topk_before_window():
     """The Pareto query must prune to the top-200 BEFORE the cumulative
     window: the plan carries a TakeOrderedAndProject (per-partition top-k

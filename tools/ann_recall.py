@@ -108,6 +108,11 @@ def main() -> None:
         "ivfpq_c32_p8_r50": ivfpq_topk(emb, queries, k=k, n_cells=32, probes=8, m=8, iters=3, rerank=50),
         "ivfpq_c64_p8_r50": ivfpq_topk(emb, queries, k=k, n_cells=64, probes=8, m=8, iters=3, rerank=50),
         "ivfpq_c64_p9_r80": ivfpq_topk(emb, queries, k=k, n_cells=64, probes=9, m=8, iters=3, rerank=80),
+        # the two measured >=0.9-recall-at-<=15%-scan rows (sf0.1,
+        # 2000-vector corpus): codebook RICHNESS closes the gap, not
+        # rerank depth (m8k8_r150 stalled at 0.869)
+        "ivfpq_c64_p9_m16k16_r100": ivfpq_topk(emb, queries, k=k, n_cells=64, probes=9, m=16, n_centroids=16, iters=3, rerank=100),
+        "ivfpq_c32_p4_m8k32_r100": ivfpq_topk(emb, queries, k=k, n_cells=32, probes=4, m=8, n_centroids=32, iters=3, rerank=100),
         # the cell-recall ceiling of the c64_p8/p9 rows (no PQ, no rerank cap)
         "ivf_trained64_p8": ivf_trained_topk(emb, queries, k=k, n_centroids=64, iters=3, probes=8),
     }
@@ -134,6 +139,8 @@ def main() -> None:
         "ivfpq_c32_p8_r50": 8 / 32,
         "ivfpq_c64_p8_r50": 8 / 64,
         "ivfpq_c64_p9_r80": 9 / 64,
+        "ivfpq_c64_p9_m16k16_r100": 9 / 64,
+        "ivfpq_c32_p4_m8k32_r100": 4 / 32,
         "ivf_trained64_p8": 8 / 64,
     }
     print(f"corpus={n_corpus} queries=32 k={k} sf_dir={sf_dir}")
