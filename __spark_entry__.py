@@ -234,6 +234,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _dbl_out(fn) for name, fn in extra.items()}
 
 
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """queries() ∪ extra_queries() — the full 189+ registry. Tests and
+    tools MUST resolve query names through this helper (never a bare
+    queries()[name]) so per-round rotation between the driver window and
+    extras can never break a lookup (round-6/7 incident class)."""
+    merged = queries()
+    merged.update(extra_queries())
+    return merged
+
+
 def _build_registries():
     from data_warehouse_punta_fina_spark.functions.money import pround, pround2, pround6
     from data_warehouse_punta_fina_spark.functions.strings import (
@@ -2777,11 +2787,22 @@ def _build_registries():
 
     def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the hashing trick: fixed 16-dim signed token-count vectors, no
-        # vocabulary, md5-deterministic (operators.features)
+        # vocabulary, md5-deterministic (operators.features). The
+        # driver-window projection flattens the vector to a CSV string:
+        # the driver's pandas canonicalizer cannot sort list-valued
+        # columns (r7 red row), and tests/test_oracle_types.py now bans
+        # complex-typed top-level outputs registry-wide. The operator
+        # itself keeps returning array<long> for composition.
         from data_warehouse_punta_fina_spark.operators.features import feature_hashing
 
         docs = load_table(spark, sf_dir, "documents")
-        return feature_hashing(docs, "doc_id", "text", dims=16)
+        vec = feature_hashing(docs, "doc_id", "text", dims=16)
+        return vec.select(
+            "doc_id",
+            F.array_join(F.col("features").cast("array<string>"), ",").alias(
+                "features_csv"
+            ),
+        )
 
     # ---- round-6 wave 3: lossless set-similarity join, sequence
     # pattern matching ----
@@ -7105,7 +7126,8 @@ dense AS (
   SELECT grid.doc_id, grid.ix, COALESCE(per.v, 0) AS v
   FROM grid LEFT JOIN per ON per.doc_id = grid.doc_id AND per.ix = grid.ix
 )
-SELECT doc_id, list(v ORDER BY ix) AS features FROM dense GROUP BY doc_id
+SELECT doc_id, array_to_string(list(v ORDER BY ix), ',') AS features_csv
+FROM dense GROUP BY doc_id
 """
 
     # prefix filtering is LOSSLESS, so the oracle is the brute shared-

@@ -1216,7 +1216,7 @@ def test_curation_report_composition_all_verdicts(spark, tmp_path):
         docs, "doc_id long, text string, lang string, source string"
     ).write.parquet(f"{sf}/documents.parquet")
 
-    qs = dict(entrymod.extra_queries())
+    qs = entrymod.all_queries()
     out = {r["doc_id"]: r["verdict"] for r in qs["doc_curation_report"](spark, sf).collect()}
     assert out[1] == "keep"
     assert out[2] == "exact_dup"

@@ -74,3 +74,60 @@ def test_schema_of_variant_rendering_pinned(spark):
         .head()
     )
     assert row["s"] == "OBJECT<k: BIGINT>"
+
+
+#: Driver-window outputs must be scalar-typed: the driver's pandas
+#: canonicalizer sorts every column, and list/struct/map values raise
+#: ``TypeError: unhashable type`` inside ``sort_values`` (round-7 red
+#: row doc_feature_hashing, the only complex-typed output in the
+#: registry at the time). Flatten vectors to CSV / exploded rows in the
+#: driver-window projection; keep the array-returning operator for
+#: composition and extras.
+COMPLEX_ORACLE = re.compile(r"(\[\]|\bSTRUCT\b|\bMAP\b|\bUNION\b|\bLIST\b)")
+
+
+def test_driver_window_oracle_outputs_are_scalar(duck):
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    bad: dict[str, list[str]] = {}
+    for name in entrymod.queries():
+        sql = oracles.get(name)
+        if sql is None:  # rows-only checked by the driver, no oracle twin
+            continue
+        rows = duck.execute(f"DESCRIBE {sql}").fetchall()
+        offenders = [
+            f"{col}:{dtype}"
+            for col, dtype, *_ in rows
+            if COMPLEX_ORACLE.search(dtype.upper())
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, (
+        "driver-window oracle emits complex-typed columns the driver "
+        "canonicalizer cannot sort (flatten them): " + repr(bad)
+    )
+
+
+def test_driver_window_spark_schemas_are_scalar(spark):
+    """The Spark side of the same gate: analysis-only (``.schema`` builds
+    the plan, nothing executes), so the sweep stays cheap. This is the
+    authoritative check — the driver canonicalizes the SPARK result."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as entrymod
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in entrymod.queries().items():
+        schema = fn(spark, SF_DIR).schema
+        offenders = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, (
+        "driver-window Spark outputs carry complex-typed columns the "
+        "driver canonicalizer cannot sort (flatten them): " + repr(bad)
+    )

@@ -256,8 +256,7 @@ def test_bm25_tokenizes_corpus_once(spark):
     dominant map cost — a second scan doubles it (round-4 VERDICT #2)."""
     import __spark_entry__ as entrymod
 
-    qs = dict(entrymod.queries())
-    qs.update(entrymod.extra_queries())
+    qs = entrymod.all_queries()
     df = qs["doc_bm25_topk"](spark, "/root/testdata/sf0.001")
     df.collect()  # finalize THIS DataFrame's adaptive plan (a .write would
     # spawn a separate QueryExecution and leave this one un-finalized)
@@ -285,8 +284,7 @@ def test_results_invariant_under_adversarial_shuffle_partitions(spark):
     it shows up as a flaky hash on a real cluster."""
     import __spark_entry__ as entrymod
 
-    qs = dict(entrymod.queries())
-    qs.update(entrymod.extra_queries())
+    qs = entrymod.all_queries()
     names = [
         "doc_surprisal",
         "fact_balance",
@@ -580,7 +578,7 @@ def test_tfidf_pairs_plan_stays_materialized(spark):
     plan small and free of raw text re-scans."""
     import __spark_entry__ as entrymod
 
-    qs = dict(entrymod.queries())
+    qs = entrymod.all_queries()
     df = qs["doc_tfidf_pairs"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 12, plan.count("Exchange")
@@ -646,7 +644,7 @@ def test_pmi_and_psi_plans_stay_materialized(spark):
     free of repeated source scans."""
     import __spark_entry__ as entrymod
 
-    qs = dict(entrymod.queries())
+    qs = entrymod.all_queries()
     plan = (
         qs["doc_collocations"](spark, "/root/testdata/sf0.001")
         ._jdf.queryExecution()
@@ -719,8 +717,7 @@ def test_session5_query_plan_shapes(spark):
 
     import __spark_entry__ as entrymod
 
-    qs = dict(entrymod.queries())
-    qs.update(entrymod.extra_queries())
+    qs = entrymod.all_queries()
     sf = "/root/testdata/sf0.001"
 
     ols = qs["lineitem_ols_trend"](spark, sf)
@@ -754,8 +751,7 @@ def test_session6_query_plan_shapes(spark):
     """
     import __spark_entry__ as entrymod
 
-    qs = dict(entrymod.queries())
-    qs.update(entrymod.extra_queries())
+    qs = entrymod.all_queries()
     sf = "/root/testdata/sf0.001"
 
     mi = qs["events_type_hour_mi"](spark, sf)
@@ -792,8 +788,7 @@ def test_round6_query_plan_shapes(spark):
     """
     import __spark_entry__ as entrymod
 
-    qs = dict(entrymod.queries())
-    qs.update(entrymod.extra_queries())
+    qs = entrymod.all_queries()
     sf = "/root/testdata/sf0.001"
 
     bloom = qs["urgent_lineitems_bloom"](spark, sf)
@@ -844,8 +839,7 @@ def test_round6_wave456_plan_shapes(spark):
     (lineage recompute for the a/b branches), never four times."""
     import __spark_entry__ as entrymod
 
-    qs = dict(entrymod.queries())
-    qs.update(entrymod.extra_queries())
+    qs = entrymod.all_queries()
     sf = "/root/testdata/sf0.001"
 
     for name in (

@@ -186,8 +186,7 @@ def test_ivfpq_plan_shape():
     from data_warehouse_punta_fina_spark import get_spark
 
     spark = get_spark("ivfpq-plan")
-    qs = dict(entrymod.queries())
-    qs.update(entrymod.extra_queries())
+    qs = entrymod.all_queries()
     df = qs["ann_ivfpq_topk"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "CartesianProduct" not in plan
@@ -207,8 +206,7 @@ def test_revenue_pareto_plan_takes_topk_before_window():
     from data_warehouse_punta_fina_spark import get_spark
 
     spark = get_spark("pareto-plan")
-    qs = dict(entrymod.queries())
-    qs.update(entrymod.extra_queries())
+    qs = entrymod.all_queries()
     df = qs["revenue_pareto_parts"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan
