@@ -176,6 +176,8 @@ _DEC_COLS: dict[str, list[str]] = {
     "ann_sq8_topk": ["cosine"],
     "ann_pq_topk": ["cosine"],
     "ann_ivfpq_topk": ["cosine"],
+    "ann_ivfpq_persisted_topk": ["cosine"],
+    "ann_ivfpq_incremental_topk": ["cosine"],
     "emb_mmr_diverse": ["relevance"],
     "events_type_hour_mi": ["mi_term"],
     "events_ks_value_drift": ["f_base", "f_cur", "ks_term"],
@@ -2395,6 +2397,101 @@ def _build_registries():
             rerank=30,
         )
 
+    def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the 100 TB deployment shape of IVF-PQ (VERDICT r7 #5): train
+        # ONCE into a durable index — coarse centroids, PQ codebooks,
+        # and (id, sub, scid) codes partitioned by cell — then every
+        # search reads the persisted artifacts: the broadcast query→cell
+        # join prunes the codes scan to the probed cells, ADC reads m
+        # ints per candidate, and only the rerank joins full vectors.
+        # Training is RNG-free, so the persisted search is bit-identical
+        # to in-query training with the same parameters — the oracle is
+        # therefore the same unrolled SQL as ann_ivfpq_topk. The index
+        # self-validates its parameter fingerprint from scid column
+        # metadata (the minhash band-index discipline) and is keyed by a
+        # content fingerprint of the embeddings table, so regenerated
+        # testdata can never serve a stale index.
+        import hashlib
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_search_index,
+        )
+
+        params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        stat_bits = []
+        for root, _dirs, files in os.walk(src):
+            for fname in sorted(files):
+                st = os.stat(os.path.join(root, fname))
+                stat_bits.append(f"{fname}:{st.st_size}:{st.st_mtime_ns}")
+        if not stat_bits:  # single-file parquet
+            st = os.stat(src)
+            stat_bits.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+        fp = hashlib.md5("|".join(stat_bits).encode()).hexdigest()[:12]
+        idx = f"/root/repo/.indexes/ivfpq/c16_m8_k8_i2_{fp}"
+        if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+            emb_train = load_table(spark, sf_dir, "embeddings")
+            ivfpq_build_index(emb_train, idx, **params)
+        emb = load_table(spark, sf_dir, "embeddings")
+        return ivfpq_search_index(
+            emb.filter(F.col("vec_id") < 8),
+            emb,
+            idx,
+            k=5,
+            probes=4,
+            rerank=30,
+            **params,
+        )
+
+    def ann_ivfpq_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # encode-only ingestion (the production append path): the index
+        # trains on the EVEN-id half of the corpus, the odd half arrives
+        # as a batch encoded by the STORED quantizers
+        # (operators.similarity.ivfpq_append_index — no training job),
+        # and the search sees the union. The oracle unrolls the same
+        # asymmetry: k-means/PQ training CTEs restricted to even ids,
+        # final cell/code assignment over every vector
+        # (_ivfpq_topk_sql(train_filter=...)). Exact rerank keeps the
+        # reported cosines exact regardless of quantizer drift.
+        import hashlib
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            ivfpq_append_index,
+            ivfpq_build_index,
+            ivfpq_search_index,
+        )
+
+        params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        stat_bits = []
+        for root, _dirs, files in os.walk(src):
+            for fname in sorted(files):
+                st = os.stat(os.path.join(root, fname))
+                stat_bits.append(f"{fname}:{st.st_size}:{st.st_mtime_ns}")
+        if not stat_bits:
+            st = os.stat(src)
+            stat_bits.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+        fp = hashlib.md5("|".join(stat_bits).encode()).hexdigest()[:12]
+        idx = f"/root/repo/.indexes/ivfpq_inc/c16_m8_k8_i2_{fp}"
+        emb = load_table(spark, sf_dir, "embeddings")
+        if not os.path.exists(os.path.join(idx, "_APPENDED")):
+            ivfpq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx, **params)
+            ivfpq_append_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
+            with open(os.path.join(idx, "_APPENDED"), "w") as fh:
+                fh.write("ok")
+        return ivfpq_search_index(
+            emb.filter(F.col("vec_id") < 8),
+            emb,
+            idx,
+            k=5,
+            probes=4,
+            rerank=30,
+            **params,
+        )
+
     def emb_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         # maximal-marginal-relevance diversified top-5 (Carbonell &
         # Goldstein 1998): greedy relevance-vs-redundancy selection over a
@@ -3413,6 +3510,11 @@ def _build_registries():
         "ann_sq8_topk": ann_sq8_topk,
         # round-7: the IVF-PQ composition (promoted into the window below)
         "ann_ivfpq_topk": ann_ivfpq_topk,
+        # round-8: search of the PERSISTED IVF-PQ index (promoted below —
+        # new operators need a driver row in their debut round)
+        "ann_ivfpq_persisted_topk": ann_ivfpq_persisted_topk,
+        # round-8: encode-only incremental append to the persisted index
+        "ann_ivfpq_incremental_topk": ann_ivfpq_incremental_topk,
         # session-6: the end-to-end curation verdict (composition proof)
         "doc_curation_report": doc_curation_report,
         # session-6: training-pair mining
@@ -3511,6 +3613,73 @@ def _build_registries():
     for _n in _promote_r7:
         reg[_n] = extra.pop(_n)
     for _n in _demote_r7:
+        extra[_n] = reg.pop(_n)
+
+    # ---- round-8 rotation (wave 13) ----------------------------------
+    # VERDICT r7 #3: 38 queries had never had a green driver row; this
+    # wave promotes 24 of them (13 remain for round 9) plus the debut
+    # ann_ivfpq_persisted_topk. Every demotion is a driver-green veteran
+    # (most 3-6 rounds deep) whose family keeps an in-window carrier;
+    # demotions stay oracle-checked in extras via tools/check_oracle.py.
+    _promote_r8 = [
+        "ann_ivfpq_persisted_topk",  # round-8 debut: persisted-index search
+        # VERDICT r7 #3 priority list
+        "doc_curation_report",       # end-to-end curation verdict
+        "doc_quality_avg_precision", # AP (range-partitioned cumulative)
+        "doc_simhash",               # simhash near-dup tier
+        "ann_sq8_topk",              # int8 scalar-quantized ANN
+        "ann_ivf_trained_probe3",    # multi-probe trained IVF
+        "events_sliding_window",     # overlapping windows
+        "events_transitions",        # markov transition counts
+        "lineitem_benford",          # first-digit audit
+        "lineitem_corr_matrix",      # per-group pairwise correlations
+        "lineitem_fd_violations",    # functional-dependency audit
+        "orders_profile",            # column profiler
+        "events_value_band_rangejoin_bucketed",  # bucketed range join
+        # remainder of the never-driver-checked backlog (older families)
+        "doc_token_entropy",         # unigram entropy
+        "doc_source_woe",            # weight-of-evidence encoding
+        "orders_loo_priority_encoding",  # leave-one-out target encoding
+        "emb_hard_negatives",        # contrastive mining
+        "events_trailing_dau",       # trailing distinct users
+        "events_trimmed_mean",       # robust location
+        "events_approx_quantiles",   # exact-rank quantiles
+        "doc_length_histogram",      # log-bucketed lengths
+        "doc_split_assignment",      # hash split assignment
+        "ann_ivfpq_incremental_topk",  # round-8 debut: encode-only append
+        "top_discount_lines_with_ties",  # rank-with-ties top-k
+        "revenue_incremental_merge", # MERGE-based incremental rollup
+    ]
+    _demote_r8 = [
+        "fact_inventario",           # 6x green; fact family carried by fact_ventas
+        "fact_transacciones",        # 6x green; journal expansion pytest-pinned
+        "trade_kcore",               # 3x green; convergence gated in tests/test_round8_ops.py
+        "nation_revenue_concentration",  # 3x green; gini/top-share family stable
+        "events_asof_nearest",       # 3x green; asof family pytest-pinned
+        "events_key_skew",           # 3x green; skew diagnostics stable
+        "events_value_buckets",      # 3x green; width_bucket family stable
+        "events_drift_psi",          # 3x green; PSI carried by events_type_drift_psi next round
+        "lineitem_ols_trend",        # 3x green; stats family: benford/corr_matrix enter
+        "events_robust_outliers",    # 3x green; MAD family stable
+        "events_session_window",     # 3x green; sessionization carried by purchase_path_match
+        "events_gap_fill",           # 3x green; calendar fill family stable
+        "doc_edit_distance_dups",    # 3x green; edit-distance verify pytest-pinned
+        "doc_segment_dedup",         # 3x green; dedup carried by doc_simhash + prefix_jaccard
+        "doc_phrase_search",         # 3x green; retrieval carried by corpus_term_freq
+        "doc_tfidf_pairs",           # 3x green; tf-idf plan gate stays in pytest
+        "source_quality_report",     # 3x green; DQ family carried by orders_profile
+        "ann_pq_topk",               # 3x green; PQ carried by both ivfpq tiers
+        "part_pagerank",             # 3x green; graph carried by assortativity
+        "doc_incremental_dedup",     # 3x green; persisted-index pattern now carried by ivfpq_persisted
+        "events_ks_value_drift",     # 2x green; drift carried by value_band + trailing tiers
+        "weekly_revenue_decompose",  # 2x green; seasonal family carried by theilsen/cusum/ewma
+        "scd3_customer_segment",     # 2x green; SCD family carried by revenue_incremental_merge
+        "events_variant_stats",      # 2x green; variant JSON tier pytest-pinned
+        "order_sample_allocation",   # 2x green; sampling carried by systematic + loo encoding
+    ]
+    for _n in _promote_r8:
+        reg[_n] = extra.pop(_n)
+    for _n in _demote_r8:
         extra[_n] = reg.pop(_n)
     assert len(reg) == 50, f"post-rotation window must be 50, got {len(reg)}"
     return reg, extra
@@ -3800,11 +3969,17 @@ def _bucket_sql(bits: int) -> str:
     return " + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
 
 
-def _kmeans_cells_sql(n_centroids: int, iters: int) -> list[str]:
+def _kmeans_cells_sql(n_centroids: int, iters: int, train_filter: str | None = None) -> list[str]:
     """Shared CTE chain: Lloyd iterations unrolled, ending in ``af`` =
     (vec_id, qv, cid) final cell assignments. Distances are exact BIGINT
     sums (no float order dependence); centroid means round to int64 via
-    floor((2s+n)/(2n)) — mirrors operators.similarity.kmeans_fit."""
+    floor((2s+n)/(2n)) — mirrors operators.similarity.kmeans_fit.
+
+    ``train_filter`` restricts the TRAINING rows (seeds + Lloyd updates)
+    to a predicate over ``v`` while the final ``df``/``af`` assignment
+    still covers every vector — the twin of building a persisted index
+    on a base corpus and encode-only appending the rest
+    (operators.similarity.ivfpq_append_index)."""
 
     def dist(qv: str, cv: str) -> str:
         return (
@@ -3812,15 +3987,20 @@ def _kmeans_cells_sql(n_centroids: int, iters: int) -> list[str]:
             f"i -> ({qv}[i] - {cv}[i]) * ({qv}[i] - {cv}[i])))"
         )
 
+    vt = "vt" if train_filter else "v"
     parts = [
         f"v AS (SELECT vec_id, {_QUANT_VEC} AS qv FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM v ORDER BY vec_id LIMIT {n_centroids})",
     ]
+    if train_filter:
+        parts.append(f"vt AS (SELECT * FROM v WHERE {train_filter})")
+    parts.append(
+        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM {vt} ORDER BY vec_id LIMIT {n_centroids})"
+    )
     prev = "c0"
     for it in range(1, iters + 1):
         parts += [
-            f"d{it} AS (SELECT v.vec_id, v.qv, {prev}.cid, {dist('v.qv', prev + '.cv')} AS dist "
-            f"FROM v CROSS JOIN {prev})",
+            f"d{it} AS (SELECT {vt}.vec_id, {vt}.qv, {prev}.cid, {dist(vt + '.qv', prev + '.cv')} AS dist "
+            f"FROM {vt} CROSS JOIN {prev})",
             f"a{it} AS (SELECT vec_id, qv, cid FROM d{it} "
             f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)",
             f"u{it} AS (SELECT cid, i, SUM(qv[i]) AS s, COUNT(*) AS n "
@@ -3955,6 +4135,7 @@ def _ivfpq_topk_sql(
     k: int = 5,
     rerank: int = 30,
     dims: int = 64,
+    train_filter: str | None = None,
 ) -> str:
     """SQL twin of operators.similarity.ivfpq_topk: the coarse k-means
     cell chain (shared with the trained-IVF oracles) restricts candidate
@@ -3970,24 +4151,30 @@ def _ivfpq_topk_sql(
         )
 
     # coarse chain: v, c0..c{iters}, df, af  (af = corpus cell assignment)
-    parts = _kmeans_cells_sql(n_cells, iters)
+    parts = _kmeans_cells_sql(n_cells, iters, train_filter)
+    pvt = "pvst" if train_filter else "pvs"
     parts += [
         "qcell AS (SELECT vec_id AS query_id, cid FROM df WHERE vec_id < 8 "
         f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= {probes})",
         # candidate pairs BEFORE the m-way code expansion (the Spark plan)
         "cpairs AS (SELECT qcell.query_id, af.vec_id FROM af "
         "JOIN qcell ON qcell.cid = af.cid AND af.vec_id <> qcell.query_id)",
-        # PQ chain, prefixed p*
+        # PQ chain, prefixed p* (training restricted by train_filter when
+        # set; final paf encoding always covers every vector)
         f"pvs AS (SELECT vec_id, sub, qv[(sub * {d} + 1):((sub + 1) * {d})] AS sv "
         f"FROM v CROSS JOIN range(0, {m}) t(sub))",
-        f"pseed AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT {n_centroids})",
-        "pc0 AS (SELECT pvs.sub, pvs.vec_id AS cid, pvs.sv AS cv FROM pvs JOIN pseed USING (vec_id))",
+    ]
+    if train_filter:
+        parts.append(f"pvst AS (SELECT * FROM pvs WHERE {train_filter})")
+    parts += [
+        f"pseed AS (SELECT vec_id FROM {'vt' if train_filter else 'v'} ORDER BY vec_id LIMIT {n_centroids})",
+        f"pc0 AS (SELECT {pvt}.sub, {pvt}.vec_id AS cid, {pvt}.sv AS cv FROM {pvt} JOIN pseed USING (vec_id))",
     ]
     prev = "pc0"
     for it in range(1, iters + 1):
         parts += [
-            f"pd{it} AS (SELECT pvs.vec_id, pvs.sub, pvs.sv, c.cid, {sdist('pvs.sv', 'c.cv')} AS dist "
-            f"FROM pvs JOIN {prev} c ON c.sub = pvs.sub)",
+            f"pd{it} AS (SELECT {pvt}.vec_id, {pvt}.sub, {pvt}.sv, c.cid, {sdist(pvt + '.sv', 'c.cv')} AS dist "
+            f"FROM {pvt} JOIN {prev} c ON c.sub = {pvt}.sub)",
             f"pa{it} AS (SELECT vec_id, sub, sv, cid FROM pd{it} "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1)",
             f"pu{it} AS (SELECT sub, cid, i, SUM(sv[i]) AS s, COUNT(*) AS n "
@@ -5448,6 +5635,19 @@ FROM orders LEFT JOIN m ON o_orderkey = l_orderkey
     o["ann_pq_topk"] = _pq_topk_sql(m=4, n_centroids=8, iters=2, k=5, rerank=20)
     o["ann_ivfpq_topk"] = _ivfpq_topk_sql(
         n_cells=16, probes=4, m=8, n_centroids=8, iters=2, k=5, rerank=30
+    )
+    # the persisted-index search is bit-identical to in-query training
+    # (RNG-free training, validated parameter fingerprint) — one oracle
+    # proves both the train-in-plan and the stored-index physical paths
+    o["ann_ivfpq_persisted_topk"] = _ivfpq_topk_sql(
+        n_cells=16, probes=4, m=8, n_centroids=8, iters=2, k=5, rerank=30
+    )
+    # incremental append: quantizers trained on the even-id half only,
+    # every vector encoded/searchable — the unrolled twin of build-on-
+    # base + encode-only append (ivfpq_append_index)
+    o["ann_ivfpq_incremental_topk"] = _ivfpq_topk_sql(
+        n_cells=16, probes=4, m=8, n_centroids=8, iters=2, k=5, rerank=30,
+        train_filter="vec_id % 2 = 0",
     )
     o["emb_mmr_diverse"] = _mmr_sql(k=5, pool=20, lam_num=1, lam_den=2)
     o["ann_ivf_trained_topk"] = _kmeans_ivf_sql(n_centroids=16, iters=2, k=5)

@@ -125,6 +125,11 @@ HEADLINE = [
     "events_multiplicative_means",
     # round-7 addition: the IVF-PQ composed ANN search (sf-proportional)
     "ann_ivfpq_topk",
+    # round-8 addition: search of the PERSISTED IVF-PQ index. The first
+    # call after a testdata refresh trains + writes the index (eager,
+    # one-off — the deployment shape); steady-state bench runs measure
+    # the pure stored-index search path.
+    "ann_ivfpq_persisted_topk",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
@@ -349,6 +354,19 @@ def main() -> None:
         "n_oracle_skipped": len(out.get("oracle_skipped", [])),
         "detail": "BENCH_DETAIL.json",
     }
+    # also persist the compact object (VERDICT r7 #7) so the driver's
+    # stdout tail capture is not load-bearing at all — it can parse
+    # either the last stdout line or this artifact
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"
+            ),
+            "w",
+        ) as fh:
+            json.dump(compact, fh, indent=1)
+    except OSError as exc:
+        print(f"bench: could not persist BENCH_SUMMARY.json: {exc}", file=sys.stderr)
     print(json.dumps(compact))
     spark.stop()
     # exit 0 iff at least one query produced a timing; the JSON lines above

@@ -58,9 +58,14 @@ def binary_auc(
     (bounded by score quantization — round-6 scores at most 2e6 values
     per unit interval), not rows. AUC is NULL for single-class groups.
 
-    ``label_col`` must be boolean or 0/1.
+    ``label_col`` must be boolean or 0/1. NULL scores are excluded up
+    front: an unrankable row has no defined position in either path,
+    and NULL-ordering differs between the grouped window (desc, NULLs
+    last) and the ungrouped range-partitioned cumulative (asc on the
+    raw score), so keeping them would silently diverge (ADVICE r7).
     """
     g = list(group_cols or [])
+    df = df.filter(F.col(score_col).isNotNull())
     lab = F.col(label_col).cast("int")
     per_score = df.groupBy(*g, F.col(score_col).alias("_s")).agg(
         F.count("*").alias("_cnt"), F.sum(lab).alias("_pos")
@@ -207,6 +212,10 @@ def average_precision(
     division by n_pos. AP is NULL when a group has no positives.
     """
     g = list(group_cols or [])
+    # NULL scores dropped for the same two-path NULL-ordering reason as
+    # binary_auc (ADVICE r7): the grouped desc window sorts them last,
+    # the ungrouped negated-ascending cumulative sorts them first.
+    df = df.filter(F.col(score_col).isNotNull())
     lab = F.col(label_col).cast("int")
     per = df.groupBy(*g, F.col(score_col).alias("_s")).agg(
         F.count("*").alias("_c"), F.sum(lab).alias("_p")

@@ -768,6 +768,30 @@ def ivfpq_topk(
     pairs = c_cells.join(F.broadcast(q_cells), "cid").filter(
         F.col(id_col) != F.col("query_id")
     ).select("query_id", id_col)
+    cand_codes = pairs.join(codes, id_col)
+    return _adc_rerank(
+        cand_codes, corpus, queries, cb, k, rerank, m, id_col, vec_col, dims
+    )
+
+
+def _adc_rerank(
+    cand_codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    cb: DataFrame,
+    k: int,
+    rerank: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+) -> DataFrame:
+    """Shared IVF-PQ tail: ADC scoring of candidate code rows via a
+    broadcast per-query LUT, then exact-cosine rerank of the top
+    ``rerank`` — used by both the in-query :func:`ivfpq_topk` and the
+    persisted-index :func:`ivfpq_search_index` path. ``cand_codes``
+    carries one row per (query_id, candidate id, sub, scid)."""
+    from data_warehouse_punta_fina_spark.functions.money import pround6
 
     # per-query LUT: partial dots against every (sub, centroid) — tiny
     # (|Q|·m·n_centroids rows), broadcast
@@ -797,8 +821,7 @@ def ivfpq_topk(
         "cn2",
     )
     approx = (
-        pairs.join(codes, id_col)
-        .join(F.broadcast(lut), ["query_id", "sub", "scid"])
+        cand_codes.join(F.broadcast(lut), ["query_id", "sub", "scid"])
         .groupBy("query_id", id_col)
         .agg(
             F.sum("pdot").alias("_adot"),
@@ -832,6 +855,220 @@ def ivfpq_topk(
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(wk).cast("int")).filter(
         F.col("rank") <= k
+    )
+
+
+#: versioned fingerprint of the IVF-PQ encoding scheme — bumped if the
+#: quantization, k-means seeding, or code layout ever changes, so a
+#: persisted index from an incompatible engine version is rejected
+#: instead of silently searched (the minhash band-index discipline,
+#: operators/dedup.MINHASH_SCHEME).
+IVFPQ_SCHEME = "ivfpq-md5seed-v1"
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_cells: int = 32,
+    m: int = 8,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Train the IVF-PQ index ONCE and persist it — the 100 TB deployment
+    shape (docs/SCALE.md): training is a one-off job; every subsequent
+    search reads the stored artifacts and touches only the probed cells'
+    code partitions.
+
+    Writes three parquet tables under ``index_dir``:
+
+    - ``centroids``: the coarse quantizer (:func:`kmeans_fit` output);
+    - ``codebook``: the ``m`` per-subspace PQ codebooks (:func:`pq_fit`);
+    - ``codes``: one row per (vector, subspace) — (id, sub, scid, cid) —
+      written ``partitionBy(cid)`` so a search with ``probes`` cells
+      reads exactly ``probes`` partitions (partition pruning via the
+      broadcast cell join, no full-index scan).
+
+    The training parameters ride on the ``scid`` column's metadata
+    (parquet-footer-durable, the :func:`~.dedup.minhash_band_keys`
+    discipline); :func:`ivfpq_search_index` refuses an index whose
+    stored parameters don't match the search call, because a mismatched
+    codebook silently degrades every score. Returns the codes frame as
+    read back from storage.
+    """
+    coarse = kmeans_fit(corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    coarse.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cb = pq_fit(corpus, m, n_centroids, iters, id_col, vec_col, dims)
+    cb.write.mode("overwrite").parquet(f"{index_dir}/codebook")
+
+    spark = corpus.sparkSession
+    coarse_r = spark.read.parquet(f"{index_dir}/centroids")
+    cb_r = spark.read.parquet(f"{index_dir}/codebook")
+    cv = corpus.select(F.col(id_col), quantize(vec_col).alias("qvec"))
+    cells = _assign(cv, coarse_r, id_col).select(id_col, "cid")
+    meta = {
+        "scheme": IVFPQ_SCHEME,
+        "n_cells": n_cells,
+        "m": m,
+        "n_centroids": n_centroids,
+        "iters": iters,
+        "dims": dims,
+    }
+    codes = (
+        _assign_sub(_subvectors(corpus, id_col, vec_col, m, dims), cb_r, id_col)
+        .select(id_col, "sub", F.col("cid").alias("scid"))
+        .join(cells, id_col)
+        .select(
+            id_col, "sub", F.col("scid").alias("scid", metadata=meta), "cid"
+        )
+    )
+    codes.write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/codes")
+    return spark.read.parquet(f"{index_dir}/codes")
+
+
+def ivfpq_append_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    validate_index: bool = True,
+) -> DataFrame:
+    """Encode-only ingestion into a persisted IVF-PQ index — the
+    production append path (new vectors arrive; re-training the coarse
+    quantizer and codebooks for every batch would re-read the whole
+    corpus). The batch is assigned to cells by the STORED centroids and
+    encoded by the STORED codebooks, then appended to the
+    cid-partitioned codes table; searches immediately see the union.
+
+    Self-configuring: ``m``/``dims`` come from the index's parameter
+    fingerprint (scid column metadata), so a batch can never be encoded
+    under different parameters than the index it joins. Ids must be
+    globally unique across the index and every appended batch (the
+    incremental-dedup contract, `operators/dedup.incremental_lsh_dedup`).
+
+    Semantics note (standard IVF-PQ ops, Jégou et al. 2011): appended
+    vectors do NOT influence the quantizers — recall on a heavily
+    drifted append stream degrades gracefully until the next re-train,
+    exactly as in a production ANN deployment. The exact re-rank keeps
+    reported scores exact regardless.
+    """
+    spark = new_vectors.sparkSession
+    coarse = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/codebook")
+    codes0 = spark.read.parquet(f"{index_dir}/codes")
+    stored = dict(codes0.schema["scid"].metadata or {})
+    if validate_index and stored.get("scheme") != IVFPQ_SCHEME:
+        raise ValueError(
+            "persisted codes carry no (or an incompatible) parameter fingerprint "
+            f"(stored scheme {stored.get('scheme')!r} != {IVFPQ_SCHEME!r}); encoding a "
+            "batch under mismatched parameters silently corrupts the index. Rebuild "
+            "with ivfpq_build_index, or pass validate_index=False for an index KNOWN "
+            "to match."
+        )
+    m, dims = int(stored["m"]), int(stored["dims"])
+    cv = new_vectors.select(F.col(id_col), quantize(vec_col).alias("qvec"))
+    cells = _assign(cv, coarse, id_col).select(id_col, "cid")
+    codes = (
+        _assign_sub(_subvectors(new_vectors, id_col, vec_col, m, dims), cb, id_col)
+        .select(id_col, "sub", F.col("cid").alias("scid"))
+        .join(cells, id_col)
+        .select(id_col, "sub", F.col("scid").alias("scid", metadata=stored), "cid")
+    )
+    codes.write.mode("append").partitionBy("cid").parquet(f"{index_dir}/codes")
+    return spark.read.parquet(f"{index_dir}/codes")
+
+
+def ivfpq_search_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    probes: int = 4,
+    rerank: int = 50,
+    n_cells: int = 32,
+    m: int = 8,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    validate_index: bool = True,
+) -> DataFrame:
+    """Search a PERSISTED IVF-PQ index (:func:`ivfpq_build_index`) — no
+    training job anywhere in the plan: the coarse centroids and codebook
+    are small parquet reads, and the broadcast query→cell join against
+    the ``cid``-partitioned codes table prunes the scan to the probed
+    cells. ``corpus`` supplies only the ``rerank`` exact vectors (an
+    id-keyed join, never a full ADC scan).
+
+    Deterministic-by-construction: training is RNG-free, so searching a
+    persisted index equals training in-query with the same parameters —
+    which is exactly what the oracle checks.
+
+    The stored parameter fingerprint (column metadata on ``scid``) must
+    match the call's parameters; mismatches raise instead of silently
+    scoring against the wrong codebook (``validate_index=False`` skips
+    the check for indexes KNOWN to match, e.g. metadata-stripped copies).
+    """
+    spark = queries.sparkSession
+    coarse = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/codebook")
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    missing = {id_col, "sub", "scid", "cid"} - set(codes.columns)
+    if missing:
+        raise ValueError(
+            f"persisted codes table is missing required columns {sorted(missing)}; "
+            f"expected the ({id_col}, sub, scid, cid) layout written by ivfpq_build_index"
+        )
+    stored = dict(codes.schema["scid"].metadata or {})
+    expected = {
+        "scheme": IVFPQ_SCHEME,
+        "n_cells": n_cells,
+        "m": m,
+        "n_centroids": n_centroids,
+        "iters": iters,
+        "dims": dims,
+    }
+    if validate_index and not stored:
+        raise ValueError(
+            "persisted codes carry no parameter metadata on scid — the index was not "
+            "written by this engine's ivfpq_build_index (or predates the versioned "
+            f"scheme {IVFPQ_SCHEME!r}). A codebook/parameter mismatch silently degrades "
+            "every ADC score, so unverifiable indexes are rejected by default; pass "
+            "validate_index=False only for an index KNOWN to match."
+        )
+    drift = {
+        k_: (stored[k_], v) for k_, v in expected.items() if k_ in stored and stored[k_] != v
+    }
+    if validate_index and drift:
+        raise ValueError(
+            "persisted IVF-PQ index was built under different parameters than this "
+            f"search ({ {k_: f'stored={sv} != search={bv}' for k_, (sv, bv) in drift.items()} }); "
+            "ADC scores against a mismatched codebook are silently wrong. Rebuild the "
+            "index or pass matching parameters."
+        )
+
+    q_cells = (
+        _assign(
+            queries.select(F.col(id_col), quantize(vec_col).alias("qvec")),
+            coarse,
+            id_col,
+            probes=probes,
+        )
+        .withColumnRenamed(id_col, "query_id")
+        .select("query_id", "cid")
+    )
+    # broadcast cell join directly against the cid-partitioned codes:
+    # dynamic partition pruning reads only the probed cells
+    cand_codes = (
+        codes.join(F.broadcast(q_cells), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, "sub", "scid")
+    )
+    return _adc_rerank(
+        cand_codes, corpus, queries, cb, k, rerank, m, id_col, vec_col, dims
     )
 
 

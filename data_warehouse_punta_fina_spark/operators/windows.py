@@ -162,7 +162,10 @@ def ranked_sequential_id(
     # into ONE sorted array. xxhash64 is a pure function of the key, so
     # this branch re-executes to the same sample — unlike
     # repartitionByRange's random sampler, whose boundaries can differ
-    # between executions of the same plan.
+    # between executions of the same plan. (Keys are unique here by
+    # contract, so the low-cardinality degradation fixed in
+    # range_partitioned_cumsum — few distinct keys on a huge input —
+    # cannot arise: few keys ⇒ few rows ⇒ one small bucket is correct.)
     sample = (
         df.na.drop("any", subset=ob)
         .filter(F.pmod(F.xxhash64(*[F.col(c) for c in ob]), F.lit(sample_mod)) == 0)
@@ -238,8 +241,9 @@ def range_partitioned_cumsum(
     single-partition window — the cumulative-sum analogue of
     :func:`ranked_sequential_id`, same two-branch design:
 
-    1. deterministic hash-sample of the keys → ≤ n-1 range cutpoints →
-       every row's bucket ``_pid`` (a pure function of the key);
+    1. deterministic content-hash sample of the rows → ≤ n-1 range
+       cutpoints → every row's bucket ``_pid`` (a pure function of the
+       key given the broadcast cutpoints);
     2. per-bucket value totals → exclusive cumulative offsets (≤ n rows
        through one non-foldable constant-key partition) → broadcast;
     3. per-bucket local running sum + the bucket's offset.
@@ -265,9 +269,18 @@ def range_partitioned_cumsum(
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     key = F.struct(*[F.col(c).alias(c) for c in ob])
 
+    # sample ROWS by content hash (keys + values), not keys by key hash:
+    # a key-hash sample goes empty whenever the input has fewer than
+    # ~sample_mod distinct keys — even at a billion rows — silently
+    # recreating the single data-sized partition this operator exists to
+    # avoid (ADVICE r7). A row-content sample stays ~|rows|/sample_mod
+    # regardless of key cardinality, and the quantile pick below becomes
+    # row-frequency-weighted, which balances buckets under key skew.
     sample = (
         df.na.drop("any", subset=ob)
-        .filter(F.pmod(F.xxhash64(*[F.col(c) for c in ob]), F.lit(sample_mod)) == 0)
+        .filter(
+            F.pmod(F.xxhash64(*[F.col(c) for c in ob + vals]), F.lit(sample_mod)) == 0
+        )
         .select(key.alias("_k"))
     )
     agged = sample.agg(F.sort_array(F.collect_list("_k")).alias("_all"))

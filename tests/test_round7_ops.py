@@ -21,11 +21,15 @@ def _assert_single_partitions_are_tiny(plan: str) -> None:
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
             below = "\n".join(lines[i + 1 : i + 3])
+            # partial_* markers specifically: a bare final HashAggregate
+            # over data-sized groups on a single-partition exchange is
+            # exactly the funnel this gate exists to catch (ADVICE r7)
             assert (
                 "partial_collect_list" in below
                 or "partial_sum" in below
                 or "partial_count" in below
-                or "HashAggregate" in below
+                or "partial_min" in below
+                or "partial_max" in below
             ), below
 
 

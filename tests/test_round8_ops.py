@@ -1,0 +1,229 @@
+"""Round-8 gates: k-core depth-3 convergence must fail loudly if the
+data shifts, null scores must not diverge the grouped vs ungrouped
+evaluation paths, and the range-partitioned cumulative must not degrade
+to one data-sized partition on low-key-cardinality inputs (ADVICE r7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_trade_kcore_depth3_actually_converges(spark):
+    """trade_kcore caps the peel at max_iter=3 because the k=10 peel is
+    MEASURED to converge in one effective round at every probed SF — but
+    both engines cap identically, so agreement alone can never detect an
+    unconverged core if the data distribution shifts. The output itself
+    carries the convergence certificate: a converged k-core has every
+    node's within-core degree >= k. If depth 3 ever becomes too shallow,
+    some survivor keeps degree < k and this assertion fails loudly."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.all_queries()["trade_kcore"](spark, SF_DIR)
+    row = out.agg(
+        F.min("core_degree").alias("mn"), F.count("*").alias("n")
+    ).head()
+    assert row["n"] > 0
+    assert row["mn"] >= 10, (
+        f"min within-core degree {row['mn']} < k=10: the depth-3 peel did "
+        "not converge on this data — raise max_iter in trade_kcore AND its "
+        "unrolled oracle together"
+    )
+
+
+def test_auc_and_ap_drop_null_scores_consistently(spark):
+    """NULL scores sort last in the grouped desc window but first in the
+    ungrouped range-partitioned cumulative — both operators now drop
+    them up front, so the two paths must agree exactly on data WITH
+    nulls present (the grouped run uses a constant group column so the
+    row sets are identical)."""
+    from data_warehouse_punta_fina_spark.operators.evaluation import (
+        average_precision,
+        binary_auc,
+    )
+
+    rows = [
+        (float(s) if s is not None else None, y)
+        for s, y in [
+            (9, 1), (8, 0), (7, 1), (None, 1), (6, 0), (5, 1),
+            (None, 0), (4, 0), (3, 1), (2, 0), (1, 0), (None, 1),
+        ]
+    ] * 40
+    df = spark.createDataFrame(rows, "score double, label int").withColumn(
+        "g", F.lit("all")
+    )
+
+    g_auc = binary_auc(df, "score", "label", ["g"]).select("n_pos", "n_neg", "auc")
+    u_auc = binary_auc(df, "score", "label").select("n_pos", "n_neg", "auc")
+    assert g_auc.collect() == u_auc.collect()
+    # null-score rows (3 per block of 12) are excluded from the counts
+    assert u_auc.head()["n_pos"] + u_auc.head()["n_neg"] == 9 * 40
+
+    g_ap = average_precision(df, "score", "label", ["g"]).select(
+        "n", "n_pos", "avg_precision"
+    )
+    u_ap = average_precision(df, "score", "label").select(
+        "n", "n_pos", "avg_precision"
+    )
+    assert g_ap.collect() == u_ap.collect()
+    assert u_ap.head()["n"] == 9 * 40
+
+
+def test_range_partitioned_cumsum_buckets_low_cardinality_keys(spark):
+    """A key-hash sample goes empty whenever there are fewer than
+    ~sample_mod distinct keys — even on a huge input — silently
+    recreating the global single-partition funnel. The row-content
+    sample must yield real cutpoints here: 40 distinct keys x 2000 rows
+    must land in >1 bucket, and the running sum must still be exact."""
+    from data_warehouse_punta_fina_spark.operators.windows import (
+        range_partitioned_cumsum,
+    )
+
+    n_keys, reps = 40, 2000
+    df = (
+        spark.range(n_keys * reps)
+        .select(
+            (F.col("id") % n_keys).alias("k"),
+            (F.col("id") * 31 % 97).alias("v"),
+            F.col("id").alias("rid"),
+        )
+    )
+    # per-key aggregate (distinct order keys, the documented contract)
+    per = df.groupBy("k").agg(F.sum("v").alias("v"))
+    out = range_partitioned_cumsum(per, "k", "v", out="c", partitions=8)
+    got = {r["k"]: r["c"] for r in out.collect()}
+    rows = sorted((r["k"], r["v"]) for r in per.collect())
+    acc, want = 0, {}
+    for k, v in rows:
+        acc += v
+        want[k] = acc
+    assert got == want
+
+    # the guard that matters is the RAW-input case: 40 distinct keys
+    # would give a key-hash sample ZERO hits at mod 512, but the
+    # content-hash sample over 80k rows yields ~156 cutpoint candidates
+    raw = range_partitioned_cumsum(
+        df.select("k", "v", "rid"), ["k", "rid"], "v", out="c", partitions=8
+    )
+    raw_hits = df.filter(
+        F.pmod(F.xxhash64("k", "rid", "v"), F.lit(512)) == 0
+    ).count()
+    assert raw_hits >= 2, "content sample unexpectedly empty on 80k rows"
+    got_raw = [
+        r["c"]
+        for r in raw.orderBy("k", "rid").collect()
+    ]
+    acc, want_raw = 0, []
+    for k, rid, v in sorted(
+        (r["k"], r["rid"], r["v"]) for r in df.collect()
+    ):
+        acc += v
+        want_raw.append(acc)
+    assert got_raw == want_raw
+
+
+def test_ivfpq_persisted_search_has_no_training_job(spark, tmp_path):
+    """VERDICT r7 #5: searching the PERSISTED index must not retrain.
+    Gate: the persisted-search plan scans the stored index artifacts and
+    touches the embeddings source strictly fewer times than the
+    train-in-query plan (whose k-means chains re-scan the corpus per
+    fit); results are bit-identical to in-query training; and a
+    parameter-drifted or metadata-stripped index is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivfpq")
+    params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+    codes = ivfpq_build_index(emb, idx, **params)
+    assert dict(codes.schema["scid"].metadata)["scheme"] == "ivfpq-md5seed-v1"
+
+    persisted = ivfpq_search_index(
+        q, emb, idx, k=5, probes=4, rerank=30, **params
+    )
+    trained = ivfpq_topk(
+        emb, q, k=5, n_cells=16, probes=4, m=8, n_centroids=8, iters=2, rerank=30
+    )
+    p_plan = persisted._jdf.queryExecution().executedPlan().toString()
+    t_plan = trained._jdf.queryExecution().executedPlan().toString()
+    # the index artifacts are read from storage...
+    assert "ivfpq" in p_plan
+    # ...and no training chain re-scans the corpus: the persisted plan's
+    # embeddings touches are query-prep + rerank only
+    assert p_plan.count("embeddings.parquet") < t_plan.count("embeddings.parquet")
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, trained.collect())
+    )
+
+    # parameter drift and metadata-stripped indexes are rejected
+    with pytest.raises(ValueError, match="different parameters"):
+        ivfpq_search_index(
+            q, emb, idx, k=5, probes=4, rerank=30,
+            n_cells=16, m=8, n_centroids=16, iters=2,
+        )
+    stripped = str(tmp_path / "stripped")
+    spark.read.parquet(f"{idx}/codes").select(
+        "vec_id", "sub", F.col("scid").alias("scid", metadata={}), "cid"
+    ).write.parquet(f"{stripped}/codes")
+    spark.read.parquet(f"{idx}/centroids").write.parquet(f"{stripped}/centroids")
+    spark.read.parquet(f"{idx}/codebook").write.parquet(f"{stripped}/codebook")
+    with pytest.raises(ValueError, match="no parameter metadata"):
+        ivfpq_search_index(q, emb, stripped, k=5, probes=4, rerank=30, **params)
+
+
+def test_ivfpq_append_is_encode_only_and_validated(spark, tmp_path):
+    """Encode-only ingestion: the appended batch is assigned and coded
+    by the STORED quantizers (no training job), the codes table then
+    covers base ∪ batch with m rows per vector and the parameter
+    fingerprint intact, and appending into a metadata-stripped index is
+    rejected (a silent codebook mismatch corrupts every future ADC
+    score)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_build_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "inc")
+    ivfpq_build_index(base, idx, n_cells=8, m=8, n_centroids=8, iters=2)
+
+    codes = ivfpq_append_index(batch, idx)
+    n_vec = emb.count()
+    per_vec = codes.groupBy("vec_id").count()
+    assert per_vec.count() == n_vec
+    assert per_vec.filter(F.col("count") != 8).count() == 0
+    meta = dict(codes.schema["scid"].metadata)
+    assert meta["scheme"] == "ivfpq-md5seed-v1" and meta["m"] == 8
+
+    # encode is deterministic: appending the SAME batch under identical
+    # stored quantizers (a second index built on the same base) yields
+    # identical code rows
+    idx2 = str(tmp_path / "inc2")
+    ivfpq_build_index(base, idx2, n_cells=8, m=8, n_centroids=8, iters=2)
+    codes2 = ivfpq_append_index(batch, idx2)
+    got = sorted(map(tuple, codes.select("vec_id", "sub", "scid", "cid").collect()))
+    got2 = sorted(map(tuple, codes2.select("vec_id", "sub", "scid", "cid").collect()))
+    assert got == got2
+
+    # stripped fingerprint → reject
+    stripped = str(tmp_path / "stripped")
+    spark.read.parquet(f"{idx}/codes").select(
+        "vec_id", "sub", F.col("scid").alias("scid", metadata={}), "cid"
+    ).write.parquet(f"{stripped}/codes")
+    spark.read.parquet(f"{idx}/centroids").write.parquet(f"{stripped}/centroids")
+    spark.read.parquet(f"{idx}/codebook").write.parquet(f"{stripped}/codebook")
+    with pytest.raises(ValueError, match="parameter fingerprint"):
+        ivfpq_append_index(batch, stripped)
