@@ -58,6 +58,19 @@ AUDITED = [
     "weekly_revenue_theilsen",
     "events_trailing_dau",
     "lsh_blocking_quality",
+    # round-7 addition
+    "ann_ivfpq_topk",
+    # round-8 additions: the persisted/incremental index searches (no
+    # training job in-plan — also gated by tests/test_round8_ops.py)
+    # and the heavier round-8 window debuts
+    "ann_ivfpq_persisted_topk",
+    "ann_ivfpq_incremental_topk",
+    "orders_profile",
+    "lineitem_fd_violations",
+    "doc_quality_avg_precision",
+    "doc_curation_report",
+    "events_value_band_rangejoin_bucketed",
+    "orders_loo_priority_encoding",
 ]
 
 
