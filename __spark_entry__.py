@@ -2904,6 +2904,37 @@ def _build_registries():
     # ---- round-6 wave 3: lossless set-similarity join, sequence
     # pattern matching ----
 
+    def corpus_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the END-TO-END training-data build, stage-composed from
+        # verified operators: curation verdict (exact dedup + LSH-verified
+        # near-dup + length/quality/language gates, doc_curation_report)
+        # -> keep only 'keep' docs -> contiguous-greedy pack into
+        # 512-token bins sharded by the PREDICTED language
+        # (operators.packing.pack_documents — one window per shard, no
+        # global ordering) -> per-bin manifest (docs, tokens, id span).
+        # This is the query a trainer's data loader reads.
+        from data_warehouse_punta_fina_spark.operators.packing import pack_documents
+
+        report = doc_curation_report(spark, sf_dir)
+        kept = report.filter(F.col("verdict") == "keep").select(
+            "doc_id", "n_tokens", "lang_pred"
+        )
+        packed = pack_documents(
+            kept,
+            budget=512,
+            shard_col="lang_pred",
+            order_col="doc_id",
+            tokens_col=F.col("n_tokens").cast("long"),
+        )
+        return packed.groupBy(
+            F.col("lang_pred").alias("lang"), F.col("bin_id")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+
     def doc_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ALL token-set pairs with Jaccard >= 0.95 via prefix filtering —
         # exact, unlike the LSH tier; candidates join only on each doc's
@@ -3515,6 +3546,8 @@ def _build_registries():
         "ann_ivfpq_persisted_topk": ann_ivfpq_persisted_topk,
         # round-8: encode-only incremental append to the persisted index
         "ann_ivfpq_incremental_topk": ann_ivfpq_incremental_topk,
+        # round-8: end-to-end curated-corpus -> packed-bins manifest
+        "corpus_training_batches": corpus_training_batches,
         # session-6: the end-to-end curation verdict (composition proof)
         "doc_curation_report": doc_curation_report,
         # session-6: training-pair mining
@@ -5330,6 +5363,28 @@ SELECT b.doc_id,
             ELSE 'keep' END AS verdict
 FROM base b JOIN canon c ON c.h = b.h
 LEFT JOIN near n ON n.doc_id = b.doc_id
+"""
+
+    # round-8: the end-to-end curated-corpus -> packed-bins manifest —
+    # the curation oracle runs as a subquery, kept docs pack with the
+    # doc_pack_bins window (sharded by the PREDICTED language), and the
+    # bin manifest aggregates — stage-for-stage the Spark composition
+    o["corpus_training_batches"] = f"""
+WITH curated AS ({o["doc_curation_report"]}),
+kept AS (
+  SELECT doc_id, n_tokens, lang_pred FROM curated WHERE verdict = 'keep'
+), c AS (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang_pred ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM kept
+)
+SELECT lang_pred AS lang, CAST(FLOOR(cum_before / 512) AS INT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY 1, 2
 """
 
     # session-6: contrastive pair mining — positives reuse the verified

@@ -227,3 +227,38 @@ def test_ivfpq_append_is_encode_only_and_validated(spark, tmp_path):
     spark.read.parquet(f"{idx}/codebook").write.parquet(f"{stripped}/codebook")
     with pytest.raises(ValueError, match="parameter fingerprint"):
         ivfpq_append_index(batch, stripped)
+
+
+def test_range_partitioned_cumsum_fuzz(spark):
+    """Property fuzz over adversarial key/value shapes: for any list of
+    (unique-key, value) pairs — duplicate VALUES, negative values,
+    clustered keys — the range-partitioned running sum equals the
+    sequential prefix sum, inclusive and exclusive, at several partition
+    counts including more partitions than rows."""
+    import random
+
+    from data_warehouse_punta_fina_spark.operators.windows import (
+        range_partitioned_cumsum,
+    )
+
+    rng = random.Random(8)
+    for trial in range(4):
+        n = rng.choice([1, 2, 7, 300])
+        keys = rng.sample(range(-(10**6), 10**6), n)
+        vals = [rng.randint(-50, 50) for _ in range(n)]
+        rows = list(zip(keys, vals))
+        df = spark.createDataFrame(rows, "k long, v long")
+        parts = rng.choice([2, 8, 64])
+        out = range_partitioned_cumsum(
+            df, "k", ["v", "v"], out=["inc", "exc2"], partitions=parts
+        )
+        exc = range_partitioned_cumsum(
+            df, "k", "v", out="exc", inclusive=False, partitions=parts
+        )
+        got_inc = {r["k"]: r["inc"] for r in out.collect()}
+        got_exc = {r["k"]: r["exc"] for r in exc.collect()}
+        acc = 0
+        for k, v in sorted(rows):
+            assert got_exc[k] == acc, (trial, n, parts, k)
+            acc += v
+            assert got_inc[k] == acc, (trial, n, parts, k)
