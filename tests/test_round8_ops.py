@@ -156,6 +156,11 @@ def test_ivfpq_persisted_search_has_no_training_job(spark, tmp_path):
     t_plan = trained._jdf.queryExecution().executedPlan().toString()
     # the index artifacts are read from storage...
     assert "ivfpq" in p_plan
+    # ...with dynamic partition pruning on the cid-partitioned codes
+    # (the broadcast query->cell join decides which cell directories are
+    # read — the probes/n_cells scan reduction is physical, not just
+    # logical)
+    assert "dynamicpruning" in p_plan.lower()
     # ...and no training chain re-scans the corpus: the persisted plan's
     # embeddings touches are query-prep + rerank only
     assert p_plan.count("embeddings.parquet") < t_plan.count("embeddings.parquet")
