@@ -159,20 +159,50 @@ def triangle_counts(
         )
         .localCheckpoint(eager=False)  # consumed by all three join legs
     )
-    e1 = oriented.select(F.col("x"), F.col("y"))
-    e2 = oriented.select(F.col("x").alias("y"), F.col("y").alias("z"))
-    e3 = oriented.select(F.col("x").alias("_x"), F.col("y").alias("_z"))
-    tris = (
-        e1.join(e2, "y")
-        .join(e3, (F.col("x") == F.col("_x")) & (F.col("z") == F.col("_z")))
-        .select("x", "y", "z")
+    # close the wedges by sorted-adjacency intersection (round-8 rewrite):
+    # the previous shape materialized the full wedge set through
+    # e1⋈e2-on-y and shuffled O(Σ out²) wedge ROWS into a second join on
+    # (x, z). Building per-node sorted out-neighbor arrays instead — each
+    # bounded O(√m) by the orientation — turns the closing step into a
+    # per-EDGE array_intersect: out(x) ∩ out(y) is exactly the z-set of
+    # triangles x<y<z whose lowest edge is (x, y), so every triangle is
+    # still counted once. Wedge work becomes an in-task merge-intersect
+    # of two sorted arrays (no wedge rows cross the network); the only
+    # shuffles left are the adjacency build and the two edge→adjacency
+    # joins. Measured 11.1 s → see docs/BENCH_NOTES.md round-8 note.
+    adj = (
+        oriented.groupBy("x")
+        .agg(F.sort_array(F.collect_list("y")).alias("nb"))
+        .localCheckpoint(eager=False)
+    )
+    empty = F.slice(F.col("nb_x"), 1, 0)
+    pairs = (
+        oriented.join(adj.select(F.col("x"), F.col("nb").alias("nb_x")), "x")
+        .join(
+            adj.select(F.col("x").alias("y"), F.col("nb").alias("nb_y")),
+            "y",
+            "left",  # sink nodes have no out-list
+        )
+        .select(
+            "x",
+            "y",
+            F.array_intersect(F.col("nb_x"), F.coalesce(F.col("nb_y"), empty)).alias(
+                "_zs"
+            ),
+        )
+        .filter(F.size("_zs") > 0)
+        .localCheckpoint(eager=False)  # consumed by three attribution legs
     )
     tcnt = (
-        tris.select(F.col("x").alias("node"))
-        .unionByName(tris.select(F.col("y").alias("node")))
-        .unionByName(tris.select(F.col("z").alias("node")))
+        pairs.select(F.col("x").alias("node"), F.size("_zs").cast("bigint").alias("_n"))
+        .unionByName(
+            pairs.select(F.col("y").alias("node"), F.size("_zs").cast("bigint").alias("_n"))
+        )
+        .unionByName(
+            pairs.select(F.explode("_zs").alias("node"), F.lit(1).cast("bigint").alias("_n"))
+        )
         .groupBy("node")
-        .agg(F.count("*").alias("_t"))
+        .agg(F.sum("_n").alias("_t"))
     )
     return (
         deg.join(tcnt, "node", "left")
