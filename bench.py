@@ -130,6 +130,9 @@ HEADLINE = [
     # one-off — the deployment shape); steady-state bench runs measure
     # the pure stored-index search path.
     "ann_ivfpq_persisted_topk",
+    # round-8 addition: the end-to-end curated-corpus -> packed-bins
+    # manifest (curation verdict + keep-filter + shard packing composed)
+    "corpus_training_batches",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
