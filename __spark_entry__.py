@@ -1541,6 +1541,48 @@ def _build_registries():
         new_batch = docs.filter(F.col("doc_id") % 2 == 1)
         return incremental_lsh_dedup(corpus, new_batch, threshold=0.2)
 
+    def doc_incremental_dedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the steady-state ingestion shape: the corpus band index is
+        # PERSISTED (minhash_band_keys written partitionBy(band), built
+        # once per data fingerprint — parameter metadata rides the
+        # band_key column and is validated by incremental_lsh_dedup), so
+        # each arriving batch joins the STORED index instead of
+        # re-hashing the corpus; verify still tokenizes only candidate
+        # docs. Values identical to doc_incremental_dedup (same band
+        # scheme), so the oracle is reused verbatim.
+        import hashlib
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.dedup import (
+            _spread,
+            incremental_lsh_dedup,
+            minhash_band_keys,
+        )
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        stat_bits = []
+        for root, _dirs, files in os.walk(src):
+            for fname in sorted(files):
+                st = os.stat(os.path.join(root, fname))
+                stat_bits.append(f"{fname}:{st.st_size}:{st.st_mtime_ns}")
+        if not stat_bits:
+            st = os.stat(src)
+            stat_bits.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+        fp = hashlib.md5("|".join(stat_bits).encode()).hexdigest()[:12]
+        idx = f"/root/repo/.indexes/lsh_bands/h12_b4_n3_{fp}"
+
+        docs = _spread(load_table(spark, sf_dir, "documents"))
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+            minhash_band_keys(corpus).write.mode("overwrite").partitionBy(
+                "band"
+            ).parquet(idx)
+        bands = spark.read.parquet(idx)
+        new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+        return incremental_lsh_dedup(
+            corpus, new_batch, threshold=0.2, corpus_bands=bands
+        )
+
     def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # self-trained unigram-LM mean surprisal per doc (CCNet/Dolma-style
         # quality signal; both tails are filter candidates)
@@ -3548,6 +3590,8 @@ def _build_registries():
         "ann_ivfpq_incremental_topk": ann_ivfpq_incremental_topk,
         # round-8: end-to-end curated-corpus -> packed-bins manifest
         "corpus_training_batches": corpus_training_batches,
+        # round-8: batch ingestion against the PERSISTED band index
+        "doc_incremental_dedup_persisted": doc_incremental_dedup_persisted,
         # session-6: the end-to-end curation verdict (composition proof)
         "doc_curation_report": doc_curation_report,
         # session-6: training-pair mining
@@ -7643,6 +7687,10 @@ WITH r AS (
 )
 SELECT o_orderkey, o_orderdate, o_orderpriority FROM r WHERE (rn - 1) % 97 = 0
 """
+
+    # the persisted-band-index ingestion produces byte-identical values to
+    # the in-query-indexed one (same versioned band scheme) — reuse verbatim
+    o["doc_incremental_dedup_persisted"] = o["doc_incremental_dedup"]
 
     # decimal→double at the output boundary (twin of _dbl_out; see module
     # docstring — the driver's hasher canonicalizes decimals inconsistently)

@@ -267,3 +267,17 @@ def test_range_partitioned_cumsum_fuzz(spark):
             assert got_exc[k] == acc, (trial, n, parts, k)
             acc += v
             assert got_inc[k] == acc, (trial, n, parts, k)
+
+
+def test_persisted_band_index_ingestion_equals_in_query(spark):
+    """doc_incremental_dedup_persisted (batch joins the STORED band
+    index) must return byte-identical verdicts to the in-query-indexed
+    doc_incremental_dedup — the versioned band scheme makes the stored
+    rows equal the recomputed ones, and the parameter fingerprint on the
+    index column guarantees it stays that way."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.all_queries()
+    a = sorted(map(tuple, qs["doc_incremental_dedup_persisted"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, qs["doc_incremental_dedup"](spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
