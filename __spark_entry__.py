@@ -210,6 +210,43 @@ _DEC_COLS: dict[str, list[str]] = {
 }
 
 
+def _data_fingerprint(sf_dir: str, table: str) -> str:
+    """md5 over the (name, size, mtime_ns) of a testdata table's parquet
+    file(s) — keys the persisted-index caches under .indexes/ so a
+    regenerated testdata directory can never serve a stale index."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    bits = []
+    for root, _dirs, files in os.walk(src):
+        for fname in sorted(files):
+            st = os.stat(os.path.join(root, fname))
+            bits.append(f"{fname}:{st.st_size}:{st.st_mtime_ns}")
+    if not bits:  # single-file parquet
+        st = os.stat(src)
+        bits.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(bits).encode()).hexdigest()[:12]
+
+
+def _index_cache_dir(family: str, key: str) -> str:
+    """Resolve (and clean) the persisted-index cache slot for one
+    (family, fingerprinted-key): any OTHER fingerprint's directory under
+    the family is a stale index for regenerated/other-SF data that this
+    process will never read again — delete it so .indexes/ stays bounded
+    across rounds instead of accumulating one copy per testdata refresh."""
+    import os
+    import shutil
+
+    fam_dir = f"/root/repo/.indexes/{family}"
+    target = os.path.join(fam_dir, key)
+    if os.path.isdir(fam_dir):
+        for entry in os.listdir(fam_dir):
+            if entry != key:
+                shutil.rmtree(os.path.join(fam_dir, entry), ignore_errors=True)
+    return target
+
+
 # --- entry -----------------------------------------------------------------
 
 
@@ -1550,7 +1587,6 @@ def _build_registries():
         # re-hashing the corpus; verify still tokenizes only candidate
         # docs. Values identical to doc_incremental_dedup (same band
         # scheme), so the oracle is reused verbatim.
-        import hashlib
         import os
 
         from data_warehouse_punta_fina_spark.operators.dedup import (
@@ -1559,17 +1595,8 @@ def _build_registries():
             minhash_band_keys,
         )
 
-        src = os.path.join(sf_dir, "documents.parquet")
-        stat_bits = []
-        for root, _dirs, files in os.walk(src):
-            for fname in sorted(files):
-                st = os.stat(os.path.join(root, fname))
-                stat_bits.append(f"{fname}:{st.st_size}:{st.st_mtime_ns}")
-        if not stat_bits:
-            st = os.stat(src)
-            stat_bits.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
-        fp = hashlib.md5("|".join(stat_bits).encode()).hexdigest()[:12]
-        idx = f"/root/repo/.indexes/lsh_bands/h12_b4_n3_{fp}"
+        fp = _data_fingerprint(sf_dir, "documents")
+        idx = _index_cache_dir("lsh_bands", f"h12_b4_n3_{fp}")
 
         docs = _spread(load_table(spark, sf_dir, "documents"))
         corpus = docs.filter(F.col("doc_id") % 2 == 0)
@@ -2453,7 +2480,6 @@ def _build_registries():
         # metadata (the minhash band-index discipline) and is keyed by a
         # content fingerprint of the embeddings table, so regenerated
         # testdata can never serve a stale index.
-        import hashlib
         import os
 
         from data_warehouse_punta_fina_spark.operators.similarity import (
@@ -2462,17 +2488,8 @@ def _build_registries():
         )
 
         params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
-        src = os.path.join(sf_dir, "embeddings.parquet")
-        stat_bits = []
-        for root, _dirs, files in os.walk(src):
-            for fname in sorted(files):
-                st = os.stat(os.path.join(root, fname))
-                stat_bits.append(f"{fname}:{st.st_size}:{st.st_mtime_ns}")
-        if not stat_bits:  # single-file parquet
-            st = os.stat(src)
-            stat_bits.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
-        fp = hashlib.md5("|".join(stat_bits).encode()).hexdigest()[:12]
-        idx = f"/root/repo/.indexes/ivfpq/c16_m8_k8_i2_{fp}"
+        fp = _data_fingerprint(sf_dir, "embeddings")
+        idx = _index_cache_dir("ivfpq", f"c16_m8_k8_i2_{fp}")
         if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
             emb_train = load_table(spark, sf_dir, "embeddings")
             ivfpq_build_index(emb_train, idx, **params)
@@ -2497,7 +2514,6 @@ def _build_registries():
         # final cell/code assignment over every vector
         # (_ivfpq_topk_sql(train_filter=...)). Exact rerank keeps the
         # reported cosines exact regardless of quantizer drift.
-        import hashlib
         import os
 
         from data_warehouse_punta_fina_spark.operators.similarity import (
@@ -2507,17 +2523,8 @@ def _build_registries():
         )
 
         params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
-        src = os.path.join(sf_dir, "embeddings.parquet")
-        stat_bits = []
-        for root, _dirs, files in os.walk(src):
-            for fname in sorted(files):
-                st = os.stat(os.path.join(root, fname))
-                stat_bits.append(f"{fname}:{st.st_size}:{st.st_mtime_ns}")
-        if not stat_bits:
-            st = os.stat(src)
-            stat_bits.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
-        fp = hashlib.md5("|".join(stat_bits).encode()).hexdigest()[:12]
-        idx = f"/root/repo/.indexes/ivfpq_inc/c16_m8_k8_i2_{fp}"
+        fp = _data_fingerprint(sf_dir, "embeddings")
+        idx = _index_cache_dir("ivfpq_inc", f"c16_m8_k8_i2_{fp}")
         emb = load_table(spark, sf_dir, "embeddings")
         if not os.path.exists(os.path.join(idx, "_APPENDED")):
             ivfpq_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx, **params)
