@@ -183,6 +183,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "events_ks_value_drift": ["f_base", "f_cur", "ks_term"],
     "nation_revenue_concentration": ["total", "gini", "top_share"],
     "doc_curation_report": ["quality"],
+    "doc_cluster_quality_canonicals": ["quality"],
     "emb_hard_negatives": ["cosine"],
     "emb_cluster_quality": ["mean_sq_dist", "mean_silhouette"],
     "weekly_revenue_decompose": ["rev"],
@@ -1356,6 +1357,34 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4)
         return dedup_clusters(docs.select("doc_id"), pairs, max_iter=30)
+
+    def doc_cluster_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # quality-aware canonical selection: the kept representative of
+        # each near-dup cluster is its HIGHEST-QUALITY member (ties to
+        # the smallest id), not the smallest id — the curation refinement
+        # a pipeline ships once a quality scorer exists (keeping the best
+        # copy of boilerplate families instead of an arbitrary one). The
+        # per-cluster argmax window partitions on cluster_id
+        # (cluster-sized partitions); quality values live on the exact
+        # 1e-6 lattice so the DESC order is engine-identical.
+        from data_warehouse_punta_fina_spark.functions.text import quality_score
+        from data_warehouse_punta_fina_spark.operators.dedup import dedup_clusters
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+        clusters = dedup_clusters(docs.select("doc_id"), pairs, max_iter=30)
+        q = docs.select("doc_id", quality_score("text").alias("quality"))
+        joined = clusters.select("doc_id", "cluster_id").join(q, "doc_id")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("quality"), F.asc("doc_id")
+        )
+        best = (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("canonical_doc"), "quality")
+        )
+        sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+        return best.join(sizes, "cluster_id")
 
     def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-self-trained BIGRAM-LM surprisal: templated/boilerplate
@@ -3599,6 +3628,8 @@ def _build_registries():
         "corpus_training_batches": corpus_training_batches,
         # round-8: batch ingestion against the PERSISTED band index
         "doc_incremental_dedup_persisted": doc_incremental_dedup_persisted,
+        # round-8: quality-aware cluster canonical selection
+        "doc_cluster_quality_canonicals": doc_cluster_quality_canonicals,
         # session-6: the end-to-end curation verdict (composition proof)
         "doc_curation_report": doc_curation_report,
         # session-6: training-pair mining
@@ -4987,6 +5018,31 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, MIN(dst) AS cluster_id, (src = MIN(dst)) AS is_canonical
 FROM reach GROUP BY src
+""",
+        # round-8: quality-aware canonical per cluster — same recursive
+        # components, argmax by (quality DESC, doc_id) per cluster
+        "doc_cluster_quality_canonicals": f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+q AS (SELECT doc_id, {_r6(quality)} AS quality FROM documents),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM clusters GROUP BY cluster_id),
+best AS (
+  SELECT c.cluster_id, c.doc_id AS canonical_doc, q.quality
+  FROM clusters c JOIN q USING (doc_id)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id) = 1
+)
+SELECT b.cluster_id, b.canonical_doc, b.quality, s.n_members
+FROM best b JOIN sizes s USING (cluster_id)
 """,
         # kept-corpus emitter: same recursive connected components, then
         # one row per canonical doc with its cluster size (the Spark side
