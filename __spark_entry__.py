@@ -230,20 +230,27 @@ def _data_fingerprint(sf_dir: str, table: str) -> str:
     return hashlib.md5("|".join(bits).encode()).hexdigest()[:12]
 
 
-def _index_cache_dir(family: str, key: str) -> str:
-    """Resolve (and clean) the persisted-index cache slot for one
-    (family, fingerprinted-key): any OTHER fingerprint's directory under
-    the family is a stale index for regenerated/other-SF data that this
-    process will never read again — delete it so .indexes/ stays bounded
-    across rounds instead of accumulating one copy per testdata refresh."""
+def _index_cache_dir(family: str, key: str, keep: int = 4) -> str:
+    """Resolve (and bound) the persisted-index cache slot for one
+    (family, fingerprinted-key). The cache must hold SEVERAL fingerprints
+    at once — the driver alternates SFs within one round (sf0.001 smoke →
+    sf0.01 correctness → sf0.1 bench) and evicting siblings eagerly would
+    force a rebuild at every step, hiding the steady-state search cost
+    the persisted queries exist to show. Instead keep the ``keep`` most
+    recently used slots per family (LRU by directory mtime) so .indexes/
+    stays bounded across testdata refreshes without intra-round churn."""
     import os
     import shutil
 
     fam_dir = f"/root/repo/.indexes/{family}"
     target = os.path.join(fam_dir, key)
     if os.path.isdir(fam_dir):
-        for entry in os.listdir(fam_dir):
-            if entry != key:
+        others = [e for e in os.listdir(fam_dir) if e != key]
+        if len(others) >= keep:
+            by_age = sorted(
+                others, key=lambda e: os.path.getmtime(os.path.join(fam_dir, e))
+            )
+            for entry in by_age[: len(others) - (keep - 1)]:
                 shutil.rmtree(os.path.join(fam_dir, entry), ignore_errors=True)
     return target
 

@@ -133,6 +133,12 @@ HEADLINE = [
     # round-8 addition: the end-to-end curated-corpus -> packed-bins
     # manifest (curation verdict + keep-filter + shard packing composed)
     "corpus_training_batches",
+    # round-8 additions: the persisted-band-index ingestion twin (read
+    # next to doc_incremental_dedup for the steady-state vs
+    # index-build-in-query comparison) and quality-aware cluster
+    # canonical selection
+    "doc_incremental_dedup_persisted",
+    "doc_cluster_quality_canonicals",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
