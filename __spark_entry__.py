@@ -651,6 +651,42 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
 
+    def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # distributed TRAINING, gradient flavor: full-batch logistic
+        # regression (en-detector over round-6 text-ratio features), one
+        # aggregation per GD step, weights flowing as broadcast 1-row
+        # DataFrames — no driver-side weight state. Output = the whole
+        # training trajectory (per-iteration loss + weights), which the
+        # DuckDB oracle replays term for term (operators/classify.py)
+        from data_warehouse_punta_fina_spark.operators.classify import (
+            logistic_regression_gd,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        feats = docs.select(
+            stopword_ratio("text").alias("sw"),
+            punct_ratio("text").alias("punct"),
+            quality_score("text").alias("q"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        ).localCheckpoint(eager=False)
+        return logistic_regression_gd(feats, ["sw", "punct", "q"], "y", iters=8, lr=0.5)
+
+    def doc_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # distributed classifier TRAINING on the cluster (the CCNet /
+        # fastText filter-model pattern real curation pipelines run):
+        # multinomial Naive Bayes language model trained on the
+        # fingerprint-split train docs (two aggregations — no gradient
+        # loop, no driver state), argmax-scored on the held-out split via
+        # a broadcast vocabulary-model join. Scores are exact decimal sums
+        # of round-6 log-probs → engine-portable (operators/classify.py)
+        from data_warehouse_punta_fina_spark.operators.classify import nb_classify
+
+        docs = load_table(spark, sf_dir, "documents")
+        b = fingerprint("text") % 10
+        return nb_classify(
+            docs.filter(b < 8), docs.filter(b >= 8), "text", "doc_id", "lang"
+        )
+
     def order_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Neyman optimal allocation: split a 1000-row sample budget across
         # order-priority strata proportional to N_h·S_h (size × std of
@@ -3509,6 +3545,8 @@ def _build_registries():
         "events_value_band_rangejoin_bucketed": events_value_band_rangejoin_bucketed,
         "events_sessionized": events_sessionized,
         "doc_split_assignment": doc_split_assignment,
+        "doc_nb_lang_classifier": doc_nb_lang_classifier,
+        "doc_quality_logreg": doc_quality_logreg,
         "dedup_lineitem": dedup_lineitem,
         "doc_lang_resample": doc_lang_resample,
         "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
@@ -5399,6 +5437,112 @@ WITH b AS (SELECT doc_id, CAST(({fingerprint}) % 10 AS INT) AS bucket FROM docum
 SELECT doc_id, bucket,
        CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
 FROM b
+"""
+
+    # full-batch logistic-regression GD replayed as an unrolled CTE chain —
+    # the oracle twin of operators/classify.logistic_regression_gd: per-row
+    # dot product + sigmoid in deterministic IEEE doubles, sigmoid and
+    # log-loss round-9'd into DECIMAL(18,9) the moment they exist, every
+    # cross-row SUM exact decimal, weight updates re-rounded to 9 decimals
+    _r9 = "CAST(FLOOR(({e}) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(18,9))"
+    _swr6 = (
+        f"CAST(FLOOR((CAST(len(list_filter({_TOKENS}, t -> t IN ({stop_en}))) AS DOUBLE)"
+        f" / greatest(len({_TOKENS}), 1)) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6))"
+    )
+    _punct6 = f"CAST(FLOOR(({punct_raw}) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6))"
+    _q6 = f"CAST(FLOOR(({quality}) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6))"
+    _lrfeat = ["sw", "punct", "q"]
+    _wall = ["w_bias"] + [f"w_{c}" for c in _lrfeat]
+    _lrp = [
+        f"WITH feat AS (SELECT {_swr6} AS sw, {_punct6} AS punct, {_q6} AS q, "
+        "CAST(lang = 'en' AS INT) AS y FROM documents)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS DECIMAL(18,9)) AS {w}" for w in _wall)
+        + ")",
+    ]
+    for _i in range(8):
+        _z = "CAST(w_bias AS DOUBLE)" + "".join(
+            f" + CAST(w_{c} AS DOUBLE) * CAST({c} AS DOUBLE)" for c in _lrfeat
+        )
+        _s = _r9.format(e=f"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-({_z})))")
+        _scl = "least(greatest(CAST(s AS DOUBLE), 1e-9), CAST(1 AS DOUBLE) - 1e-9)"
+        _ll = _r9.format(e=f"-(y * ln({_scl}) + (1 - y) * ln(CAST(1 AS DOUBLE) - {_scl}))")
+        _lrp.append(f"s{_i} AS (SELECT f.*, w.*, {_s} AS s FROM feat f CROSS JOIN w{_i} w)")
+        _gsel = ["COUNT(*) AS n", f"SUM({_ll}) AS lsum", "SUM(s - y) AS g_bias"]
+        _gsel += [f"SUM((s - y) * {c}) AS g_{c}" for c in _lrfeat]
+        _gsel += [f"MIN({w}) AS {w}" for w in _wall]
+        _lrp.append(f"g{_i} AS (SELECT " + ", ".join(_gsel) + f" FROM s{_i})")
+        _loss = _r9.format(e="CAST(lsum AS DOUBLE) / n")
+        _lrp.append(
+            f"r{_i} AS (SELECT CAST({_i} AS INT) AS iter, CAST({_loss} AS DOUBLE) AS loss, "
+            + ", ".join(f"CAST({w} AS DOUBLE) AS {w}" for w in _wall)
+            + f" FROM g{_i})"
+        )
+        _wsel = ", ".join(
+            _r9.format(
+                e=f"CAST({w} AS DOUBLE) - CAST(0.5 AS DOUBLE) * (CAST(g_{g} AS DOUBLE) / n)"
+            )
+            + f" AS {w}"
+            for w, g in zip(_wall, ["bias"] + _lrfeat)
+        )
+        _lrp.append(f"w{_i + 1} AS (SELECT {_wsel} FROM g{_i})")
+    o["doc_quality_logreg"] = (
+        ",\n".join(_lrp)
+        + "\n"
+        + " UNION ALL ".join(f"SELECT * FROM r{_i}" for _i in range(8))
+        + "\nORDER BY iter"
+    )
+
+    # multinomial NB with Laplace add-one smoothing, trained on the
+    # fingerprint train split, argmax-scored on the held-out split — the
+    # identical formula to operators/classify.py: every ln round-6'd into
+    # DECIMAL(12,6) before the exact decimal per-doc sum; ties by class asc
+    _nbr6 = "CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6))"
+    o["doc_nb_lang_classifier"] = f"""
+WITH lab AS (SELECT doc_id, text, lang, ({fingerprint}) % 10 AS b FROM documents),
+tr AS (SELECT * FROM lab WHERE b < 8),
+te AS (SELECT * FROM lab WHERE b >= 8),
+cond AS (
+  SELECT lang AS y, term, COUNT(*) AS c
+  FROM (SELECT lang, unnest({_TOKENS}) AS term FROM tr)
+  GROUP BY lang, term
+),
+tots AS (SELECT y, SUM(c) AS tot FROM cond GROUP BY y),
+consts AS (SELECT (SELECT COUNT(DISTINCT term) FROM cond) AS v,
+                  (SELECT COUNT(*) FROM tr) AS n),
+cls AS (
+  SELECT p.lang AS y, COALESCE(t.tot, 0) AS tot,
+         {_nbr6.format(e="ln(CAST(p.nd AS DOUBLE) / CAST(co.n AS DOUBLE))")} AS prior
+  FROM (SELECT lang, COUNT(*) AS nd FROM tr GROUP BY lang) p
+  LEFT JOIN tots t ON t.y = p.lang CROSS JOIN consts co
+),
+te_post AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS}) AS term FROM te)
+  GROUP BY doc_id, term
+),
+sc AS (
+  SELECT p.doc_id, cl.y, SUM(p.tf) AS ntok,
+         SUM(p.tf * {_nbr6.format(e="ln(CAST(COALESCE(cd.c, 0) + 1 AS DOUBLE) / CAST(cl.tot + co.v AS DOUBLE))")}) AS s
+  FROM te_post p CROSS JOIN cls cl CROSS JOIN consts co
+  LEFT JOIN cond cd ON cd.y = cl.y AND cd.term = p.term
+  GROUP BY p.doc_id, cl.y
+),
+fullsc AS (
+  SELECT t.doc_id, t.lang AS actual, cl.y,
+         cl.prior + COALESCE(sc.s, 0) AS score, COALESCE(sc.ntok, 0) AS ntok
+  FROM te t CROSS JOIN cls cl
+  LEFT JOIN sc ON sc.doc_id = t.doc_id AND sc.y = cl.y
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, y ASC) AS rn,
+         LEAD(score) OVER (PARTITION BY doc_id ORDER BY score DESC, y ASC) AS second
+  FROM fullsc
+)
+SELECT doc_id, actual, y AS predicted, (y = actual) AS correct,
+       CAST(score - second AS DOUBLE) AS margin,
+       CAST(ntok AS INT) AS n_tokens
+FROM ranked WHERE rn = 1
 """
 
     o["doc_pack_bins"] = f"""

@@ -139,6 +139,9 @@ HEADLINE = [
     # canonical selection
     "doc_incremental_dedup_persisted",
     "doc_cluster_quality_canonicals",
+    # round-8 addition: distributed classifier training (multinomial NB
+    # language model — train split aggregations + broadcast-model scoring)
+    "doc_nb_lang_classifier",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

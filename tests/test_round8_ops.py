@@ -281,3 +281,119 @@ def test_persisted_band_index_ingestion_equals_in_query(spark):
     a = sorted(map(tuple, qs["doc_incremental_dedup_persisted"](spark, SF_DIR).collect()))
     b = sorted(map(tuple, qs["doc_incremental_dedup"](spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_nb_classify_semantics_and_plan(spark):
+    """Multinomial NB (operators/classify.py): separable vocabularies
+    train correctly; all-unseen-term docs reduce to prior + uniform
+    Laplace mass (pinned against a pure-Python recomputation of the exact
+    round-6 formula); empty docs fall back to the prior argmax; and the
+    vocabulary-model join is broadcast (scoring never shuffles the model
+    by default)."""
+    import math
+
+    from data_warehouse_punta_fina_spark.operators.classify import nb_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "gato perro gato casa", "es"),
+            (2, "perro casa gato", "es"),
+            (3, "cat dog cat house", "en"),
+            (4, "dog house cat the", "en"),
+            (5, "the cat sat", "en"),
+        ],
+        "doc_id bigint, text string, label string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "gato casa perro", "es"),
+            (11, "the cat dog", "en"),
+            (12, "zzz qqq", "en"),  # every term unseen -> smoothing only
+            (13, "", "en"),  # no tokens -> prior argmax
+        ],
+        "doc_id bigint, text string, label string",
+    )
+    out = nb_classify(train, test, "text", "doc_id", "label")
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    assert rows[10]["predicted"] == "es" and rows[10]["correct"]
+    assert rows[11]["predicted"] == "en" and rows[11]["correct"]
+    assert rows[13]["n_tokens"] == 0 and rows[13]["margin"] > 0
+    # empty doc: argmax over priors alone -> en (3/5 train docs)
+    assert rows[13]["predicted"] == "en"
+
+    # doc 12: replicate the exact formula (round-6 each ln, sum, argmax).
+    # tot_en=11 tot_es=7, V=8 distinct train terms, priors 3/5 vs 2/5 --
+    # the uniform Laplace mass ln(1/(tot+V)) favors the SMALLER class
+    # enough to flip the prior here; the operator must agree with the
+    # from-scratch computation, not with intuition.
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    s_en = r6(math.log(3 / 5)) + 2 * r6(math.log(1 / (11 + 8)))
+    s_es = r6(math.log(2 / 5)) + 2 * r6(math.log(1 / (7 + 8)))
+    want = "en" if s_en >= s_es else "es"
+    assert rows[12]["predicted"] == want
+    assert abs(abs(rows[12]["margin"]) - abs(s_en - s_es)) < 1e-9
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the per-doc argmax window partitions by a real column, never a
+    # constant (the registry-wide warning gate also sweeps this query)
+    assert "Window" in plan
+
+
+def test_logistic_regression_gd_matches_pure_python_trajectory(spark):
+    """logistic_regression_gd (operators/classify.py) must reproduce,
+    bit for bit, a from-scratch pure-Python replay of its documented
+    arithmetic contract: per-row IEEE-double dot product + sigmoid,
+    sigmoid and log-loss round-9'd to decimals the instant they exist,
+    exact decimal cross-row sums, weights re-rounded to 9 decimals per
+    step. If any stage silently drifted to float accumulation (and so
+    became partition-order-dependent on a real cluster), the decimal
+    trajectory would diverge from this replay within an iteration."""
+    import math
+    from decimal import Decimal
+
+    from data_warehouse_punta_fina_spark.operators.classify import (
+        logistic_regression_gd,
+    )
+
+    r9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
+    rows = [
+        (0.25, 0.1, 1), (0.5, 0.9, 0), (0.125, 0.375, 1),
+        (0.75, 0.5, 0), (0.0, 1.0, 1), (1.0, 0.0, 0),
+    ]
+    feats = spark.createDataFrame(
+        [(Decimal(str(a)), Decimal(str(b)), y) for a, b, y in rows],
+        "f1 decimal(12,6), f2 decimal(12,6), y int",
+    )
+    out = logistic_regression_gd(feats, ["f1", "f2"], "y", iters=4, lr=0.5)
+    got = [
+        (r["iter"], r["loss"], r["w_bias"], r["w_f1"], r["w_f2"])
+        for r in out.collect()
+    ]
+
+    # pure-python replay (Decimal sums where the operator sums decimals)
+    w = [0.0, 0.0, 0.0]
+    want = []
+    for it in range(4):
+        n = len(rows)
+        lsum = Decimal(0)
+        g = [Decimal(0), Decimal(0), Decimal(0)]
+        for a, b, y in rows:
+            z = w[0] + w[1] * a + w[2] * b
+            s = r9(1.0 / (1.0 + math.exp(-z)))
+            scl = min(max(s, 1e-9), 1.0 - 1e-9)
+            ll = r9(-(y * math.log(scl) + (1 - y) * math.log(1.0 - scl)))
+            lsum += Decimal(str(ll)).quantize(Decimal("1e-9"))
+            resid = Decimal(str(s)).quantize(Decimal("1e-9")) - y
+            g[0] += resid
+            g[1] += resid * Decimal(str(a))
+            g[2] += resid * Decimal(str(b))
+        want.append((it, r9(float(lsum) / n), w[0], w[1], w[2]))
+        w = [r9(wi - 0.5 * (float(gi) / n)) for wi, gi in zip(w, g)]
+    assert got == want
+
+    # scale shape: the per-iteration barrier is a 1-row aggregate -- the
+    # trajectory output must contain NO window and no per-row Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "BatchEvalPython" not in plan
