@@ -687,6 +687,42 @@ def _build_registries():
             docs.filter(b < 8), docs.filter(b >= 8), "text", "doc_id", "lang"
         )
 
+    def doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken, SIGMOD
+        # 2003 — the MOSS scheme): per-doc rightmost-min-of-window k-gram
+        # hash selection, then a fingerprint-blocked pair join with a
+        # document-frequency cap — position-robust LOCAL overlap evidence
+        # (quotes/boilerplate) that MinHash resemblance and SimHash bit
+        # profiles can't localize (operators/winnow.py)
+        from data_warehouse_punta_fina_spark.operators.winnow import (
+            winnow_fingerprints,
+            winnow_overlap,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        fp = winnow_fingerprints(docs, k=4, w=4)
+        return winnow_overlap(fp, max_df=50, min_shared=3)
+
+    def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # DSIR data selection (Xie et al., NeurIPS 2023): hashed unigram+
+        # bigram models of the TARGET (en docs) vs the RAW pool give per-
+        # bucket importance log-ratios (256 rows, broadcast); each doc scores
+        # an exact decimal logw; Gumbel-top-k draws 100 docs proportional
+        # to importance without replacement — one TakeOrderedAndProject,
+        # no global sort (operators/importance.py)
+        from data_warehouse_punta_fina_spark.operators.importance import (
+            dsir_resample,
+            hashed_ngram_logratio,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        lam = hashed_ngram_logratio(
+            None, docs, n_buckets=256, target_predicate=F.col("lang") == "en"
+        )
+        return dsir_resample(
+            docs.select("doc_id", "text"), lam, k=100, n_buckets=256
+        )
+
     def order_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Neyman optimal allocation: split a 1000-row sample budget across
         # order-priority strata proportional to N_h·S_h (size × std of
@@ -3547,6 +3583,8 @@ def _build_registries():
         "doc_split_assignment": doc_split_assignment,
         "doc_nb_lang_classifier": doc_nb_lang_classifier,
         "doc_quality_logreg": doc_quality_logreg,
+        "doc_winnow_overlap": doc_winnow_overlap,
+        "doc_dsir_sample": doc_dsir_sample,
         "dedup_lineitem": dedup_lineitem,
         "doc_lang_resample": doc_lang_resample,
         "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
@@ -5543,6 +5581,107 @@ SELECT doc_id, actual, y AS predicted, (y = actual) AS correct,
        CAST(score - second AS DOUBLE) AS margin,
        CAST(ntok AS INT) AS n_tokens
 FROM ranked WHERE rn = 1
+"""
+
+    # winnowing (SIGMOD 2003): 8-hex-md5 k-gram hashes packed as
+    # hash*2^31 + (2^31-1-pos) so MIN over the w-window is the rightmost
+    # minimum — the exact twin of operators/winnow.py
+    _hex8 = (
+        "list_sum(list_transform(range(1, 9), j -> "
+        "CAST(strpos('0123456789abcdef', substr({e}, j, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (8 - j)))))"
+    )
+    o["doc_winnow_overlap"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+g AS (
+  SELECT doc_id, u.pos, u.gram
+  FROM (
+    SELECT doc_id,
+           unnest([{{'pos': j - 1, 'gram': array_to_string(ts[j:j+3], ' ')}}
+                   FOR j IN generate_series(1, len(ts) - 3)]) AS u
+    FROM toks
+  )
+),
+comb AS (
+  SELECT doc_id, pos,
+         {_hex8.format(e="md5(gram)")} * 2147483648 + (2147483647 - pos) AS c
+  FROM g
+),
+win AS (
+  SELECT doc_id, pos,
+         MIN(c) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
+         MAX(pos) OVER (PARTITION BY doc_id) AS last
+  FROM comb
+),
+fp AS (
+  SELECT DISTINCT doc_id, sel >> 31 AS fp_hash
+  FROM win WHERE pos >= 3 OR pos = last
+),
+rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) <= 50),
+capped AS (SELECT f.doc_id, f.fp_hash FROM fp f JOIN rare r USING (fp_hash)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+  FROM capped a JOIN capped b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 3
+)
+SELECT p.id_a, p.id_b, CAST(p.shared_fp AS INT) AS shared_fp,
+       CAST(sa.n AS INT) AS fp_a, CAST(sb.n AS INT) AS fp_b,
+       CAST(FLOOR(CAST(p.shared_fp AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS DOUBLE) AS overlap
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+"""
+
+    # DSIR (Xie et al. 2023): hashed unigram+bigram bucket models,
+    # per-bucket lam = r6(ln target Laplace p) - r6(ln raw Laplace p),
+    # per-doc exact decimal logw, Gumbel-top-k on md5-derived uniforms —
+    # the exact twin of operators/importance.py (target = lang 'en')
+    _dsr6 = "CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6))"
+    _dsu = (
+        "(" + _hex13("substr(md5('dsir' || '|' || CAST(doc_id AS VARCHAR)), 1, 13)")
+        + " + 0.5) / 4503599627370496.0"
+    )
+    o["doc_dsir_sample"] = f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKENS} AS ts FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(ts,
+           CASE WHEN len(ts) >= 2
+                THEN [array_to_string(ts[j:j+1], ' ') FOR j IN generate_series(1, len(ts) - 1)]
+                ELSE [] END)) AS g
+  FROM toks
+),
+bk AS (SELECT doc_id, lang, {_hex13("substr(md5(g), 1, 13)")} % 256 AS bkt FROM grams),
+tc AS (SELECT bkt, COUNT(*) AS ct FROM bk WHERE lang = 'en' GROUP BY bkt),
+rc AS (SELECT bkt, COUNT(*) AS cr FROM bk GROUP BY bkt),
+tot AS (SELECT (SELECT COUNT(*) FROM bk WHERE lang = 'en') AS tt,
+               (SELECT COUNT(*) FROM bk) AS tr),
+lam AS (
+  SELECT b.bkt,
+         {_dsr6.format(e="ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + 256 AS DOUBLE))")}
+         - {_dsr6.format(e="ln(CAST(COALESCE(rc.cr, 0) + 1 AS DOUBLE) / CAST(tot.tr + 256 AS DOUBLE))")} AS lam
+  FROM range(256) b(bkt)
+  LEFT JOIN tc ON tc.bkt = b.bkt LEFT JOIN rc ON rc.bkt = b.bkt
+  CROSS JOIN tot
+),
+tf AS (SELECT doc_id, bkt, COUNT(*) AS tf FROM bk GROUP BY doc_id, bkt),
+logw AS (
+  SELECT tf.doc_id, SUM(tf.tf * lam.lam) AS lw
+  FROM tf JOIN lam ON lam.bkt = tf.bkt GROUP BY tf.doc_id
+),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(lw.lw, 0) AS DOUBLE) AS logw,
+         CAST(FLOOR((CAST(COALESCE(lw.lw, 0) AS DOUBLE)
+                     + (-ln(-ln({_dsu})))) * 1000000000 + 0.5) / 1000000000
+              AS DOUBLE) AS sample_key
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN (SELECT doc_id AS lwid, lw FROM logw) lw ON lw.lwid = d.doc_id
+)
+SELECT doc_id, logw, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
 """
 
     o["doc_pack_bins"] = f"""

@@ -142,6 +142,11 @@ HEADLINE = [
     # round-8 addition: distributed classifier training (multinomial NB
     # language model — train split aggregations + broadcast-model scoring)
     "doc_nb_lang_classifier",
+    # round-8 additions: winnowing fingerprint overlap (MOSS local
+    # evidence, fingerprint-blocked pair join) and DSIR importance
+    # resampling (hashed-n-gram models + Gumbel-top-k selection)
+    "doc_winnow_overlap",
+    "doc_dsir_sample",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

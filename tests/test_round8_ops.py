@@ -397,3 +397,174 @@ def test_logistic_regression_gd_matches_pure_python_trajectory(spark):
     # trajectory output must contain NO window and no per-row Python
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+def _py_tokens(text):
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_winnow(text, k=4, w=4):
+    """Pure-python winnowing replay of operators/winnow.py's documented
+    contract: 8-hex md5 k-gram hashes, rightmost minimum of every
+    w-window (one truncated window for docs with < w k-grams)."""
+    import hashlib
+
+    toks = _py_tokens(text)
+    grams = (
+        [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        if len(toks) >= k
+        else []
+    )
+    m = 1 << 31
+    combs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) * m + (m - 1 - p)
+        for p, g in enumerate(grams)
+    ]
+    n = len(combs)
+    sel = set()
+    for e in range(n):
+        if e >= w - 1 or e == n - 1:
+            sel.add(min(combs[max(0, e - w + 1) : e + 1]))
+    return {(c >> 31, (m - 1) - (c % m)) for c in sel}
+
+
+def test_winnow_fingerprints_match_pure_python_and_guarantee(spark):
+    """winnow_fingerprints must equal a from-scratch replay of the paper's
+    selection rule on every doc shape (long, tie-heavy, truncated-window,
+    sub-k); and the winnowing GUARANTEE must hold: two docs sharing a
+    token run of >= w+k-1 tokens share at least one fingerprint."""
+    from data_warehouse_punta_fina_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    texts = {
+        1: "a b c d e f g h i j k l",
+        2: "x y z q a b c d e f g w t u v",  # shares 'a b c d e f g' (7 = w+k-1)
+        3: "m m m m m m m m",  # all-identical grams: pure tie territory
+        4: "p q r s t",  # 2 grams < w: one truncated window
+        5: "only three toks",  # < k tokens: no fingerprints
+        6: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    out = winnow_fingerprints(df, k=4, w=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["fp_pos"]))
+    for did, text in texts.items():
+        assert got.get(did, set()) == _py_winnow(text), f"doc {did} diverged"
+    shared = {h for h, _ in got[1]} & {h for h, _ in got[2]}
+    assert shared, "w+k-1 shared run must produce a shared fingerprint"
+
+
+def test_winnow_overlap_df_cap_and_plan(spark):
+    """The document-frequency cap must drop ubiquitous fingerprints
+    BEFORE the pair join (a boilerplate hash in every doc may not emit
+    quadratic pairs), sizes must be counted over the capped vocabulary
+    (overlap stays <= 1), and the per-doc selection windows must
+    partition by the real doc id."""
+    from data_warehouse_punta_fina_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    boiler = "common tail line here"
+    rows = [(i, f"unique{i} token{i} filler{i} pad{i} " + boiler) for i in range(8)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = winnow_fingerprints(df, k=4, w=4)
+    out = winnow_overlap(fp, max_df=3, min_shared=1)
+    pairs = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert all(a >= 100 for a, _ in pairs), (
+        "boilerplate-only pairs must be dropped by the df cap: "
+        f"{sorted(pairs)}"
+    )
+    assert (100, 101) in pairs
+    assert all(0 < r["overlap"] <= 1.0 for r in pairs.values())
+
+    # selection windows partition by the real doc id (never a constant)
+    fp_plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(doc_id" in fp_plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the fingerprint extraction (explode + selection windows) feeds four
+    # consumers (df cap, sizes, both join sides) through checkpoint
+    # boundaries — the overlap plan itself re-plans ZERO of that subtree
+    assert plan.count("windowspecdefinition(doc_id") == 0
+    assert "ExistingRDD" in plan
+
+
+def test_dsir_sample_matches_pure_python(spark):
+    """doc_dsir_sample's whole arithmetic contract replayed from scratch:
+    hashed unigram+bigram buckets, Laplace round-6 log-ratios as exact
+    decimals, exact-decimal logw, md5-Gumbel keys round-9'd — the
+    operator's top-k (ids, logw, keys) must equal the replay bit for
+    bit. A drift to float accumulation anywhere (partition-order-
+    dependent on a real cluster) diverges within one document."""
+    import hashlib
+    import math
+
+    from data_warehouse_punta_fina_spark.operators.importance import (
+        dsir_resample,
+        hashed_ngram_logratio,
+    )
+
+    texts = {
+        1: ("the cat sat on the mat", "en"),
+        2: ("el gato en la alfombra", "es"),
+        3: ("the dog ran to the cat", "en"),
+        4: ("", "es"),                       # zero tokens -> logw 0
+        5: ("cat mat the", "es"),
+        6: ("un perro y un gato", "es"),
+    }
+    df = spark.createDataFrame(
+        [(i, t, l) for i, (t, l) in texts.items()],
+        "doc_id bigint, text string, lang string",
+    )
+    nb, k = 8, 4
+    lam_df = hashed_ngram_logratio(
+        df.filter(F.col("lang") == "en"), df, text_col="text", n_buckets=nb
+    )
+    out = dsir_resample(
+        df.select("doc_id", "text"), lam_df, k=k, n_buckets=nb, seed="dsir"
+    )
+    got = [(r["doc_id"], r["logw"], r["sample_key"]) for r in out.collect()]
+
+    def grams(text):
+        t = _py_tokens(text)
+        return t + [" ".join(t[j : j + 2]) for j in range(len(t) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:13], 16) % nb
+
+    tc, rc = [0] * nb, [0] * nb
+    for i, (t, l) in texts.items():
+        for g in grams(t):
+            rc[bucket(g)] += 1
+            if l == "en":
+                tc[bucket(g)] += 1
+    tt, tr = sum(tc), sum(rc)
+    r6i = lambda x: math.floor(x * 1e6 + 0.5)  # numerator of the DECIMAL(12,6)
+    lam_n = [
+        r6i(math.log((tc[b] + 1) / (tt + nb))) - r6i(math.log((rc[b] + 1) / (tr + nb)))
+        for b in range(nb)
+    ]
+    r9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
+    want = []
+    for i, (t, _) in texts.items():
+        logw_n = sum(lam_n[bucket(g)] for g in grams(t))  # tf folded into the sum
+        logw = float(__import__("decimal").Decimal(logw_n) / 1000000)
+        h = int(hashlib.md5(f"dsir|{i}".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / 4503599627370496.0
+        want.append((i, logw, r9(logw + (-math.log(-math.log(u))))))
+    want = sorted(want, key=lambda r: (-r[2], r[0]))[:k]
+    assert got == want
+    assert any(r[0] == 4 and r[1] == 0.0 for r in want + got) or all(
+        r[0] != 4 for r in want
+    )
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
