@@ -48,8 +48,11 @@ def word_frequency(
     the shuffle carries (word, partial count), never documents."""
     from data_warehouse_punta_fina_spark.operators.dedup import _spread
 
-    ex = _spread(df.select(tokens(text_col).alias("_toks"))).select(
-        F.explode("_toks").alias("word")
+    # spread the RAW text rows, tokenize above the exchange — a projection
+    # below the repartition would run the tokenize on the scan's splits
+    # (ONE task for small files)
+    ex = _spread(df.select(F.col(text_col))).select(
+        F.explode(tokens(text_col)).alias("word")
     )
     return ex.groupBy("word").agg(F.count("*").alias("freq"))
 

@@ -24,7 +24,13 @@ def _spread(df: DataFrame) -> DataFrame:
     parallelism — and ONLY fires when the input is under-partitioned:
     at 100 TB the scan is already thousands of splits and this is a
     no-op, so raw document bytes never hit the wire (the round-1 version
-    repartitioned unconditionally, which would have)."""
+    repartitioned unconditionally, which would have).
+
+    CONTRACT: spread the RAW rows and apply heavy projections ABOVE the
+    returned frame. Projections do NOT migrate across the exchange —
+    ``_spread(df.select(id, tokens(...)))`` runs the tokenize below the
+    repartition, on the scan's (possibly single) split; measured 21 s →
+    3 s on doc_dsir_sample at sf0.1 when moved above (round 8)."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
@@ -91,8 +97,14 @@ def shingle_rows(
     saturates long before typical caps (~10k tokens) anyway.
     """
     toks = tokens(text_col, max_tokens)
-    exploded = _spread(df.select(F.col(id_col), toks.alias("_toks"))).select(
-        F.col(id_col), F.col("_toks"), F.posexplode_outer("_toks").alias("pos", "tok")
+    # spread the raw rows FIRST (tokenize above the exchange — a
+    # projection below the repartition runs on the scan's splits)
+    exploded = (
+        _spread(df)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            F.col(id_col), F.col("_toks"), F.posexplode_outer("_toks").alias("pos", "tok")
+        )
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     led = exploded.select(
@@ -600,7 +612,7 @@ def gram_occurrences(
     ``max_tokens`` is the giant-doc skew guard for the per-doc window.
     """
     toked = _materialize(
-        _spread(df.select(F.col(id_col), tokens(text_col, max_tokens).alias("_toks"))),
+        _spread(df).select(F.col(id_col), tokens(text_col, max_tokens).alias("_toks")),
         tokens_path,
     )
     doc_lens = toked.select(F.col(id_col), F.size("_toks").cast("bigint").alias("n_tokens"))
@@ -743,9 +755,9 @@ def dedup_segments(
     trusted).
     """
     exploded = _materialize(
-        _spread(df.select(F.col(id_col), segments_col.alias("_segs"))).select(
-            F.col(id_col), F.posexplode("_segs").alias("pos", "seg")
-        ),
+        _spread(df)
+        .select(F.col(id_col), segments_col.alias("_segs"))
+        .select(F.col(id_col), F.posexplode("_segs").alias("pos", "seg")),
         segments_path,
     )
     totals = exploded.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_segments"))

@@ -54,8 +54,10 @@ def ngram_rows(
     that must keep them re-attach via a left join on the id."""
     from data_warehouse_punta_fina_spark.operators.dedup import _spread
 
-    ex = _spread(df.select(F.col(id_col), tokens(text_col).alias("_toks"))).select(
-        F.col(id_col), F.posexplode("_toks").alias("pos", "tok")
+    ex = (
+        _spread(df)
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), F.posexplode("_toks").alias("pos", "tok"))
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     led = ex.select(
