@@ -568,3 +568,36 @@ def test_dsir_sample_matches_pure_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_spread_call_sites_tokenize_above_the_exchange(spark):
+    """Projections do not migrate across an Exchange: tokenizing INSIDE
+    the select handed to _spread leaves the tokenize on the scan's
+    (possibly single) split — the serial Amdahl term this round removed
+    from every shingle/ngram/BPE path (docs/BENCH_NOTES.md). Pin the
+    fixed shape for the representative operators: in the printed physical
+    plan (top-down), the tokenize projection must appear ABOVE the
+    RoundRobin exchange, i.e. at a smaller string offset."""
+    from data_warehouse_punta_fina_spark.operators.dedup import shingle_rows
+    from data_warehouse_punta_fina_spark.operators.text_quality import ngram_rows
+    from data_warehouse_punta_fina_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    # a 1-partition input (the small-file scan shape) so _spread fires
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)],
+        "doc_id bigint, text string",
+    ).coalesce(1)
+
+    def tokenize_is_above_exchange(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        tok = plan.find("split(lower(")
+        exch = plan.find("Exchange RoundRobinPartitioning")
+        assert tok != -1, "tokenize projection missing from the plan"
+        assert exch != -1, "spread exchange missing from the plan"
+        return tok < exch
+
+    assert tokenize_is_above_exchange(shingle_rows(docs, "text", "doc_id", 3))
+    assert tokenize_is_above_exchange(ngram_rows(docs, "text", "doc_id", 2))
+    assert tokenize_is_above_exchange(winnow_fingerprints(docs))
