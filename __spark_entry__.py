@@ -723,6 +723,47 @@ def _build_registries():
             docs.select("doc_id", "text"), lam, k=100, n_buckets=256
         )
 
+    def doc_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # temperature-smoothed multilingual resampling (the q_l ∝ p_l^τ
+        # formula of Devlin 2019 / XLM-R): per-language τ=0.7 rates from
+        # the empirical distribution (a languages-sized broadcast), then
+        # deterministic content-fingerprint keeps — upweights tail
+        # languages without driver-side math (operators/mixture.py)
+        from data_warehouse_punta_fina_spark.operators.mixture import (
+            temperature_sampling_rates,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        per = docs.groupBy("lang").agg(F.count("*").alias("n"))
+        rates = temperature_sampling_rates(
+            per, tau=0.7, group_col="lang", count_col="n"
+        )
+        mille = (fingerprint("text") % 1000).cast("int")
+        return docs.join(
+            F.broadcast(rates.select("lang", "keep_mille")), "lang"
+        ).select(
+            "doc_id",
+            "lang",
+            "keep_mille",
+            mille.alias("mille"),
+            (mille < F.col("keep_mille")).alias("keep"),
+        )
+
+    def doc_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # per-source quantile quality gate: rank docs WITHIN their source
+        # and keep each source's top 30% — the debiasing alternative to a
+        # global threshold that silently drops whole low-scoring sources
+        # (operators/text_quality.py source_percentile_gate)
+        from data_warehouse_punta_fina_spark.operators.text_quality import (
+            source_percentile_gate,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        scored = docs.select(
+            "doc_id", "source", quality_score("text").alias("q")
+        )
+        return source_percentile_gate(scored, "q", "source", "doc_id", keep_top=0.3)
+
     def order_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Neyman optimal allocation: split a 1000-row sample budget across
         # order-priority strata proportional to N_h·S_h (size × std of
@@ -3585,6 +3626,8 @@ def _build_registries():
         "doc_quality_logreg": doc_quality_logreg,
         "doc_winnow_overlap": doc_winnow_overlap,
         "doc_dsir_sample": doc_dsir_sample,
+        "doc_temperature_resample": doc_temperature_resample,
+        "doc_source_quality_gate": doc_source_quality_gate,
         "dedup_lineitem": dedup_lineitem,
         "doc_lang_resample": doc_lang_resample,
         "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
@@ -5682,6 +5725,52 @@ keyed AS (
 )
 SELECT doc_id, logw, sample_key
 FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+"""
+
+    # temperature-smoothed mixture rates (q_l ∝ p_l^τ, τ=0.7): every
+    # share/pow/ratio round-6'd as an exact decimal the moment it exists —
+    # the exact twin of operators/mixture.temperature_sampling_rates
+    o["doc_temperature_resample"] = f"""
+WITH per AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n) AS t FROM per),
+sh AS (SELECT lang, n, {_dsr6.format(e="CAST(n AS DOUBLE) / CAST(t AS DOUBLE)")} AS share
+       FROM per CROSS JOIN tot),
+pw AS (SELECT lang, n, {_dsr6.format(e="pow(CAST(share AS DOUBLE), 0.7)")} AS p FROM sh),
+ps AS (SELECT SUM(p) AS psum FROM pw),
+ts AS (SELECT lang, n, {_dsr6.format(e="CAST(p AS DOUBLE) / CAST(psum AS DOUBLE)")} AS temp_share
+       FROM pw CROSS JOIN ps),
+km AS (
+  SELECT lang,
+         CAST(FLOOR(CAST({_dsr6.format(e="least(CAST(1 AS DOUBLE), FLOOR(CAST(t AS DOUBLE) * CAST(temp_share AS DOUBLE)) / CAST(n AS DOUBLE))")} AS DOUBLE) * 1000 + 0.5) AS INT) AS keep_mille
+  FROM ts CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang, km.keep_mille,
+       CAST(({fingerprint}) % 1000 AS INT) AS mille,
+       (({fingerprint}) % 1000) < km.keep_mille AS keep
+FROM documents d JOIN km ON km.lang = d.lang
+"""
+
+    # per-source quantile quality gate: explicit (rank-1)/(n-1) percentile
+    # with total ordering (q desc, doc_id) — the exact twin of
+    # operators/text_quality.source_percentile_gate at keep_top=0.3
+    o["doc_source_quality_gate"] = f"""
+WITH scored AS (SELECT doc_id, source, {_dsr6.format(e=quality)} AS q FROM documents),
+r AS (
+  SELECT doc_id, source, q,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored
+),
+p AS (
+  SELECT doc_id, source, q,
+         CASE WHEN n > 1
+              THEN {_dsr6.format(e="CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)")}
+              ELSE CAST(0 AS DECIMAL(12,6)) END AS pct
+  FROM r
+)
+SELECT doc_id, source, CAST(q AS DOUBLE) AS q,
+       CAST(pct AS DOUBLE) AS pct_rank, pct < 0.3 AS keep
+FROM p
 """
 
     o["doc_pack_bins"] = f"""

@@ -147,6 +147,10 @@ HEADLINE = [
     # resampling (hashed-n-gram models + Gumbel-top-k selection)
     "doc_winnow_overlap",
     "doc_dsir_sample",
+    # round-8 additions: τ-smoothed multilingual resampling and the
+    # per-source quantile quality gate
+    "doc_temperature_resample",
+    "doc_source_quality_gate",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -182,3 +182,75 @@ SELECT source, tokens, weight,
 FROM {last} CROSS JOIN fin
 """
     )
+
+
+def temperature_sampling_rates(
+    per_group: DataFrame,
+    tau: float = 0.7,
+    budget: int | None = None,
+    group_col: str = "group",
+    count_col: str = "n",
+) -> DataFrame:
+    """Temperature-smoothed mixture rates — the multilingual-pretraining
+    sampling formula (public per Devlin et al. 2019 app. A / Conneau &
+    Lample 2019 / XLM-R): q_l ∝ (n_l/N)^τ with τ < 1 upweighting the
+    tail groups so low-resource languages/domains are not drowned by the
+    head. Input: ONE row per group with its available unit count. Output
+    per group: ``(group_col, n, share, temp_share, target, keep_rate,
+    keep_mille)`` where ``target = floor(budget · temp_share)`` (budget
+    defaults to the total supply — pure reweighting), ``keep_rate =
+    min(1, target/n)`` and ``keep_mille`` is the integer per-mille
+    threshold to feed the deterministic fingerprint samplers
+    (``fingerprint(text) % 1000 < keep_mille`` — content-stable keeps,
+    the doc_lang_resample pattern).
+
+    Engine exactness: shares, the τ-powers, and every ratio are
+    portable-round-6'd the moment they exist (``pow`` is the one
+    transcendental here; rounding absorbs last-ulp divergence), and the
+    normalizing sum of the rounded powers is an exact decimal sum. The
+    whole computation is group-cardinality-sized (a handful of rows,
+    always broadcast); the corpus-sized work stays in the caller's
+    count aggregation and downstream fingerprint filter.
+    """
+    n = F.col(count_col).cast("long")
+    base = per_group.select(F.col(group_col), n.alias("n"))
+    tot = base.agg(F.sum("n").alias("_tot"))
+    shared = base.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n",
+        "_tot",
+        _r6(F.col("n").cast("double") / F.col("_tot").cast("double")).alias("share"),
+    )
+    powed = shared.select(
+        "*", _r6(F.pow(F.col("share").cast("double"), F.lit(float(tau)))).alias("_p")
+    )
+    psum = powed.agg(F.sum("_p").alias("_psum"))
+    out = powed.crossJoin(F.broadcast(psum)).select(
+        group_col,
+        "n",
+        "share",
+        _r6(F.col("_p").cast("double") / F.col("_psum").cast("double")).alias(
+            "temp_share"
+        ),
+        "_tot",
+    )
+    bexpr = (
+        F.col("_tot").cast("double") if budget is None else F.lit(float(budget))
+    )
+    target = F.floor(bexpr * F.col("temp_share").cast("double")).cast("long")
+    rate = _r6(
+        F.least(
+            F.lit(1.0), target.cast("double") / F.col("n").cast("double")
+        )
+    )
+    return out.select(
+        group_col,
+        "n",
+        "share",
+        "temp_share",
+        target.alias("target"),
+        rate.alias("keep_rate"),
+        F.floor(rate.cast("double") * F.lit(1000.0) + F.lit(0.5))
+        .cast("int")
+        .alias("keep_mille"),
+    )

@@ -469,3 +469,55 @@ def filter_sources(
         F.col("source").alias(source_col)
     )
     return docs.join(F.broadcast(kept), source_col, "left_semi")
+
+
+def source_percentile_gate(
+    df: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    keep_top: float = 0.5,
+) -> DataFrame:
+    """Per-source quantile quality gate: rank every document WITHIN its
+    source and keep the top ``keep_top`` fraction of each source —
+    the debiasing alternative to one global threshold, which silently
+    filters out entire sources whose score distribution sits lower
+    (raw-crawl vs curated) even when their best documents are exactly
+    what a balanced corpus needs. Real curation stacks gate per-domain
+    for this reason.
+
+    Output (scalar): ``(id_col, source_col, score_col, pct_rank, keep)``
+    with ``pct_rank = r6((rank-1)/(n_source-1))`` (0 = best; 0.0 for
+    singleton sources) and ``keep = pct_rank < keep_top``. Ranking is
+    total-ordered (score desc, id asc) so ties and the percentile are
+    deterministic on any engine; the explicit (rank-1)/(n-1) form is
+    computed rather than relying on an engine's PERCENT_RANK variant.
+
+    Scale shape: one shuffle on the source key; a skewed giant source
+    concentrates its ranking in one task — pre-split such sources
+    upstream (the documented per-doc-window caveat) or gate on a coarser
+    sub-source key."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    cnt = Window.partitionBy(source_col)
+    pct = F.when(F.col("_n") > 1,
+        pround(
+            (F.col("_rn") - F.lit(1)).cast("double")
+            / (F.col("_n") - F.lit(1)).cast("double"),
+            6,
+            12,
+        ),
+    ).otherwise(F.lit(0).cast("decimal(12,6)"))
+    return (
+        df.select(F.col(id_col), F.col(source_col), F.col(score_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(cnt))
+        .select(
+            id_col,
+            source_col,
+            score_col,
+            pct.alias("pct_rank"),
+            (pct < F.lit(keep_top)).alias("keep"),
+        )
+    )

@@ -601,3 +601,72 @@ def test_spread_call_sites_tokenize_above_the_exchange(spark):
     assert tokenize_is_above_exchange(shingle_rows(docs, "text", "doc_id", 3))
     assert tokenize_is_above_exchange(ngram_rows(docs, "text", "doc_id", 2))
     assert tokenize_is_above_exchange(winnow_fingerprints(docs))
+
+
+def test_temperature_sampling_rates_matches_pure_python(spark):
+    """The τ-smoothing formula replayed from scratch (round-6 at every
+    stage, exact-decimal normalizing sum): rates must match bit for bit;
+    τ < 1 must upweight the tail group (its temp_share above its raw
+    share, head below); τ = 1 must be the identity mixture."""
+    import math
+
+    from data_warehouse_punta_fina_spark.operators.mixture import (
+        temperature_sampling_rates,
+    )
+
+    counts = {"en": 6000, "es": 3000, "fr": 800, "de": 200}
+    per = spark.createDataFrame(list(counts.items()), "lang string, n bigint")
+    out = temperature_sampling_rates(per, tau=0.7, group_col="lang", count_col="n")
+    got = {
+        r["lang"]: (
+            r["n"], float(r["share"]), float(r["temp_share"]),
+            r["target"], float(r["keep_rate"]), r["keep_mille"],
+        )
+        for r in out.collect()
+    }
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    tot = sum(counts.values())
+    share = {l: r6(n / tot) for l, n in counts.items()}
+    p = {l: r6(share[l] ** 0.7) for l in counts}
+    # exact decimal sum of round-6 values: integers over 1e6
+    psum = sum(round(v * 1e6) for v in p.values()) / 1e6
+    ts = {l: r6(p[l] / psum) for l in counts}
+    for l, n in counts.items():
+        target = math.floor(tot * ts[l])
+        rate = r6(min(1.0, target / n))
+        want = (n, share[l], ts[l], target, rate, math.floor(rate * 1000 + 0.5))
+        assert got[l] == want, f"{l}: {got[l]} != {want}"
+
+    # τ < 1 rebalances toward the tail...
+    assert got["de"][2] > share["de"] and got["en"][2] < share["en"]
+    # ...and τ = 1 is the identity mixture (temp_share == share)
+    ident = temperature_sampling_rates(per, tau=1.0, group_col="lang", count_col="n")
+    for r in ident.collect():
+        assert abs(float(r["temp_share"]) - float(r["share"])) <= 2e-6
+
+
+def test_source_percentile_gate_semantics(spark):
+    """Percentile gate: explicit (rank-1)/(n-1) with total ordering —
+    best doc pct 0, worst pct 1, singleton sources pct 0 (kept), score
+    ties broken by id, and the kept fraction per source ~ keep_top."""
+    from data_warehouse_punta_fina_spark.operators.text_quality import (
+        source_percentile_gate,
+    )
+
+    rows = [(i, "a", float(100 - i)) for i in range(10)]          # strict order
+    rows += [(100 + i, "b", 5.0) for i in range(4)]               # all tied
+    rows += [(999, "c", 1.0)]                                     # singleton
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, q double")
+    out = source_percentile_gate(df, "q", "source", "doc_id", keep_top=0.5)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    assert float(got[0]["pct_rank"]) == 0.0 and got[0]["keep"]
+    assert float(got[9]["pct_rank"]) == 1.0 and not got[9]["keep"]
+    # ties rank by id ascending: 100 best (pct 0), 103 worst (pct 1)
+    assert float(got[100]["pct_rank"]) == 0.0
+    assert float(got[103]["pct_rank"]) == 1.0
+    # singleton source: pct 0, kept
+    assert float(got[999]["pct_rank"]) == 0.0 and got[999]["keep"]
+    kept_a = sum(1 for i in range(10) if got[i]["keep"])
+    assert kept_a == 5  # pct in {0, 1/9, ..., 4/9} < 0.5
