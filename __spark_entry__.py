@@ -687,6 +687,30 @@ def _build_registries():
             docs.filter(b < 8), docs.filter(b >= 8), "text", "doc_id", "lang"
         )
 
+    def doc_nb_persisted_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the filter-model DEPLOYMENT shape: the NB language model is
+        # trained ONCE per data fingerprint and persisted (scheme
+        # fingerprint on the cond table's column metadata, validated at
+        # score time); scoring reads the stored vocabulary-sized model
+        # and tokenizes only the docs being scored. Deterministic
+        # training → values identical to doc_nb_lang_classifier, so the
+        # oracle is reused verbatim (the doc_incremental_dedup_persisted
+        # discipline).
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.classify import (
+            nb_save_model,
+            nb_score_model,
+        )
+
+        fp = _data_fingerprint(sf_dir, "documents")
+        mdl = _index_cache_dir("nb_model", f"lang_b8_{fp}")
+        docs = load_table(spark, sf_dir, "documents")
+        b = fingerprint("text") % 10
+        if not os.path.exists(os.path.join(mdl, "cond", "_SUCCESS")):
+            nb_save_model(docs.filter(b < 8), mdl, "text", "lang")
+        return nb_score_model(docs.filter(b >= 8), mdl, "text", "doc_id", "lang")
+
     def doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken, SIGMOD
         # 2003 — the MOSS scheme): per-doc rightmost-min-of-window k-gram
@@ -3628,6 +3652,7 @@ def _build_registries():
         "doc_dsir_sample": doc_dsir_sample,
         "doc_temperature_resample": doc_temperature_resample,
         "doc_source_quality_gate": doc_source_quality_gate,
+        "doc_nb_persisted_classifier": doc_nb_persisted_classifier,
         "dedup_lineitem": dedup_lineitem,
         "doc_lang_resample": doc_lang_resample,
         "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
@@ -5772,6 +5797,11 @@ SELECT doc_id, source, CAST(q AS DOUBLE) AS q,
        CAST(pct AS DOUBLE) AS pct_rank, pct < 0.3 AS keep
 FROM p
 """
+
+    # deterministic training → the persisted-model scorer produces values
+    # identical to in-query training; the oracle is reused verbatim (the
+    # doc_incremental_dedup_persisted discipline)
+    o["doc_nb_persisted_classifier"] = o["doc_nb_lang_classifier"]
 
     o["doc_pack_bins"] = f"""
 WITH t AS (

@@ -151,6 +151,9 @@ HEADLINE = [
     # per-source quantile quality gate
     "doc_temperature_resample",
     "doc_source_quality_gate",
+    # round-8 addition: the filter-model deployment twin (scores the
+    # PERSISTED NB model — steady-state cost of the classifier tier)
+    "doc_nb_persisted_classifier",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 from data_warehouse_punta_fina_spark.functions.money import pround
 from data_warehouse_punta_fina_spark.functions.text import tokens
 
+# parameter fingerprint for persisted NB models (parquet-footer-durable
+# column metadata, the ivfpq_build_index / minhash_band_keys discipline)
+NB_SCHEME = "nb-multinomial-laplace1-r6-v1"
+
 
 def nb_train(
     train: DataFrame,
@@ -60,7 +64,13 @@ def nb_train(
     toks_tr = train.select(
         lab.alias("_y"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    cond = toks_tr.groupBy("_y", "term").agg(F.count("*").alias("_c"))
+    # cond feeds THREE consumers (class totals, vocab size, the scoring
+    # join) — materialize so the train split is tokenized exactly once
+    cond = (
+        toks_tr.groupBy("_y", "term")
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     tots = cond.groupBy("_y").agg(F.sum("_c").alias("_tot"))
     priors = train.groupBy(lab.alias("_y")).agg(F.count("*").alias("_nd"))
     n_row = train.agg(F.count("*").alias("_n"))
@@ -114,7 +124,80 @@ def nb_classify(
     (k rows each — no global window anywhere).
     """
     cond, classes, consts = nb_train(train, text_col=text_col, label_col=label_col)
+    return _nb_score(
+        cond, classes, consts, test, text_col, id_col, label_col, broadcast_model
+    )
 
+
+def nb_save_model(
+    train: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Train the multinomial NB model ONCE and persist it — the filter-
+    model deployment shape (train on the labeled set as a one-off job;
+    every scoring run reads the stored model instead of re-tokenizing
+    the training corpus). Writes three parquet tables under
+    ``model_dir``: ``cond`` (the (class, term) counts — the model),
+    ``classes`` (priors + totals), ``consts`` (vocabulary size). The
+    scheme fingerprint rides the ``_c`` column's metadata;
+    :func:`nb_score_model` refuses a model without it, because scoring
+    under a different smoothing/rounding scheme silently corrupts every
+    margin. Training is deterministic, so scoring a persisted model
+    equals training in-query — what the oracle checks."""
+    cond, classes, consts = nb_train(train, text_col=text_col, label_col=label_col)
+    meta = {"scheme": NB_SCHEME, "logprob_scale": 6}
+    cond.select(
+        "_y", "term", F.col("_c").alias("_c", metadata=meta)
+    ).write.mode("overwrite").parquet(f"{model_dir}/cond")
+    classes.write.mode("overwrite").parquet(f"{model_dir}/classes")
+    consts.write.mode("overwrite").parquet(f"{model_dir}/consts")
+    return train.sparkSession.read.parquet(f"{model_dir}/cond")
+
+
+def nb_score_model(
+    test: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    broadcast_model: bool = True,
+    validate_model: bool = True,
+) -> DataFrame:
+    """Score documents against a PERSISTED NB model
+    (:func:`nb_save_model`) — no training job anywhere in the plan: the
+    model tables are small parquet reads (vocabulary-sized, broadcast),
+    and only the documents being scored are tokenized. Output and
+    semantics identical to :func:`nb_classify`."""
+    spark = test.sparkSession
+    cond = spark.read.parquet(f"{model_dir}/cond")
+    stored = dict(cond.schema["_c"].metadata or {})
+    if validate_model and stored.get("scheme") != NB_SCHEME:
+        raise ValueError(
+            "persisted NB model carries no (or an incompatible) scheme "
+            f"fingerprint (stored {stored.get('scheme')!r} != {NB_SCHEME!r}); "
+            "scoring under a mismatched smoothing/rounding scheme silently "
+            "corrupts every margin. Rebuild with nb_save_model, or pass "
+            "validate_model=False for a model KNOWN to match."
+        )
+    classes = spark.read.parquet(f"{model_dir}/classes")
+    consts = spark.read.parquet(f"{model_dir}/consts")
+    return _nb_score(
+        cond, classes, consts, test, text_col, id_col, label_col, broadcast_model
+    )
+
+
+def _nb_score(
+    cond: DataFrame,
+    classes: DataFrame,
+    consts: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    broadcast_model: bool,
+) -> DataFrame:
     te_post = (
         test.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")

@@ -670,3 +670,59 @@ def test_source_percentile_gate_semantics(spark):
     assert float(got[999]["pct_rank"]) == 0.0 and got[999]["keep"]
     kept_a = sum(1 for i in range(10) if got[i]["keep"])
     assert kept_a == 5  # pct in {0, 1/9, ..., 4/9} < 0.5
+
+
+def test_nb_persisted_model_scores_without_training(spark, tmp_path):
+    """The persisted NB model is the classifier tier's deployment shape:
+    scoring must equal in-query training bit for bit, must NOT re-scan
+    the training split (strictly fewer source touches in the plan), and
+    must reject a metadata-stripped model."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.classify import (
+        nb_classify,
+        nb_save_model,
+        nb_score_model,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "gato perro gato casa", "es"),
+            (2, "perro casa gato", "es"),
+            (3, "cat dog cat house", "en"),
+            (4, "dog house cat the", "en"),
+            (5, "the cat sat", "en"),
+        ],
+        "doc_id bigint, text string, label string",
+    )
+    test = spark.createDataFrame(
+        [(10, "gato casa perro", "es"), (11, "the cat dog", "en")],
+        "doc_id bigint, text string, label string",
+    )
+    mdl = str(tmp_path / "nb")
+    cond = nb_save_model(train, mdl)
+    assert dict(cond.schema["_c"].metadata)["scheme"].startswith("nb-multinomial")
+
+    persisted = nb_score_model(test, mdl)
+    inquery = nb_classify(train, test)
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, inquery.collect())
+    )
+
+    # no training job in the persisted plan: the model arrives as parquet
+    # scans of the stored tables (cond/classes/consts), never as aggregates
+    # over the train split
+    p_plan = persisted._jdf.queryExecution().executedPlan().toString()
+    # (FileScan locations elide long paths, so match the model dir)
+    assert p_plan.count("FileScan parquet") >= 3  # cond + classes + consts
+    assert "/nb/" in p_plan
+
+    # a metadata-stripped model is rejected (scheme fingerprint gone)
+    stripped = str(tmp_path / "stripped")
+    spark.read.parquet(f"{mdl}/cond").select(
+        "_y", "term", F.col("_c").alias("_c", metadata={})
+    ).write.parquet(f"{stripped}/cond")
+    spark.read.parquet(f"{mdl}/classes").write.parquet(f"{stripped}/classes")
+    spark.read.parquet(f"{mdl}/consts").write.parquet(f"{stripped}/consts")
+    with pytest.raises(ValueError, match="scheme"):
+        nb_score_model(test, stripped)
