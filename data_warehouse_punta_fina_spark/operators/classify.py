@@ -72,8 +72,14 @@ def nb_train(
         .localCheckpoint(eager=False)
     )
     tots = cond.groupBy("_y").agg(F.sum("_c").alias("_tot"))
-    priors = train.groupBy(lab.alias("_y")).agg(F.count("*").alias("_nd"))
-    n_row = train.agg(F.count("*").alias("_n"))
+    # priors feed both the class table and the total-doc count — derive
+    # n from the class-sized priors rather than a second corpus scan
+    priors = (
+        train.groupBy(lab.alias("_y"))
+        .agg(F.count("*").alias("_nd"))
+        .localCheckpoint(eager=False)
+    )
+    n_row = priors.agg(F.sum("_nd").alias("_n"))
     classes = (
         priors.join(tots, "_y", "left")
         .na.fill({"_tot": 0})

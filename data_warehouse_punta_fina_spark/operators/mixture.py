@@ -213,7 +213,11 @@ def temperature_sampling_rates(
     count aggregation and downstream fingerprint filter.
     """
     n = F.col(count_col).cast("long")
-    base = per_group.select(F.col(group_col), n.alias("n"))
+    # base feeds four consumers (total, shares, power sum, output) —
+    # materialize so the caller's corpus aggregation runs exactly once
+    base = per_group.select(F.col(group_col), n.alias("n")).localCheckpoint(
+        eager=False
+    )
     tot = base.agg(F.sum("n").alias("_tot"))
     shared = base.crossJoin(F.broadcast(tot)).select(
         group_col,

@@ -71,6 +71,18 @@ AUDITED = [
     "doc_curation_report",
     "events_value_band_rangejoin_bucketed",
     "orders_loo_priority_encoding",
+    # round-8 late additions: classifier training (broadcast-model
+    # scoring, no Window in the logreg trajectory), winnowing overlap
+    # (fingerprint-blocked join), DSIR (broadcast 256-row model +
+    # TakeOrderedAndProject), the persisted NB scorer (no training
+    # job in-plan), and the mixture/gate pair
+    "doc_nb_lang_classifier",
+    "doc_nb_persisted_classifier",
+    "doc_quality_logreg",
+    "doc_winnow_overlap",
+    "doc_dsir_sample",
+    "doc_temperature_resample",
+    "doc_source_quality_gate",
 ]
 
 
