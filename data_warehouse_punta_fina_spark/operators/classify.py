@@ -167,7 +167,7 @@ def nb_score_model(
     model_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    label_col: str = "label",
+    label_col: str | None = "label",
     broadcast_model: bool = True,
     validate_model: bool = True,
 ) -> DataFrame:
@@ -175,7 +175,10 @@ def nb_score_model(
     (:func:`nb_save_model`) — no training job anywhere in the plan: the
     model tables are small parquet reads (vocabulary-sized, broadcast),
     and only the documents being scored are tokenized. Output and
-    semantics identical to :func:`nb_classify`."""
+    semantics identical to :func:`nb_classify`. Pass ``label_col=None``
+    for UNLABELED documents (the production filter path): the output is
+    then ``(id_col, predicted, margin, n_tokens)`` — no actual/correct
+    columns."""
     spark = test.sparkSession
     cond = spark.read.parquet(f"{model_dir}/cond")
     stored = dict(cond.schema["_c"].metadata or {})
@@ -189,6 +192,18 @@ def nb_score_model(
         )
     classes = spark.read.parquet(f"{model_dir}/classes")
     consts = spark.read.parquet(f"{model_dir}/consts")
+    if label_col is None:
+        scored = _nb_score(
+            cond,
+            classes,
+            consts,
+            test.withColumn("_nb_lbl", F.lit(None).cast("string")),
+            text_col,
+            id_col,
+            "_nb_lbl",
+            broadcast_model,
+        )
+        return scored.select(id_col, "predicted", "margin", "n_tokens")
     return _nb_score(
         cond, classes, consts, test, text_col, id_col, label_col, broadcast_model
     )

@@ -1132,3 +1132,109 @@ def test_change_feed_drives_incremental_view_maintenance(spark, tmp_path):
     }
     assert "C" not in got  # extinct key dropped, not a zero row
     assert got["A"][1] == 2 and got["B"][1] == 2
+
+
+def test_classify_stream_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Streaming filter-model scoring (streaming/classify_stream.py):
+    drain chunked docs availableNow against a PERSISTED NB model — the
+    union of per-batch verdicts must equal one batch-mode scoring of all
+    docs (the model is static, so batch grouping cannot matter), and a
+    replayed batch overwrites its own partition (exactly-once)."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from data_warehouse_punta_fina_spark.operators.classify import (
+        nb_save_model,
+        nb_score_model,
+    )
+    from data_warehouse_punta_fina_spark.streaming.classify_stream import (
+        BATCH_COL,
+        classify_stream_batch,
+        run_classify_stream,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "a dog and the house", "en"),
+            (3, "el gato en la casa", "es"),
+            (4, "un perro y la alfombra", "es"),
+        ],
+        "doc_id bigint, text string, label string",
+    )
+    mdl = str(tmp_path / "model")
+    nb_save_model(train, mdl)
+
+    batches = [
+        [(10, "the cat and the dog"), (11, "el gato y el perro")],
+        [(12, "la casa de la alfombra"), (13, "a mat in the house")],
+        [(14, "zzz qqq"), (15, "")],  # unseen terms / empty doc
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{in_dir}/batch{i}", mode="overwrite"
+        )
+        import time as _t
+
+        _t.sleep(1.1)
+        for f in os.listdir(f"{in_dir}/batch{i}"):
+            if f.endswith(".parquet") and not f.startswith("."):
+                shutil.move(f"{in_dir}/batch{i}/{f}", f"{in_dir}/b{i}_{f}")
+        shutil.rmtree(f"{in_dir}/batch{i}")
+
+    scores_path = str(tmp_path / "scores")
+    q = run_classify_stream(
+        spark,
+        in_dir,
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        model_dir=mdl,
+        scores_path=scores_path,
+        keep_class="en",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    verdicts = spark.read.parquet(scores_path)
+    got = {
+        r["doc_id"]: (r["predicted"], r["margin"], r["n_tokens"], r["keep"])
+        for r in verdicts.collect()
+    }
+    assert verdicts.count() == 6 and len(got) == 6
+
+    # stream == batch: one scoring of all docs with the same model
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    want = {
+        r["doc_id"]: (r["predicted"], r["margin"], r["n_tokens"], r["predicted"] == "en" and r["margin"] >= 0.0)
+        for r in nb_score_model(all_docs, mdl, label_col=None).collect()
+    }
+    assert got == want
+    assert got[10][3] and not got[11][3]  # en kept, es dropped
+
+    # idempotent retry: re-running one batch through the foreachBatch body
+    # overwrites its own partition, leaving the union unchanged
+    grouping = {
+        r["doc_id"]: r[BATCH_COL]
+        for r in verdicts.select("doc_id", BATCH_COL).collect()
+    }
+    last = max(set(grouping.values()))
+    all_rows = {i: (i, t) for rows in batches for i, t in rows}
+    rows = [all_rows[i] for i, g in grouping.items() if g == last]
+    classify_stream_batch(
+        spark.createDataFrame(rows, schema), last, mdl, scores_path, "en"
+    )
+    again = spark.read.parquet(scores_path)
+    assert again.count() == 6
+    assert {
+        r["doc_id"]: (r["predicted"], r["margin"], r["n_tokens"], r["keep"])
+        for r in again.collect()
+    } == got
