@@ -699,12 +699,15 @@ def _build_registries():
         import os
 
         from data_warehouse_punta_fina_spark.operators.classify import (
+            NB_SCHEME,
             nb_save_model,
             nb_score_model,
         )
 
+        # the scheme version is part of the cache key: a future scheme bump
+        # re-trains instead of tripping the validator on a stale model
         fp = _data_fingerprint(sf_dir, "documents")
-        mdl = _index_cache_dir("nb_model", f"lang_b8_{fp}")
+        mdl = _index_cache_dir("nb_model", f"lang_b8_{NB_SCHEME}_{fp}")
         docs = load_table(spark, sf_dir, "documents")
         b = fingerprint("text") % 10
         if not os.path.exists(os.path.join(mdl, "cond", "_SUCCESS")):
