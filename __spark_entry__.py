@@ -714,6 +714,26 @@ def _build_registries():
             nb_save_model(docs.filter(b < 8), mdl, "text", "lang")
         return nb_score_model(docs.filter(b >= 8), mdl, "text", "doc_id", "lang")
 
+    def doc_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # active-learning batch selection (the curation labeling loop):
+        # the 50 held-out docs the NB filter model is LEAST sure about —
+        # smallest |best-vs-second| margin, the standard uncertainty
+        # criterion — i.e. the annotation queue that improves the filter
+        # fastest. TakeOrderedAndProject: per-partition top-k, no global
+        # sort; ties deterministic on doc_id.
+        from data_warehouse_punta_fina_spark.operators.classify import nb_classify
+
+        docs = load_table(spark, sf_dir, "documents")
+        b = fingerprint("text") % 10
+        scored = nb_classify(
+            docs.filter(b < 8), docs.filter(b >= 8), "text", "doc_id", "lang"
+        )
+        return (
+            scored.orderBy(F.abs(F.col("margin")).asc(), F.asc("doc_id"))
+            .limit(50)
+            .select("doc_id", "predicted", "margin")
+        )
+
     def doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken, SIGMOD
         # 2003 — the MOSS scheme): per-doc rightmost-min-of-window k-gram
@@ -3656,6 +3676,7 @@ def _build_registries():
         "doc_temperature_resample": doc_temperature_resample,
         "doc_source_quality_gate": doc_source_quality_gate,
         "doc_nb_persisted_classifier": doc_nb_persisted_classifier,
+        "doc_uncertainty_sample": doc_uncertainty_sample,
         "dedup_lineitem": dedup_lineitem,
         "doc_lang_resample": doc_lang_resample,
         "semantic_near_dup_crosscheck": semantic_near_dup_crosscheck,
@@ -5805,6 +5826,14 @@ FROM p
     # identical to in-query training; the oracle is reused verbatim (the
     # doc_incremental_dedup_persisted discipline)
     o["doc_nb_persisted_classifier"] = o["doc_nb_lang_classifier"]
+
+    # uncertainty sampling composes the NB oracle: smallest |margin| first,
+    # ties by doc_id — the active-learning labeling queue
+    o["doc_uncertainty_sample"] = (
+        "SELECT doc_id, predicted, margin FROM ("
+        + o["doc_nb_lang_classifier"]
+        + ") _u ORDER BY abs(margin), doc_id LIMIT 50"
+    )
 
     o["doc_pack_bins"] = f"""
 WITH t AS (

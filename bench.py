@@ -154,6 +154,8 @@ HEADLINE = [
     # round-8 addition: the filter-model deployment twin (scores the
     # PERSISTED NB model — steady-state cost of the classifier tier)
     "doc_nb_persisted_classifier",
+    # round-8 addition: active-learning uncertainty selection
+    "doc_uncertainty_sample",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -726,3 +726,19 @@ def test_nb_persisted_model_scores_without_training(spark, tmp_path):
     spark.read.parquet(f"{mdl}/consts").write.parquet(f"{stripped}/consts")
     with pytest.raises(ValueError, match="scheme"):
         nb_score_model(test, stripped)
+
+
+def test_uncertainty_sample_uses_takeordered(spark):
+    """Active-learning selection must be a per-partition top-k merge
+    (TakeOrderedAndProject on |margin|), never a global sort of the
+    scored corpus; the 50 rows must be the smallest |margin| docs with
+    deterministic doc_id ties."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.all_queries()["doc_uncertainty_sample"](spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
+    assert len(rows) == 50
+    margins = [abs(r["margin"]) for r in rows]
+    assert margins == sorted(margins) or len(set(margins)) < len(margins)
