@@ -60,9 +60,17 @@ def nb_train(
     documents are all empty (zero tokens — e.g. non-Latin scripts under an
     ASCII tokenizer) still gets a prior row (left join, ``_tot`` 0).
     """
+    from data_warehouse_punta_fina_spark.operators.dedup import _spread
+
     lab = F.col(label_col)
-    toks_tr = train.select(
-        lab.alias("_y"), F.explode(tokens(F.col(text_col))).alias("term")
+    # NULL labels would otherwise train a phantom NULL class that the
+    # argmax's nulls-first tie-break could PREFER (predicted=NULL, and a
+    # NULL keep verdict downstream) — drop them up front, the same
+    # discipline as the evaluation tier's null-score filter (ADVICE r7)
+    train = train.filter(lab.isNotNull())
+    # spread the raw rows before the tokenize (the _spread contract)
+    toks_tr = _spread(train.select(lab.alias("_y"), F.col(text_col))).select(
+        "_y", F.explode(tokens(F.col(text_col))).alias("term")
     )
     # cond feeds THREE consumers (class totals, vocab size, the scoring
     # join) — materialize so the train split is tokenized exactly once
@@ -219,8 +227,11 @@ def _nb_score(
     label_col: str,
     broadcast_model: bool,
 ) -> DataFrame:
+    from data_warehouse_punta_fina_spark.operators.dedup import _spread
+
     te_post = (
-        test.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        _spread(test.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("_tf"))
     )

@@ -121,6 +121,7 @@ def hashed_ngram_logratio(
         )
         t = both.select(F.col("_b"), F.col("_c_t").alias("_c")).filter(F.col("_c") > 0)
         r = both.select(F.col("_b"), F.col("_c_r").alias("_c"))
+        _require_target_mass(t)
     else:
         if target is None:
             raise ValueError("pass either a target frame or target_predicate")
@@ -128,6 +129,7 @@ def hashed_ngram_logratio(
         # materialize so each corpus is tokenized exactly once
         t = _bucket_counts(target, text_col, n_buckets).localCheckpoint(eager=False)
         r = _bucket_counts(raw, text_col, n_buckets).localCheckpoint(eager=False)
+        _require_target_mass(t)
     t_tot = t.agg(F.sum("_c").alias("_tt"))
     r_tot = r.agg(F.sum("_c").alias("_tr"))
     base = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
@@ -160,6 +162,21 @@ def hashed_ngram_logratio(
             ).alias("lam"),
         )
     )
+
+
+def _require_target_mass(t_counts) -> None:
+    """An empty target (predicate matching nothing, empty frame, or all-
+    empty texts) would make the target total NULL → every lam NULL →
+    every logw coalesced to 0 → the 'importance' sample silently degrades
+    to uniform Gumbel draws. Fail loudly instead. The probe materializes
+    the (checkpointed) count table the fit reuses, so it costs no extra
+    corpus scan."""
+    if not t_counts.head(1):
+        raise ValueError(
+            "DSIR target has zero n-gram mass (empty target frame/predicate "
+            "or all-empty texts): the importance weights would silently "
+            "degrade to uniform sampling. Check the target definition."
+        )
 
 
 def dsir_resample(

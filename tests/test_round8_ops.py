@@ -742,3 +742,43 @@ def test_uncertainty_sample_uses_takeordered(spark):
     assert len(rows) == 50
     margins = [abs(r["margin"]) for r in rows]
     assert margins == sorted(margins) or len(set(margins)) < len(margins)
+
+
+def test_nb_train_drops_null_labels_and_dsir_rejects_empty_target(spark):
+    """Review findings (round 8): NULL labels must not train a phantom
+    NULL class (whose nulls-first argmax tie-break could make
+    predicted=NULL and keep verdicts NULL downstream); an empty DSIR
+    target must raise instead of silently degrading the importance
+    weights to uniform Gumbel draws."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.classify import nb_classify
+    from data_warehouse_punta_fina_spark.operators.importance import (
+        hashed_ngram_logratio,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "gato perro casa", "es"),
+            (2, "cat dog house", "en"),
+            (3, "mystery words here", None),  # unlabeled -> dropped
+        ],
+        "doc_id bigint, text string, label string",
+    )
+    test = spark.createDataFrame(
+        [(10, "totally unseen terms", "en")],  # smoothing-only scores: the
+        # phantom-NULL-class bug would tie and predict NULL here
+        "doc_id bigint, text string, label string",
+    )
+    out = nb_classify(train, test).collect()
+    assert len(out) == 1 and out[0]["predicted"] in ("en", "es")
+
+    docs = spark.createDataFrame(
+        [(1, "some text", "en")], "doc_id bigint, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="zero n-gram mass"):
+        hashed_ngram_logratio(
+            None, docs, n_buckets=8, target_predicate=F.col("lang") == "EN"
+        )
+    with pytest.raises(ValueError, match="zero n-gram mass"):
+        hashed_ngram_logratio(docs.filter(F.col("lang") == "xx"), docs, n_buckets=8)
