@@ -63,6 +63,19 @@ GROUP BY n_name
 _DIM_MEMO: dict = {}
 
 
+def reset_session_memo() -> None:
+    """Unpersist and forget every session-memoized dim/fact frame.
+    Benchmarks use this to time a TRUE rebuild of the memoized flagship
+    (min-of-2 over full builds) — without it a second fact_ventas run
+    would measure the persisted cache, not the dataflow."""
+    for df in _DIM_MEMO.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session is fine
+            pass
+    _DIM_MEMO.clear()
+
+
 def _catalog(builder_name: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_warehouse_punta_fina_spark.plans import dims_catalog
@@ -238,20 +251,30 @@ def _index_cache_dir(family: str, key: str, keep: int = 4) -> str:
     force a rebuild at every step, hiding the steady-state search cost
     the persisted queries exist to show. Instead keep the ``keep`` most
     recently used slots per family (LRU by directory mtime) so .indexes/
-    stays bounded across testdata refreshes without intra-round churn."""
+    stays bounded across testdata refreshes without intra-round churn.
+
+    Relocation- and concurrency-safe (round-9): the cache root derives
+    from ``__file__`` (not a hard-coded path), and eviction skips any
+    entry touched within the last hour — a concurrent session (bench run
+    alongside pytest) can be actively scanning a sibling fingerprint, and
+    deleting it mid-query would fail that reader; an hour-old entry is a
+    previous testdata generation no live query can be reading."""
     import os
     import shutil
+    import time
 
-    fam_dir = f"/root/repo/.indexes/{family}"
+    fam_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".indexes", family)
     target = os.path.join(fam_dir, key)
     if os.path.isdir(fam_dir):
         others = [e for e in os.listdir(fam_dir) if e != key]
         if len(others) >= keep:
+            now = time.time()
             by_age = sorted(
                 others, key=lambda e: os.path.getmtime(os.path.join(fam_dir, e))
             )
             for entry in by_age[: len(others) - (keep - 1)]:
-                shutil.rmtree(os.path.join(fam_dir, entry), ignore_errors=True)
+                if now - os.path.getmtime(os.path.join(fam_dir, entry)) > 3600.0:
+                    shutil.rmtree(os.path.join(fam_dir, entry), ignore_errors=True)
     return target
 
 
@@ -1762,6 +1785,43 @@ def _build_registries():
 
         docs = load_table(spark, sf_dir, "documents")
         return bm25_topk(_spread(docs), _BM25_QUERIES, k=5)
+
+    def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-9 debut: hybrid retrieval — BM25 lexical + exact-cosine
+        # semantic candidates fused by reciprocal-rank fusion (Cormack
+        # 2009), the standard RAG retrieval combiner. Query-by-example:
+        # docs 1-4 are the queries (their tokens feed BM25 via a
+        # DataFrame — no driver collect; their embeddings feed the
+        # semantic side), self-matches excluded, top-20 candidates per
+        # list, rrf_k=60, final top-5. Semantic coverage is PARTIAL at
+        # sf0.1 (embeddings cover 2000 of 5000 docs) — exactly the
+        # production shape where the lexical index is fuller than the
+        # vector index, which is what RRF exists to absorb.
+        from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_topk_terms,
+            rrf_fuse,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        qids = [1, 2, 3, 4]
+        qterms = (
+            docs.filter(F.col("doc_id").isin(qids))
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(_tokens(F.col("text"))).alias("term"),
+            )
+            .distinct()
+        )
+        lex = bm25_topk_terms(
+            _spread(docs), qterms, k=20, exclude_query_doc=True
+        ).select("query_id", "doc_id", "rank")
+        sem = brute_force_topk(emb, emb.filter(F.col("vec_id").isin(qids)), k=20).select(
+            F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank")
+        )
+        return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
 
     def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # incremental ingestion: odd-id docs arrive as the "new batch" and
@@ -3652,11 +3712,16 @@ def _build_registries():
         "doc_incremental_dedup": doc_incremental_dedup,
     }
     assert len(reg) == 50, f"driver window must hold exactly 50 queries, got {len(reg)}"
+    _r9_debuts = {
+        # round-9 debut (r10 promotion candidate): hybrid BM25+ANN RRF
+        "doc_hybrid_rrf_search": doc_hybrid_rrf_search,
+    }
 
     # same-family variants + individual catalog dims: outside the driver's
     # window but still oracle-checked locally (tools/check_oracle.py) and
     # benched (bench.py). Builders stay first-class package code.
     extra = {
+        **_r9_debuts,
         "ventas_daily_summary": ventas_daily_summary,
         "discount_order_rollup": discount_order_rollup,
         "top_discount_line_per_order": top_discount_line_per_order,
@@ -3970,6 +4035,77 @@ def _build_registries():
     for _n in _promote_r8:
         reg[_n] = extra.pop(_n)
     for _n in _demote_r8:
+        extra[_n] = reg.pop(_n)
+
+    # ---- round-9 rotation (wave 14) ----------------------------------
+    # VERDICT r8 #1: finish the rotation — 24 slots = the full remaining
+    # never-driver-checked set (14 backlog + the 10 round-8 debuts), so
+    # after this wave the never-driver-checked backlog is ZERO. Every
+    # demotion is a driver-green veteran (2x green r7+r8, except
+    # events_trailing_dau whose exact family successor events_trailing_7d
+    # enters) whose family keeps an in-window carrier (noted inline);
+    # demotions stay oracle-checked in extras via tools/check_oracle.py.
+    # part_copurchase_assortativity stays in-window so the graph family
+    # keeps its carrier (triangles/pagerank/kcore are all in extras).
+    _promote_r9 = [
+        # -- the 14-query backlog (never driver-checked, older families)
+        "doc_bpe_token_counts",      # BPE apply + per-doc token counts
+        "doc_contrastive_pairs",     # anchor/positive/negative mining
+        "doc_lang_resample",         # per-language quota resampling
+        "doc_stratified_sample",     # proportional stratified sample
+        "emb_centroid_drift",        # per-cluster centroid drift
+        "events_interpolated_daily", # gap-fill + linear interpolation
+        "events_multiplicative_means",  # geometric/harmonic means
+        "events_trailing_7d",        # RANGE-frame trailing window
+        "events_type_drift_psi",     # per-type PSI drift
+        "files_provenance",          # input-file lineage rollup
+        "order_priority_exists",     # EXISTS/IN semi-join (bloom family carrier)
+        "semantic_near_dup_crosscheck",  # LSH×embedding near-dup agreement
+        "customer_order_distribution",   # count-of-counts histogram
+        "discount_order_rollup",     # ROLLUP hierarchy aggregate
+        # -- the 10 round-8 debuts (mirror-green at sf0.001, judge-sampled)
+        "corpus_training_batches",   # end-to-end curate→pack→manifest
+        "doc_incremental_dedup_persisted",  # persisted band-index dedup
+        "doc_nb_lang_classifier",    # NB train/score (oracle NULL-label fix r9)
+        "doc_nb_persisted_classifier",  # persisted filter model scoring
+        "doc_quality_logreg",        # logistic-regression GD trajectory
+        "doc_winnow_overlap",        # MOSS winnowing fingerprint overlap
+        "doc_dsir_sample",           # DSIR importance resampling
+        "doc_temperature_resample",  # p^tau mixture reweighting
+        "doc_source_quality_gate",   # per-source percentile gate
+        "doc_uncertainty_sample",    # active-learning margin sampling
+    ]
+    _demote_r9 = [
+        # r7-wave veterans, all 2x driver-green (r7+r8)
+        "dim_envio",                 # dim family: fact_ventas exercises all dim builds + SK lookups
+        "dim_impuestos",             # idem
+        "dim_orden",                 # idem
+        "dim_proveedor",             # idem
+        "ventas_daily_summary",      # multi-agg family: discount_order_rollup + customer_order_distribution enter
+        "top_discount_line_per_order",  # W3 top-1 carried by top_discount_lines_with_ties
+        "corpus_term_freq",          # token/corpus family: doc_bpe_token_counts + corpus_training_batches enter
+        "ann_ivfpq_topk",            # ANN keeps 4 carriers (sq8, ivf_trained, ivfpq_persisted, ivfpq_incremental)
+        "doc_quality_auc",           # evaluation tier carried by doc_quality_avg_precision + doc_quality_logreg
+        "doc_quality_lift",          # idem
+        "doc_quality_calibration",   # idem
+        "doc_quality_brier",         # idem
+        "doc_kfold_assignment",      # split family carried by doc_split_assignment
+        "weekly_revenue_theilsen",   # stats family: benford/corr_matrix stay, psi/interpolated enter
+        "revenue_pareto_parts",      # concentration family stable; pareto mirror-checked
+        "doc_prefix_jaccard_pairs",  # dedup carried by doc_simhash + winnow/persisted/crosscheck entering
+        "events_purchase_path_match",  # sequence family carried by events_transitions
+        "urgent_lineitems_bloom",    # semi-join family: order_priority_exists enters
+        "lsh_blocking_quality",      # blocking eval: semantic_near_dup_crosscheck enters
+        "orders_systematic_sample",  # sampling: stratified/lang_resample/uncertainty enter
+        "revenue_cusum_changepoint", # changepoint family mirror-checked; drift carried by PSI tiers
+        "events_ewma_daily",         # smoothing family: events_interpolated_daily enters
+        "doc_feature_hashing",       # features family: doc_bpe_token_counts enters
+        # 1x green, direct family swap
+        "events_trailing_dau",       # trailing family: events_trailing_7d is its RANGE-frame successor
+    ]
+    for _n in _promote_r9:
+        reg[_n] = extra.pop(_n)
+    for _n in _demote_r9:
         extra[_n] = reg.pop(_n)
     assert len(reg) == 50, f"post-rotation window must be 50, got {len(reg)}"
     return reg, extra
@@ -5630,7 +5766,7 @@ FROM b
     _nbr6 = "CAST(FLOOR(({e}) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6))"
     o["doc_nb_lang_classifier"] = f"""
 WITH lab AS (SELECT doc_id, text, lang, ({fingerprint}) % 10 AS b FROM documents),
-tr AS (SELECT * FROM lab WHERE b < 8),
+tr AS (SELECT * FROM lab WHERE b < 8 AND lang IS NOT NULL),
 te AS (SELECT * FROM lab WHERE b >= 8),
 cond AS (
   SELECT lang AS y, term, COUNT(*) AS c
@@ -6702,6 +6838,69 @@ per_doc AS (
 SELECT query_id, doc_id, score,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
 FROM per_doc QUALIFY rank <= 5
+"""
+
+    # Hybrid RRF retrieval: the doc_bm25_topk CTE chain with the query
+    # side drawn from documents 1-4's own tokens (query-by-example, self
+    # excluded, top-20), the ann_brute_topk cosine chain over the same
+    # query ids (top-20), fused by reciprocal rank 1/(60+rank) — each
+    # contribution round-6'd to DECIMAL(12,6) so the fused sum is exact,
+    # ties by doc_id, final top-5 per query.
+    o["doc_hybrid_rrf_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+postings0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings0 GROUP BY doc_id),
+postings AS (SELECT p.doc_id, p.term, p.tf, dl.dl FROM postings0 p JOIN dl USING (doc_id)),
+dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+nd AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+),
+q AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id IN (1, 2, 3, 4)),
+lexscored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST({_r6(bm25_s.replace("idf", "FLOOR(ln((nd.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * 1000000 + 0.5) / 1000000"))} AS DECIMAL(12,6)) AS s
+  FROM postings p JOIN q USING (term) JOIN dfs USING (term) CROSS JOIN nd
+  WHERE p.doc_id <> q.query_id
+),
+lexdoc AS (
+  SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM lexscored GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM lexdoc QUALIFY rank <= 20
+),
+eq AS (SELECT vec_id AS query_id, {_QUANT_VEC} AS qv FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+ec AS (SELECT vec_id, {_QUANT_VEC} AS cv FROM embeddings),
+semscored AS (
+  SELECT eq.query_id, ec.vec_id AS doc_id, {_cosine_sql("eq.qv", "ec.cv")} AS cosine
+  FROM eq, ec WHERE ec.vec_id <> eq.query_id
+),
+sem AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+  FROM semscored QUALIFY rank <= 20
+),
+contrib AS (
+  SELECT query_id, doc_id, CAST({_r6("1.0 / (60 + rank)")} AS DECIMAL(12,6)) AS c,
+         TRUE AS in_lex, FALSE AS in_sem FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, CAST({_r6("1.0 / (60 + rank)")} AS DECIMAL(12,6)) AS c,
+         FALSE AS in_lex, TRUE AS in_sem FROM sem
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS rrf_score,
+         MAX(in_lex) AS in_lex, MAX(in_sem) AS in_sem
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, in_lex, in_sem, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 5
 """
 
     # Self-trained unigram-LM surprisal: per-token ln(T/ct) round-6'd to

@@ -202,7 +202,10 @@ def _oracle_times(
     # lose the Spark timings too, which are the primary artifact. On
     # budget exhaustion the remaining oracles are SKIPPED AND NAMED
     # (no silent caps).
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "240"))
+    # raised 240 -> 270 in round 9: the Spark pass shrank ~30 s (min-of-2
+    # threshold change), so the bench wall has headroom to buy back some
+    # of the budget-skipped oracle tail
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "270"))
     started = time.time()
     skipped: list[str] = []
     for name in names:
@@ -252,7 +255,13 @@ def main() -> None:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # page-cache + file-listing warm for every table the anchor touches —
+    # anchor-first ordering (round 9) makes fact_ventas the first timed
+    # query, so cold parquet IO would otherwise land entirely on it (the
+    # baseline measures transform time, not first-touch disk reads)
+    for t in ("lineitem", "orders", "part", "customer", "supplier",
+              "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     warm = spark.range(10000).select(
         F.col("id"), (F.col("id") % 7).alias("k"), F.md5(F.col("id").cast("string")).alias("h")
     )
@@ -271,20 +280,36 @@ def main() -> None:
 
     # per-query fault isolation: one broken query must never zero the whole
     # artifact — record its error, keep timing the rest, always print JSON.
-    # Noise control (symmetric with the oracle's min-of-2 for fast
-    # oracles): queries whose first run lands under 2.5 s run once more
-    # and record the min — the host's scheduling noise swings sub-second
-    # queries up to 3× run-to-run (docs/BENCH_NOTES.md), and a second run
-    # of only the cheap tier adds ~15 s total.
+    # Noise control (round-9, VERDICT r8 #2 — the driver's r8 run read
+    # ~10% slower than the committed idle run of identical code, the
+    # inflation concentrated on sub-5 s queries): (a) the 28-query r4
+    # ANCHOR runs FIRST, before the heavy ANN/graph block heats the JVM
+    # and page cache, so the cross-round anchor series stops absorbing
+    # late-run context noise; (b) min-of-2 now covers every query whose
+    # first run lands under 5 s (was 2.5 s since round 5) — host
+    # scheduling noise swings these up to 3× run-to-run
+    # (docs/BENCH_NOTES.md) and the min is the stable statistic. Queries
+    # ≥ 5 s run once: their noise fraction is small and fact_ventas is
+    # session-memoized (a second run would measure the persisted cache,
+    # not the build).
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    ordered = R4_HEADLINE + [n for n in HEADLINE if n not in R4_HEADLINE]
+    for name in ordered:
         t0 = time.time()
         try:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             first = time.time() - t0
-            if first < 2.5:
+            if first < 5.0:
+                t1 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                first = min(first, time.time() - t1)
+            elif name == "fact_ventas":
+                # the flagship is session-memoized, so min-of-2 needs a
+                # memo reset to time a TRUE second build (the rerun also
+                # repopulates the memo for the downstream star queries)
+                entrymod.reset_session_memo()
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 first = min(first, time.time() - t1)
@@ -299,10 +324,13 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # methodology flag (round 5+): sub-2.5s queries record min-of-2 —
-        # cross-round per-query comparisons to r1-r4 single-run series
+        # methodology flags: sub-5s queries record min-of-2 (threshold was
+        # 2.5 s rounds 5-8) and the r4 anchor block runs first —
+        # cross-round per-query comparisons to earlier single-run series
         # should expect ~10-20% lower readings on the cheap tier
         "fast_query_min_of_2": True,
+        "min_of_2_threshold_sec": 5.0,
+        "anchor_first": True,
         # cross-round comparability: the headline GROWS as operator
         # families land (28 queries in r4 → 50 now), so the wall total is
         # NOT a like-for-like series. This is the sum over exactly the

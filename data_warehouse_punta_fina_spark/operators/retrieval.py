@@ -83,14 +83,6 @@ def bm25_topk(
     spark = docs.sparkSession
     postings, df_stats, dl = corpus_term_stats(docs, text_col, id_col)
 
-    # avgdl from the dl table, NOT a second tokens() scan over docs: dl
-    # shares the postings exchange, so the corpus is tokenized once per
-    # action (at 100 TB tokenization is the dominant map cost). n counts
-    # ALL docs (empty ones contribute 0 length but belong in the mean).
-    n_docs = docs.select(F.count("*").alias("n")).crossJoin(
-        dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("_total_dl"))
-    ).select(F.col("n"), (F.col("_total_dl") / F.col("n")).alias("avgdl"))
-
     qrows = [
         (qid, t)
         for qid, qtext in queries
@@ -98,7 +90,49 @@ def bm25_topk(
         for t in dict.fromkeys(w for w in re.split(TOKEN_SPLIT_RE, qtext.lower()) if w)
     ]
     qdf = spark.createDataFrame(qrows, "query_id int, term string")
+    return _bm25_rank(docs, qdf, k, id_col, postings, df_stats, dl)
 
+
+def bm25_topk_terms(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_query_doc: bool = False,
+) -> DataFrame:
+    """:func:`bm25_topk` with the query side as a DATAFRAME of
+    (query_id, term) rows instead of a literal list — the query-by-example
+    shape, where queries are themselves rows of a table (e.g. eval-set
+    documents whose lookalikes must be found; no driver-side collect of
+    query text anywhere). ``exclude_query_doc=True`` drops the
+    ``doc_id == query_id`` candidate before ranking (a document is
+    trivially its own best match). The query side must stay broadcastable
+    (queries × terms rows — fine for thousands of queries)."""
+    postings, df_stats, dl = corpus_term_stats(docs, text_col, id_col)
+    qdf = query_terms.select(
+        F.col("query_id"), F.col("term")
+    ).distinct()
+    return _bm25_rank(docs, qdf, k, id_col, postings, df_stats, dl, exclude_query_doc)
+
+
+def _bm25_rank(
+    docs: DataFrame,
+    qdf: DataFrame,
+    k: int,
+    id_col: str,
+    postings: DataFrame,
+    df_stats: DataFrame,
+    dl: DataFrame,
+    exclude_query_doc: bool = False,
+) -> DataFrame:
+    # avgdl from the dl table, NOT a second tokens() scan over docs: dl
+    # shares the postings exchange, so the corpus is tokenized once per
+    # action (at 100 TB tokenization is the dominant map cost). n counts
+    # ALL docs (empty ones contribute 0 length but belong in the mean).
+    n_docs = docs.select(F.count("*").alias("n")).crossJoin(
+        dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("_total_dl"))
+    ).select(F.col("n"), (F.col("_total_dl") / F.col("n")).alias("avgdl"))
     scored = (
         postings.join(F.broadcast(qdf), "term")
         .join(F.broadcast(df_stats.join(F.broadcast(qdf.select("term").distinct()), "term")), "term")
@@ -130,6 +164,8 @@ def bm25_topk(
             ),
         )
     )
+    if exclude_query_doc:
+        scored = scored.filter(F.col(id_col) != F.col("query_id"))
     per_doc = scored.groupBy("query_id", id_col).agg(
         F.sum("_s").cast("double").alias("score")
     )
@@ -137,6 +173,54 @@ def bm25_topk(
     return (
         per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    ranked_lists: dict[str, DataFrame],
+    k: int = 5,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    several per-query ranked candidate lists — the standard hybrid
+    retrieval combiner (lexical BM25 + semantic ANN in a RAG stack; no
+    score calibration needed because only RANKS enter the formula).
+
+    ``ranked_lists`` maps a list label → DataFrame with (query_id,
+    ``id_col``, rank) columns (rank 1-based, as produced by
+    :func:`bm25_topk` / ``similarity.brute_force_topk``). Each candidate's
+    fused score is Σ over lists of 1/(``rrf_k`` + rank), each term rounded
+    to DECIMAL(12,6) (portable fixed-point) so the sum is exact and
+    partition-order independent; ties break by ``id_col`` ascending.
+
+    Output: (query_id, id_col, rrf_score double, in_<label> boolean per
+    list, rank int), top-``k`` per query.
+
+    Scale shape: the inputs are already top-k'd per query (candidate-
+    bounded — queries × k rows each), so the union + group-by is
+    candidate-sized, never corpus-sized; no corpus data is touched here
+    at all. The per-query window runs over ≤ Σk candidates."""
+    labels = list(ranked_lists)
+    parts = []
+    for label, df in ranked_lists.items():
+        sel = df.select(
+            F.col("query_id"),
+            F.col(id_col),
+            pround(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank")), 6, 12).alias("_c"),
+            *[F.lit(lb == label).alias(f"_in_{lb}") for lb in labels],
+        )
+        parts.append(sel)
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy("query_id", id_col).agg(
+        F.sum("_c").cast("double").alias("rrf_score"),
+        *[F.max(f"_in_{lb}").alias(f"in_{lb}") for lb in labels],
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return fused.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
     )
 
 

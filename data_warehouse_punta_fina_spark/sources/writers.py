@@ -271,6 +271,43 @@ def write_excel(df: DataFrame, path: str, sheet_name: str = "datos") -> None:
     df.toPandas().to_excel(path, sheet_name=sheet_name, index=False)
 
 
+def write_excel_workbook(sheets: dict[str, DataFrame], path: str) -> None:
+    """Multi-sheet workbook export (S15; reference
+    `exportar_dimensiones_excel.py:25-171` writes ONE xlsx holding every
+    dim + fact + a summary sheet). ``sheets`` maps sheet name → DataFrame
+    in insertion order. Same posture as :func:`write_excel`: driver-side
+    by design (reporting artifact), per-sheet row-cap guard BEFORE any
+    data is fetched (all sheets validated up front so a failure can't
+    leave a half-written workbook), gated on openpyxl. Sheet names are
+    truncated to Excel's 31-char limit; a collision after truncation is
+    an error rather than a silent overwrite."""
+    if not sheets:
+        raise ValueError("write_excel_workbook needs at least one sheet")
+    import pandas as pd
+
+    names: dict[str, DataFrame] = {}
+    for name, df in sheets.items():
+        short = name[:31]
+        if short in names:
+            raise ValueError(f"sheet name collision after 31-char truncation: {short!r}")
+        names[short] = df
+    counts = {name: df.count() for name, df in names.items()}
+    over = {n: c for n, c in counts.items() if c > EXCEL_MAX_ROWS}
+    if over:
+        raise ValueError(
+            f"Excel sheets cap at {EXCEL_MAX_ROWS} rows — over-limit sheets: {over}"
+        )
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env without openpyxl
+        raise NotImplementedError(
+            "Excel export requires openpyxl — not available in this container"
+        ) from e
+    with pd.ExcelWriter(path, engine="openpyxl") as writer:
+        for name, df in names.items():
+            df.toPandas().to_excel(writer, sheet_name=name, index=False)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -307,6 +344,17 @@ def idempotent_append_jdbc(
 ) -> None:
     """Conflict-ignoring insert (S13): Spark JDBC has no ON CONFLICT, so
     dedupe-before-write via left_anti against the target's current keys
-    (reference `main.py:408-414`)."""
+    (reference `main.py:408-414`).
+
+    SINGLE-WRITER assumption (documented, not enforced): the read of
+    ``existing_keys`` and the append are not one atomic statement, so two
+    loaders appending the same keys concurrently can both pass the
+    anti-join and duplicate rows — unlike the reference's PG-native
+    ``ON CONFLICT DO NOTHING``, which is atomic per row. This matches the
+    reference ETL's actual deployment (one sequential loader). If
+    concurrent writers are ever needed, route the load through
+    ``sources.txlog`` (its commit protocol serializes appends and makes
+    replays idempotent) or enforce a DB-side unique constraint and accept
+    per-batch failures as the conflict signal."""
     fresh = df.join(existing_keys.select(*keys), on=keys, how="left_anti")
     write_jdbc(fresh, url, table, mode="append", **options)

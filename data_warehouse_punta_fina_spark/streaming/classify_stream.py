@@ -54,10 +54,17 @@ def classify_stream_batch(
     scored = nb_score_model(
         batch, model_dir, text_col=text_col, id_col=id_col, label_col=None
     )
+    # margin is NULL when the persisted model has a single class (lead()
+    # over one candidate row yields NULL) — coalesce the verdict to an
+    # explicit False so such docs are visible drops, never NULL rows that
+    # silently vanish from a downstream filter(keep).
     verdicts = scored.withColumn(
         "keep",
-        (F.col("predicted") == F.lit(keep_class))
-        & (F.col("margin") >= F.lit(float(min_margin))),
+        F.coalesce(
+            (F.col("predicted") == F.lit(keep_class))
+            & (F.col("margin") >= F.lit(float(min_margin))),
+            F.lit(False),
+        ),
     )
     (
         verdicts.withColumn(BATCH_COL, F.lit(int(batch_id)))

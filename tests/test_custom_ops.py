@@ -215,6 +215,49 @@ def test_write_excel_guards(spark, tmp_path):
         writers.write_excel(too_big, str(tmp_path / "big.xlsx"))
 
 
+def test_write_excel_workbook(spark, tmp_path):
+    """S15 parity with the reference's one-workbook export
+    (exportar_dimensiones_excel.py:25-171): several dims + a summary
+    sheet land in ONE xlsx; guards fire before any sheet is fetched."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.sources import writers
+
+    sheets = {
+        "dim_a": spark.range(5).select(F.col("id").alias("sk")),
+        "dim_b": spark.range(3).select(F.col("id").alias("sk")),
+        "dim_c": spark.range(2).select(F.col("id").alias("sk")),
+        "resumen": spark.createDataFrame(
+            [("dim_a", 5), ("dim_b", 3), ("dim_c", 2)], "tabla string, filas int"
+        ),
+    }
+    path = str(tmp_path / "warehouse.xlsx")
+    try:
+        import openpyxl
+
+        writers.write_excel_workbook(sheets, path)
+        wb = openpyxl.load_workbook(path)
+        assert wb.sheetnames == ["dim_a", "dim_b", "dim_c", "resumen"]
+        assert wb["dim_b"].max_row == 4  # header + 3 rows
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="openpyxl"):
+            writers.write_excel_workbook(sheets, path)
+
+    # guards: empty mapping, over-limit sheet (validated before fetch),
+    # 31-char truncation collision
+    with _pytest.raises(ValueError, match="at least one"):
+        writers.write_excel_workbook({}, path)
+    with _pytest.raises(ValueError, match="over-limit"):
+        writers.write_excel_workbook(
+            {"ok": sheets["dim_a"], "big": spark.range(writers.EXCEL_MAX_ROWS + 1)}, path
+        )
+    long_a = "x" * 31 + "a"
+    long_b = "x" * 31 + "b"
+    with _pytest.raises(ValueError, match="collision"):
+        writers.write_excel_workbook({long_a: sheets["dim_a"], long_b: sheets["dim_b"]}, path)
+
+
 def test_random_projection_preserves_distances_and_is_deterministic(spark):
     """JL with ±1 (Achlioptas) directions: projected pairwise distance
     ratios concentrate around sqrt(out/in) of the originals; signs derive

@@ -875,6 +875,47 @@ def test_bm25_topk_ranks_by_relevance(spark):
     assert a == b
 
 
+def test_rrf_fuse_known_values_and_query_by_example(spark):
+    """RRF (round 9): fused score is Σ round6(1/(60+rank)); a doc on both
+    lists outranks a higher-ranked doc on one list when the sums say so;
+    presence flags are per-list; bm25_topk_terms excludes the query doc."""
+    import math
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_topk_terms,
+        rrf_fuse,
+    )
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id int, doc_id int, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id int, doc_id int, rank int"
+    )
+    out = {r["doc_id"]: (r["rrf_score"], r["in_lex"], r["in_sem"], r["rank"])
+           for r in rrf_fuse({"lex": lex, "sem": sem}, k=4).collect()}
+    # doc 11: lex rank 2 + sem rank 1 -> 1/62 + 1/61 beats doc 10's 1/61
+    assert out[11] == (r6(1 / 62) + r6(1 / 61), True, True, 1)
+    assert out[10] == (r6(1 / 61), True, False, 2)
+    assert out[13] == (r6(1 / 62), False, True, 3)
+    assert out[12] == (r6(1 / 63), True, False, 4)
+
+    # query-by-example BM25: doc 1's own tokens as the query; doc 1 itself
+    # is excluded from the ranking
+    docs = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "spark window"), (3, "hash join")],
+        "doc_id int, text string",
+    )
+    qterms = spark.createDataFrame(
+        [(1, "spark"), (1, "window"), (1, "agg")], "query_id int, term string"
+    )
+    got = [(r["doc_id"], r["rank"]) for r in
+           bm25_topk_terms(docs, qterms, k=3, exclude_query_doc=True)
+           .orderBy("rank").collect()]
+    assert got[0][0] == 2 and all(d != 1 for d, _ in got)
+
+
 def test_unigram_surprisal_known_values(spark):
     """Corpus 'a a a b': p(a)=3/4, p(b)=1/4. Doc1='a a a b' mean =
     (3*ln(4/3)+ln(4))/4; doc2 is empty -> null."""

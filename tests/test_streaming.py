@@ -1238,3 +1238,33 @@ def test_classify_stream_matches_batch_and_is_idempotent(spark, tmp_path):
         r["doc_id"]: (r["predicted"], r["margin"], r["n_tokens"], r["keep"])
         for r in again.collect()
     } == got
+
+
+def test_classify_stream_single_class_model_drops_explicitly(spark, tmp_path):
+    """ADVICE r8: a model trained on ONE class yields NULL margin (lead()
+    over a single candidate row) — the verdict must coalesce to an
+    explicit keep=False, never a NULL that silently vanishes from a
+    downstream filter(keep)."""
+    from data_warehouse_punta_fina_spark.operators.classify import nb_save_model
+    from data_warehouse_punta_fina_spark.streaming.classify_stream import (
+        classify_stream_batch,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"), (2, "a dog and the house", "en")],
+        "doc_id bigint, text string, label string",
+    )
+    mdl = str(tmp_path / "model1c")
+    nb_save_model(train, mdl)
+
+    batch = spark.createDataFrame(
+        [(10, "the cat and the dog")], "doc_id bigint, text string"
+    )
+    scores_path = str(tmp_path / "scores1c")
+    classify_stream_batch(batch, 0, mdl, scores_path, keep_class="en")
+    rows = spark.read.parquet(scores_path).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["predicted"] == "en" and r["margin"] is None
+    # the load-bearing assertion: False, not None
+    assert r["keep"] is False

@@ -5,6 +5,15 @@ trade scan fraction for recall; this prints the actual trade at the given
 SF so docs/SCALE.md claims stay measured, not asserted.
 
     python tools/ann_recall.py [sf_dir] [k]
+    python tools/ann_recall.py --json [sf_dir] [k]
+
+``--json`` (round-9, VERDICT r8 #5) runs only the FIXED regression panel
+— the quantizer tiers a green oracle can't protect (oracles pin exactness
+of the *chosen* candidates, not recall) — and writes RECALL.json at the
+repo root so recall is tracked round-over-round: sq8/pq/ivf_trained/
+ivfpq at pinned parameters, plus the PERSISTED ivfpq index (built fresh
+in a temp dir each run; deterministic training means it must equal the
+in-query tier at identical parameters — the panel asserts that too).
 """
 
 from __future__ import annotations
@@ -13,6 +22,19 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the pinned regression panel: tier name -> floor it must not drop below
+# (floors are the sf0.01 measured values minus a small guard band; a
+# quantizer regression shows up as a floor breach in RECALL.json)
+PANEL_FLOORS = {
+    "sq8_rerank20": 0.95,
+    "pq8x8_rerank50": 0.70,
+    "ivf_trained16_p8": 0.85,
+    "ivf_trained32_p12": 0.85,
+    "ivfpq_c64_p9_m16k16_r100": 0.80,
+    "ivfpq_c32_p4_m8k32_r100": 0.75,
+    "ivfpq_persisted_c32_p4_m8k32_r100": 0.75,
+}
 
 
 def main() -> None:
@@ -26,8 +48,10 @@ def main() -> None:
     )
     from data_warehouse_punta_fina_spark.sources.readers import load_table
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    argv = [a for a in sys.argv[1:] if a != "--json"]
+    as_json = "--json" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    k = int(argv[1]) if len(argv) > 1 else 5
 
     spark = get_spark("ann_recall")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -143,6 +167,63 @@ def main() -> None:
         "ivfpq_c32_p4_m8k32_r100": 4 / 32,
         "ivf_trained64_p8": 8 / 64,
     }
+    if as_json:
+        # the fixed regression panel + the persisted-index twin
+        import json
+        import shutil
+        import tempfile
+
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_search_index,
+        )
+
+        idx_dir = tempfile.mkdtemp(prefix="recall_ivfpq_")
+        try:
+            ivfpq_build_index(
+                emb, idx_dir, n_cells=32, m=8, n_centroids=32, iters=3
+            )
+            tiers["ivfpq_persisted_c32_p4_m8k32_r100"] = ivfpq_search_index(
+                queries, emb, idx_dir, k=k, probes=4, rerank=100,
+                n_cells=32, m=8, n_centroids=32, iters=3,
+            )
+            scan_fraction["ivfpq_persisted_c32_p4_m8k32_r100"] = 4 / 32
+            out = {
+                "sf_dir": sf_dir,
+                "corpus": n_corpus,
+                "queries": 32,
+                "k": k,
+                "tiers": {},
+                "floor_breaches": [],
+            }
+            for name in PANEL_FLOORS:
+                got = pair_set(tiers[name])
+                recall = len(got & truth) / max(len(truth), 1)
+                out["tiers"][name] = {
+                    "recall_at_k": round(recall, 4),
+                    "scan_fraction": round(scan_fraction[name], 4),
+                    "floor": PANEL_FLOORS[name],
+                }
+                if recall < PANEL_FLOORS[name]:
+                    out["floor_breaches"].append(name)
+            # the persisted index MUST equal its in-query twin exactly
+            # (deterministic md5-seeded training) — a mismatch means the
+            # build/search split diverged from the composed operator
+            out["persisted_equals_inquery"] = pair_set(
+                tiers["ivfpq_persisted_c32_p4_m8k32_r100"]
+            ) == pair_set(tiers["ivfpq_c32_p4_m8k32_r100"])
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "RECALL.json",
+            )
+            with open(path, "w") as fh:
+                json.dump(out, fh, indent=1, sort_keys=True)
+            print(json.dumps(out, sort_keys=True))
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+        return
+
     print(f"corpus={n_corpus} queries=32 k={k} sf_dir={sf_dir}")
     print(f"{'tier':24s} {'recall@k':>9s} {'~scan':>7s}")
     for name, df in tiers.items():
