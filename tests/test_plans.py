@@ -276,6 +276,29 @@ def test_bm25_tokenizes_corpus_once(spark):
     assert plan.count("ReusedExchange") >= 1, "postings exchange was not reused"
 
 
+def test_hybrid_rrf_plan_broadcasts_queries_and_reuses_tokenize(spark):
+    """doc_hybrid_rrf_search (round 9): the lexical side must join the
+    corpus postings against BROADCAST query terms (queries are 4 docs;
+    shuffling the corpus on term for them would be the 100 TB mistake),
+    the semantic side must broadcast the 4 query vectors, and the corpus
+    tokenize exchange must be runtime-reused, not recomputed per branch.
+    The RRF fusion itself only ever sees top-k'd candidates."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.all_queries()
+    df = qs["doc_hybrid_rrf_search"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:600]
+    assert "CartesianProduct" not in plan
+    assert plan.count("ReusedExchange") >= 1, "postings exchange was not reused"
+    # every tokenize sits inside the postings/query-terms explode
+    for line in plan.splitlines():
+        if "split(lower(" in line:
+            assert "Generate explode" in line, line.strip()[:200]
+
+
 def test_results_invariant_under_adversarial_shuffle_partitions(spark):
     """Cluster-determinism gate: representative queries from the decimal-
     sum, window-chain, and LSH families must produce IDENTICAL results
