@@ -41,6 +41,9 @@ def process_dataframe(
     process_func: Callable[[pd.DataFrame], pd.DataFrame],
     job_name: str,
     output_schema: str,
+    retries: int = 0,
+    retry_delay: float = 0.0,
+    timeout: float | None = None,
 ) -> tuple[DataFrame, BatchReport]:
     """Apply a pandas callable to every Arrow batch of ``df``.
 
@@ -48,17 +51,46 @@ def process_dataframe(
     is materialized here (one pass, counted via accumulators). The
     callable contract matches the reference's ``process_func(chunk)``
     (`core/batch_processor.py:68-71`).
+
+    Reference-parity knobs (`core/batch_processor.py:182-199`), each
+    mapped to its Spark-native seam:
+
+    - ``retries`` / ``retry_delay``: per-BATCH retry of the callable,
+      executor-side, before the exception escalates to Spark's own task
+      retry (``spark.task.maxFailures``) — the reference's
+      retry-with-delay loop around one chunk. Retried attempts are
+      counted in ``report.extra['batch_retries']``. Only use for
+      callables with transient failures (e.g. remote enrichment); a
+      deterministic bug should fail fast.
+    - ``timeout``: per-JOB wall-clock bound. Spark has no per-task
+      timeout primitive, so the materializing action runs under a
+      dedicated job group and the group is CANCELLED when the deadline
+      passes (``TimeoutError``) — the engine-correct form of the
+      reference's per-chunk ``timeout`` (which kills the worker
+      process): partial work stops cluster-wide, nothing leaks.
     """
     sc = df.sparkSession.sparkContext
     rows_in = sc.accumulator(0)
     rows_out = sc.accumulator(0)
     batches = sc.accumulator(0)
+    batch_retries = sc.accumulator(0)
 
     def runner(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows_in.add(len(pdf))
             batches.add(1)
-            out = process_func(pdf)
+            attempt = 0
+            while True:
+                try:
+                    out = process_func(pdf)
+                    break
+                except Exception:
+                    attempt += 1
+                    if attempt > retries:
+                        raise
+                    batch_retries.add(1)
+                    if retry_delay > 0:
+                        time.sleep(retry_delay)
             rows_out.add(len(out))
             yield out
 
@@ -66,7 +98,10 @@ def process_dataframe(
     result = df.mapInPandas(runner, schema=output_schema)
     # materialize once so the accumulators are final (noop sink: no driver
     # collect, full distributed execution)
-    result.write.format("noop").mode("overwrite").save()
+    if timeout is None:
+        result.write.format("noop").mode("overwrite").save()
+    else:
+        _run_with_job_timeout(result, job_name, timeout)
     report = BatchReport(
         job_name=job_name,
         total_rows_in=rows_in.value,
@@ -74,4 +109,37 @@ def process_dataframe(
         n_batches=batches.value,
         seconds=round(time.time() - t0, 3),
     )
+    if retries > 0:
+        report.extra["batch_retries"] = batch_retries.value
     return result, report
+
+
+def _run_with_job_timeout(result: DataFrame, job_name: str, timeout: float) -> None:
+    """Materialize ``result`` under a job group that is cancelled if the
+    wall clock passes ``timeout`` seconds; raises ``TimeoutError`` then."""
+    import threading
+
+    sc = result.sparkSession.sparkContext
+    group = f"batch:{job_name}:{id(result)}"
+    err: list[BaseException] = []
+
+    def _go() -> None:
+        try:
+            sc.setJobGroup(group, job_name, interruptOnCancel=True)
+            result.write.format("noop").mode("overwrite").save()
+        except BaseException as exc:  # noqa: BLE001 — relayed to caller
+            err.append(exc)
+        finally:
+            sc.setJobGroup("", "")
+
+    th = threading.Thread(target=_go, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        sc.cancelJobGroup(group)
+        th.join(30)  # let the cancellation land
+        raise TimeoutError(
+            f"batch job {job_name!r} exceeded {timeout} s and was cancelled"
+        )
+    if err:
+        raise err[0]

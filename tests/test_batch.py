@@ -24,6 +24,63 @@ def test_process_dataframe_contract_and_report(spark):
     assert result.filter(F.col("doubled") == F.col("id") * 2).count() == 1000
 
 
+def test_process_dataframe_per_batch_retry(spark, tmp_path):
+    """Reference parity (core/batch_processor.py:182-199): a transiently
+    failing callable succeeds under retries= without failing the Spark
+    task; the retry count surfaces in the report; with retries=0 the
+    same failure escalates."""
+    import pandas as pd
+    import pytest
+
+    from data_warehouse_punta_fina_spark.batch import process_dataframe
+
+    marker = tmp_path / "transient_ok"
+    mpath = str(marker)
+
+    def flaky(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        if not os.path.exists(mpath):
+            with open(mpath, "w") as fh:
+                fh.write("x")
+            raise RuntimeError("transient")
+        return pd.DataFrame({"id": pdf["id"]})
+
+    df = spark.range(100).coalesce(1)
+    result, report = process_dataframe(
+        df, flaky, "flaky", "id long", retries=2, retry_delay=0.05
+    )
+    assert report.total_rows_out == 100
+    assert report.extra["batch_retries"] >= 1
+
+    marker.unlink()
+    with pytest.raises(Exception):
+        process_dataframe(df, flaky, "flaky0", "id long", retries=0)
+
+
+def test_process_dataframe_job_timeout(spark):
+    """timeout= cancels the materializing job group once the wall clock
+    passes the deadline (Spark's per-job form of the reference's chunk
+    timeout) and raises TimeoutError promptly, not after the callable
+    would have finished."""
+    import time as _time
+
+    import pandas as pd
+    import pytest
+
+    from data_warehouse_punta_fina_spark.batch import process_dataframe
+
+    def slow(pdf: pd.DataFrame) -> pd.DataFrame:
+        _time.sleep(60)
+        return pdf
+
+    df = spark.range(8).coalesce(1)
+    t0 = _time.time()
+    with pytest.raises(TimeoutError):
+        process_dataframe(df, slow, "slow", "id long", timeout=3.0)
+    assert _time.time() - t0 < 45  # cancelled, not waited out
+
+
 def test_salted_agg_equals_direct(spark, sf_dir):
     from data_warehouse_punta_fina_spark.functions.money import pround2
     from data_warehouse_punta_fina_spark.operators.skew import salted_agg
