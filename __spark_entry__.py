@@ -954,6 +954,41 @@ def _build_registries():
         emb = load_table(spark, sf_dir, "embeddings")
         return kmeans_quality_report(emb, n_centroids=16, iters=2)
 
+    def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-9 debut: cluster-balanced diversity selection (the
+        # SemDeDup/DataComp curation pattern) — k-means the embedding
+        # space (the same deterministic 16-cell/2-iter quantizer as the
+        # IVF tiers), then draw an EQUAL md5-ranked quota of 20 per
+        # cluster: topical diversity a proportional or uniform sample
+        # cannot give (dominant clusters stop dominating the corpus).
+        # Scale shape: centroids broadcast for assignment, the quota
+        # window partitions on cid, nothing global; cluster_n rides a
+        # 16-row broadcast join.
+        from data_warehouse_punta_fina_spark.functions.vectors import quantize
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            _assign,
+            kmeans_fit,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = kmeans_fit(emb, k=16, iters=2)
+        cv = emb.select("vec_id", quantize("embedding").alias("qvec"))
+        assigned = _assign(cv, cent, "vec_id").select("vec_id", "cid")
+        sizes = assigned.groupBy("cid").agg(F.count("*").alias("cluster_n"))
+        key = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("|cbal")))
+        w = Window.partitionBy("cid").orderBy(key, F.col("vec_id"))
+        return (
+            assigned.withColumn("pick_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("pick_rank") <= 20)
+            .join(F.broadcast(sizes), "cid")
+            .select(
+                "vec_id",
+                "cid",
+                F.col("cluster_n").cast("int").alias("cluster_n"),
+                "pick_rank",
+            )
+        )
+
     def doc_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contrastive training-pair mining: positives = LSH-verified
         # near-dup pairs (both orientations anchor), negatives = 3
@@ -3713,8 +3748,10 @@ def _build_registries():
     }
     assert len(reg) == 50, f"driver window must hold exactly 50 queries, got {len(reg)}"
     _r9_debuts = {
-        # round-9 debut (r10 promotion candidate): hybrid BM25+ANN RRF
+        # round-9 debuts (r10 promotion candidates): hybrid BM25+ANN RRF
+        # and cluster-balanced diversity selection
         "doc_hybrid_rrf_search": doc_hybrid_rrf_search,
+        "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -6902,6 +6939,22 @@ SELECT query_id, doc_id, rrf_score, in_lex, in_sem, CAST(rank AS INT) AS rank FR
   FROM fused
 ) WHERE rank <= 5
 """
+
+    # Cluster-balanced diversity sample: the _kmeans_cells_sql chain's
+    # final assignment (af) + per-cid md5-ranked quota of 20 — the exact
+    # twin of kmeans_fit + _assign + the stratified-sampler window.
+    o["emb_cluster_balanced_sample"] = (
+        "WITH " + ",\n".join(_kmeans_cells_sql(16, 2)) + ",\n"
+        "sizes AS (SELECT cid, COUNT(*) AS cluster_n FROM af GROUP BY cid),\n"
+        "ranked AS (\n"
+        "  SELECT vec_id, cid,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY md5(CAST(vec_id AS VARCHAR) || '|cbal'), vec_id) AS pick_rank\n"
+        "  FROM af\n"
+        ")\n"
+        "SELECT r.vec_id, r.cid, CAST(s.cluster_n AS INT) AS cluster_n,\n"
+        "       CAST(r.pick_rank AS INT) AS pick_rank\n"
+        "FROM ranked r JOIN sizes s USING (cid) WHERE r.pick_rank <= 20"
+    )
 
     # Self-trained unigram-LM surprisal: per-token ln(T/ct) round-6'd to
     # DECIMAL(12,6), exact decimal weighted sum per doc, one double

@@ -156,6 +156,11 @@ HEADLINE = [
     "doc_nb_persisted_classifier",
     # round-8 addition: active-learning uncertainty selection
     "doc_uncertainty_sample",
+    # round-9 additions: hybrid BM25+cosine RRF retrieval (query-by-
+    # example over the shared tokenize exchange) and cluster-balanced
+    # diversity selection (k-means quota sampling, SemDeDup/DataComp)
+    "doc_hybrid_rrf_search",
+    "emb_cluster_balanced_sample",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
