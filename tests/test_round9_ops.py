@@ -1,0 +1,64 @@
+"""Round-9 operator gates: session-memo reset, RRF determinism under
+adversarial partitioning, and cluster-balanced quota invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_reset_session_memo_rebuilds_identically(spark):
+    """bench.py times the flagship min-of-2 via reset_session_memo(): the
+    reset must empty the memo AND a rebuilt fact must be row-identical to
+    the first build (determinism of the whole dataflow, not just the
+    cache)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    q = entrymod.all_queries()["fact_ventas"]
+    first = {(r["venta_id"]): (r["total"], r["cliente_id"]) for r in q(spark, sf).collect()}
+    assert len(entrymod._DIM_MEMO) > 0
+    entrymod.reset_session_memo()
+    assert entrymod._DIM_MEMO == {}
+    second = {(r["venta_id"]): (r["total"], r["cliente_id"]) for r in q(spark, sf).collect()}
+    assert first == second
+
+
+def test_rrf_fusion_invariant_under_adversarial_partitions(spark):
+    """The hybrid query's fused scores are decimal sums of rounded rank
+    reciprocals — identical rows under a hostile shuffle-partition count
+    (the cluster-determinism gate the driver's value hash relies on)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.all_queries()
+    sf = "/root/testdata/sf0.001"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        a = sorted(map(tuple, qs["doc_hybrid_rrf_search"](spark, sf).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(map(tuple, qs["doc_hybrid_rrf_search"](spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a == b
+
+
+def test_cluster_balanced_sample_quota_invariants(spark):
+    """Every cluster contributes min(cluster_n, 20) rows with dense
+    pick_ranks 1..q, and picks are a subset of the cluster's members —
+    the equal-quota contract that makes the draw diversity-preserving."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.all_queries()
+    sf = "/root/testdata/sf0.001"
+    rows = qs["emb_cluster_balanced_sample"](spark, sf).collect()
+    by_cid: dict = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], []).append(r)
+    assert len(by_cid) > 1  # the 16-cell fit must not collapse to one cell
+    for cid, members in by_cid.items():
+        n = members[0]["cluster_n"]
+        expect = min(n, 20)
+        assert len(members) == expect, (cid, n, len(members))
+        assert sorted(m["pick_rank"] for m in members) == list(range(1, expect + 1))
+    # equal quotas: every cluster with >= 20 members contributes exactly 20
+    big = [cid for cid, m in by_cid.items() if m[0]["cluster_n"] >= 20]
+    assert all(len(by_cid[cid]) == 20 for cid in big)
