@@ -1240,6 +1240,105 @@ def test_classify_stream_matches_batch_and_is_idempotent(spark, tmp_path):
     } == got
 
 
+def test_ann_stream_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Streaming similarity search (streaming/ann_stream.py): drain
+    chunked query vectors availableNow against a PERSISTED IVF-PQ index —
+    the union of per-batch neighbor lists must equal one batch-mode
+    search of all queries (searches are per-query independent and the
+    index is static), and a replayed batch overwrites its own partition
+    (exactly-once)."""
+    import os
+    import shutil
+    import time as _t
+
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.ann_stream import (
+        BATCH_COL,
+        ann_stream_batch,
+        run_ann_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    params = dict(n_cells=8, m=8, n_centroids=8, iters=1)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build_index(emb, idx, **params)
+
+    qids = [[1, 2], [3, 4], [5, 6]]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, ids in enumerate(qids):
+        emb.filter(F.col("vec_id").isin(ids)).coalesce(1).write.parquet(
+            f"{in_dir}/batch{i}", mode="overwrite"
+        )
+        _t.sleep(1.1)
+        for f in os.listdir(f"{in_dir}/batch{i}"):
+            if f.endswith(".parquet") and not f.startswith("."):
+                shutil.move(f"{in_dir}/batch{i}/{f}", f"{in_dir}/b{i}_{f}")
+        shutil.rmtree(f"{in_dir}/batch{i}")
+
+    results_path = str(tmp_path / "results")
+    q = run_ann_stream(
+        spark,
+        in_dir,
+        emb.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_dir=idx,
+        corpus=emb,
+        results_path=results_path,
+        k=3,
+        probes=2,
+        rerank=10,
+        max_files_per_trigger=1,
+        **params,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in spark.read.parquet(results_path).collect()
+    }
+    all_q = emb.filter(F.col("vec_id").isin([i for ids in qids for i in ids]))
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivfpq_search_index(
+            all_q, emb, idx, k=3, probes=2, rerank=10, **params
+        ).collect()
+    }
+    assert len(got) == 6 * 3 and got == want
+
+    # idempotent retry: re-running one batch through the foreachBatch body
+    # overwrites its own partition, leaving the union unchanged
+    verdicts = spark.read.parquet(results_path)
+    grouping = {
+        r["query_id"]: r[BATCH_COL]
+        for r in verdicts.select("query_id", BATCH_COL).collect()
+    }
+    last = max(set(grouping.values()))
+    replay_ids = [i for i, g in grouping.items() if g == last]
+    ann_stream_batch(
+        emb.filter(F.col("vec_id").isin(replay_ids)),
+        last,
+        idx,
+        emb,
+        results_path,
+        k=3,
+        probes=2,
+        rerank=10,
+        **params,
+    )
+    again = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in spark.read.parquet(results_path).collect()
+    }
+    assert again == want
+
+
 def test_classify_stream_single_class_model_drops_explicitly(spark, tmp_path):
     """ADVICE r8: a model trained on ONE class yields NULL margin (lead()
     over a single candidate row) — the verdict must coalesce to an
