@@ -4144,6 +4144,25 @@ def _build_registries():
         reg[_n] = extra.pop(_n)
     for _n in _demote_r9:
         extra[_n] = reg.pop(_n)
+
+    # ---- round-9 debut promotion (wave 14b) --------------------------
+    # New operators get a driver row in their debut round (the
+    # ann_ivfpq_persisted_topk precedent) — with these two in, NO query
+    # in the registry is left never-driver-checked after this round's
+    # window. Both are mirror-green at sf0.001 AND sf0.01. Demotions are
+    # r8-wave members (1x green) with in-window family carriers.
+    _promote_r9b = [
+        "doc_hybrid_rrf_search",      # hybrid BM25+cosine RRF (retrieval family enters)
+        "emb_cluster_balanced_sample",  # k-means quota diversity selection
+    ]
+    _demote_r9b = [
+        "doc_length_histogram",       # 1x green r8; profile family carried by orders_profile
+        "doc_split_assignment",       # 1x green r8; selection family carried by stratified/lang_resample/uncertainty (all in-window)
+    ]
+    for _n in _promote_r9b:
+        reg[_n] = extra.pop(_n)
+    for _n in _demote_r9b:
+        extra[_n] = reg.pop(_n)
     assert len(reg) == 50, f"post-rotation window must be 50, got {len(reg)}"
     return reg, extra
 
