@@ -216,3 +216,72 @@ def test_dedup_segments_matches_naive_reference(spark, seg_lists):
         for r in dedup_segments(df, F.col("segs"), "doc_id").collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # per list label: (query_id, doc_id, rank-ordering seed)
+        st.lists(
+            st.tuples(st.integers(1, 3), st.integers(10, 25)),
+            min_size=0,
+            max_size=12,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_rrf_fuse_matches_python_reference(spark, lists):
+    """Fuzz reciprocal-rank fusion against a sequential Python reference:
+    contributions round6(1/(60+rank)), exact sums, ties by doc id — the
+    fused top-k must match for any number of lists, overlaps, and
+    per-query coverage gaps."""
+    import math
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import rrf_fuse
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    k = 4
+    # build rank-1..n lists per (label, query) deterministically: order by
+    # the doc id sequence as generated (unique pairs), rank = position
+    ranked = {}
+    for li, pairs in enumerate(lists):
+        per_q: dict = {}
+        for q, d in pairs:
+            per_q.setdefault(q, [])
+            if d not in per_q[q]:
+                per_q[q].append(d)
+        ranked[f"l{li}"] = [
+            (q, d, i + 1) for q, ds in per_q.items() for i, d in enumerate(ds)
+        ]
+
+    # python reference
+    agg: dict = {}
+    for label, rows in ranked.items():
+        for q, d, rk in rows:
+            e = agg.setdefault((q, d), [0.0, set()])
+            e[0] = round(e[0] + r6(1.0 / (60 + rk)), 6)
+            e[1].add(label)
+    want = {}
+    by_q: dict = {}
+    for (q, d), (s, labels) in agg.items():
+        by_q.setdefault(q, []).append((-s, d, labels))
+    for q, items in by_q.items():
+        items.sort()
+        for i, (negs, d, labels) in enumerate(items[:k]):
+            want[(q, d)] = (-negs, labels, i + 1)
+
+    dfs = {}
+    for label, rows in ranked.items():
+        dfs[label] = spark.createDataFrame(
+            rows or [(None, None, None)], "query_id int, doc_id int, rank int"
+        ).filter("query_id is not null")
+    got = {}
+    for r in rrf_fuse(dfs, k=k).collect():
+        labels = {lb for lb in dfs if r[f"in_{lb}"]}
+        got[(r["query_id"], r["doc_id"])] = (
+            round(r["rrf_score"], 6),
+            labels,
+            r["rank"],
+        )
+    assert got == want
