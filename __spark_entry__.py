@@ -1103,6 +1103,45 @@ def _build_registries():
             F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
         )
 
+    def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-9 debut: LEAKAGE-SAFE corpus splitting — near-duplicate
+        # documents must land on the same side of a train/eval boundary,
+        # or eval leaks training content (the contamination mode that
+        # plain per-doc hash splitting cannot prevent: cross-split
+        # twins). Compose the verified pieces: LSH near-dup pairs →
+        # connected components → the 80/10/10 bucket derives from the
+        # CLUSTER id's md5 (13 hex digits → exact 2^52-range integer),
+        # so every member inherits its cluster's side. Scale shape: the
+        # cluster step is the O(log n)-capable components operator; the
+        # bucket is a pure function of cluster_id — no extra shuffle
+        # beyond the components themselves.
+        from data_warehouse_punta_fina_spark.operators.dedup import dedup_clusters
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+        clusters = dedup_clusters(docs.select("doc_id"), pairs, max_iter=30).select(
+            "doc_id", "cluster_id"
+        )
+        digits = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cluster_id").cast("string"), F.lit("|leak"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        bucket = F.pmod(digits, F.lit(10)).cast("int")
+        return clusters.select(
+            "doc_id",
+            "cluster_id",
+            bucket.alias("bucket"),
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+
     def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decontamination: test-split documents sharing ≥3 distinct
         # 3-gram shingles with any train-split document (the leakage check
@@ -3748,10 +3787,12 @@ def _build_registries():
     }
     assert len(reg) == 50, f"driver window must hold exactly 50 queries, got {len(reg)}"
     _r9_debuts = {
-        # round-9 debuts (r10 promotion candidates): hybrid BM25+ANN RRF
-        # and cluster-balanced diversity selection
+        # round-9 debuts: hybrid BM25+ANN RRF and cluster-balanced
+        # diversity selection (both promoted in-round, wave 14b);
+        # leakage-safe splitting stays an extra (r10 candidate)
         "doc_hybrid_rrf_search": doc_hybrid_rrf_search,
         "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
+        "doc_leakage_safe_split": doc_leakage_safe_split,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -5757,6 +5798,32 @@ FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
     o["doc_split_assignment"] = f"""
 WITH b AS (SELECT doc_id, CAST(({fingerprint}) % 10 AS INT) AS bucket FROM documents)
 SELECT doc_id, bucket,
+       CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+    # leakage-safe split: the reachability-closure clusters (the
+    # doc_dedup_clusters oracle) + an 80/10/10 bucket hashed from the
+    # CLUSTER id — every member of a near-dup family inherits one side
+    o["doc_leakage_safe_split"] = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+b AS (
+  SELECT doc_id, cluster_id,
+         CAST(({_hex13("md5(CAST(cluster_id AS VARCHAR) || '|leak')")}) % 10 AS INT) AS bucket
+  FROM clusters
+)
+SELECT doc_id, cluster_id, bucket,
        CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
 FROM b
 """

@@ -41,6 +41,30 @@ def test_rrf_fusion_invariant_under_adversarial_partitions(spark):
     assert a == b
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The defining property: every member of a near-dup cluster lands on
+    the SAME side of the split (a cross-split twin is eval leakage), the
+    80/10/10 shape holds roughly at the cluster level, and singleton
+    docs still split deterministically."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.all_queries()
+    rows = qs["doc_leakage_safe_split"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # no cluster straddles the boundary
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # multi-member clusters exist in this corpus (otherwise the test is vacuous)
+    sizes: dict = {}
+    for r in rows:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    assert any(n > 1 for n in sizes.values())
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"}
+
+
 def test_cluster_balanced_sample_quota_invariants(spark):
     """Every cluster contributes min(cluster_n, 20) rows with dense
     pick_ranks 1..q, and picks are a subset of the cluster's members —
