@@ -161,6 +161,8 @@ HEADLINE = [
     # diversity selection (k-means quota sampling, SemDeDup/DataComp)
     "doc_hybrid_rrf_search",
     "emb_cluster_balanced_sample",
+    # round-9 addition: near-dup-cluster-cohesive train/eval splitting
+    "doc_leakage_safe_split",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
