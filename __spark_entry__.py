@@ -1897,6 +1897,47 @@ def _build_registries():
         )
         return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
 
+    def doc_hybrid_rrf_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-9 debut: the SCALE PATH of the hybrid — identical RRF
+        # fusion, but the semantic candidates come from the trained-IVF
+        # quantizer (16 cells, nprobe=3: probe cells, never the corpus)
+        # instead of the brute-force scan. At 100 TB this is the shape
+        # that runs: the brute twin (doc_hybrid_rrf_search) is the
+        # recall ceiling it trades against.
+        from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_topk_terms,
+            rrf_fuse,
+        )
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            ivf_trained_topk,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        qids = [1, 2, 3, 4]
+        qterms = (
+            docs.filter(F.col("doc_id").isin(qids))
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(_tokens(F.col("text"))).alias("term"),
+            )
+            .distinct()
+        )
+        lex = bm25_topk_terms(
+            _spread(docs), qterms, k=20, exclude_query_doc=True
+        ).select("query_id", "doc_id", "rank")
+        sem = ivf_trained_topk(
+            emb,
+            emb.filter(F.col("vec_id").isin(qids)),
+            k=20,
+            n_centroids=16,
+            iters=2,
+            probes=3,
+        ).select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank"))
+        return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
+
     def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # incremental ingestion: odd-id docs arrive as the "new batch" and
         # dedupe against the even-id indexed corpus (band join new×index,
@@ -3793,6 +3834,7 @@ def _build_registries():
         "doc_hybrid_rrf_search": doc_hybrid_rrf_search,
         "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
         "doc_leakage_safe_split": doc_leakage_safe_split,
+        "doc_hybrid_rrf_search_ivf": doc_hybrid_rrf_search_ivf,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -7002,6 +7044,71 @@ ec AS (SELECT vec_id, {_QUANT_VEC} AS cv FROM embeddings),
 semscored AS (
   SELECT eq.query_id, ec.vec_id AS doc_id, {_cosine_sql("eq.qv", "ec.cv")} AS cosine
   FROM eq, ec WHERE ec.vec_id <> eq.query_id
+),
+sem AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+  FROM semscored QUALIFY rank <= 20
+),
+contrib AS (
+  SELECT query_id, doc_id, CAST({_r6("1.0 / (60 + rank)")} AS DECIMAL(12,6)) AS c,
+         TRUE AS in_lex, FALSE AS in_sem FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, CAST({_r6("1.0 / (60 + rank)")} AS DECIMAL(12,6)) AS c,
+         FALSE AS in_lex, TRUE AS in_sem FROM sem
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS rrf_score,
+         MAX(in_lex) AS in_lex, MAX(in_sem) AS in_sem
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, in_lex, in_sem, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 5
+"""
+
+    # Scale-path hybrid: same BM25 lexical chain, semantic candidates
+    # from the trained-IVF cells (nprobe=3, the _kmeans_cells_sql chain),
+    # identical RRF fusion. CTE namespaces are disjoint by construction
+    # (bm25: toks/postings*/dfs/nd/q/lex*; kmeans: v/c*/d*/a*/u*/df/af).
+    _kparts = ",\n".join(_kmeans_cells_sql(16, 2))
+    o["doc_hybrid_rrf_search_ivf"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+postings0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings0 GROUP BY doc_id),
+postings AS (SELECT p.doc_id, p.term, p.tf, dl.dl FROM postings0 p JOIN dl USING (doc_id)),
+dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+nd AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+),
+q AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id IN (1, 2, 3, 4)),
+lexscored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST({_r6(bm25_s.replace("idf", "FLOOR(ln((nd.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * 1000000 + 0.5) / 1000000"))} AS DECIMAL(12,6)) AS s
+  FROM postings p JOIN q USING (term) JOIN dfs USING (term) CROSS JOIN nd
+  WHERE p.doc_id <> q.query_id
+),
+lexdoc AS (
+  SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM lexscored GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM lexdoc QUALIFY rank <= 20
+),
+{_kparts},
+qf AS (
+  SELECT vec_id AS query_id, qv, cid FROM df WHERE vec_id IN (1, 2, 3, 4)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 3
+),
+semscored AS (
+  SELECT qf.query_id, af.vec_id AS doc_id, {_cosine_sql("qf.qv", "af.qv")} AS cosine
+  FROM qf JOIN af ON qf.cid = af.cid AND af.vec_id <> qf.query_id
 ),
 sem AS (
   SELECT query_id, doc_id,

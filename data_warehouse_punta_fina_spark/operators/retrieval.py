@@ -201,6 +201,8 @@ def rrf_fuse(
     bounded — queries × k rows each), so the union + group-by is
     candidate-sized, never corpus-sized; no corpus data is touched here
     at all. The per-query window runs over ≤ Σk candidates."""
+    if not ranked_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     labels = list(ranked_lists)
     parts = []
     for label, df in ranked_lists.items():
