@@ -915,6 +915,11 @@ def test_rrf_fuse_known_values_and_query_by_example(spark):
            .orderBy("rank").collect()]
     assert got[0][0] == 2 and all(d != 1 for d, _ in got)
 
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse({}, k=3)
+
 
 def test_unigram_surprisal_known_values(spark):
     """Corpus 'a a a b': p(a)=3/4, p(b)=1/4. Doc1='a a a b' mean =

@@ -298,6 +298,15 @@ def test_hybrid_rrf_plan_broadcasts_queries_and_reuses_tokenize(spark):
         if "split(lower(" in line:
             assert "Generate explode" in line, line.strip()[:200]
 
+    # the scale-path twin: semantic candidates come from the trained-IVF
+    # cell join (equi-join on cid), never a corpus-wide cosine crossJoin
+    df2 = qs["doc_hybrid_rrf_search_ivf"](spark, "/root/testdata/sf0.001")
+    df2.collect()
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan2
+    assert "CartesianProduct" not in plan2
+    assert plan2.count("BroadcastHashJoin") >= 2, plan2[:600]
+
 
 def test_results_invariant_under_adversarial_shuffle_partitions(spark):
     """Cluster-determinism gate: representative queries from the decimal-
