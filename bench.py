@@ -163,6 +163,8 @@ HEADLINE = [
     "emb_cluster_balanced_sample",
     # round-9 addition: near-dup-cluster-cohesive train/eval splitting
     "doc_leakage_safe_split",
+    # round-9 addition: the hybrid's scale path (trained-IVF semantic side)
+    "doc_hybrid_rrf_search_ivf",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
@@ -245,6 +247,7 @@ def _oracle_times(
 
 
 def main() -> None:
+    wall0 = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
@@ -418,6 +421,11 @@ def main() -> None:
         "value_r4_subset_28q": out["value_r4_subset_28q"],
         "vs_oracle_median": out.get("vs_oracle_median"),
         "n_oracle_skipped": len(out.get("oracle_skipped", [])),
+        # total process wall (warmup + timed passes + reruns + oracle):
+        # `value` is the min-of-runs SUM, so a driver-context slowdown
+        # shows up here first — round-9 diagnostic for the bench-timeout
+        # and run-context questions
+        "wall_sec": round(time.time() - wall0, 1),
         "detail": "BENCH_DETAIL.json",
     }
     # also persist the compact object (VERDICT r7 #7) so the driver's
