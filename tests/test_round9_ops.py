@@ -65,6 +65,57 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert splits == {"train", "val", "test"}
 
 
+def test_luhn_valid_known_card_numbers(spark):
+    """Luhn checksum (functions.text.luhn_valid): canonical test numbers
+    validate, off-by-one digits fail, non-digit/empty input is NULL —
+    the precision gate for card-like <NUMBER> PII candidates, computed
+    entirely in codegen (no UDF)."""
+    from data_warehouse_punta_fina_spark.functions.text import luhn_valid
+
+    rows = [
+        (1, "4539578763621486", True),   # canonical Visa test number
+        (2, "4539578763621487", False),  # last digit off by one
+        (3, "79927398713", True),        # the classic Luhn example
+        (4, "79927398710", False),
+        (5, "378282246310005", True),    # 15-digit Amex test number
+        (6, "1234567812345678", False),
+        (7, "4539 5787 6362 1486", None),  # spaces: caller must strip first
+        (8, "", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], "id int, digits string"
+    )
+    got = {r["id"]: r["ok"] for r in df.select("id", luhn_valid("digits").alias("ok")).collect()}
+    want = {i: v for i, _, v in rows}
+    assert got == want
+    # python cross-check over a digit sweep: appending the correct check
+    # digit always validates, any other check digit never does
+    import random
+
+    rng = random.Random(7)
+    bodies = ["".join(rng.choice("0123456789") for _ in range(15)) for _ in range(10)]
+
+    def check_digit(body: str) -> str:
+        digits = [int(d) for d in body][::-1]
+        s = 0
+        for i, d in enumerate(digits):
+            if i % 2 == 0:  # positions that double once the check digit appends
+                d *= 2
+                if d > 9:
+                    d -= 9
+            s += d
+        return str((10 - s % 10) % 10)
+
+    cases = []
+    for b in bodies:
+        cd = check_digit(b)
+        for d in "0123456789":
+            cases.append((b + d, d == cd))
+    df2 = spark.createDataFrame(cases, "digits string, want boolean")
+    bad = df2.filter(luhn_valid("digits") != F.col("want")).count()
+    assert bad == 0
+
+
 def test_cluster_balanced_sample_quota_invariants(spark):
     """Every cluster contributes min(cluster_n, 20) rows with dense
     pick_ranks 1..q, and picks are a subset of the cluster's members —
