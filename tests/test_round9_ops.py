@@ -32,10 +32,16 @@ def test_rrf_fusion_invariant_under_adversarial_partitions(spark):
     qs = entrymod.all_queries()
     sf = "/root/testdata/sf0.001"
     saved = spark.conf.get("spark.sql.shuffle.partitions")
+    names = [
+        "doc_hybrid_rrf_search",
+        "doc_hybrid_rrf_search_ivf",
+        "emb_cluster_balanced_sample",
+        "doc_leakage_safe_split",
+    ]
     try:
-        a = sorted(map(tuple, qs["doc_hybrid_rrf_search"](spark, sf).collect()))
+        a = {n: sorted(map(tuple, qs[n](spark, sf).collect())) for n in names}
         spark.conf.set("spark.sql.shuffle.partitions", "3")
-        b = sorted(map(tuple, qs["doc_hybrid_rrf_search"](spark, sf).collect()))
+        b = {n: sorted(map(tuple, qs[n](spark, sf).collect())) for n in names}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert a == b
