@@ -263,17 +263,25 @@ def _index_cache_dir(family: str, key: str, keep: int = 4) -> str:
     import shutil
     import time
 
+    def _mtime(path: str) -> float:
+        # a concurrent session may delete an entry between listdir and
+        # stat (ADVICE r9); treat a vanished entry as already evicted
+        # (age 0 → sorts oldest AND fails the >1h grace, so it is
+        # neither re-deleted nor does it fail the build)
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return time.time()
+
     fam_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".indexes", family)
     target = os.path.join(fam_dir, key)
     if os.path.isdir(fam_dir):
         others = [e for e in os.listdir(fam_dir) if e != key]
         if len(others) >= keep:
             now = time.time()
-            by_age = sorted(
-                others, key=lambda e: os.path.getmtime(os.path.join(fam_dir, e))
-            )
+            by_age = sorted(others, key=lambda e: _mtime(os.path.join(fam_dir, e)))
             for entry in by_age[: len(others) - (keep - 1)]:
-                if now - os.path.getmtime(os.path.join(fam_dir, entry)) > 3600.0:
+                if now - _mtime(os.path.join(fam_dir, entry)) > 3600.0:
                     shutil.rmtree(os.path.join(fam_dir, entry), ignore_errors=True)
     return target
 

@@ -116,28 +116,46 @@ def process_dataframe(
 
 def _run_with_job_timeout(result: DataFrame, job_name: str, timeout: float) -> None:
     """Materialize ``result`` under a job group that is cancelled if the
-    wall clock passes ``timeout`` seconds; raises ``TimeoutError`` then."""
+    wall clock passes ``timeout`` seconds; raises ``TimeoutError`` then.
+
+    The job group must be set from INSIDE the worker thread (PySpark's
+    pinned-thread mode — the default since 3.2 — makes setJobGroup
+    thread-local; without pinned mode all Python threads share one JVM
+    thread and the cancel could hit unrelated concurrent jobs, so this
+    helper assumes PYSPARK_PIN_THREAD). To close the race where a very
+    short timeout fires before the thread reaches setJobGroup (cancel
+    would then cancel nothing and the job would run on after
+    TimeoutError — ADVICE r9), the deadline only starts counting after
+    a ``grouped`` event confirms the group is set."""
     import threading
+    import time as _time
 
     sc = result.sparkSession.sparkContext
     group = f"batch:{job_name}:{id(result)}"
     err: list[BaseException] = []
+    grouped = threading.Event()
 
     def _go() -> None:
         try:
             sc.setJobGroup(group, job_name, interruptOnCancel=True)
+            grouped.set()
             result.write.format("noop").mode("overwrite").save()
         except BaseException as exc:  # noqa: BLE001 — relayed to caller
             err.append(exc)
         finally:
+            grouped.set()  # thread died pre-group: unblock the waiter
             sc.setJobGroup("", "")
 
     th = threading.Thread(target=_go, daemon=True)
+    deadline = _time.time() + timeout
     th.start()
-    th.join(timeout)
+    grouped.wait(timeout)  # group set (or thread dead) before arming cancel
+    th.join(max(0.0, deadline - _time.time()))
     if th.is_alive():
         sc.cancelJobGroup(group)
         th.join(30)  # let the cancellation land
+        if th.is_alive():
+            sc.cancelJobGroup(group)  # retry once if the first raced setJobGroup
         raise TimeoutError(
             f"batch job {job_name!r} exceeded {timeout} s and was cancelled"
         )

@@ -218,7 +218,12 @@ def luhn_valid(col: Column | str) -> Column:
     empty/non-digit input (the caller's regex guarantees digits; this
     guards composition bugs rather than hiding them)."""
     c = F.col(col) if isinstance(col, str) else col
-    digits = F.split(c, "")
+    # split(c, "") emitting exactly one element per character with no
+    # trailing "" has differed across Spark/Java versions (a trailing
+    # empty token would NULL the aggregate and flip the doubling
+    # parity) — filter empties out so the checksum is engine-version
+    # independent (ADVICE r9)
+    digits = F.filter(F.split(c, ""), lambda d: d != F.lit(""))
     n = F.size(digits)
     total = F.aggregate(
         F.transform(
