@@ -407,14 +407,25 @@ def main() -> None:
     # BENCH_DETAIL.json for humans/judges), then print a compact summary
     # as the LAST line so the tail window always contains one complete,
     # parseable JSON object with the headline numbers.
+    # Artifact provenance (VERDICT r9 #4): the committed BENCH_DETAIL /
+    # BENCH_SUMMARY artifacts represent deliberate idle-machine runs;
+    # any other invocation (the driver's per-round run, ad-hoc SF
+    # sweeps) writes the *_driver.json twins (gitignored) so the
+    # working tree stays clean and the committed artifacts' provenance
+    # is unambiguous. Set SPARK_GRAFT_BENCH_COMMIT=1 to write the
+    # committed filenames.
+    _commit_run = os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1"
+    _suffix = "" if _commit_run else "_driver"
+    detail_name = f"BENCH_DETAIL{_suffix}.json"
+    summary_name = f"BENCH_SUMMARY{_suffix}.json"
     print(json.dumps(out))
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w"
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name), "w"
         ) as fh:
             json.dump(out, fh, indent=1)
     except OSError as exc:
-        print(f"bench: could not persist BENCH_DETAIL.json: {exc}", file=sys.stderr)
+        print(f"bench: could not persist {detail_name}: {exc}", file=sys.stderr)
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -430,21 +441,19 @@ def main() -> None:
         # shows up here first — round-9 diagnostic for the bench-timeout
         # and run-context questions
         "wall_sec": round(time.time() - wall0, 1),
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     # also persist the compact object (VERDICT r7 #7) so the driver's
     # stdout tail capture is not load-bearing at all — it can parse
     # either the last stdout line or this artifact
     try:
         with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"
-            ),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), summary_name),
             "w",
         ) as fh:
             json.dump(compact, fh, indent=1)
     except OSError as exc:
-        print(f"bench: could not persist BENCH_SUMMARY.json: {exc}", file=sys.stderr)
+        print(f"bench: could not persist {summary_name}: {exc}", file=sys.stderr)
     print(json.dumps(compact))
     spark.stop()
     # exit 0 iff at least one query produced a timing; the JSON lines above
