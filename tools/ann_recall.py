@@ -5,7 +5,7 @@ trade scan fraction for recall; this prints the actual trade at the given
 SF so docs/SCALE.md claims stay measured, not asserted.
 
     python tools/ann_recall.py [sf_dir] [k]
-    python tools/ann_recall.py --json [sf_dir] [k]
+    python tools/ann_recall.py --json [sf_dir ...] [k]
 
 ``--json`` (round-9, VERDICT r8 #5) runs only the FIXED regression panel
 — the quantizer tiers a green oracle can't protect (oracles pin exactness
@@ -14,6 +14,9 @@ repo root so recall is tracked round-over-round: sq8/pq/ivf_trained/
 ivfpq at pinned parameters, plus the PERSISTED ivfpq index (built fresh
 in a temp dir each run; deterministic training means it must equal the
 in-query tier at identical parameters — the panel asserts that too).
+Since round 10 (VERDICT r9 #3) the panel runs at BOTH sf0.01 and sf0.1
+by default, with per-SF floors (recall is corpus-size sensitive), and
+RECALL.json carries one block per SF under ``panels``.
 """
 
 from __future__ import annotations
@@ -23,28 +26,52 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the pinned regression panel: tier name -> floor it must not drop below.
-# Floors are calibrated to the MEASURED sf0.01 values (500-vector corpus;
-# r9 run: sq8 1.000, pq8x8 0.631, trained16_p8 0.919, trained32_p12
-# 0.944, ivfpq_c64 0.844, ivfpq_c32 0.850, persisted 0.850) minus a
-# ~0.05 guard band — a quantizer regression shows up as a floor breach
-# in RECALL.json, which only a recall metric can catch (oracles pin
-# exactness of the chosen candidates, not recall).
+# the pinned regression panel: tier name -> floor it must not drop
+# below, PER SF (round-10, VERDICT r9 #3): recall is corpus-size
+# sensitive — pq8x8_rerank50 measures 0.631 on the 500-vector sf0.01
+# corpus but 0.469 on the 2000-vector sf0.1 corpus (a fixed rerank
+# budget over 4x the candidates; the ivfpq rows with richer codebooks
+# hold 0.90+ at both sizes), so a single-SF floor would either
+# false-alarm or be blind at the other size. Floors are the MEASURED
+# values (r9 run at sf0.01: sq8 1.000, pq8x8 0.631, trained16_p8
+# 0.919, trained32_p12 0.944, ivfpq_c64 0.844, ivfpq_c32 0.850,
+# persisted 0.850; r10 run at sf0.1: sq8 1.000, pq8x8 0.469,
+# trained16_p8 0.906, trained32_p12 0.956, ivfpq_c64 0.919, ivfpq_c32
+# 0.906, persisted 0.906) minus a ~0.05 guard band — a quantizer
+# regression shows up as a floor breach in RECALL.json, which only a
+# recall metric can catch (oracles pin exactness of the chosen
+# candidates, not recall).
 PANEL_FLOORS = {
-    "sq8_rerank20": 0.95,
-    "pq8x8_rerank50": 0.58,
-    "ivf_trained16_p8": 0.86,
-    "ivf_trained32_p12": 0.89,
-    "ivfpq_c64_p9_m16k16_r100": 0.79,
-    "ivfpq_c32_p4_m8k32_r100": 0.80,
-    "ivfpq_persisted_c32_p4_m8k32_r100": 0.80,
+    "sf0.01": {
+        "sq8_rerank20": 0.95,
+        "pq8x8_rerank50": 0.58,
+        "ivf_trained16_p8": 0.86,
+        "ivf_trained32_p12": 0.89,
+        "ivfpq_c64_p9_m16k16_r100": 0.79,
+        "ivfpq_c32_p4_m8k32_r100": 0.80,
+        "ivfpq_persisted_c32_p4_m8k32_r100": 0.80,
+    },
+    "sf0.1": {
+        "sq8_rerank20": 0.95,
+        "pq8x8_rerank50": 0.42,
+        "ivf_trained16_p8": 0.85,
+        "ivf_trained32_p12": 0.90,
+        "ivfpq_c64_p9_m16k16_r100": 0.86,
+        "ivfpq_c32_p4_m8k32_r100": 0.85,
+        "ivfpq_persisted_c32_p4_m8k32_r100": 0.85,
+    },
 }
 
 
-def main() -> None:
+def _pair_set(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.select("query_id", "neighbor_id").collect()}
+
+
+def _measure(spark, sf_dir: str, k: int):
+    """Build the (lazy) tier DataFrames, scan fractions, and the
+    brute-force truth set for one SF's embeddings table."""
     from pyspark.sql import functions as F
 
-    from data_warehouse_punta_fina_spark import get_spark
     from data_warehouse_punta_fina_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
@@ -52,20 +79,10 @@ def main() -> None:
     )
     from data_warehouse_punta_fina_spark.sources.readers import load_table
 
-    argv = [a for a in sys.argv[1:] if a != "--json"]
-    as_json = "--json" in sys.argv[1:]
-    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
-    k = int(argv[1]) if len(argv) > 1 else 5
-
-    spark = get_spark("ann_recall")
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
     queries = emb.filter(F.col("vec_id") < 32)
-
-    def pair_set(df):
-        return {(r["query_id"], r["neighbor_id"]) for r in df.select("query_id", "neighbor_id").collect()}
-
-    truth = pair_set(brute_force_topk(emb, queries, k=k))
+    truth = _pair_set(brute_force_topk(emb, queries, k=k))
 
     # JL tier: brute force in the 16-dim random projection — full scan but
     # 1/4 the dot-product cost; recall measures the JL distortion directly
@@ -171,67 +188,106 @@ def main() -> None:
         "ivfpq_c32_p4_m8k32_r100": 4 / 32,
         "ivf_trained64_p8": 8 / 64,
     }
-    if as_json:
-        # the fixed regression panel + the persisted-index twin
-        import json
-        import shutil
-        import tempfile
+    return emb, n_corpus, queries, truth, tiers, scan_fraction
 
-        from data_warehouse_punta_fina_spark.operators.similarity import (
-            ivfpq_build_index,
-            ivfpq_search_index,
+
+def _panel_block(spark, sf_dir: str, k: int) -> dict:
+    """One SF's fixed regression panel + the persisted-index twin."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+    )
+
+    emb, n_corpus, queries, truth, tiers, scan_fraction = _measure(spark, sf_dir, k)
+    label = os.path.basename(sf_dir.rstrip("/"))
+    floors = PANEL_FLOORS.get(label)
+    panel_tiers = list(PANEL_FLOORS["sf0.01"])  # tier names are SF-independent
+    idx_dir = tempfile.mkdtemp(prefix="recall_ivfpq_")
+    try:
+        ivfpq_build_index(emb, idx_dir, n_cells=32, m=8, n_centroids=32, iters=3)
+        tiers["ivfpq_persisted_c32_p4_m8k32_r100"] = ivfpq_search_index(
+            queries, emb, idx_dir, k=k, probes=4, rerank=100,
+            n_cells=32, m=8, n_centroids=32, iters=3,
         )
-
-        idx_dir = tempfile.mkdtemp(prefix="recall_ivfpq_")
-        try:
-            ivfpq_build_index(
-                emb, idx_dir, n_cells=32, m=8, n_centroids=32, iters=3
-            )
-            tiers["ivfpq_persisted_c32_p4_m8k32_r100"] = ivfpq_search_index(
-                queries, emb, idx_dir, k=k, probes=4, rerank=100,
-                n_cells=32, m=8, n_centroids=32, iters=3,
-            )
-            scan_fraction["ivfpq_persisted_c32_p4_m8k32_r100"] = 4 / 32
-            out = {
-                "sf_dir": sf_dir,
-                "corpus": n_corpus,
-                "queries": 32,
-                "k": k,
-                "tiers": {},
-                "floor_breaches": [],
+        scan_fraction["ivfpq_persisted_c32_p4_m8k32_r100"] = 4 / 32
+        out = {
+            "sf_dir": sf_dir,
+            "corpus": n_corpus,
+            "tiers": {},
+            "floor_breaches": [],
+            # an SF without calibrated floors still records its measured
+            # recalls (for calibration) but can't breach anything
+            "floors_calibrated": floors is not None,
+        }
+        for name in panel_tiers:
+            got = _pair_set(tiers[name])
+            recall = len(got & truth) / max(len(truth), 1)
+            floor = floors.get(name) if floors else None
+            out["tiers"][name] = {
+                "recall_at_k": round(recall, 4),
+                "scan_fraction": round(scan_fraction[name], 4),
+                "floor": floor,
             }
-            for name in PANEL_FLOORS:
-                got = pair_set(tiers[name])
-                recall = len(got & truth) / max(len(truth), 1)
-                out["tiers"][name] = {
-                    "recall_at_k": round(recall, 4),
-                    "scan_fraction": round(scan_fraction[name], 4),
-                    "floor": PANEL_FLOORS[name],
-                }
-                if recall < PANEL_FLOORS[name]:
-                    out["floor_breaches"].append(name)
-            # the persisted index MUST equal its in-query twin exactly
-            # (deterministic md5-seeded training) — a mismatch means the
-            # build/search split diverged from the composed operator
-            out["persisted_equals_inquery"] = pair_set(
-                tiers["ivfpq_persisted_c32_p4_m8k32_r100"]
-            ) == pair_set(tiers["ivfpq_c32_p4_m8k32_r100"])
-            path = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "RECALL.json",
-            )
-            with open(path, "w") as fh:
-                json.dump(out, fh, indent=1, sort_keys=True)
-            print(json.dumps(out, sort_keys=True))
-        finally:
-            shutil.rmtree(idx_dir, ignore_errors=True)
+            if floor is not None and recall < floor:
+                out["floor_breaches"].append(name)
+        # the persisted index MUST equal its in-query twin exactly
+        # (deterministic md5-seeded training) — a mismatch means the
+        # build/search split diverged from the composed operator
+        out["persisted_equals_inquery"] = _pair_set(
+            tiers["ivfpq_persisted_c32_p4_m8k32_r100"]
+        ) == _pair_set(tiers["ivfpq_c32_p4_m8k32_r100"])
+        return out
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def main() -> None:
+    import json
+
+    from data_warehouse_punta_fina_spark import get_spark
+
+    argv = [a for a in sys.argv[1:] if a != "--json"]
+    as_json = "--json" in sys.argv[1:]
+    k = 5
+    if argv and argv[-1].isdigit():
+        k = int(argv.pop())
+    spark = get_spark("ann_recall")
+
+    if as_json:
+        # per-SF panels (VERDICT r9 #3): default BOTH correctness scales
+        sf_dirs = argv or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+        out = {
+            "k": k,
+            "queries": 32,
+            "panels": {},
+            "floor_breaches": [],
+            "persisted_equals_inquery": True,
+        }
+        for sf_dir in sf_dirs:
+            label = os.path.basename(sf_dir.rstrip("/"))
+            block = _panel_block(spark, sf_dir, k)
+            out["panels"][label] = block
+            out["floor_breaches"] += [f"{label}:{n}" for n in block["floor_breaches"]]
+            out["persisted_equals_inquery"] &= block["persisted_equals_inquery"]
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "RECALL.json",
+        )
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+        print(json.dumps(out, sort_keys=True))
         spark.stop()
         return
 
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    emb, n_corpus, queries, truth, tiers, scan_fraction = _measure(spark, sf_dir, k)
     print(f"corpus={n_corpus} queries=32 k={k} sf_dir={sf_dir}")
     print(f"{'tier':24s} {'recall@k':>9s} {'~scan':>7s}")
     for name, df in tiers.items():
-        got = pair_set(df)
+        got = _pair_set(df)
         recall = len(got & truth) / max(len(truth), 1)
         print(f"{name:24s} {recall:9.3f} {scan_fraction[name]:7.3f}")
     spark.stop()
