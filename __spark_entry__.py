@@ -2049,11 +2049,14 @@ def _build_registries():
         # anywhere in the plan: BM25 joins broadcast query terms against
         # the postings, the semantic side reads only the probed cells'
         # codes (dynamic partition pruning on the cid-partitioned codes
-        # table) and reranks 30 exact vectors per query. One index,
-        # many query workloads — the fusion stays candidate-bounded
-        # (queries × k rows per list). Training is RNG-free, so the
-        # oracle is the in-query _ivfpq_topk_sql chain with the query
-        # filter swapped in.
+        # table) and reranks 40 exact vectors per query. probes=6 /
+        # rerank=40 are SEARCH-time knobs — the same persisted artifact
+        # serves ann_ivfpq_persisted_topk at p4/r30; tuned so the fused
+        # top-5 overlaps the brute twin 18/20 at sf0.01
+        # (docs/BENCH_NOTES.md). One index, many query workloads — the
+        # fusion stays candidate-bounded (queries × k rows per list).
+        # Training is RNG-free, so the oracle is the in-query
+        # _ivfpq_topk_sql chain with the query filter swapped in.
         import os
 
         from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
@@ -2091,8 +2094,8 @@ def _build_registries():
             emb,
             idx,
             k=20,
-            probes=4,
-            rerank=30,
+            probes=6,
+            rerank=40,
             **params,
         ).select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank"))
         return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
@@ -7409,11 +7412,11 @@ SELECT query_id, doc_id, rrf_score, in_lex, in_sem, CAST(rank AS INT) AS rank FR
     _pqsem = ",\n".join(
         _ivfpq_topk_sql(
             n_cells=16,
-            probes=4,
+            probes=6,
             m=8,
             n_centroids=8,
             iters=2,
-            rerank=30,
+            rerank=40,
             query_filter="vec_id IN (1, 2, 3, 4)",
             parts_only=True,
         )
