@@ -2100,6 +2100,116 @@ def _build_registries():
         ).select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank"))
         return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
 
+    def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
+        # build-once-per-corpus-fingerprint persisted inverted index
+        # (operators/retrieval.bm25_build_index); stats/ is written last,
+        # so its _SUCCESS marks a complete build
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_build_index,
+        )
+
+        fp = _data_fingerprint(sf_dir, "documents")
+        idx = _index_cache_dir("bm25", f"b16_{fp}")
+        if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
+            bm25_build_index(
+                _spread(load_table(spark, sf_dir, "documents")), idx, n_buckets=16
+            )
+        return idx
+
+    def doc_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-10 debut: BM25 over the PERSISTED inverted index — the
+        # lexical twin of ann_ivfpq_persisted_topk. At 100 TB the word
+        # count (the only corpus-sized shuffle in retrieval) runs once
+        # per snapshot; every search is a broadcast (bucket, term) join
+        # that DPP-prunes the bucket-partitioned postings to the query
+        # terms' buckets. Deterministic scoring means the stored-index
+        # search is bit-equal to in-query tokenization — the oracle is
+        # doc_bm25_topk's SQL verbatim.
+        import re
+
+        from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_search_index,
+        )
+
+        idx = _bm25_index_dir(spark, sf_dir)
+        qrows = [
+            (qid, t)
+            for qid, qtext in _BM25_QUERIES
+            for t in dict.fromkeys(
+                w for w in re.split(TOKEN_SPLIT_RE, qtext.lower()) if w
+            )
+        ]
+        qdf = spark.createDataFrame(qrows, "query_id int, term string")
+        # driver-known literal queries get a STATIC bucket filter (DPP
+        # needs a selective predicate the LocalRelation lacks); the
+        # collect is metadata-sized (≤ n_buckets ints from ~40 literal
+        # terms — the index-router lookup every search engine does)
+        buckets = sorted(
+            r["b"]
+            for r in qdf.select(
+                F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return bm25_search_index(qdf, idx, k=5, prune_buckets=buckets)
+
+    def doc_hybrid_rrf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-10 debut: the FULLY-persisted hybrid — BOTH retrieval
+        # sides read durable artifacts (BM25 inverted index + IVF-PQ
+        # index), so the complete RAG-retrieval stack runs with zero
+        # corpus-sized work at query time: no tokenize scan, no
+        # training job, two DPP-pruned index reads + candidate-bounded
+        # fusion. Values are bit-equal to doc_hybrid_rrf_search_pq
+        # (both index paths are deterministic twins of their in-query
+        # forms), so its oracle is reused verbatim.
+        import os
+
+        from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_search_index,
+            rrf_fuse,
+        )
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_search_index,
+        )
+
+        params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+        fp = _data_fingerprint(sf_dir, "embeddings")
+        vidx = _index_cache_dir("ivfpq", f"c16_m8_k8_i2_{fp}")
+        if not os.path.exists(os.path.join(vidx, "codes", "_SUCCESS")):
+            ivfpq_build_index(load_table(spark, sf_dir, "embeddings"), vidx, **params)
+        lidx = _bm25_index_dir(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        qids = [1, 2, 3, 4]
+        qterms = (
+            docs.filter(F.col("doc_id").isin(qids))
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(_tokens(F.col("text"))).alias("term"),
+            )
+            .distinct()
+        )
+        lex = bm25_search_index(qterms, lidx, k=20, exclude_query_doc=True).select(
+            "query_id", "doc_id", "rank"
+        )
+        sem = ivfpq_search_index(
+            emb.filter(F.col("vec_id").isin(qids)),
+            emb,
+            vidx,
+            k=20,
+            probes=6,
+            rerank=40,
+            **params,
+        ).select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank"))
+        return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
+
     def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # incremental ingestion: odd-id docs arrive as the "new batch" and
         # dedupe against the even-id indexed corpus (band join new×index,
@@ -3998,10 +4108,13 @@ def _build_registries():
         "doc_leakage_safe_split": doc_leakage_safe_split,
         "doc_hybrid_rrf_search_ivf": doc_hybrid_rrf_search_ivf,
         # round-10 debuts (wave 15 promotes them in-round): the
-        # persisted-index hybrid (VERDICT r9 #2) and the split
-        # contamination measurement (VERDICT r9 #7)
+        # persisted-index hybrid (VERDICT r9 #2), the split
+        # contamination measurement (VERDICT r9 #7), the persisted BM25
+        # inverted index, and the fully-persisted hybrid
         "doc_hybrid_rrf_search_pq": doc_hybrid_rrf_search_pq,
         "doc_contamination_safe_split": doc_contamination_safe_split,
+        "doc_bm25_persisted_topk": doc_bm25_persisted_topk,
+        "doc_hybrid_rrf_search_persisted": doc_hybrid_rrf_search_persisted,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -4424,14 +4537,18 @@ def _build_registries():
     _promote_r10 = [
         "doc_leakage_safe_split",    # r9 debut, never driver-checked
         "doc_hybrid_rrf_search_ivf",  # r9 debut, never driver-checked
-        "doc_hybrid_rrf_search_pq",  # r10 debut: hybrid over the PERSISTED index
+        "doc_hybrid_rrf_search_pq",  # r10 debut: hybrid over the PERSISTED IVF-PQ index
         "doc_contamination_safe_split",  # r10 debut: zero-cross-split measurement
+        "doc_bm25_persisted_topk",   # r10 debut: persisted BM25 inverted index
+        "doc_hybrid_rrf_search_persisted",  # r10 debut: BOTH retrieval sides persisted
     ]
     _demote_r10 = [
         "doc_simhash",               # 2x green; simhash banding in extras, dedup family carried by incremental_dedup_persisted + winnow + crosscheck + leakage split
         "ann_sq8_topk",              # 2x green; ANN keeps ivf_trained_probe3 + both persisted ivfpq tiers + the hybrids' semantic sides
         "events_trimmed_mean",       # 2x green; robust-location family carried by events_approx_quantiles
         "lineitem_benford",          # 2x green; audit family carried by lineitem_corr_matrix + lineitem_fd_violations
+        "events_sliding_window",     # 2x green; windowed-agg family carried by events_trailing_7d + streaming pytest parity
+        "doc_token_entropy",         # 2x green; text-quality family carried by doc_curation_report + doc_bpe_token_counts
     ]
     for _n in _promote_r10:
         reg[_n] = extra.pop(_n)
@@ -8980,6 +9097,13 @@ SELECT o_orderkey, o_orderdate, o_orderpriority FROM r WHERE (rn - 1) % 97 = 0
     # the persisted-band-index ingestion produces byte-identical values to
     # the in-query-indexed one (same versioned band scheme) — reuse verbatim
     o["doc_incremental_dedup_persisted"] = o["doc_incremental_dedup"]
+
+    # persisted BM25 inverted-index search is bit-equal to in-query
+    # tokenization (deterministic scoring, versioned BM25_SCHEME), and the
+    # fully-persisted hybrid equals the persisted-IVFPQ hybrid (its lex
+    # side is that same identity) — reuse both oracles verbatim
+    o["doc_bm25_persisted_topk"] = o["doc_bm25_topk"]
+    o["doc_hybrid_rrf_search_persisted"] = o["doc_hybrid_rrf_search_pq"]
 
     # decimal→double at the output boundary (twin of _dbl_out; see module
     # docstring — the driver's hasher canonicalizes decimals inconsistently)

@@ -176,6 +176,167 @@ def _bm25_rank(
     )
 
 
+#: versioned fingerprint of the inverted-index layout + tokenizer — bumped
+#: if TOKEN_SPLIT_RE, the tf/dl semantics, or the bucket scheme ever
+#: changes, so a persisted index from an incompatible engine version is
+#: rejected instead of silently searched (the IVFPQ_SCHEME discipline)
+BM25_SCHEME = "bm25-tokenv1"
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Persist the BM25 inverted index — the LEXICAL twin of
+    ``similarity.ivfpq_build_index``: at 100 TB the posting lists are
+    built once per corpus snapshot (the only big shuffle — the word
+    count) and every retrieval reads the stored artifacts instead of
+    re-tokenizing the corpus per query.
+
+    Layout under ``index_dir``:
+
+    - ``postings/`` — (term, ``id_col``, tf, dl) partitioned by
+      ``bucket = pmod(xxhash64(term), n_buckets)``: a query joins on
+      (bucket, term), so dynamic partition pruning reads only the query
+      terms' buckets, never the whole index;
+    - ``dfstats/`` — (term, df), same bucketing;
+    - ``stats/`` — one row (n_docs, total_dl) for idf/avgdl.
+
+    The scheme + n_buckets ride as column metadata on ``tf`` (the
+    minhash-band / IVF-PQ discipline) and are validated at search time.
+    Deterministic: same corpus → byte-identical scores from the stored
+    index and the in-query :func:`bm25_topk_terms` path — which is what
+    the oracle checks."""
+    meta = {"scheme": BM25_SCHEME, "n_buckets": n_buckets}
+    postings, df_stats, _dl = corpus_term_stats(docs, text_col, id_col)
+    bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
+    (
+        postings.select(
+            "term", id_col, F.col("tf").alias("tf", metadata=meta), "dl", bucket
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+    (
+        df_stats.select("term", "df", bucket)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/dfstats")
+    )
+    (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(
+            postings.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("total_dl"))
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/stats")
+    )
+
+
+def bm25_search_index(
+    query_terms: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    exclude_query_doc: bool = False,
+    validate_index: bool = True,
+    prune_buckets: list[int] | None = None,
+) -> DataFrame:
+    """Search a PERSISTED BM25 index (:func:`bm25_build_index`) — no
+    corpus tokenization anywhere in the plan: the broadcast (bucket,
+    term) join against the bucket-partitioned postings prunes the scan
+    to the query terms' buckets, df comes from the stored vocabulary
+    table, and n/avgdl from the 1-row stats table. Scoring (idf
+    round-6, per-term DECIMAL(12,6), per-doc exact decimal sum, ties by
+    ``id_col``) is identical to the in-query :func:`bm25_topk_terms`,
+    so results are bit-equal to re-tokenizing — the determinism the
+    oracle relies on.
+
+    Pruning physics: when ``query_terms`` derives from a FILTERED table
+    (query-by-example), Catalyst inserts dynamic partition pruning on
+    ``bucket`` automatically. When the query terms are driver-known
+    literals, Spark will NOT insert DPP (a LocalRelation carries no
+    selective predicate), so pass ``prune_buckets`` — the terms' bucket
+    ids — and the scan gets a STATIC partition filter instead (resolved
+    at planning, strictly better than DPP). Buckets outside the pruned
+    set contribute no rows either way; the filter changes I/O, never
+    values."""
+    spark = query_terms.sparkSession
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    df_stats = spark.read.parquet(f"{index_dir}/dfstats")
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    stored = dict(postings.schema["tf"].metadata or {})
+    if validate_index and stored.get("scheme") != BM25_SCHEME:
+        raise ValueError(
+            "persisted postings carry no/foreign scheme metadata on tf "
+            f"(stored {stored.get('scheme')!r} != {BM25_SCHEME!r}); a tokenizer or "
+            "layout mismatch silently skews every score, so unverifiable indexes "
+            "are rejected by default."
+        )
+    n_buckets = int(stored.get("n_buckets", 16))
+    if prune_buckets is not None:
+        keep = [int(b) for b in prune_buckets]
+        postings = postings.filter(F.col("bucket").isin(keep))
+        df_stats = df_stats.filter(F.col("bucket").isin(keep))
+    qdf = query_terms.select("query_id", "term").distinct()
+    qb = qdf.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    n_docs = stats.select(
+        F.col("n_docs").alias("n"),
+        (F.col("total_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    scored = (
+        postings.join(F.broadcast(qb), ["bucket", "term"])
+        .join(
+            F.broadcast(
+                df_stats.join(
+                    F.broadcast(qb.select("bucket", "term").distinct()),
+                    ["bucket", "term"],
+                )
+            ),
+            "term",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_idf",
+            F.floor(
+                F.log(
+                    (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        )
+        .withColumn(
+            "_s",
+            pround(
+                F.col("_idf")
+                * (F.col("tf") * (K1 + 1))
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+                6,
+                12,
+            ),
+        )
+    )
+    if exclude_query_doc:
+        scored = scored.filter(F.col(id_col) != F.col("query_id"))
+    per_doc = scored.groupBy("query_id", id_col).agg(
+        F.sum("_s").cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return per_doc.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
 def rrf_fuse(
     ranked_lists: dict[str, DataFrame],
     k: int = 5,

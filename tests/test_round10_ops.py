@@ -124,6 +124,70 @@ def test_multimodal_real_lane_decode_resize_feature(spark):
     assert feats[1][1] == feats[2][1]
 
 
+def test_bm25_persisted_index_equals_inquery_and_prunes(spark, tmp_path):
+    """The persisted BM25 inverted index (operators/retrieval): (a) the
+    stored-index search is bit-equal to the in-query tokenize path
+    (deterministic scoring — the identity the reused oracle relies on);
+    (b) the search plan reads the bucket-partitioned postings with
+    dynamic partition pruning and never tokenizes the corpus (the
+    doc_bm25_persisted_topk plan touches documents.parquet ZERO times —
+    its queries are literal); (c) scheme-metadata validation rejects a
+    foreign index instead of silently mis-scoring."""
+    import pytest
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_search_index,
+    )
+
+    qs = entrymod.all_queries()
+    a = sorted(map(tuple, qs["doc_bm25_topk"](spark, SF).collect()))
+    df_p = qs["doc_bm25_persisted_topk"](spark, SF)
+    assert sorted(map(tuple, df_p.collect())) == a
+    plan = df_p._jdf.queryExecution().executedPlan().toString()
+    # literal queries → STATIC bucket partition filter (long index paths
+    # get elided in FileScan locations, so match the cache-key prefix)
+    assert "b16_" in plan
+    assert "bucket" in plan and "PartitionFilters: [bucket" in plan.replace(
+        "PartitionFilters: [isnotnull(bucket", "PartitionFilters: [bucket"
+    )
+    assert plan.count("documents.parquet") == 0  # corpus never touched
+    # fully-persisted hybrid == persisted-IVFPQ hybrid (lex identity),
+    # and its filtered query side triggers DYNAMIC partition pruning
+    df_h = qs["doc_hybrid_rrf_search_persisted"](spark, SF)
+    hplan = df_h._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in hplan.lower()
+    hp = sorted(map(tuple, df_h.collect()))
+    assert hp == sorted(map(tuple, qs["doc_hybrid_rrf_search_pq"](spark, SF).collect()))
+
+    # scheme validation: an index whose tf column lost its metadata is
+    # rejected by default, accepted only with validate_index=False
+    idx = str(tmp_path / "bm25_stripped")
+    docs = spark.createDataFrame(
+        [(1, "spark sql engine"), (2, "duck db oracle"), (3, "spark shuffle")],
+        "doc_id long, text string",
+    )
+    bm25_build_index(docs, idx, n_buckets=4)
+    stripped = str(tmp_path / "bm25_noscheme")
+    for part in ("postings", "dfstats", "stats"):
+        sub = spark.read.parquet(f"{idx}/{part}")
+        if part == "postings":
+            sub = sub.select(
+                "term", "doc_id", F.col("tf").alias("tf", metadata={}), "dl", "bucket"
+            )
+            sub.write.partitionBy("bucket").parquet(f"{stripped}/{part}")
+        else:
+            sub.write.parquet(f"{stripped}/{part}")
+    qt = spark.createDataFrame([(9, "spark")], "query_id int, term string")
+    with pytest.raises(ValueError, match="scheme"):
+        bm25_search_index(qt, stripped, k=2)
+    rows = bm25_search_index(qt, stripped, k=2, validate_index=False).collect()
+    assert {r["doc_id"] for r in rows} == {1, 3}
+
+
 def test_round10_debuts_invariant_under_adversarial_partitions(spark):
     """Driver-hash determinism gate (the established debut rule): both
     round-10 debuts return identical rows under a hostile
@@ -132,7 +196,12 @@ def test_round10_debuts_invariant_under_adversarial_partitions(spark):
 
     qs = entrymod.all_queries()
     saved = spark.conf.get("spark.sql.shuffle.partitions")
-    names = ["doc_hybrid_rrf_search_pq", "doc_contamination_safe_split"]
+    names = [
+        "doc_hybrid_rrf_search_pq",
+        "doc_contamination_safe_split",
+        "doc_bm25_persisted_topk",
+        "doc_hybrid_rrf_search_persisted",
+    ]
     try:
         a = {n: sorted(map(tuple, qs[n](spark, SF).collect())) for n in names}
         spark.conf.set("spark.sql.shuffle.partitions", "3")
