@@ -165,6 +165,14 @@ HEADLINE = [
     "doc_leakage_safe_split",
     # round-9 addition: the hybrid's scale path (trained-IVF semantic side)
     "doc_hybrid_rrf_search_ivf",
+    # round-10 additions: the deployment-shape hybrids (persisted IVF-PQ
+    # semantic side; then BOTH sides persisted incl. the BM25 inverted
+    # index), the persisted lexical index itself, and the split
+    # contamination measurement
+    "doc_hybrid_rrf_search_pq",
+    "doc_bm25_persisted_topk",
+    "doc_hybrid_rrf_search_persisted",
+    "doc_contamination_safe_split",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
