@@ -188,6 +188,105 @@ def test_bm25_persisted_index_equals_inquery_and_prunes(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {1, 3}
 
 
+def test_bm25_stream_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Streaming lexical retrieval (streaming/bm25_stream.py — the
+    fourth persisted-artifact streaming twin): drain chunked
+    (query_id, term) rows availableNow against a PERSISTED BM25
+    inverted index — the union of per-batch rankings must equal one
+    batch-mode search of all queries (searches are per-query
+    independent, the index static), and a replayed batch overwrites
+    its own partition (exactly-once)."""
+    import os
+    import shutil
+    import time as _t
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.bm25_stream import (
+        BATCH_COL,
+        bm25_stream_batch,
+        run_bm25_stream,
+    )
+    from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "bm25")
+    bm25_build_index(docs, idx, n_buckets=8)
+
+    # query batches: documents 1-6's own tokens (query-by-example)
+    qterms = (
+        docs.filter(F.col("doc_id").isin([1, 2, 3, 4, 5, 6]))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(_tokens(F.col("text"))).alias("term"),
+        )
+        .distinct()
+    )
+    qid_batches = [[1, 2], [3, 4], [5, 6]]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, ids in enumerate(qid_batches):
+        qterms.filter(F.col("query_id").isin(ids)).coalesce(1).write.parquet(
+            f"{in_dir}/batch{i}", mode="overwrite"
+        )
+        _t.sleep(1.1)
+        for f in os.listdir(f"{in_dir}/batch{i}"):
+            if f.endswith(".parquet") and not f.startswith("."):
+                shutil.move(f"{in_dir}/batch{i}/{f}", f"{in_dir}/b{i}_{f}")
+        shutil.rmtree(f"{in_dir}/batch{i}")
+
+    results_path = str(tmp_path / "results")
+    q = run_bm25_stream(
+        spark,
+        in_dir,
+        qterms.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_dir=idx,
+        results_path=results_path,
+        k=3,
+        exclude_query_doc=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in spark.read.parquet(results_path).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in bm25_search_index(
+            qterms, idx, k=3, exclude_query_doc=True
+        ).collect()
+    }
+    assert len(got) == 6 * 3 and got == want
+
+    # idempotent retry: one batch replayed through the foreachBatch body
+    results = spark.read.parquet(results_path)
+    grouping = {
+        r["query_id"]: r[BATCH_COL]
+        for r in results.select("query_id", BATCH_COL).collect()
+    }
+    last = max(set(grouping.values()))
+    replay_ids = [i for i, g in grouping.items() if g == last]
+    bm25_stream_batch(
+        qterms.filter(F.col("query_id").isin(replay_ids)),
+        last,
+        idx,
+        results_path,
+        k=3,
+        exclude_query_doc=True,
+    )
+    again = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in spark.read.parquet(results_path).collect()
+    }
+    assert again == want
+
+
 def test_round10_debuts_invariant_under_adversarial_partitions(spark):
     """Driver-hash determinism gate (the established debut rule): both
     round-10 debuts return identical rows under a hostile
