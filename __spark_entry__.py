@@ -2158,6 +2158,52 @@ def _build_registries():
         )
         return bm25_search_index(qdf, idx, k=5, prune_buckets=buckets)
 
+    def doc_bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-10 extra (r11 promotion candidate): the APPEND path of
+        # the persisted inverted index — build on the even-id half,
+        # append the odd half (operators/retrieval.bm25_append_index:
+        # only the new batch is tokenized; vocabulary + stats
+        # re-aggregate from stored postings, no corpus re-tokenize), and
+        # search the union. BM25's globals (df/avgdl/n) are re-derived
+        # exactly, so appended == full rebuild and doc_bm25_topk's
+        # oracle is reused verbatim.
+        import os
+        import re
+
+        from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_append_index,
+            bm25_build_index,
+            bm25_search_index,
+        )
+
+        fp = _data_fingerprint(sf_dir, "documents")
+        idx = _index_cache_dir("bm25_inc", f"b16_{fp}")
+        if not os.path.exists(os.path.join(idx, "_APPENDED")):
+            docs = _spread(load_table(spark, sf_dir, "documents"))
+            bm25_build_index(docs.filter(F.col("doc_id") % 2 == 0), idx, n_buckets=16)
+            bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
+            with open(os.path.join(idx, "_APPENDED"), "w") as fh:
+                fh.write("ok")
+        qrows = [
+            (qid, t)
+            for qid, qtext in _BM25_QUERIES
+            for t in dict.fromkeys(
+                w for w in re.split(TOKEN_SPLIT_RE, qtext.lower()) if w
+            )
+        ]
+        qdf = spark.createDataFrame(qrows, "query_id int, term string")
+        buckets = sorted(
+            r["b"]
+            for r in qdf.select(
+                F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return bm25_search_index(qdf, idx, k=5, prune_buckets=buckets)
+
     def doc_hybrid_rrf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-10 debut: the FULLY-persisted hybrid — BOTH retrieval
         # sides read durable artifacts (BM25 inverted index + IVF-PQ
@@ -4115,6 +4161,9 @@ def _build_registries():
         "doc_contamination_safe_split": doc_contamination_safe_split,
         "doc_bm25_persisted_topk": doc_bm25_persisted_topk,
         "doc_hybrid_rrf_search_persisted": doc_hybrid_rrf_search_persisted,
+        # round-10 late extra (r11 promotion candidate): the inverted
+        # index's encode-only append path
+        "doc_bm25_incremental_topk": doc_bm25_incremental_topk,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -9103,6 +9152,7 @@ SELECT o_orderkey, o_orderdate, o_orderpriority FROM r WHERE (rn - 1) % 97 = 0
     # fully-persisted hybrid equals the persisted-IVFPQ hybrid (its lex
     # side is that same identity) — reuse both oracles verbatim
     o["doc_bm25_persisted_topk"] = o["doc_bm25_topk"]
+    o["doc_bm25_incremental_topk"] = o["doc_bm25_topk"]
     o["doc_hybrid_rrf_search_persisted"] = o["doc_hybrid_rrf_search_pq"]
 
     # decimal→double at the output boundary (twin of _dbl_out; see module

@@ -238,6 +238,69 @@ def bm25_build_index(
     )
 
 
+def bm25_append_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a document batch to a persisted BM25 index — the lexical
+    twin of ``similarity.ivfpq_append_index``: the ONLY job that touches
+    text is the word count over the NEW batch (appended to the
+    bucket-partitioned postings); the vocabulary table and the 1-row
+    stats then RE-AGGREGATE from the stored postings — already-counted
+    (term, doc) rows, map-side combinable, no corpus re-tokenize
+    anywhere. Because BM25's df/avgdl/n are global, the re-aggregation
+    is what keeps an appended index bit-equal to a full rebuild over
+    the union (the determinism the reused oracle checks). Caller
+    contract: ``new_docs`` ids are disjoint from the indexed corpus
+    (the single-writer append posture of all the persisted indexes)."""
+    spark = new_docs.sparkSession
+    stored_postings = spark.read.parquet(f"{index_dir}/postings")
+    stored = dict(stored_postings.schema["tf"].metadata or {})
+    if stored.get("scheme") != BM25_SCHEME:
+        raise ValueError(
+            f"cannot append to a foreign/unversioned index (stored scheme "
+            f"{stored.get('scheme')!r} != {BM25_SCHEME!r})"
+        )
+    n_buckets = int(stored.get("n_buckets", 16))
+    old_n = spark.read.parquet(f"{index_dir}/stats").collect()[0]["n_docs"]
+    n_new = new_docs.count()
+
+    postings_new, _df, _dl = corpus_term_stats(new_docs, text_col, id_col)
+    bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
+    (
+        postings_new.select(
+            "term", id_col, F.col("tf").alias("tf", metadata=stored), "dl", bucket
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+    merged = spark.read.parquet(f"{index_dir}/postings")
+    (
+        merged.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/dfstats")
+    )
+    (
+        merged.agg(
+            F.lit(int(old_n) + int(n_new)).alias("n_docs"),
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("total_dl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/stats")
+    )
+
+
 def bm25_search_index(
     query_terms: DataFrame,
     index_dir: str,

@@ -188,6 +188,53 @@ def test_bm25_persisted_index_equals_inquery_and_prunes(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {1, 3}
 
 
+def test_bm25_append_index_equals_full_rebuild(spark, tmp_path):
+    """The inverted index's append path: build on half the corpus,
+    append the other half — search results must be BIT-equal to a full
+    rebuild over the union (BM25's global df/avgdl/n re-aggregate from
+    the stored postings during append), and appending to a
+    scheme-stripped index is rejected."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_search_index,
+    )
+    from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 100)
+    full_idx = str(tmp_path / "full")
+    inc_idx = str(tmp_path / "inc")
+    bm25_build_index(docs, full_idx, n_buckets=8)
+    bm25_build_index(docs.filter(F.col("doc_id") % 2 == 0), inc_idx, n_buckets=8)
+    bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), inc_idx)
+
+    qt = (
+        docs.filter(F.col("doc_id").isin([1, 2]))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(_tokens(F.col("text"))).alias("term"),
+        )
+        .distinct()
+    )
+    a = sorted(map(tuple, bm25_search_index(qt, full_idx, k=5).collect()))
+    b = sorted(map(tuple, bm25_search_index(qt, inc_idx, k=5).collect()))
+    assert a == b and len(a) == 10
+
+    # foreign-scheme append rejected
+    stripped = str(tmp_path / "stripped")
+    src = spark.read.parquet(f"{inc_idx}/postings")
+    src.select(
+        "term", "doc_id", F.col("tf").alias("tf", metadata={}), "dl", "bucket"
+    ).write.partitionBy("bucket").parquet(f"{stripped}/postings")
+    with pytest.raises(ValueError, match="scheme"):
+        bm25_append_index(docs.limit(1), stripped)
+
+
 def test_bm25_stream_matches_batch_and_is_idempotent(spark, tmp_path):
     """Streaming lexical retrieval (streaming/bm25_stream.py — the
     fourth persisted-artifact streaming twin): drain chunked
