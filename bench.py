@@ -219,10 +219,12 @@ def _oracle_times(
     # lose the Spark timings too, which are the primary artifact. On
     # budget exhaustion the remaining oracles are SKIPPED AND NAMED
     # (no silent caps).
-    # raised 240 -> 270 in round 9: the Spark pass shrank ~30 s (min-of-2
-    # threshold change), so the bench wall has headroom to buy back some
-    # of the budget-skipped oracle tail
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "270"))
+    # raised 240 -> 270 in round 9, back to 240 in round 10: the headline
+    # grew to 105 queries (idle wall 586.9 s at budget 270; the r9 driver
+    # run read 633.9 s) — the Spark timings are the primary artifact and
+    # must land inside the driver's bench window, so the oracle tail
+    # gives back its round-9 raise (skips are still named, never silent)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "240"))
     started = time.time()
     skipped: list[str] = []
     for name in names:
