@@ -191,6 +191,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "ann_ivfpq_topk": ["cosine"],
     "ann_ivfpq_persisted_topk": ["cosine"],
     "ann_ivfpq_incremental_topk": ["cosine"],
+    "ann_ivfpq_federated_topk": ["cosine"],
     "emb_mmr_diverse": ["relevance"],
     "events_type_hour_mi": ["mi_term"],
     "events_ks_value_drift": ["f_base", "f_cur", "ks_term"],
@@ -3230,6 +3231,41 @@ def _build_registries():
             **params,
         )
 
+    def ann_ivfpq_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-10 extra (r11 promotion candidate): SHARDED indexing —
+        # at 100 TB no single training job sees the corpus; each shard
+        # (even/odd ids here) trains and persists its OWN IVF-PQ index,
+        # queries fan out to every shard, and the global top-k is the
+        # rank-merge of per-shard exact-reranked lists
+        # (operators.similarity.ivfpq_federated_search). The oracle
+        # unrolls BOTH shard chains (train_filter + corpus_filter per
+        # shard, CTE-prefixed) and takes the top-5 over their union.
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_federated_search,
+        )
+
+        params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+        fp = _data_fingerprint(sf_dir, "embeddings")
+        emb = load_table(spark, sf_dir, "embeddings")
+        shards = []
+        for i, pred in enumerate((F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1)):
+            idx = _index_cache_dir("ivfpq_fed", f"c16_m8_k8_i2_{fp}_s{i}")
+            if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+                ivfpq_build_index(emb.filter(pred), idx, **params)
+            shards.append(idx)
+        return ivfpq_federated_search(
+            emb.filter(F.col("vec_id") < 8),
+            emb,
+            shards,
+            k=5,
+            probes=4,
+            rerank=30,
+            **params,
+        )
+
     def emb_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         # maximal-marginal-relevance diversified top-5 (Carbonell &
         # Goldstein 1998): greedy relevance-vs-redundancy selection over a
@@ -4161,9 +4197,10 @@ def _build_registries():
         "doc_contamination_safe_split": doc_contamination_safe_split,
         "doc_bm25_persisted_topk": doc_bm25_persisted_topk,
         "doc_hybrid_rrf_search_persisted": doc_hybrid_rrf_search_persisted,
-        # round-10 late extra (r11 promotion candidate): the inverted
-        # index's encode-only append path
+        # round-10 late extras (r11 promotion candidates): the inverted
+        # index's encode-only append path and sharded federated ANN
         "doc_bm25_incremental_topk": doc_bm25_incremental_topk,
+        "ann_ivfpq_federated_topk": ann_ivfpq_federated_topk,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -5060,6 +5097,7 @@ def _ivfpq_topk_sql(
     train_filter: str | None = None,
     query_filter: str = "vec_id < 8",
     parts_only: bool = False,
+    corpus_filter: str | None = None,
 ) -> str | list[str]:
     """SQL twin of operators.similarity.ivfpq_topk: the coarse k-means
     cell chain (shared with the trained-IVF oracles) restricts candidate
@@ -5087,9 +5125,13 @@ def _ivfpq_topk_sql(
     parts += [
         f"qcell AS (SELECT vec_id AS query_id, cid FROM df WHERE {query_filter} "
         f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= {probes})",
-        # candidate pairs BEFORE the m-way code expansion (the Spark plan)
+        # candidate pairs BEFORE the m-way code expansion (the Spark
+        # plan); corpus_filter restricts candidates to a shard (the
+        # federated oracle — af itself still assigns every vector)
         "cpairs AS (SELECT qcell.query_id, af.vec_id FROM af "
-        "JOIN qcell ON qcell.cid = af.cid AND af.vec_id <> qcell.query_id)",
+        "JOIN qcell ON qcell.cid = af.cid AND af.vec_id <> qcell.query_id"
+        + (f" AND ({corpus_filter})" if corpus_filter else "")
+        + ")",
         # PQ chain, prefixed p* (training restricted by train_filter when
         # set; final paf encoding always covers every vector)
         f"pvs AS (SELECT vec_id, sub, qv[(sub * {d} + 1):((sub + 1) * {d})] AS sv "
@@ -5150,6 +5192,24 @@ def _ivfpq_topk_sql(
         "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank\n"
         f"  FROM exact\n) WHERE rank <= {k}"
     )
+
+
+def _prefix_ctes(parts: list[str], prefix: str) -> list[str]:
+    """Rename every CTE defined in ``parts`` (each part is one
+    ``name AS (...)`` clause) to ``prefix+name``, including all
+    references — lets two instances of the same unrolled chain (e.g.
+    one IVF-PQ chain per corpus shard in the federated-search oracle)
+    coexist in a single WITH block. Word-boundary rename over the
+    derived definition names only, so column names never collide."""
+    import re
+
+    names = set()
+    for p in parts:
+        m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", p)
+        if m:
+            names.add(m.group(1))
+    pat = re.compile(r"\b(" + "|".join(sorted(names, key=len, reverse=True)) + r")\b")
+    return [pat.sub(lambda m: prefix + m.group(1), p) for p in parts]
 
 
 def _mmr_sql(k: int = 5, pool: int = 20, lam_num: int = 1, lam_den: int = 2) -> str:
@@ -9154,6 +9214,42 @@ SELECT o_orderkey, o_orderdate, o_orderpriority FROM r WHERE (rn - 1) % 97 = 0
     o["doc_bm25_persisted_topk"] = o["doc_bm25_topk"]
     o["doc_bm25_incremental_topk"] = o["doc_bm25_topk"]
     o["doc_hybrid_rrf_search_persisted"] = o["doc_hybrid_rrf_search_pq"]
+
+    # federated sharded ANN: one full IVF-PQ chain per shard (training
+    # AND candidates restricted to the shard, CTE names prefixed so the
+    # two chains coexist), global top-5 over the union of the shards'
+    # exact-reranked candidate lists
+    _fed_parts: list[str] = []
+    for _i, _pred in enumerate(("vec_id % 2 = 0", "vec_id % 2 = 1")):
+        _fed_parts += _prefix_ctes(
+            _ivfpq_topk_sql(
+                n_cells=16,
+                probes=4,
+                m=8,
+                n_centroids=8,
+                iters=2,
+                rerank=30,
+                train_filter=_pred,
+                corpus_filter=_pred,
+                parts_only=True,
+            ),
+            f"s{_i}",
+        )
+    o["ann_ivfpq_federated_topk"] = (
+        "WITH "
+        + ",\n".join(_fed_parts)
+        + """,
+fed AS (
+  SELECT query_id, neighbor_id, cosine FROM s0exact
+  UNION ALL
+  SELECT query_id, neighbor_id, cosine FROM s1exact
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM fed
+) WHERE rank <= 5
+"""
+    )
 
     # decimal→double at the output boundary (twin of _dbl_out; see module
     # docstring — the driver's hasher canonicalizes decimals inconsistently)

@@ -1077,6 +1077,49 @@ def ivfpq_search_index(
 # ---------------------------------------------------------------------------
 
 
+def ivfpq_federated_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index_dirs: list[str],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **search_kwargs,
+) -> DataFrame:
+    """Federated top-k over PER-SHARD persisted IVF-PQ indexes — how a
+    100 TB corpus is actually indexed: no single training job sees all
+    the data; each shard trains/encodes its own index
+    (:func:`ivfpq_build_index` per shard, built and refreshed
+    independently), every query fans out to all shards, and the global
+    top-k is the rank-merge of the per-shard lists.
+
+    Correctness of the merge: a global top-k member is by definition
+    inside its own shard's top-k, so merging per-shard top-k lists
+    (each already exact-cosine reranked) and re-ranking by (cosine
+    DESC, id) yields exactly the top-k over the union of the shards'
+    candidate sets — the property the unrolled two-shard oracle checks.
+    Shards must partition the corpus (disjoint ids).
+
+    Scale shape: each shard search is the usual DPP-pruned codes scan +
+    rerank; the merge input is shards × queries × k rows — candidate-
+    bounded, never corpus-sized."""
+    if not index_dirs:
+        raise ValueError("ivfpq_federated_search needs at least one shard index")
+    parts = [
+        ivfpq_search_index(
+            queries, corpus, d, k=k, id_col=id_col, vec_col=vec_col, **search_kwargs
+        ).select("query_id", "neighbor_id", "cosine")
+        for d in index_dirs
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return merged.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
 def mmr_topk(
     corpus: DataFrame,
     queries: DataFrame,

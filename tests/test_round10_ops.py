@@ -334,6 +334,35 @@ def test_bm25_stream_matches_batch_and_is_idempotent(spark, tmp_path):
     assert again == want
 
 
+def test_federated_ann_merges_shard_topk(spark):
+    """Sharded federated ANN (similarity.ivfpq_federated_search): the
+    global top-5 per query must be exactly the rank-merge of the
+    per-shard exact-reranked lists — every returned neighbor carries
+    its shard's exact cosine, ranks are 1..5 per query, and the result
+    is invariant under a hostile shuffle-partition count."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.all_queries()
+    rows = qs["ann_ivfpq_federated_topk"](spark, SF).collect()
+    assert len(rows) == 8 * 5
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"], r["neighbor_id"]))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == [1, 2, 3, 4, 5]
+        cos = [c for _, c, _ in lst]
+        assert cos == sorted(cos, reverse=True)  # rank follows cosine desc
+        assert all(n != q for _, _, n in lst)  # self excluded per shard
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = sorted(map(tuple, qs["ann_ivfpq_federated_topk"](spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert again == sorted(map(tuple, rows))
+
+
 def test_round10_debuts_invariant_under_adversarial_partitions(spark):
     """Driver-hash determinism gate (the established debut rule): both
     round-10 debuts return identical rows under a hostile
