@@ -2101,6 +2101,18 @@ def _build_registries():
         ).select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank"))
         return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
 
+    def doc_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-10 extra: pseudo-relevance-feedback query expansion
+        # (Rocchio/RM3 family) — first-pass BM25 top-3, the 5 most
+        # frequent NEW terms of the feedback set widen the query, second
+        # pass re-scores; one corpus tokenize feeds both passes
+        # (operators/retrieval.bm25_prf_topk; unrolled two-pass oracle)
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import bm25_prf_topk
+
+        docs = load_table(spark, sf_dir, "documents")
+        return bm25_prf_topk(_spread(docs), _BM25_QUERIES, k=5, fb_docs=3, fb_terms=5)
+
     def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
         # build-once-per-corpus-fingerprint persisted inverted index
         # (operators/retrieval.bm25_build_index); stats/ is written last,
@@ -4201,6 +4213,7 @@ def _build_registries():
         # index's encode-only append path and sharded federated ANN
         "doc_bm25_incremental_topk": doc_bm25_incremental_topk,
         "ann_ivfpq_federated_topk": ann_ivfpq_federated_topk,
+        "doc_bm25_prf_search": doc_bm25_prf_search,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -7491,6 +7504,56 @@ scored AS (
          CAST({_r6(bm25_s.replace("idf", "FLOOR(ln((nd.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * 1000000 + 0.5) / 1000000"))} AS DECIMAL(12,6)) AS s
   FROM postings p JOIN q USING (term) JOIN dfs USING (term) CROSS JOIN nd
 ),
+per_doc AS (
+  SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM per_doc QUALIFY rank <= 5
+"""
+
+    # PRF query expansion: the doc_bm25_topk chain run twice — pass 1
+    # takes top-3 per query, the 5 highest-tf NEW terms of that feedback
+    # set union into the query, pass 2 re-scores (ties: docs by doc_id,
+    # terms by term asc — mirrors operators/retrieval.bm25_prf_topk)
+    _bm25_scored = (
+        "SELECT {q}.query_id, p.doc_id, "
+        f"CAST({_r6(bm25_s.replace('idf', 'FLOOR(ln((nd.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * 1000000 + 0.5) / 1000000'))} AS DECIMAL(12,6)) AS s "
+        "FROM postings p JOIN {q} USING (term) JOIN dfs USING (term) CROSS JOIN nd"
+    )
+    o["doc_bm25_prf_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+postings0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings0 GROUP BY doc_id),
+postings AS (SELECT p.doc_id, p.term, p.tf, dl.dl FROM postings0 p JOIN dl USING (doc_id)),
+dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+nd AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+),
+q0 AS ({bm25_q}),
+scored0 AS ({_bm25_scored.format(q="q0")}),
+pd0 AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM scored0 GROUP BY query_id, doc_id),
+lex0 AS (
+  SELECT query_id, doc_id FROM pd0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) <= 3
+),
+fbt AS (
+  SELECT l.query_id, p.term, SUM(p.tf) AS w
+  FROM postings p JOIN lex0 l ON p.doc_id = l.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM q0 WHERE q0.query_id = l.query_id AND q0.term = p.term)
+  GROUP BY l.query_id, p.term
+),
+expn AS (
+  SELECT query_id, term FROM fbt
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY w DESC, term) <= 5
+),
+q AS (SELECT query_id, term FROM q0 UNION SELECT query_id, term FROM expn),
+scored AS ({_bm25_scored.format(q="q")}),
 per_doc AS (
   SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM scored GROUP BY query_id, doc_id
 )

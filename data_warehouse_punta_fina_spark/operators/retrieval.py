@@ -176,6 +176,57 @@ def _bm25_rank(
     )
 
 
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the Rocchio/RM3
+    family, unweighted term-union form): a first BM25 pass takes the
+    top ``fb_docs`` per query, the ``fb_terms`` highest-frequency terms
+    of that feedback set NOT already in the query are unioned into the
+    query, and a second pass re-scores — the classic recall-widening
+    step a retrieval stack runs when queries are short.
+
+    Scale shape: ``corpus_term_stats`` runs ONCE (both passes read the
+    same postings exchange — the corpus is tokenized once); the
+    feedback mining joins the broadcast (queries × fb_docs) first-pass
+    result against the postings, so expansion is feedback-set-bounded.
+    Deterministic: first-pass ties by ``id_col``, term picks tie by
+    term ascending — mirrored exactly by the unrolled oracle."""
+    import re
+
+    from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+
+    spark = docs.sparkSession
+    postings, df_stats, dl = corpus_term_stats(docs, text_col, id_col)
+    qrows = [
+        (qid, t)
+        for qid, qtext in queries
+        for t in dict.fromkeys(w for w in re.split(TOKEN_SPLIT_RE, qtext.lower()) if w)
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id int, term string")
+    first = _bm25_rank(docs, qdf, fb_docs, id_col, postings, df_stats, dl)
+    fb = (
+        postings.join(F.broadcast(first.select("query_id", id_col)), id_col)
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("w"))
+        .join(qdf, ["query_id", "term"], "left_anti")
+    )
+    wexp = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    expansion = (
+        fb.withColumn("_r", F.row_number().over(wexp))
+        .filter(F.col("_r") <= fb_terms)
+        .select("query_id", "term")
+    )
+    q1 = qdf.unionByName(expansion).distinct()
+    return _bm25_rank(docs, q1, k, id_col, postings, df_stats, dl)
+
+
 #: versioned fingerprint of the inverted-index layout + tokenizer — bumped
 #: if TOKEN_SPLIT_RE, the tf/dl semantics, or the bucket scheme ever
 #: changes, so a persisted index from an incompatible engine version is

@@ -334,6 +334,34 @@ def test_bm25_stream_matches_batch_and_is_idempotent(spark, tmp_path):
     assert again == want
 
 
+def test_bm25_prf_expansion_degenerates_and_widens(spark):
+    """PRF query expansion (retrieval.bm25_prf_topk): with fb_terms=0
+    the second pass sees exactly the original terms, so results equal
+    plain bm25_topk (the degenerate identity); with expansion on, every
+    query still returns a full 1..5 ranking and at least one query's
+    result set moves (the feedback terms matter on this corpus)."""
+    import __spark_entry__ as entrymod
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_prf_topk,
+        bm25_topk,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    queries = entrymod._BM25_QUERIES
+    plain = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
+    degenerate = sorted(
+        map(tuple, bm25_prf_topk(docs, queries, k=5, fb_docs=3, fb_terms=0).collect())
+    )
+    assert degenerate == plain
+    rows = bm25_prf_topk(docs, queries, k=5, fb_docs=3, fb_terms=5).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    assert sorted(map(tuple, rows)) != plain  # expansion changed something
+
+
 def test_federated_ann_merges_shard_topk(spark):
     """Sharded federated ANN (similarity.ivfpq_federated_search): the
     global top-5 per query must be exactly the rank-merge of the
