@@ -2269,6 +2269,60 @@ def _build_registries():
         ).select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank"))
         return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
 
+    def doc_hybrid_rrf_search_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-10 extra: hybrid retrieval over a SHARDED corpus — the
+        # composition a 100 TB RAG stack actually runs: BM25 lexical
+        # candidates + a semantic side that fans out to PER-SHARD
+        # persisted IVF-PQ indexes (no training job ever saw the whole
+        # corpus) and rank-merges, fused by RRF. Reuses the
+        # ann_ivfpq_federated_topk shard artifacts; oracle = the BM25
+        # chain + two CTE-prefixed shard chains + fed union + fusion.
+        import os
+
+        from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_topk_terms,
+            rrf_fuse,
+        )
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_federated_search,
+        )
+
+        params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+        fp = _data_fingerprint(sf_dir, "embeddings")
+        emb = load_table(spark, sf_dir, "embeddings")
+        shards = []
+        for i, pred in enumerate((F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1)):
+            idx = _index_cache_dir("ivfpq_fed", f"c16_m8_k8_i2_{fp}_s{i}")
+            if not os.path.exists(os.path.join(idx, "codes", "_SUCCESS")):
+                ivfpq_build_index(emb.filter(pred), idx, **params)
+            shards.append(idx)
+        docs = load_table(spark, sf_dir, "documents")
+        qids = [1, 2, 3, 4]
+        qterms = (
+            docs.filter(F.col("doc_id").isin(qids))
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(_tokens(F.col("text"))).alias("term"),
+            )
+            .distinct()
+        )
+        lex = bm25_topk_terms(
+            _spread(docs), qterms, k=20, exclude_query_doc=True
+        ).select("query_id", "doc_id", "rank")
+        sem = ivfpq_federated_search(
+            emb.filter(F.col("vec_id").isin(qids)),
+            emb,
+            shards,
+            k=20,
+            probes=4,
+            rerank=30,
+            **params,
+        ).select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank"))
+        return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
+
     def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # incremental ingestion: odd-id docs arrive as the "new batch" and
         # dedupe against the even-id indexed corpus (band join new×index,
@@ -4214,6 +4268,7 @@ def _build_registries():
         "doc_bm25_incremental_topk": doc_bm25_incremental_topk,
         "ann_ivfpq_federated_topk": ann_ivfpq_federated_topk,
         "doc_bm25_prf_search": doc_bm25_prf_search,
+        "doc_hybrid_rrf_search_federated": doc_hybrid_rrf_search_federated,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -9313,6 +9368,84 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= 5
 """
     )
+
+    # hybrid over the sharded corpus: the BM25 chain + BOTH prefixed
+    # shard chains (query side docs 1-4), fed union → semantic top-20,
+    # RRF fusion identical to the other hybrids
+    _fedq_parts: list[str] = []
+    for _i, _pred in enumerate(("vec_id % 2 = 0", "vec_id % 2 = 1")):
+        _fedq_parts += _prefix_ctes(
+            _ivfpq_topk_sql(
+                n_cells=16,
+                probes=4,
+                m=8,
+                n_centroids=8,
+                iters=2,
+                rerank=30,
+                train_filter=_pred,
+                corpus_filter=_pred,
+                query_filter="vec_id IN (1, 2, 3, 4)",
+                parts_only=True,
+            ),
+            f"s{_i}",
+        )
+    _fedq = ",\n".join(_fedq_parts)
+    o["doc_hybrid_rrf_search_federated"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+postings0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings0 GROUP BY doc_id),
+postings AS (SELECT p.doc_id, p.term, p.tf, dl.dl FROM postings0 p JOIN dl USING (doc_id)),
+dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+nd AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+),
+q AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id IN (1, 2, 3, 4)),
+lexscored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST({_r6(bm25_s.replace("idf", "FLOOR(ln((nd.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * 1000000 + 0.5) / 1000000"))} AS DECIMAL(12,6)) AS s
+  FROM postings p JOIN q USING (term) JOIN dfs USING (term) CROSS JOIN nd
+  WHERE p.doc_id <> q.query_id
+),
+lexdoc AS (
+  SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM lexscored GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM lexdoc QUALIFY rank <= 20
+),
+{_fedq},
+fedq AS (
+  SELECT query_id, neighbor_id, cosine FROM s0exact
+  UNION ALL
+  SELECT query_id, neighbor_id, cosine FROM s1exact
+),
+sem AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM fedq QUALIFY rank <= 20
+),
+contrib AS (
+  SELECT query_id, doc_id, CAST({_r6("1.0 / (60 + rank)")} AS DECIMAL(12,6)) AS c,
+         TRUE AS in_lex, FALSE AS in_sem FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, CAST({_r6("1.0 / (60 + rank)")} AS DECIMAL(12,6)) AS c,
+         FALSE AS in_lex, TRUE AS in_sem FROM sem
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS rrf_score,
+         MAX(in_lex) AS in_lex, MAX(in_sem) AS in_sem
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, in_lex, in_sem, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 5
+"""
 
     # decimal→double at the output boundary (twin of _dbl_out; see module
     # docstring — the driver's hasher canonicalizes decimals inconsistently)

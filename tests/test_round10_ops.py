@@ -404,6 +404,9 @@ def test_round10_debuts_invariant_under_adversarial_partitions(spark):
         "doc_contamination_safe_split",
         "doc_bm25_persisted_topk",
         "doc_hybrid_rrf_search_persisted",
+        "doc_bm25_incremental_topk",
+        "doc_bm25_prf_search",
+        "doc_hybrid_rrf_search_federated",
     ]
     try:
         a = {n: sorted(map(tuple, qs[n](spark, SF).collect())) for n in names}
