@@ -276,6 +276,20 @@ def _index_cache_dir(family: str, key: str, keep: int = 4) -> str:
 
     fam_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".indexes", family)
     target = os.path.join(fam_dir, key)
+    if os.path.isdir(target):
+        # LRU touch-on-use (round-10 incident): eviction is mtime-ordered
+        # with a 1h grace, but directory mtimes only change on WRITE — so
+        # an index in active use could age past the grace and be evicted
+        # by a SIBLING lookup in the same query (the federated search
+        # locates shard s0, then s0 — now the oldest entry — is deleted
+        # by s1's eviction pass before the lazy plan ever reads it).
+        # Refreshing the target's mtime on every lookup makes "used just
+        # now" and "young" the same thing, for this process and any
+        # concurrent session alike.
+        try:
+            os.utime(target, None)
+        except OSError:
+            pass
     if os.path.isdir(fam_dir):
         others = [e for e in os.listdir(fam_dir) if e != key]
         if len(others) >= keep:

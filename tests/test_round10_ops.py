@@ -362,6 +362,40 @@ def test_bm25_prf_expansion_degenerates_and_widens(spark):
     assert sorted(map(tuple, rows)) != plain  # expansion changed something
 
 
+def test_index_cache_touch_on_use_prevents_self_eviction():
+    """Regression (round-10 incident): _index_cache_dir's LRU eviction is
+    mtime-ordered with a 1h grace, but mtimes only changed on write — an
+    aged-but-in-use entry (the federated search's other shard) could be
+    evicted by a sibling lookup in the same query. Touch-on-use must
+    protect any entry looked up moments ago, while genuinely stale
+    entries beyond the keep limit still evict."""
+    import os
+    import shutil
+    import time
+
+    import __spark_entry__ as entrymod
+
+    fam = "pytest_touch_fam"
+    fam_dir = os.path.join(os.path.dirname(os.path.abspath(entrymod.__file__)), ".indexes", fam)
+    shutil.rmtree(fam_dir, ignore_errors=True)
+    try:
+        old = time.time() - 7200  # all entries 2h old: past the 1h grace
+        for i in range(6):
+            d = os.path.join(fam_dir, f"e{i}")
+            os.makedirs(d)
+            os.utime(d, (old, old))
+        # look up e0 (touch-on-use refreshes it) ...
+        assert entrymod._index_cache_dir(fam, "e0").endswith("e0")
+        # ... then a sibling lookup runs the eviction pass: e0 must
+        # survive (just used), while stale siblings beyond keep evict
+        entrymod._index_cache_dir(fam, "e1")
+        assert os.path.isdir(os.path.join(fam_dir, "e0"))
+        remaining = set(os.listdir(fam_dir))
+        assert "e0" in remaining and len(remaining) < 6
+    finally:
+        shutil.rmtree(fam_dir, ignore_errors=True)
+
+
 def test_federated_ann_merges_shard_topk(spark):
     """Sharded federated ANN (similarity.ivfpq_federated_search): the
     global top-5 per query must be exactly the rank-merge of the
