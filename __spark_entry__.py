@@ -266,9 +266,11 @@ def _index_cache_dir(family: str, key: str, keep: int = 4) -> str:
 
     def _mtime(path: str) -> float:
         # a concurrent session may delete an entry between listdir and
-        # stat (ADVICE r9); treat a vanished entry as already evicted
-        # (age 0 → sorts oldest AND fails the >1h grace, so it is
-        # neither re-deleted nor does it fail the build)
+        # stat (ADVICE r9); treat a vanished entry as already evicted:
+        # returning "now" makes it look NEWEST (sorts last in the
+        # mtime-ascending order AND fails the >1h grace), so it is
+        # neither re-deleted nor does it fail the build (ADVICE r10
+        # comment fix — the behavior was right, the explanation inverted)
         try:
             return os.path.getmtime(path)
         except OSError:
@@ -2126,6 +2128,43 @@ def _build_registries():
 
         docs = load_table(spark, sf_dir, "documents")
         return bm25_prf_topk(_spread(docs), _BM25_QUERIES, k=5, fb_docs=3, fb_terms=5)
+
+    def doc_bm25_prf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-11 debut (VERDICT r10 #3): PRF composed ONTO the
+        # persisted inverted index — both BM25 passes and the
+        # feedback-term mining read the stored postings
+        # (operators/retrieval.bm25_prf_search_index), zero corpus
+        # tokenization at query time. Deterministic twin of
+        # doc_bm25_prf_search, so its unrolled two-pass oracle is
+        # reused verbatim. Pass 1 gets the seed terms' static bucket
+        # filter (same index-router collect as doc_bm25_persisted_topk).
+        import re
+
+        from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_prf_search_index,
+        )
+
+        idx = _bm25_index_dir(spark, sf_dir)
+        qrows = [
+            (qid, t)
+            for qid, qtext in _BM25_QUERIES
+            for t in dict.fromkeys(
+                w for w in re.split(TOKEN_SPLIT_RE, qtext.lower()) if w
+            )
+        ]
+        qdf = spark.createDataFrame(qrows, "query_id int, term string")
+        buckets = sorted(
+            r["b"]
+            for r in qdf.select(
+                F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return bm25_prf_search_index(
+            qdf, idx, k=5, fb_docs=3, fb_terms=5, prune_buckets=buckets
+        )
 
     def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
         # build-once-per-corpus-fingerprint persisted inverted index
@@ -4283,6 +4322,10 @@ def _build_registries():
         "ann_ivfpq_federated_topk": ann_ivfpq_federated_topk,
         "doc_bm25_prf_search": doc_bm25_prf_search,
         "doc_hybrid_rrf_search_federated": doc_hybrid_rrf_search_federated,
+        # round-11 debut (promoted in-round, wave 16): PRF over the
+        # PERSISTED inverted index — both passes + feedback mining read
+        # stored postings (VERDICT r10 #3)
+        "doc_bm25_prf_search_persisted": doc_bm25_prf_search_persisted,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -4721,6 +4764,39 @@ def _build_registries():
     for _n in _promote_r10:
         reg[_n] = extra.pop(_n)
     for _n in _demote_r10:
+        extra[_n] = reg.pop(_n)
+
+    # ---- round-11 rotation (wave 16) ----------------------------------
+    # VERDICT r10 #1: the five never-driver-checked queries (computed by
+    # SET-DIFFERENCE against ALL CORRECTNESS_r*.json — the ledger rule
+    # tests/test_round11_ops.py::test_rotation_ledger now enforces, so
+    # the r8-stray class of miss can't recur) rotate in, plus the
+    # round-11 debut (PRF over the persisted index, VERDICT r10 #3 —
+    # debut-round driver rows per the ann_ivfpq_persisted_topk
+    # precedent). All six re-verified oracle-green at sf0.01 pre-swap.
+    # Every demotion is a 3x driver-green veteran whose family keeps an
+    # in-window carrier (noted inline); demotions stay oracle-checked in
+    # extras via tools/check_oracle.py. The six 1x-green wave-15
+    # promotions all stay in-window (VERDICT r10 #8).
+    _promote_r11 = [
+        "ann_ivfpq_federated_topk",   # sharded federated ANN (r10 late extra)
+        "doc_bm25_incremental_topk",  # inverted-index append path (r10 late extra)
+        "doc_bm25_prf_search",        # RM3 two-pass expansion (r10 late extra)
+        "doc_hybrid_rrf_search_federated",  # hybrid over the sharded corpus (r10 late extra)
+        "doc_cluster_quality_canonicals",   # the r8 stray the ledger missed
+        "doc_bm25_prf_search_persisted",    # r11 debut: PRF on the persisted index
+    ]
+    _demote_r11 = [
+        "ann_ivf_trained_probe3",    # 3x green; ANN keeps both persisted ivfpq tiers + federated (entering) + the hybrids' semantic sides
+        "emb_hard_negatives",        # 3x green; contrastive mining carried by doc_contrastive_pairs
+        "doc_quality_avg_precision", # 3x green; evaluation tier carried by doc_quality_logreg + quality-aware canonicals (entering)
+        "doc_curation_report",       # 3x green; curation composition carried by corpus_training_batches
+        "orders_loo_priority_encoding",  # 3x green; target-encoding family carried by doc_source_woe
+        "lineitem_corr_matrix",      # 3x green; stats-audit family carried by lineitem_fd_violations + orders_profile
+    ]
+    for _n in _promote_r11:
+        reg[_n] = extra.pop(_n)
+    for _n in _demote_r11:
         extra[_n] = reg.pop(_n)
     assert len(reg) == 50, f"post-rotation window must be 50, got {len(reg)}"
     return reg, extra
@@ -9460,6 +9536,11 @@ SELECT query_id, doc_id, rrf_score, in_lex, in_sem, CAST(rank AS INT) AS rank FR
   FROM fused
 ) WHERE rank <= 5
 """
+
+    # round-11: PRF over the persisted index is the deterministic twin of
+    # the in-query PRF (both passes + mining are bit-equal to tokenizing —
+    # the persisted-search determinism argument), so the oracle is reused
+    o["doc_bm25_prf_search_persisted"] = o["doc_bm25_prf_search"]
 
     # decimal→double at the output boundary (twin of _dbl_out; see module
     # docstring — the driver's hasher canonicalizes decimals inconsistently)

@@ -126,7 +126,12 @@ def _run_with_job_timeout(result: DataFrame, job_name: str, timeout: float) -> N
     short timeout fires before the thread reaches setJobGroup (cancel
     would then cancel nothing and the job would run on after
     TimeoutError — ADVICE r9), the deadline only starts counting after
-    a ``grouped`` event confirms the group is set."""
+    the ``grouped`` event confirms the group is set (so total wall is
+    bounded by ~2×``timeout``: up to ``timeout`` waiting for the group,
+    then ``timeout`` of job time). If the group is never confirmed (a
+    py4j gateway stall inside setJobGroup — ADVICE r10), no Spark job
+    has been submitted yet, so there is nothing to cancel by group and
+    the helper raises immediately instead of issuing no-op cancels."""
     import threading
     import time as _time
 
@@ -147,9 +152,17 @@ def _run_with_job_timeout(result: DataFrame, job_name: str, timeout: float) -> N
             sc.setJobGroup("", "")
 
     th = threading.Thread(target=_go, daemon=True)
-    deadline = _time.time() + timeout
     th.start()
-    grouped.wait(timeout)  # group set (or thread dead) before arming cancel
+    if not grouped.wait(timeout):
+        # the thread never reached setJobGroup within the budget — no
+        # Spark job has been submitted, so cancelJobGroup would target a
+        # group that was never registered (ADVICE r10); report the stall
+        # and leave the daemon thread to die with the session
+        raise TimeoutError(
+            f"batch job {job_name!r}: job group not registered within "
+            f"{timeout} s (py4j gateway stall); no Spark job was submitted"
+        )
+    deadline = _time.time() + timeout  # clock starts AFTER the group is set
     th.join(max(0.0, deadline - _time.time()))
     if th.is_alive():
         sc.cancelJobGroup(group)

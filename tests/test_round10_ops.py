@@ -184,7 +184,11 @@ def test_bm25_persisted_index_equals_inquery_and_prunes(spark, tmp_path):
     qt = spark.createDataFrame([(9, "spark")], "query_id int, term string")
     with pytest.raises(ValueError, match="scheme"):
         bm25_search_index(qt, stripped, k=2)
-    rows = bm25_search_index(qt, stripped, k=2, validate_index=False).collect()
+    # the metadata-stripped escape hatch must not GUESS the modulus
+    # (ADVICE r10): the caller passes the build-time value explicitly
+    rows = bm25_search_index(
+        qt, stripped, k=2, validate_index=False, n_buckets=4
+    ).collect()
     assert {r["doc_id"] for r in rows} == {1, 3}
 
 
