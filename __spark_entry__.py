@@ -2270,6 +2270,98 @@ def _build_registries():
         )
         return bm25_search_index(qdf, idx, k=5, prune_buckets=buckets)
 
+    def doc_bm25_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-11 debut: SHARDED lexical indexing — the BM25 twin of
+        # ann_ivfpq_federated_topk, with the property the vector side
+        # lacks: federation is EXACT. Each shard (even/odd doc ids)
+        # builds its OWN persisted inverted index; the search merges
+        # the shards' global stats losslessly (df/N/total_dl are sums
+        # over disjoint doc sets) and scores every shard's bucket-pruned
+        # postings under the merged stats
+        # (operators/retrieval.bm25_federated_search), bit-equal to one
+        # monolithic index — so doc_bm25_topk's oracle is reused
+        # verbatim. Contrast measured in RECALL.json: the vector
+        # federation pays a per-shard-training recall penalty; the
+        # lexical one provably cannot.
+        import os
+        import re
+
+        from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_build_index,
+            bm25_federated_search,
+        )
+
+        fp = _data_fingerprint(sf_dir, "documents")
+        shards = []
+        for i in range(2):
+            idx = _index_cache_dir("bm25_fed", f"b16_{fp}_s{i}")
+            if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
+                docs = _spread(load_table(spark, sf_dir, "documents"))
+                bm25_build_index(
+                    docs.filter(F.col("doc_id") % 2 == i), idx, n_buckets=16
+                )
+            shards.append(idx)
+        qrows = [
+            (qid, t)
+            for qid, qtext in _BM25_QUERIES
+            for t in dict.fromkeys(
+                w for w in re.split(TOKEN_SPLIT_RE, qtext.lower()) if w
+            )
+        ]
+        qdf = spark.createDataFrame(qrows, "query_id int, term string")
+        buckets = sorted(
+            r["b"]
+            for r in qdf.select(
+                F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return bm25_federated_search(qdf, shards, k=5, prune_buckets=buckets)
+
+    def doc_retrieval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-11 debut: graded retrieval EVALUATION — nDCG@5 + MRR of
+        # the BM25 ranking per query (operators/evaluation.
+        # retrieval_rank_metrics), the metric pair every retrieval stack
+        # is judged by. Qrels here are derived (grade = # distinct query
+        # terms the doc contains) so the oracle can replay them; in
+        # production qrels are tiny human-judgment inputs and the
+        # evaluation is one candidate-bounded join + one qrels-sized
+        # window — nothing corpus-sized beyond the ranking under test.
+        from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.evaluation import (
+            retrieval_rank_metrics,
+        )
+        from data_warehouse_punta_fina_spark.operators.retrieval import bm25_topk
+
+        docs = _spread(load_table(spark, sf_dir, "documents"))
+        ranked = bm25_topk(docs, _BM25_QUERIES, k=5)
+        import re
+
+        from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+
+        qrows = [
+            (qid, t)
+            for qid, qtext in _BM25_QUERIES
+            for t in dict.fromkeys(
+                w for w in re.split(TOKEN_SPLIT_RE, qtext.lower()) if w
+            )
+        ]
+        qdf = spark.createDataFrame(qrows, "query_id int, term string")
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term"),
+        )
+        qrels = (
+            toks.join(F.broadcast(qdf), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count("*").cast("int").alias("grade"))
+        )
+        return retrieval_rank_metrics(ranked, qrels, k=5)
+
     def doc_hybrid_rrf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-10 debut: the FULLY-persisted hybrid — BOTH retrieval
         # sides read durable artifacts (BM25 inverted index + IVF-PQ
@@ -4326,6 +4418,15 @@ def _build_registries():
         # PERSISTED inverted index — both passes + feedback mining read
         # stored postings (VERDICT r10 #3)
         "doc_bm25_prf_search_persisted": doc_bm25_prf_search_persisted,
+        # round-11 debut (promoted in-round, wave 16b): federated BM25
+        # over per-shard persisted inverted indexes — exact global-stats
+        # merge, bit-equal to the monolithic index (the lexical
+        # federation has no per-shard-training penalty; contrast the
+        # measured vector tier in RECALL.json)
+        "doc_bm25_federated_topk": doc_bm25_federated_topk,
+        # round-11 debut (promoted in-round, wave 16b): graded retrieval
+        # evaluation — nDCG@5 + MRR of the BM25 ranking per query
+        "doc_retrieval_rank_metrics": doc_retrieval_rank_metrics,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -4797,6 +4898,23 @@ def _build_registries():
     for _n in _promote_r11:
         reg[_n] = extra.pop(_n)
     for _n in _demote_r11:
+        extra[_n] = reg.pop(_n)
+
+    # ---- round-11 late debuts (wave 16b) -------------------------------
+    # New capability built mid-round enters the window immediately (the
+    # debut-round-driver-row rule); one more multi-green veteran demotes
+    # with an in-window family carrier.
+    _promote_r11b = [
+        "doc_bm25_federated_topk",   # r11 debut: exact federated BM25 over per-shard indexes
+        "doc_retrieval_rank_metrics",  # r11 debut: nDCG@5 + MRR retrieval evaluation
+    ]
+    _demote_r11b = [
+        "events_approx_quantiles",   # 3x green; distribution-profile family carried by orders_profile + events_type_drift_psi
+        "events_transitions",        # 3x green; events family carried by events_trailing_7d + events_type_drift_psi + events_interpolated_daily + events_multiplicative_means
+    ]
+    for _n in _promote_r11b:
+        reg[_n] = extra.pop(_n)
+    for _n in _demote_r11b:
         extra[_n] = reg.pop(_n)
     assert len(reg) == 50, f"post-rotation window must be 50, got {len(reg)}"
     return reg, extra
@@ -9541,6 +9659,81 @@ SELECT query_id, doc_id, rrf_score, in_lex, in_sem, CAST(rank AS INT) AS rank FR
     # the in-query PRF (both passes + mining are bit-equal to tokenizing —
     # the persisted-search determinism argument), so the oracle is reused
     o["doc_bm25_prf_search_persisted"] = o["doc_bm25_prf_search"]
+
+    # round-11: federated BM25 merges df/N/total_dl EXACTLY across
+    # disjoint shards (integer sums), so per-shard scoring under merged
+    # stats is bit-equal to the monolithic index — the single-index
+    # oracle is the federated oracle
+    o["doc_bm25_federated_topk"] = o["doc_bm25_topk"]
+
+    # round-11: graded retrieval evaluation — nDCG@5 + MRR of the BM25
+    # ranking against derived qrels (grade = # distinct query terms in
+    # the doc). Per-position discounted gains are round-6'd to
+    # DECIMAL(12,6) before the per-query sum (the BM25-idf exactness
+    # discipline: pow/log2 last-ulp divergence absorbed by the round,
+    # decimal sums partition-order independent); ideal ordering ties by
+    # doc_id so IDCG is deterministic.
+    _GAIN6 = (
+        "CAST(FLOOR((POW(2.0, grade) - 1.0) / LOG2(CAST({r} AS DOUBLE) + 1.0)"
+        " * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6))"
+    )
+    o["doc_retrieval_rank_metrics"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+postings0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings0 GROUP BY doc_id),
+postings AS (SELECT p.doc_id, p.term, p.tf, dl.dl FROM postings0 p JOIN dl USING (doc_id)),
+dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+nd AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+),
+q AS ({bm25_q}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(CAST(FLOOR(((FLOOR(ln((nd.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * 1000000 + 0.5) / 1000000 * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6)) AS DECIMAL(12,6)) AS s
+  FROM postings p JOIN q USING (term) JOIN dfs USING (term) CROSS JOIN nd
+),
+per_doc AS (
+  SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM per_doc QUALIFY rank <= 5
+),
+qrels AS (
+  SELECT q.query_id, t.doc_id, CAST(COUNT(*) AS INT) AS grade
+  FROM (SELECT DISTINCT doc_id, term FROM toks) t JOIN q USING (term)
+  GROUP BY 1, 2
+),
+got AS (
+  SELECT r.query_id, r.rank, COALESCE(qr.grade, 0) AS grade
+  FROM ranked r LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+),
+dcg AS (
+  SELECT query_id, SUM({_GAIN6.format(r="rank")}) AS dcg,
+         MIN(CASE WHEN grade > 0 THEN rank END) AS first_rel
+  FROM got GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id, grade,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id) AS ir
+  FROM qrels QUALIFY ir <= 5
+),
+idcg AS (
+  SELECT query_id, SUM({_GAIN6.format(r="ir")}) AS idcg FROM ideal GROUP BY query_id
+)
+SELECT d.query_id,
+       CASE WHEN d.first_rel IS NULL THEN 0.0
+            ELSE {_R6D.format(e="1.0 / CAST(d.first_rel AS DOUBLE)")} END AS mrr,
+       CASE WHEN i.idcg IS NOT NULL AND i.idcg > 0
+            THEN {_R6D.format(e="CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE)")}
+            ELSE 0.0 END AS ndcg
+FROM dcg d LEFT JOIN idcg i USING (query_id)
+"""
 
     # decimal→double at the output boundary (twin of _dbl_out; see module
     # docstring — the driver's hasher canonicalizes decimals inconsistently)

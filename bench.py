@@ -173,6 +173,17 @@ HEADLINE = [
     "doc_bm25_persisted_topk",
     "doc_hybrid_rrf_search_persisted",
     "doc_contamination_safe_split",
+    # round-11 additions: the wave-16 promotions enter the headline with
+    # their driver debut (the r10 note's promise) — the inverted-index
+    # append path, sharded federated ANN + hybrid, both PRF variants —
+    # plus the r11 debuts (exact federated BM25; nDCG/MRR evaluation)
+    "doc_bm25_incremental_topk",
+    "ann_ivfpq_federated_topk",
+    "doc_bm25_prf_search",
+    "doc_hybrid_rrf_search_federated",
+    "doc_bm25_prf_search_persisted",
+    "doc_bm25_federated_topk",
+    "doc_retrieval_rank_metrics",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -410,3 +410,77 @@ def stratified_kfold(
     return df.withColumn(
         "fold", ((F.row_number().over(w) - 1) % k).cast("int")
     )
+
+
+def retrieval_rank_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Graded retrieval evaluation: nDCG@k + MRR per query (round-11;
+    Järvelin & Kekäläinen 2002 for DCG, the standard IR formulation).
+
+    ``ranked``: (query_id, ``id_col``, rank) — the output shape of every
+    retrieval operator in this engine (BM25/PRF/hybrid/ANN top-k).
+    ``qrels``: (query_id, ``id_col``, grade) integer relevance grades
+    ≥ 1 (absent pairs are grade 0 — the standard sparse-qrels
+    convention).
+
+        DCG@k  = Σ_{r≤k} (2^grade − 1) / log2(r + 1)
+        nDCG@k = DCG@k / IDCG@k   (0 when the query has no relevant doc)
+        MRR    = 1 / first rank with grade > 0   (0 when none in top-k)
+
+    Cross-engine exactness: each position's discounted gain is round-6'd
+    to DECIMAL(12,6) BEFORE the per-query sum (exact decimal addition —
+    partition-order independent; log2/pow last-ulp divergence absorbed
+    by the round), and the final nDCG ratio is round-6'd as double —
+    the BM25-idf discipline applied to evaluation.
+
+    Scale shape: one broadcast-friendly join of the candidate-bounded
+    ``ranked`` (queries × k rows) against qrels on (query_id, id),
+    plus ONE window over qrels partitioned by query for the ideal
+    ordering (ties broken by ``id_col`` so IDCG is deterministic) —
+    qrels are relevance-judgment-sized, never corpus-sized. Nothing
+    here touches the corpus.
+
+    Output: (query_id, mrr, ndcg) — one row per query present in
+    ``ranked``."""
+    gain = lambda grade_col, rank_col: pround6(
+        (F.pow(F.lit(2.0), grade_col) - F.lit(1.0))
+        / F.log2(rank_col.cast("double") + F.lit(1.0))
+    )
+    got = (
+        ranked.filter(F.col("rank") <= k)
+        .join(qrels, ["query_id", id_col], "left")
+        .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
+    )
+    dcg = got.groupBy("query_id").agg(
+        F.sum(gain(F.col("grade"), F.col("rank"))).alias("_dcg"),
+        F.min(F.when(F.col("grade") > 0, F.col("rank"))).alias("_first_rel"),
+    )
+    wi = Window.partitionBy("query_id").orderBy(F.desc("grade"), F.asc(id_col))
+    ideal = (
+        qrels.withColumn("_ir", F.row_number().over(wi))
+        .filter(F.col("_ir") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(gain(F.col("grade"), F.col("_ir"))).alias("_idcg"))
+    )
+    return (
+        dcg.join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(
+                pround6(F.lit(1.0) / F.col("_first_rel").cast("double")).cast("double"),
+                F.lit(0.0),
+            ).alias("mrr"),
+            F.when(
+                F.col("_idcg").isNotNull() & (F.col("_idcg") > 0),
+                pround6(
+                    F.col("_dcg").cast("double") / F.col("_idcg").cast("double")
+                ).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )

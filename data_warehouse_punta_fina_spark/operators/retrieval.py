@@ -29,11 +29,18 @@ sum would be nondeterministic across reruns — and ties break on doc_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_punta_fina_spark.functions.money import pround
 from data_warehouse_punta_fina_spark.functions.text import tokens
+from data_warehouse_punta_fina_spark.operators.freshness import (
+    StaleIndexError,
+    content_fingerprint,
+    fingerprint_row,
+    merge_fingerprints,
+    rows_match,
+)
 
 K1 = 1.2
 B = 0.75
@@ -254,7 +261,11 @@ def bm25_build_index(
       (bucket, term), so dynamic partition pruning reads only the query
       terms' buckets, never the whole index;
     - ``dfstats/`` — (term, df), same bucketing;
-    - ``stats/`` — one row (n_docs, total_dl) for idf/avgdl.
+    - ``stats/`` — one row (n_docs, total_dl) for idf/avgdl, plus the
+      corpus CONTENT fingerprint (fp_n, fp_xor, fp_sum — see
+      ``operators/freshness.py``) so staleness against a mutated corpus
+      is detectable (:func:`bm25_index_is_fresh`) and rejectable
+      (``verify_corpus=`` at search time), not just parameter drift.
 
     The scheme + n_buckets ride as column metadata on ``tf`` (the
     minhash-band / IVF-PQ discipline) and are validated at search time.
@@ -278,8 +289,11 @@ def bm25_build_index(
         .partitionBy("bucket")
         .parquet(f"{index_dir}/dfstats")
     )
+    # one corpus pass: n_docs + the content fingerprint (freshness.py);
+    # total_dl comes from the already-computed postings aggregate
+    fp = content_fingerprint(docs, id_col, text_col).withColumnRenamed("fp_n", "n_docs")
     (
-        docs.agg(F.count("*").alias("n_docs"))
+        fp.select(F.col("n_docs"), F.col("fp_xor"), F.col("fp_sum"))
         .crossJoin(
             postings.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("total_dl"))
         )
@@ -315,7 +329,18 @@ def _bm25_append_plans(
     n_buckets = int(stored.get("n_buckets", 16))
     old = spark.read.parquet(f"{index_dir}/stats").collect()[0]
     old_n, old_total_dl = int(old["n_docs"]), int(old["total_dl"])
-    n_new = new_docs.count()
+    # one batch-sized pass gives BOTH the doc count and the batch's
+    # content fingerprint; disjoint ids (the append contract) make the
+    # merged fingerprint exact — counts/sums add, XORs xor — so the
+    # appended index stays freshness-checkable in O(batch)
+    batch_fp = fingerprint_row(new_docs, id_col, text_col)
+    n_new = int(batch_fp["fp_n"])
+    old_fp = Row(
+        fp_n=old_n,
+        fp_xor=old["fp_xor"] if "fp_xor" in old.__fields__ else None,
+        fp_sum=old["fp_sum"] if "fp_sum" in old.__fields__ else None,
+    )
+    merged_n, merged_xor, merged_sum = merge_fingerprints(old_fp, batch_fp)
 
     postings_new, df_new, _dl = corpus_term_stats(new_docs, text_col, id_col)
     bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
@@ -339,10 +364,19 @@ def _bm25_append_plans(
         .select("term", "df", bucket)
     )
     # stats: old row + ONE batch aggregate (total_dl adds exactly; n is
-    # the doc-count sum) — cast long to keep the build schema
+    # the doc-count sum) — cast long to keep the build schema. The
+    # merged content fingerprint rides along (NULL when the old index
+    # predates fingerprints — the unknown poisons the chain and a later
+    # freshness check forces a rebuild that re-establishes it).
+    fp_xor_lit = F.lit(merged_xor).cast("long")
+    fp_sum_lit = (
+        F.lit(str(merged_sum)) if merged_sum is not None else F.lit(None)
+    ).cast("decimal(38,0)")
     stats_df = (
         postings_new.agg(
             F.lit(old_n + n_new).cast("long").alias("n_docs"),
+            fp_xor_lit.alias("fp_xor"),
+            fp_sum_lit.alias("fp_sum"),
             (F.coalesce(F.sum("tf"), F.lit(0)) + F.lit(old_total_dl))
             .cast("long")
             .alias("total_dl"),
@@ -390,39 +424,64 @@ def bm25_append_index(
     stats_df.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
 
 
-def bm25_search_index(
-    query_terms: DataFrame,
+def bm25_index_is_fresh(
+    docs: DataFrame,
     index_dir: str,
-    k: int = 5,
+    text_col: str = "text",
     id_col: str = "doc_id",
-    exclude_query_doc: bool = False,
-    validate_index: bool = True,
-    prune_buckets: list[int] | None = None,
-    n_buckets: int | None = None,
-) -> DataFrame:
-    """Search a PERSISTED BM25 index (:func:`bm25_build_index`) — no
-    corpus tokenization anywhere in the plan: the broadcast (bucket,
-    term) join against the bucket-partitioned postings prunes the scan
-    to the query terms' buckets, df comes from the stored vocabulary
-    table, and n/avgdl from the 1-row stats table. Scoring (idf
-    round-6, per-term DECIMAL(12,6), per-doc exact decimal sum, ties by
-    ``id_col``) is identical to the in-query :func:`bm25_topk_terms`,
-    so results are bit-equal to re-tokenizing — the determinism the
-    oracle relies on.
+) -> bool:
+    """True iff the persisted index's stored corpus fingerprint matches
+    the LIVE corpus — i.e. the index still describes the data. False for
+    a mutated corpus AND for an index whose fingerprint is absent
+    (pre-fingerprint build, or an append chain that started before
+    fingerprints existed): unknowable staleness is staleness for a
+    refresh decision. One full corpus scan (count + two hash
+    aggregates) — the refresh-orchestration primitive, not a per-query
+    guard (see ``operators/freshness.py``)."""
+    spark = docs.sparkSession
+    stored = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    # the build writes fp_n as n_docs (they are the same count)
+    stored = Row(
+        fp_n=stored["n_docs"],
+        fp_xor=stored["fp_xor"] if "fp_xor" in stored.__fields__ else None,
+        fp_sum=stored["fp_sum"] if "fp_sum" in stored.__fields__ else None,
+    )
+    return rows_match(stored, fingerprint_row(docs, id_col, text_col))
 
-    Pruning physics: when ``query_terms`` derives from a FILTERED table
-    (query-by-example), Catalyst inserts dynamic partition pruning on
-    ``bucket`` automatically. When the query terms are driver-known
-    literals, Spark will NOT insert DPP (a LocalRelation carries no
-    selective predicate), so pass ``prune_buckets`` — the terms' bucket
-    ids — and the scan gets a STATIC partition filter instead (resolved
-    at planning, strictly better than DPP). ``prune_buckets`` must cover
-    every query term's bucket: a keep-list that missed one would
-    silently delete that term's contribution from every score (ADVICE
-    r10), so the query side carries a per-row guard that raises at
-    runtime on any uncovered bucket — one comparison per query term on
-    the broadcast-tiny side, never touching the postings scan."""
-    spark = query_terms.sparkSession
+
+def bm25_refresh_index(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> bool:
+    """The reject-then-rebuild cycle (round-11, VERDICT r10 #7): if the
+    persisted index is FRESH for ``docs``, do nothing and return False;
+    if it is stale, missing, or fingerprint-less, rebuild it from
+    ``docs`` (re-establishing the fingerprint) and return True. The
+    staleness discipline as an operation, not just an error message."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        if bm25_index_is_fresh(docs, index_dir, text_col, id_col):
+            return False
+    except AnalysisException:
+        pass  # no index at index_dir yet — build it
+    bm25_build_index(docs, index_dir, text_col, id_col, n_buckets)
+    return True
+
+
+def _bm25_read_validated(
+    spark,
+    index_dir: str,
+    validate_index: bool = True,
+    n_buckets: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Read one persisted index's three tables and resolve its bucket
+    modulus (stored metadata → explicit argument → partition-value
+    inference, in that order — ADVICE r10). Shared by the single-index
+    and federated searches."""
     postings = spark.read.parquet(f"{index_dir}/postings")
     df_stats = spark.read.parquet(f"{index_dir}/dfstats")
     stats = spark.read.parquet(f"{index_dir}/stats")
@@ -453,34 +512,58 @@ def bm25_search_index(
         if top is None:
             raise ValueError("cannot infer n_buckets from an empty postings table")
         n_buckets = int(top) + 1
+    return postings, df_stats, stats, n_buckets
+
+
+def _bm25_query_buckets(
+    query_terms: DataFrame,
+    n_buckets: int,
+    prune_buckets: list[int] | None,
+) -> tuple[DataFrame, list[int] | None]:
+    """The bucketed query side: distinct (query_id, term) + the term's
+    bucket, with the loud prune-coverage guard (ADVICE r10) — a
+    caller-supplied keep-list that misses a query term's bucket would
+    silently delete that term's contribution from every score, so the
+    broadcast-tiny query side raises at runtime on any uncovered
+    bucket instead of trusting the list."""
     qdf = query_terms.select("query_id", "term").distinct()
     qb = qdf.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
-    if prune_buckets is not None:
-        keep = sorted({int(b) for b in prune_buckets})
-        # fail LOUDLY on an uncovered query-term bucket instead of
-        # trusting the caller's list (the silent-miss hazard above);
-        # the WHEN only evaluates raise_error on offending rows
-        qb = qb.filter(
-            F.when(F.col("bucket").isin(keep), F.lit(True)).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit("prune_buckets misses bucket "),
-                        F.col("bucket").cast("string"),
-                        F.lit(" required by query term '"),
-                        F.col("term"),
-                        F.lit("'"),
-                    )
-                ).cast("boolean")
-            )
+    if prune_buckets is None:
+        return qb, None
+    keep = sorted({int(b) for b in prune_buckets})
+    # the WHEN only evaluates raise_error on offending rows
+    qb = qb.filter(
+        F.when(F.col("bucket").isin(keep), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("prune_buckets misses bucket "),
+                    F.col("bucket").cast("string"),
+                    F.lit(" required by query term '"),
+                    F.col("term"),
+                    F.lit("'"),
+                )
+            ).cast("boolean")
         )
-        postings = postings.filter(F.col("bucket").isin(keep))
-        df_stats = df_stats.filter(F.col("bucket").isin(keep))
-    n_docs = stats.select(
-        F.col("n_docs").alias("n"),
-        (F.col("total_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
+    return qb, keep
+
+
+def _bm25_score_bucketed(
+    postings: DataFrame,
+    df_stats: DataFrame,
+    n_docs: DataFrame,
+    qb: DataFrame,
+    k: int,
+    id_col: str,
+    exclude_query_doc: bool,
+) -> DataFrame:
+    """Score bucketed postings against the broadcast query side under
+    the given (n, avgdl) — the ONE scoring definition behind the
+    single-index and federated searches (idf round-6, per-term
+    DECIMAL(12,6), per-doc exact decimal sum, ties by ``id_col``),
+    bit-equal to the in-query :func:`bm25_topk_terms`."""
     scored = (
         postings.join(F.broadcast(qb), ["bucket", "term"])
         .join(
@@ -524,6 +607,146 @@ def bm25_search_index(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return per_doc.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= k
+    )
+
+
+def bm25_search_index(
+    query_terms: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    exclude_query_doc: bool = False,
+    validate_index: bool = True,
+    prune_buckets: list[int] | None = None,
+    n_buckets: int | None = None,
+    verify_corpus: DataFrame | None = None,
+    verify_text_col: str = "text",
+) -> DataFrame:
+    """Search a PERSISTED BM25 index (:func:`bm25_build_index`) — no
+    corpus tokenization anywhere in the plan: the broadcast (bucket,
+    term) join against the bucket-partitioned postings prunes the scan
+    to the query terms' buckets, df comes from the stored vocabulary
+    table, and n/avgdl from the 1-row stats table. Scoring (idf
+    round-6, per-term DECIMAL(12,6), per-doc exact decimal sum, ties by
+    ``id_col``) is identical to the in-query :func:`bm25_topk_terms`,
+    so results are bit-equal to re-tokenizing — the determinism the
+    oracle relies on.
+
+    Pruning physics: when ``query_terms`` derives from a FILTERED table
+    (query-by-example), Catalyst inserts dynamic partition pruning on
+    ``bucket`` automatically. When the query terms are driver-known
+    literals, Spark will NOT insert DPP (a LocalRelation carries no
+    selective predicate), so pass ``prune_buckets`` — the terms' bucket
+    ids — and the scan gets a STATIC partition filter instead (resolved
+    at planning, strictly better than DPP). ``prune_buckets`` must cover
+    every query term's bucket: a keep-list that missed one would
+    silently delete that term's contribution from every score (ADVICE
+    r10), so the query side carries a per-row guard that raises at
+    runtime on any uncovered bucket — one comparison per query term on
+    the broadcast-tiny side, never touching the postings scan."""
+    spark = query_terms.sparkSession
+    postings, df_stats, stats, n_buckets = _bm25_read_validated(
+        spark, index_dir, validate_index, n_buckets
+    )
+    if verify_corpus is not None and not bm25_index_is_fresh(
+        verify_corpus, index_dir, verify_text_col, id_col
+    ):
+        # the OTHER staleness axis: parameters match but the corpus
+        # mutated since the build — searching would score a snapshot
+        # that no longer exists. Costs one corpus scan; pass it from
+        # refresh orchestration, not per query (freshness.py).
+        raise StaleIndexError(
+            f"persisted BM25 index at {index_dir!r} does not match the live "
+            "corpus (content fingerprint mismatch or absent) — rebuild with "
+            "bm25_refresh_index before searching."
+        )
+    qb, keep = _bm25_query_buckets(query_terms, n_buckets, prune_buckets)
+    if keep is not None:
+        postings = postings.filter(F.col("bucket").isin(keep))
+        df_stats = df_stats.filter(F.col("bucket").isin(keep))
+    n_docs = stats.select(
+        F.col("n_docs").alias("n"),
+        (F.col("total_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    return _bm25_score_bucketed(
+        postings, df_stats, n_docs, qb, k, id_col, exclude_query_doc
+    )
+
+
+def bm25_federated_search(
+    query_terms: DataFrame,
+    index_dirs: list[str],
+    k: int = 5,
+    id_col: str = "doc_id",
+    exclude_query_doc: bool = False,
+    validate_index: bool = True,
+    prune_buckets: list[int] | None = None,
+) -> DataFrame:
+    """Federated BM25 over PER-SHARD persisted inverted indexes
+    (:func:`bm25_build_index` per disjoint document shard) — the lexical
+    twin of :func:`~.similarity.ivfpq_federated_search`, with one
+    crucial difference: the lexical federation is EXACT. BM25's only
+    global state is (df, N, total_dl), all of which merge losslessly
+    across disjoint shards (integer sums), so scoring every shard's
+    postings under the MERGED statistics and rank-merging the per-doc
+    scores is bit-equal to one monolithic index over the union — the
+    single-index oracle is reused verbatim. The vector twin, by
+    contrast, measurably pays a recall penalty for per-shard quantizer
+    training (RECALL.json federated tiers, docs/BENCH_NOTES.md r11).
+
+    Scale shape: each shard's postings scan stays bucket-pruned (the
+    static ``prune_buckets`` filter or DPP, exactly as the single-index
+    path); the vocabulary merge is a groupBy over shards ×
+    query-term-bucket rows (broadcast-tiny — dfstats is pruned to the
+    query buckets BEFORE the union); global stats is a union of 1-row
+    tables; the per-doc score sum never crosses shards (disjoint ids)
+    and the final top-k window is candidate-bounded. No corpus-sized
+    work beyond the pruned postings reads — federation adds shards ×
+    (query-bucket postings) I/O, not corpus I/O.
+
+    Shards must share the bucket modulus (terms would otherwise hash to
+    different buckets per shard) and partition the corpus (disjoint
+    ``id_col`` — the same contract as the vector twin)."""
+    if not index_dirs:
+        raise ValueError("bm25_federated_search needs at least one shard index")
+    spark = query_terms.sparkSession
+    shards = [_bm25_read_validated(spark, d, validate_index) for d in index_dirs]
+    mods = {nb for (_p, _d, _s, nb) in shards}
+    if len(mods) != 1:
+        raise ValueError(
+            f"shards disagree on n_buckets ({sorted(mods)}); query terms would "
+            "hash to different buckets per shard — rebuild with one modulus"
+        )
+    qb, keep = _bm25_query_buckets(query_terms, mods.pop(), prune_buckets)
+    postings_parts, df_parts, stats_parts = [], [], []
+    for p, d, s, _nb in shards:
+        if keep is not None:
+            p = p.filter(F.col("bucket").isin(keep))
+            d = d.filter(F.col("bucket").isin(keep))
+        postings_parts.append(p.select("term", id_col, "tf", "dl", "bucket"))
+        df_parts.append(d.select("term", "df", "bucket"))
+        stats_parts.append(s.select("n_docs", "total_dl"))
+    postings = postings_parts[0]
+    for p in postings_parts[1:]:
+        postings = postings.unionByName(p)
+    df_u = df_parts[0]
+    for d in df_parts[1:]:
+        df_u = df_u.unionByName(d)
+    # disjoint shards ⇒ per-term document frequencies ADD exactly; the
+    # merge input is already pruned to the query buckets (vocab-sized
+    # at worst, query-bucket-sized with pruning)
+    df_stats = df_u.groupBy("bucket", "term").agg(
+        F.sum("df").cast("long").alias("df")
+    )
+    stats_u = stats_parts[0]
+    for s in stats_parts[1:]:
+        stats_u = stats_u.unionByName(s)
+    n_docs = stats_u.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum("total_dl").cast("long").alias("_tdl"),
+    ).select(F.col("n"), (F.col("_tdl").cast("double") / F.col("n")).alias("avgdl"))
+    return _bm25_score_bucketed(
+        postings, df_stats, n_docs, qb, k, id_col, exclude_query_doc
     )
 
 

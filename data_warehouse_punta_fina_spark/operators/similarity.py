@@ -20,6 +20,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_punta_fina_spark.functions.vectors import cosine_q, dot_q, norm_sq_q, quantize
+from data_warehouse_punta_fina_spark.operators.freshness import (
+    StaleIndexError,
+    content_fingerprint,
+    fingerprint_row,
+    merge_fingerprints,
+    rows_match,
+)
 
 
 def _prepare(df: DataFrame, id_col: str, vec_col: str, bucket_bits: int | None = None) -> DataFrame:
@@ -925,6 +932,15 @@ def ivfpq_build_index(
         )
     )
     codes.write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/codes")
+    # corpus CONTENT fingerprint (round-11, VERDICT r10 #7 — see
+    # operators/freshness.py): lets ivfpq_index_is_fresh detect an index
+    # whose parameters still match but whose corpus mutated underneath
+    (
+        content_fingerprint(corpus, id_col, vec_col)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/fingerprint")
+    )
     return spark.read.parquet(f"{index_dir}/codes")
 
 
@@ -977,7 +993,76 @@ def ivfpq_append_index(
         .select(id_col, "sub", F.col("scid").alias("scid", metadata=stored), "cid")
     )
     codes.write.mode("append").partitionBy("cid").parquet(f"{index_dir}/codes")
+    # O(batch) fingerprint maintenance: disjoint ids (the append
+    # contract) make counts/sums add and XORs xor exactly, so the
+    # appended index stays freshness-checkable without rescanning the
+    # indexed corpus. A pre-fingerprint index stays fingerprint-less
+    # (reported stale until the next full rebuild re-establishes it).
+    from pyspark.errors import AnalysisException
+
+    try:
+        old_fp = spark.read.parquet(f"{index_dir}/fingerprint").collect()[0]
+    except AnalysisException:
+        old_fp = None
+    if old_fp is not None:
+        batch_fp = fingerprint_row(new_vectors, id_col, vec_col)
+        mn, mx, ms = merge_fingerprints(old_fp, batch_fp)
+        if mn is not None:
+            merged = spark.createDataFrame(
+                [(mn, mx, str(ms))], "fp_n long, fp_xor long, fp_sum string"
+            ).select(
+                "fp_n", "fp_xor", F.col("fp_sum").cast("decimal(38,0)").alias("fp_sum")
+            )
+            merged.coalesce(1).write.mode("overwrite").parquet(
+                f"{index_dir}/fingerprint"
+            )
     return spark.read.parquet(f"{index_dir}/codes")
+
+
+def ivfpq_index_is_fresh(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """True iff the persisted index's stored corpus fingerprint matches
+    the LIVE corpus. False when the corpus mutated since build+appends,
+    and when the fingerprint is absent (pre-fingerprint index):
+    unknowable staleness is staleness for a refresh decision. One
+    corpus scan — refresh-orchestration, not a per-query guard
+    (``operators/freshness.py``)."""
+    from pyspark.errors import AnalysisException
+
+    spark = corpus.sparkSession
+    try:
+        stored = spark.read.parquet(f"{index_dir}/fingerprint").collect()[0]
+    except AnalysisException:
+        return False
+    return rows_match(stored, fingerprint_row(corpus, id_col, vec_col))
+
+
+def ivfpq_refresh_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_cells: int = 32,
+    m: int = 8,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> bool:
+    """The reject-then-rebuild cycle (round-11, VERDICT r10 #7): a FRESH
+    index is left untouched (return False); a stale, missing, or
+    fingerprint-less one is rebuilt from ``corpus`` — retraining the
+    quantizers on the current snapshot and re-establishing the
+    fingerprint (return True)."""
+    if ivfpq_index_is_fresh(corpus, index_dir, id_col, vec_col):
+        return False
+    ivfpq_build_index(
+        corpus, index_dir, n_cells, m, n_centroids, iters, id_col, vec_col, dims
+    )
+    return True
 
 
 def ivfpq_search_index(
@@ -995,6 +1080,7 @@ def ivfpq_search_index(
     vec_col: str = "embedding",
     dims: int = 64,
     validate_index: bool = True,
+    verify_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Search a PERSISTED IVF-PQ index (:func:`ivfpq_build_index`) — no
     training job anywhere in the plan: the coarse centroids and codebook
@@ -1048,6 +1134,17 @@ def ivfpq_search_index(
             f"search ({ {k_: f'stored={sv} != search={bv}' for k_, (sv, bv) in drift.items()} }); "
             "ADC scores against a mismatched codebook are silently wrong. Rebuild the "
             "index or pass matching parameters."
+        )
+    if verify_corpus is not None and not ivfpq_index_is_fresh(
+        verify_corpus, index_dir, id_col, vec_col
+    ):
+        # parameters match but the CORPUS mutated since the build —
+        # the codes describe a snapshot that no longer exists. Costs one
+        # corpus scan; pass from refresh orchestration, not per query.
+        raise StaleIndexError(
+            f"persisted IVF-PQ index at {index_dir!r} does not match the live "
+            "corpus (content fingerprint mismatch or absent) — rebuild with "
+            "ivfpq_refresh_index before searching."
         )
 
     q_cells = (

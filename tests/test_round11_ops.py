@@ -278,3 +278,295 @@ def test_feature_packing_rejects_oversized_dims(spark):
     row = extract_features(media).collect()[0]
     stub_header = int.from_bytes(payload[:4], "big")
     assert row["header_word"] == stub_header != (70000 << 16) | 1
+
+
+def test_bm25_content_fingerprint_refresh_cycle(spark, tmp_path):
+    """VERDICT r10 #7, content-level: beyond the file-fingerprint cache
+    key, the index itself stores a corpus CONTENT fingerprint — a
+    mutated-in-place corpus (same paths, different rows) is detected
+    (is_fresh False), rejected at search time (StaleIndexError), rebuilt
+    by refresh, and the new results reflect the mutation; a second
+    refresh is a no-op."""
+    from data_warehouse_punta_fina_spark.operators.freshness import StaleIndexError
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_index_is_fresh,
+        bm25_refresh_index,
+        bm25_search_index,
+    )
+
+    idx = str(tmp_path / "bm25_idx")
+    v1 = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "ducks swim"), (3, "spark plans queries")],
+        "doc_id long, text string",
+    )
+    # refresh on a MISSING index builds it
+    assert bm25_refresh_index(v1, idx, n_buckets=4) is True
+    assert bm25_index_is_fresh(v1, idx) is True
+    qt = spark.createDataFrame([(9, "spark")], "query_id int, term string")
+    r1 = {r["doc_id"] for r in bm25_search_index(qt, idx, k=3, verify_corpus=v1).collect()}
+    assert r1 == {1, 3}
+
+    # in-place mutation: doc 3 stops mentioning spark, doc 4 starts
+    v2 = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "ducks swim"),
+         (3, "flink streams events"), (4, "spark caches blocks")],
+        "doc_id long, text string",
+    )
+    assert bm25_index_is_fresh(v2, idx) is False
+    import pytest as _pytest
+
+    with _pytest.raises(StaleIndexError):
+        bm25_search_index(qt, idx, k=3, verify_corpus=v2)
+    assert bm25_refresh_index(v2, idx, n_buckets=4) is True  # rebuilt
+    r2 = {r["doc_id"] for r in bm25_search_index(qt, idx, k=3, verify_corpus=v2).collect()}
+    assert r2 == {1, 4}, "rebuilt index must reflect the mutated corpus"
+    assert bm25_refresh_index(v2, idx, n_buckets=4) is False  # fresh → no-op
+
+
+def test_bm25_append_preserves_content_fingerprint(spark, tmp_path):
+    """The O(batch) append keeps the stored fingerprint EXACT: after
+    appending a disjoint batch, the index is fresh for the union (and
+    stale for the pre-append corpus) — XOR/sum merge equals a
+    from-scratch fingerprint, independent of partitioning/order."""
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_index_is_fresh,
+    )
+
+    idx = str(tmp_path / "bm25_idx")
+    base = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "ducks swim")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "spark caches blocks"), (4, "herons wade")],
+        "doc_id long, text string",
+    )
+    bm25_build_index(base, idx, n_buckets=4)
+    bm25_append_index(batch, idx)
+    union = base.unionByName(batch)
+    assert bm25_index_is_fresh(union, idx) is True
+    # order/partitioning independence of the fingerprint comparison
+    assert bm25_index_is_fresh(union.repartition(7).sortWithinPartitions("text"), idx) is True
+    assert bm25_index_is_fresh(base, idx) is False
+
+
+def test_ivfpq_content_fingerprint_refresh_cycle(spark, tmp_path):
+    """The vector twin of the BM25 cycle: build stores the corpus
+    fingerprint, an in-place mutation is detected and rejected
+    (StaleIndexError on verify_corpus), refresh retrains, appends merge
+    the fingerprint in O(batch) so the appended index stays fresh for
+    the union."""
+    from data_warehouse_punta_fina_spark.operators.freshness import StaleIndexError
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_index_is_fresh,
+        ivfpq_refresh_index,
+        ivfpq_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    v1 = emb.filter(F.col("vec_id") < 60)
+    idx = str(tmp_path / "ivfpq_idx")
+    params = dict(n_cells=4, m=4, n_centroids=4, iters=1)
+    assert ivfpq_refresh_index(v1, idx, **params) is True  # missing → build
+    assert ivfpq_index_is_fresh(v1, idx) is True
+    queries = emb.filter(F.col("vec_id") < 2)
+    ivfpq_search_index(
+        queries, v1, idx, k=3, probes=2, rerank=10, dims=64,
+        verify_corpus=v1, **params,
+    ).collect()  # fresh → no raise
+
+    # in-place mutation: one vector replaced by a different one
+    v2 = emb.filter((F.col("vec_id") < 59) | (F.col("vec_id") == 61))
+    assert ivfpq_index_is_fresh(v2, idx) is False
+    import pytest as _pytest
+
+    with _pytest.raises(StaleIndexError):
+        ivfpq_search_index(
+            queries, v2, idx, k=3, probes=2, rerank=10, dims=64,
+            verify_corpus=v2, **params,
+        )
+    assert ivfpq_refresh_index(v2, idx, **params) is True  # rebuilt
+    assert ivfpq_refresh_index(v2, idx, **params) is False  # fresh → no-op
+
+    # O(batch) fingerprint maintenance through the append path
+    batch = emb.filter((F.col("vec_id") >= 62) & (F.col("vec_id") < 66))
+    ivfpq_append_index(batch, idx)
+    assert ivfpq_index_is_fresh(v2.unionByName(batch), idx) is True
+    assert ivfpq_index_is_fresh(v2, idx) is False
+
+
+def test_recall_panel_carries_federated_tier():
+    """VERDICT r10 #4: RECALL.json must carry the federated tier in BOTH
+    SF panels with calibrated floors and no breaches — the per-shard
+    training-quality regression only a recall metric can see (the
+    exact-merge pytest can't: it proves the merge, not the candidates)."""
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(entrymod.__file__)), "RECALL.json"
+    )
+    with open(path) as fh:
+        d = json.load(fh)
+    assert d["floor_breaches"] == []
+    for sf in ("sf0.01", "sf0.1"):
+        tiers = d["panels"][sf]["tiers"]
+        for t in (
+            "ivfpq_federated2_c32_p4_m8k32_r100",
+            "ivfpq_federated2_c32_p8_m8k32_r100",
+        ):
+            assert t in tiers, f"{sf} panel missing federated tier {t}"
+            assert tiers[t]["floor"] is not None, f"{t} floor not calibrated"
+            assert tiers[t]["recall_at_k"] >= tiers[t]["floor"]
+        # the measured federation penalty: the naive row sits BELOW the
+        # single-index row (half-corpus training quality) — if this ever
+        # flips, the comment block in tools/ann_recall.py is stale
+        assert (
+            tiers["ivfpq_federated2_c32_p4_m8k32_r100"]["recall_at_k"]
+            < tiers["ivfpq_c32_p4_m8k32_r100"]["recall_at_k"]
+        )
+
+
+def test_bm25_federated_equals_monolithic_and_validates(spark, tmp_path):
+    """Federated BM25 (round-11): per-shard persisted indexes searched
+    under the EXACT merged global stats must be bit-equal to one
+    monolithic index over the union (df/N/total_dl sum losslessly over
+    disjoint shards) — pruned and unpruned; shards disagreeing on the
+    bucket modulus are rejected loudly (terms would hash to different
+    buckets per shard)."""
+    import pytest as _pytest
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_federated_search,
+        bm25_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    mono = str(tmp_path / "mono")
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    bm25_build_index(docs, mono, n_buckets=8)
+    bm25_build_index(docs.filter(F.col("doc_id") % 2 == 0), s0, n_buckets=8)
+    bm25_build_index(docs.filter(F.col("doc_id") % 2 == 1), s1, n_buckets=8)
+    qdf = spark.createDataFrame(
+        [(1, "spark"), (1, "data"), (2, "customer"), (2, "order")],
+        "query_id int, term string",
+    )
+    single = sorted(map(tuple, bm25_search_index(qdf, mono, k=5).collect()))
+    fed = sorted(map(tuple, bm25_federated_search(qdf, [s0, s1], k=5).collect()))
+    assert fed == single and len(single) > 0
+    buckets = sorted(
+        r["b"]
+        for r in qdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(8)).cast("int").alias("b")
+        ).distinct().collect()
+    )
+    pruned = sorted(
+        map(tuple, bm25_federated_search(qdf, [s0, s1], k=5, prune_buckets=buckets).collect())
+    )
+    assert pruned == single
+
+    mismatched = str(tmp_path / "s_other_modulus")
+    bm25_build_index(docs.filter(F.col("doc_id") % 2 == 1), mismatched, n_buckets=4)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        bm25_federated_search(qdf, [s0, mismatched], k=5)
+    with _pytest.raises(ValueError, match="at least one shard"):
+        bm25_federated_search(qdf, [], k=5)
+
+
+def test_retrieval_rank_metrics_known_values(spark):
+    """nDCG@k + MRR against hand-computed values: query 1 has grades
+    (3,0,1) at ranks (1,2,3) → DCG = 7 + 0 + 0.5 = 7.5 exactly (log2(2)
+    and log2(4) are exact powers of two); ideal ordering (3,1) → IDCG =
+    7 + 1/log2(3); MRR = 1. Query 2 has no relevant docs in (or out of)
+    the top-k → both metrics 0."""
+    import math
+
+    from data_warehouse_punta_fina_spark.operators.evaluation import (
+        retrieval_rank_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 10, 1), (2, 11, 2)],
+        "query_id int, doc_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 3), (1, 12, 1), (1, 99, 2)],  # doc 99 relevant but unretrieved
+        "query_id int, doc_id int, grade int",
+    )
+    rows = {r["query_id"]: r for r in retrieval_rank_metrics(ranked, qrels, k=3).collect()}
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    dcg = r6(7.0) + r6(0.0) + r6(1.0 / 2.0)
+    idcg = r6(7.0) + r6(3.0 / math.log2(3.0)) + r6(1.0 / 2.0)
+    assert rows[1]["mrr"] == 1.0
+    assert rows[1]["ndcg"] == r6(dcg / idcg)
+    assert rows[2]["mrr"] == 0.0 and rows[2]["ndcg"] == 0.0
+
+
+def test_federated_refresh_rebuilds_only_stale_shards(spark, tmp_path):
+    """The operational composition of freshness × federation: when one
+    shard's corpus mutates, refresh rebuilds ONLY that shard (the other
+    shard's stored codes are untouched on disk), and the federated
+    search over the refreshed shards reflects the mutation."""
+    import os
+
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_federated_search,
+        ivfpq_index_is_fresh,
+        ivfpq_refresh_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    params = dict(n_cells=4, m=4, n_centroids=4, iters=1)
+    dirs = [str(tmp_path / f"s{i}") for i in range(2)]
+    shards_v1 = [
+        emb.filter((F.col("vec_id") < 80) & (F.pmod(F.col("vec_id"), F.lit(2)) == i))
+        for i in range(2)
+    ]
+    for s, d in zip(shards_v1, dirs):
+        assert ivfpq_refresh_index(s, d, **params) is True  # initial build
+
+    def _mtimes(d):
+        codes = os.path.join(d, "codes")
+        return {
+            f: os.path.getmtime(os.path.join(root, f))
+            for root, _, fs in os.walk(codes)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = _mtimes(dirs[0])
+    # shard 1's corpus mutates (one extra vector); shard 0 unchanged
+    shard1_v2 = emb.filter(
+        ((F.col("vec_id") < 80) | (F.col("vec_id") == 81))
+        & (F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    )
+    rebuilt = [
+        ivfpq_refresh_index(shards_v1[0], dirs[0], **params),
+        ivfpq_refresh_index(shard1_v2, dirs[1], **params),
+    ]
+    assert rebuilt == [False, True]
+    assert _mtimes(dirs[0]) == before, "fresh shard's codes must be untouched"
+    assert ivfpq_index_is_fresh(shard1_v2, dirs[1]) is True
+
+    # the rebuild incorporated the mutation: the refreshed shard's codes
+    # now carry the new vector (self-matches are excluded at search
+    # time, so assert on the index contents + an end-to-end search)
+    codes1 = spark.read.parquet(f"{dirs[1]}/codes")
+    assert codes1.filter(F.col("vec_id") == 81).count() > 0
+    corpus_v2 = shards_v1[0].unionByName(shard1_v2)
+    queries = emb.filter(F.col("vec_id") == 0)
+    hits = ivfpq_federated_search(
+        queries, corpus_v2, dirs, k=3, probes=4, rerank=10, dims=64, **params
+    ).collect()
+    assert len(hits) == 3
