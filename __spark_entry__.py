@@ -2692,6 +2692,32 @@ def _build_registries():
         docs = load_table(spark, sf_dir, "documents")
         return phrase_search(docs, "order fast")
 
+    def doc_phrase_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-11 debut: phrase search over the PERSISTED positional
+        # index (operators/retrieval.positional_build_index — the
+        # phrase/proximity complement of the BM25 postings, completing
+        # the persisted-artifact family). Zero corpus tokenization at
+        # query time: the phrase terms are driver-known literals, so the
+        # scan carries a STATIC bucket filter and matching is the
+        # classic positional intersection (term-frequency-sized join
+        # sides, never corpus-sized). Bit-equal to the in-query
+        # phrase_search — its oracle is reused verbatim.
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            phrase_search_index,
+            positional_build_index,
+        )
+
+        fp = _data_fingerprint(sf_dir, "documents")
+        idx = _index_cache_dir("positional", f"b16_{fp}")
+        if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
+            positional_build_index(
+                _spread(load_table(spark, sf_dir, "documents")), idx, n_buckets=16
+            )
+        return phrase_search_index(spark, idx, "order fast")
+
     def doc_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two-pass distributed heavy hitters: per-partition Misra-Gries
         # candidates (provable superset), exact JVM recount, integer
@@ -4427,6 +4453,9 @@ def _build_registries():
         # round-11 debut (promoted in-round, wave 16b): graded retrieval
         # evaluation — nDCG@5 + MRR of the BM25 ranking per query
         "doc_retrieval_rank_metrics": doc_retrieval_rank_metrics,
+        # round-11 debut (promoted in-round, wave 16b): phrase search
+        # over the persisted positional index
+        "doc_phrase_search_persisted": doc_phrase_search_persisted,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -4907,10 +4936,12 @@ def _build_registries():
     _promote_r11b = [
         "doc_bm25_federated_topk",   # r11 debut: exact federated BM25 over per-shard indexes
         "doc_retrieval_rank_metrics",  # r11 debut: nDCG@5 + MRR retrieval evaluation
+        "doc_phrase_search_persisted",  # r11 debut: persisted positional index
     ]
     _demote_r11b = [
         "events_approx_quantiles",   # 3x green; distribution-profile family carried by orders_profile + events_type_drift_psi
         "events_transitions",        # 3x green; events family carried by events_trailing_7d + events_type_drift_psi + events_interpolated_daily + events_multiplicative_means
+        "orders_profile",            # 3x green; stats-profile family carried by lineitem_fd_violations + events_type_drift_psi
     ]
     for _n in _promote_r11b:
         reg[_n] = extra.pop(_n)
@@ -9665,6 +9696,11 @@ SELECT query_id, doc_id, rrf_score, in_lex, in_sem, CAST(rank AS INT) AS rank FR
     # stats is bit-equal to the monolithic index — the single-index
     # oracle is the federated oracle
     o["doc_bm25_federated_topk"] = o["doc_bm25_topk"]
+
+    # round-11: phrase search over the persisted positional index is
+    # bit-equal to the in-query token-slice scan (same tokenizer rule on
+    # corpus and phrase, positional intersection == gram match) — reuse
+    o["doc_phrase_search_persisted"] = o["doc_phrase_search"]
 
     # round-11: graded retrieval evaluation — nDCG@5 + MRR of the BM25
     # ranking against derived qrels (grade = # distinct query terms in

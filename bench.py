@@ -184,6 +184,7 @@ HEADLINE = [
     "doc_bm25_prf_search_persisted",
     "doc_bm25_federated_topk",
     "doc_retrieval_rank_metrics",
+    "doc_phrase_search_persisted",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -1033,3 +1033,165 @@ def phrase_search(
             F.min("pos").cast("bigint").alias("first_pos"),
         )
     )
+
+
+#: versioned fingerprint of the positional-index layout + tokenizer —
+#: the BM25_SCHEME discipline for the (term, doc, pos) table
+POS_SCHEME = "pos-tokenv1"
+
+
+def positional_build_index(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Persist the POSITIONAL index — the phrase/proximity complement of
+    :func:`bm25_build_index` (that index stores (term, doc, tf): enough
+    to rank, blind to WHERE terms sit; phrase search needs positions).
+    Completes the persisted-artifact family: band index, NB model,
+    IVF-PQ, BM25 postings, and now positions.
+
+    Layout under ``index_dir``:
+
+    - ``positions/`` — (term, ``id_col``, pos) one row per token
+      occurrence, partitioned by ``bucket = pmod(xxhash64(term),
+      n_buckets)`` — a phrase query's terms are driver-known literals,
+      so the search always gets a STATIC bucket filter (no DPP needed);
+    - ``stats/`` — 1 row: n_docs + the corpus content fingerprint
+      (``operators/freshness.py``) so staleness is detectable and the
+      refresh cycle applies to this index family too.
+
+    The scheme + n_buckets ride as column metadata on ``pos``; searches
+    validate them (a tokenizer change re-positions every term, which
+    would silently break adjacency matching). One corpus-sized job: the
+    posexplode shuffle-write into the bucketed layout. Storage is one
+    row per token — the standard positional-index price (Manning et al.
+    IR book ch. 2), ~2-4× the tf-only postings."""
+    meta = {"scheme": POS_SCHEME, "n_buckets": n_buckets}
+    occ = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+    )
+    bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
+    (
+        occ.select("term", id_col, F.col("pos").alias("pos", metadata=meta), bucket)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/positions")
+    )
+    fp = content_fingerprint(docs, id_col, text_col).withColumnRenamed("fp_n", "n_docs")
+    fp.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def positional_index_is_fresh(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> bool:
+    """Freshness of the positional index against the live corpus — the
+    :func:`bm25_index_is_fresh` contract (absent fingerprint = stale)."""
+    spark = docs.sparkSession
+    stored = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    stored = Row(
+        fp_n=stored["n_docs"],
+        fp_xor=stored["fp_xor"] if "fp_xor" in stored.__fields__ else None,
+        fp_sum=stored["fp_sum"] if "fp_sum" in stored.__fields__ else None,
+    )
+    return rows_match(stored, fingerprint_row(docs, id_col, text_col))
+
+
+def positional_refresh_index(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> bool:
+    """Stale/missing → rebuild (True); fresh → no-op (False) — the
+    reject-then-rebuild cycle for the positional family."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        if positional_index_is_fresh(docs, index_dir, text_col, id_col):
+            return False
+    except AnalysisException:
+        pass
+    positional_build_index(docs, index_dir, text_col, id_col, n_buckets)
+    return True
+
+
+def phrase_search_index(
+    spark,
+    index_dir: str,
+    phrase: str,
+    id_col: str = "doc_id",
+    validate_index: bool = True,
+    verify_corpus: DataFrame | None = None,
+    verify_text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over the PERSISTED positional index — the
+    deployment shape of :func:`phrase_search`: zero corpus tokenization
+    in the plan; the scan reads ONLY the phrase terms' buckets (static
+    partition filter — phrase terms are driver-known literals, so the
+    bucket set is computed at planning, strictly better than DPP).
+
+    Matching is the classic positional-intersection: occurrences of the
+    first term are anchor positions; each subsequent term i must occur
+    at anchor+i in the same doc, expressed as i equi-joins on
+    (``id_col``, pos) between single-term position lists — each join
+    side is one term's occurrence list (term-frequency-sized, never
+    corpus-sized), and repeated phrase terms fall out naturally
+    ("data data" anchors only where both offsets hold).
+
+    Bit-equal to the in-query :func:`phrase_search` (same tokenizer rule
+    on both corpus and phrase, same (id, n_matches, first_pos) output),
+    so the in-query oracle is reused verbatim."""
+    import re
+
+    from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+
+    toks = [w for w in re.split(TOKEN_SPLIT_RE, phrase.lower()) if w]
+    if not toks:
+        raise ValueError("phrase contains no tokens under the corpus token rule")
+    positions = spark.read.parquet(f"{index_dir}/positions")
+    stored = dict(positions.schema["pos"].metadata or {})
+    if validate_index and stored.get("scheme") != POS_SCHEME:
+        raise ValueError(
+            "persisted positions carry no/foreign scheme metadata on pos "
+            f"(stored {stored.get('scheme')!r} != {POS_SCHEME!r}); a tokenizer "
+            "mismatch re-positions every term and silently breaks adjacency "
+            "matching, so unverifiable indexes are rejected by default."
+        )
+    if verify_corpus is not None and not positional_index_is_fresh(
+        verify_corpus, index_dir, verify_text_col, id_col
+    ):
+        raise StaleIndexError(
+            f"persisted positional index at {index_dir!r} does not match the "
+            "live corpus — rebuild with positional_refresh_index before searching."
+        )
+    n_buckets = int(stored.get("n_buckets", 16))
+    # static bucket pruning: the phrase's distinct terms hash in the
+    # driver (plain python xxhash is unavailable; one jvm-side 1-row
+    # projection computes the buckets — metadata-sized collect)
+    term_df = spark.createDataFrame([(t,) for t in sorted(set(toks))], "term string")
+    keep = sorted(
+        r["b"]
+        for r in term_df.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    pruned = positions.filter(F.col("bucket").isin(keep))
+    anchors = pruned.filter(F.col("term") == toks[0]).select(id_col, "pos")
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = pruned.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - F.lit(i)).alias("pos")
+        )
+        anchors = anchors.join(nxt, [id_col, "pos"])
+    return anchors.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )

@@ -570,3 +570,48 @@ def test_federated_refresh_rebuilds_only_stale_shards(spark, tmp_path):
         queries, corpus_v2, dirs, k=3, probes=4, rerank=10, dims=64, **params
     ).collect()
     assert len(hits) == 3
+
+
+def test_positional_index_phrase_search_and_refresh(spark, tmp_path):
+    """Persisted positional index (round-11): phrase search over stored
+    positions is bit-equal to the in-query token-slice scan (incl. the
+    repeated-term phrase), reads NO corpus table and only the phrase
+    terms' buckets (static filter), and the freshness/refresh cycle
+    applies (mutate → stale → StaleIndexError → rebuild)."""
+    import pytest as _pytest
+
+    from data_warehouse_punta_fina_spark.operators.freshness import StaleIndexError
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        phrase_search,
+        phrase_search_index,
+        positional_build_index,
+        positional_index_is_fresh,
+        positional_refresh_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "pos_idx")
+    positional_build_index(docs, idx, n_buckets=8)
+    for phrase in ("order fast", "the the"):
+        a = sorted(map(tuple, phrase_search(docs, phrase).collect()))
+        b = sorted(map(tuple, phrase_search_index(spark, idx, phrase).collect()))
+        assert a == b and len(a) > 0, phrase
+
+    plan = phrase_search_index(spark, idx, "order fast")._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, "persisted search must not touch the corpus"
+    assert "bucket" in plan, "phrase-term bucket pruning missing from the scan"
+
+    v2 = docs.limit(50)
+    assert positional_index_is_fresh(v2, idx) is False
+    with _pytest.raises(StaleIndexError):
+        phrase_search_index(spark, idx, "order fast", verify_corpus=v2)
+    assert positional_refresh_index(v2, idx, n_buckets=8) is True
+    assert positional_refresh_index(v2, idx, n_buckets=8) is False
+    a2 = sorted(map(tuple, phrase_search(v2, "order fast").collect()))
+    b2 = sorted(map(tuple, phrase_search_index(spark, idx, "order fast").collect()))
+    assert a2 == b2
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no tokens"):
+        phrase_search_index(spark, idx, "!!!")
