@@ -2718,6 +2718,30 @@ def _build_registries():
             )
         return phrase_search_index(spark, idx, "order fast")
 
+    def doc_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-11 debut: proximity retrieval over the persisted
+        # positional index — docs where 'customer' and 'order' co-occur
+        # within 6 tokens (operators/retrieval.proximity_search_index):
+        # the predicate between bag-of-words BM25 and exact phrase
+        # match, and the "terms in the same context" filter topical
+        # curation actually uses. Static bucket pruning (driver-known
+        # terms), per-doc tf_a x tf_b pair fan-out, never corpus-sized.
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            positional_build_index,
+            proximity_search_index,
+        )
+
+        fp = _data_fingerprint(sf_dir, "documents")
+        idx = _index_cache_dir("positional", f"b16_{fp}")
+        if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
+            positional_build_index(
+                _spread(load_table(spark, sf_dir, "documents")), idx, n_buckets=16
+            )
+        return proximity_search_index(spark, idx, "customer", "order", window=6)
+
     def doc_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two-pass distributed heavy hitters: per-partition Misra-Gries
         # candidates (provable superset), exact JVM recount, integer
@@ -4456,6 +4480,9 @@ def _build_registries():
         # round-11 debut (promoted in-round, wave 16b): phrase search
         # over the persisted positional index
         "doc_phrase_search_persisted": doc_phrase_search_persisted,
+        # round-11 debut (promoted in-round, wave 16b): proximity
+        # retrieval over the persisted positional index
+        "doc_proximity_search": doc_proximity_search,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -4937,11 +4964,13 @@ def _build_registries():
         "doc_bm25_federated_topk",   # r11 debut: exact federated BM25 over per-shard indexes
         "doc_retrieval_rank_metrics",  # r11 debut: nDCG@5 + MRR retrieval evaluation
         "doc_phrase_search_persisted",  # r11 debut: persisted positional index
+        "doc_proximity_search",      # r11 debut: proximity over the positional index
     ]
     _demote_r11b = [
         "events_approx_quantiles",   # 3x green; distribution-profile family carried by orders_profile + events_type_drift_psi
         "events_transitions",        # 3x green; events family carried by events_trailing_7d + events_type_drift_psi + events_interpolated_daily + events_multiplicative_means
         "orders_profile",            # 3x green; stats-profile family carried by lineitem_fd_violations + events_type_drift_psi
+        "semantic_near_dup_crosscheck",  # 2x green; near-dup family carried by doc_incremental_dedup_persisted + doc_winnow_overlap + doc_leakage_safe_split + doc_contamination_safe_split
     ]
     for _n in _promote_r11b:
         reg[_n] = extra.pop(_n)
@@ -9701,6 +9730,31 @@ SELECT query_id, doc_id, rrf_score, in_lex, in_sem, CAST(rank AS INT) AS rank FR
     # bit-equal to the in-query token-slice scan (same tokenizer rule on
     # corpus and phrase, positional intersection == gram match) — reuse
     o["doc_phrase_search_persisted"] = o["doc_phrase_search"]
+
+    # round-11: proximity retrieval — pairs of 'customer'/'order'
+    # occurrences within 6 tokens. The oracle's list positions are
+    # 1-based where the index stores 0-based, but only DIFFERENCES
+    # reach the output, so the numbering cancels.
+    o["doc_proximity_search"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+pa AS (
+  SELECT doc_id,
+         unnest([j FOR j IN generate_series(1, len(t)) IF t[j] = 'customer']) AS p
+  FROM toks
+),
+pb AS (
+  SELECT doc_id,
+         unnest([j FOR j IN generate_series(1, len(t)) IF t[j] = 'order']) AS p
+  FROM toks
+),
+pairs AS (
+  SELECT pa.doc_id, ABS(pa.p - pb.p) AS d
+  FROM pa JOIN pb USING (doc_id)
+  WHERE ABS(pa.p - pb.p) <= 6
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(MIN(d) AS BIGINT) AS min_dist
+FROM pairs GROUP BY doc_id
+"""
 
     # round-11: graded retrieval evaluation — nDCG@5 + MRR of the BM25
     # ranking against derived qrels (grade = # distinct query terms in

@@ -185,6 +185,7 @@ HEADLINE = [
     "doc_bm25_federated_topk",
     "doc_retrieval_rank_metrics",
     "doc_phrase_search_persisted",
+    "doc_proximity_search",
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -1195,3 +1195,76 @@ def phrase_search_index(
         F.count("*").cast("bigint").alias("n_matches"),
         F.min("pos").cast("bigint").alias("first_pos"),
     )
+
+
+def proximity_search_index(
+    spark,
+    index_dir: str,
+    term_a: str,
+    term_b: str,
+    window: int = 8,
+    id_col: str = "doc_id",
+    validate_index: bool = True,
+) -> DataFrame:
+    """Proximity search over the PERSISTED positional index: documents
+    where ``term_a`` and ``term_b`` co-occur within ``window`` tokens —
+    the retrieval predicate between bag-of-words BM25 (blind to
+    positions) and exact phrase match (adjacency only), and the
+    standard "terms in the same context" filter for topical curation.
+
+    Output: (``id_col``, n_pairs, min_dist) — n_pairs counts (pos_a,
+    pos_b) occurrence pairs with |pos_a − pos_b| ≤ window, min_dist the
+    closest such pair. Distances are position differences, so the
+    result is identical under 0- or 1-based token numbering (what lets
+    the DuckDB oracle use 1-based list positions).
+
+    Scale shape: both join sides are ONE term's occurrence list (the
+    static bucket filter prunes the scan to the two terms' buckets —
+    driver-known literals, same as :func:`phrase_search_index`), and
+    the per-doc pair fan-out is tf_a × tf_b — bounded by per-doc term
+    frequency, never corpus-sized. Same-term proximity is rejected
+    (use :func:`phrase_search_index` or per-term stats instead; the
+    symmetric self-join would double-count every pair)."""
+    import re
+
+    from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+
+    norm = lambda s: [w for w in re.split(TOKEN_SPLIT_RE, s.lower()) if w]
+    ta, tb = norm(term_a), norm(term_b)
+    if len(ta) != 1 or len(tb) != 1:
+        raise ValueError("proximity terms must each be a single corpus token")
+    (ta,), (tb,) = ta, tb
+    if ta == tb:
+        raise ValueError("same-term proximity is ill-defined (every pair counts "
+                         "twice under the symmetric join) — use phrase_search_index")
+    if window < 1:
+        raise ValueError("window must be >= 1 token")
+    positions = spark.read.parquet(f"{index_dir}/positions")
+    stored = dict(positions.schema["pos"].metadata or {})
+    if validate_index and stored.get("scheme") != POS_SCHEME:
+        raise ValueError(
+            "persisted positions carry no/foreign scheme metadata on pos "
+            f"(stored {stored.get('scheme')!r} != {POS_SCHEME!r})."
+        )
+    n_buckets = int(stored.get("n_buckets", 16))
+    term_df = spark.createDataFrame([(ta,), (tb,)], "term string")
+    keep = sorted(
+        r["b"]
+        for r in term_df.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    pruned = positions.filter(F.col("bucket").isin(keep))
+    pa = pruned.filter(F.col("term") == ta).select(F.col(id_col), F.col("pos").alias("_pa"))
+    pb = pruned.filter(F.col("term") == tb).select(F.col(id_col), F.col("pos").alias("_pb"))
+    pairs = (
+        pa.join(pb, id_col)
+        .withColumn("_d", F.abs(F.col("_pa") - F.col("_pb")))
+        .filter(F.col("_d") <= window)
+    )
+    return pairs.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.min("_d").cast("bigint").alias("min_dist"),
+    )

@@ -615,3 +615,45 @@ def test_positional_index_phrase_search_and_refresh(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="no tokens"):
         phrase_search_index(spark, idx, "!!!")
+
+
+def test_proximity_search_semantics_and_guards(spark, tmp_path):
+    """Proximity over the positional index: pair counts and min distance
+    on a hand-built corpus; same-term / multi-token / tiny-window
+    misuse rejected; plan touches no corpus table."""
+    import pytest as _pytest
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        positional_build_index,
+        proximity_search_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),   # alpha@0,3 beta@1 -> dists 1,2
+            (2, "beta x x x x x alpha"),     # dist 6 -> outside window 2
+            (3, "gamma delta"),              # no pair
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "pos")
+    positional_build_index(docs, idx, n_buckets=4)
+    rows = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_search_index(spark, idx, "alpha", "beta", window=2).collect()
+    }
+    assert rows == {1: (2, 1)}
+    wide = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_search_index(spark, idx, "alpha", "beta", window=6).collect()
+    }
+    assert wide == {1: (2, 1), 2: (1, 6)}
+
+    with _pytest.raises(ValueError, match="same-term"):
+        proximity_search_index(spark, idx, "alpha", "alpha")
+    with _pytest.raises(ValueError, match="single corpus token"):
+        proximity_search_index(spark, idx, "alpha beta", "gamma")
+    with _pytest.raises(ValueError, match="window"):
+        proximity_search_index(spark, idx, "alpha", "beta", window=0)
+    plan = proximity_search_index(spark, idx, "alpha", "beta")._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
