@@ -1268,3 +1268,55 @@ def proximity_search_index(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.min("_d").cast("bigint").alias("min_dist"),
     )
+
+
+def positional_append_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a document batch to a persisted positional index — O(batch)
+    by construction: positions are PER-DOC (no global statistics at
+    all, unlike BM25's df/avgdl), so ingestion is exactly one tokenize
+    of the new batch appended into the bucketed layout plus the O(1)
+    fingerprint merge (``operators/freshness.py``; disjoint-id append
+    contract). An appended index is trivially identical to a full
+    rebuild over the union — the same (term, doc, pos) rows land in the
+    same bucket partitions."""
+    spark = new_docs.sparkSession
+    stored_positions = spark.read.parquet(f"{index_dir}/positions")
+    stored = dict(stored_positions.schema["pos"].metadata or {})
+    if stored.get("scheme") != POS_SCHEME:
+        raise ValueError(
+            f"cannot append to a foreign/unversioned positional index (stored "
+            f"scheme {stored.get('scheme')!r} != {POS_SCHEME!r})"
+        )
+    n_buckets = int(stored.get("n_buckets", 16))
+    old = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    old_fp = Row(
+        fp_n=old["n_docs"],
+        fp_xor=old["fp_xor"] if "fp_xor" in old.__fields__ else None,
+        fp_sum=old["fp_sum"] if "fp_sum" in old.__fields__ else None,
+    )
+    batch_fp = fingerprint_row(new_docs, id_col, text_col)
+    mn, mx, ms = merge_fingerprints(old_fp, batch_fp)
+    occ = new_docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+    )
+    bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
+    (
+        occ.select("term", id_col, F.col("pos").alias("pos", metadata=stored), bucket)
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/positions")
+    )
+    n_new = int(batch_fp["fp_n"])
+    fp_xor_lit = F.lit(mx).cast("long")
+    fp_sum_lit = (F.lit(str(ms)) if ms is not None else F.lit(None)).cast("decimal(38,0)")
+    stats_df = spark.range(1).select(
+        F.lit(int(old["n_docs"]) + n_new).cast("long").alias("n_docs"),
+        fp_xor_lit.alias("fp_xor"),
+        fp_sum_lit.alias("fp_sum"),
+    )
+    stats_df.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")

@@ -657,3 +657,38 @@ def test_proximity_search_semantics_and_guards(spark, tmp_path):
         proximity_search_index(spark, idx, "alpha", "beta", window=0)
     plan = proximity_search_index(spark, idx, "alpha", "beta")._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan
+
+
+def test_positional_append_equals_rebuild_and_keeps_fingerprint(spark, tmp_path):
+    """Positional append is O(batch) AND exact: appended == full rebuild
+    (same rows, same buckets — positions carry no global stats), the
+    merged fingerprint keeps the index fresh for the union, and phrase
+    search over the appended index equals in-query search over the
+    union."""
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        phrase_search,
+        phrase_search_index,
+        positional_append_index,
+        positional_build_index,
+        positional_index_is_fresh,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 200)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    positional_build_index(base, inc, n_buckets=4)
+    positional_append_index(batch, inc)
+    positional_build_index(docs, full, n_buckets=4)
+
+    inc_rows = sorted(map(tuple, spark.read.parquet(f"{inc}/positions").collect()))
+    full_rows = sorted(map(tuple, spark.read.parquet(f"{full}/positions").collect()))
+    assert inc_rows == full_rows and len(inc_rows) > 0
+
+    assert positional_index_is_fresh(docs, inc) is True
+    assert positional_index_is_fresh(base, inc) is False
+    a = sorted(map(tuple, phrase_search(docs, "order fast").collect()))
+    b = sorted(map(tuple, phrase_search_index(spark, inc, "order fast").collect()))
+    assert a == b

@@ -18,6 +18,10 @@ tools/make_scaled_sf.py):
 - ``federated_search`` — per-shard DPP-pruned codes scan + rerank +
   shards×queries×k merge; expected ~flat-to-sublinear (probed cells
   grow with corpus, but only the probed fraction is read).
+- ``positional_build`` / ``phrase_search`` (round-11) — the positional
+  index's posexplode shuffle (one row per token — the widest build of
+  the family) and the static-bucket-pruned positional intersection;
+  build ~linear, search ~flat.
 
 Searches are timed WARM (second run) — the steady-state number is the
 deployment claim; the first run pays one-time file-listing/footer costs.
@@ -102,6 +106,20 @@ def sweep(spark, sf_dir: str) -> dict:
             bm25_search_index(qdf, idx, k=K, prune_buckets=buckets).collect()
             out[f"bm25_search_{run}_s"] = round(time.monotonic() - t0, 2)
 
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            phrase_search_index,
+            positional_build_index,
+        )
+
+        pidx = os.path.join(work, "positional")
+        t0 = time.monotonic()
+        positional_build_index(docs, pidx, n_buckets=16)
+        out["positional_build_s"] = round(time.monotonic() - t0, 2)
+        for run in ("cold", "warm"):
+            t0 = time.monotonic()
+            phrase_search_index(spark, pidx, "order fast").collect()
+            out[f"phrase_search_{run}_s"] = round(time.monotonic() - t0, 2)
+
         shard_dirs = []
         t0 = time.monotonic()
         for i in range(2):
@@ -142,6 +160,8 @@ def main() -> None:
     legs = [
         ("bm25_build_s", "bm25_build"),
         ("bm25_search_warm_s", "bm25_search (warm)"),
+        ("positional_build_s", "positional_build"),
+        ("phrase_search_warm_s", "phrase_search (warm)"),
         ("ivfpq_shard_build_s", "ivfpq_shard_build x2"),
         ("federated_search_warm_s", "federated_search (warm)"),
     ]
