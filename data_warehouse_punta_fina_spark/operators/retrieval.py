@@ -1122,6 +1122,20 @@ def positional_refresh_index(
     return True
 
 
+def _pos_n_buckets(stored: dict, positions: DataFrame) -> int:
+    """Resolve the positional index's bucket modulus: stored metadata
+    when present, else inferred from the partition values (max+1 — the
+    :func:`_bm25_read_validated` inference; ADVICE r10: never GUESS a
+    modulus, a wrong one hashes query terms to the wrong buckets and
+    silently empties every result)."""
+    if "n_buckets" in stored:
+        return int(stored["n_buckets"])
+    top = positions.agg(F.max("bucket").alias("b")).collect()[0]["b"]
+    if top is None:
+        raise ValueError("cannot infer n_buckets from an empty positions table")
+    return int(top) + 1
+
+
 def phrase_search_index(
     spark,
     index_dir: str,
@@ -1171,7 +1185,7 @@ def phrase_search_index(
             f"persisted positional index at {index_dir!r} does not match the "
             "live corpus — rebuild with positional_refresh_index before searching."
         )
-    n_buckets = int(stored.get("n_buckets", 16))
+    n_buckets = _pos_n_buckets(stored, positions)
     # static bucket pruning: the phrase's distinct terms hash in the
     # driver (plain python xxhash is unavailable; one jvm-side 1-row
     # projection computes the buckets — metadata-sized collect)
@@ -1246,7 +1260,7 @@ def proximity_search_index(
             "persisted positions carry no/foreign scheme metadata on pos "
             f"(stored {stored.get('scheme')!r} != {POS_SCHEME!r})."
         )
-    n_buckets = int(stored.get("n_buckets", 16))
+    n_buckets = _pos_n_buckets(stored, positions)
     term_df = spark.createDataFrame([(ta,), (tb,)], "term string")
     keep = sorted(
         r["b"]

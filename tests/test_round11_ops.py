@@ -692,3 +692,53 @@ def test_positional_append_equals_rebuild_and_keeps_fingerprint(spark, tmp_path)
     a = sorted(map(tuple, phrase_search(docs, "order fast").collect()))
     b = sorted(map(tuple, phrase_search_index(spark, inc, "order fast").collect()))
     assert a == b
+
+
+def test_positional_ingest_stream_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The streaming positional-index MAINTENANCE twin: documents drained
+    through the availableNow ingest loop produce an index whose phrase
+    and proximity searches equal the batch-built one; a replayed batch
+    (failure between write and checkpoint commit) overwrites its own
+    partition, leaving the index unchanged."""
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        phrase_search,
+        phrase_search_index,
+        proximity_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.positional_stream import (
+        positional_ingest_batch,
+        run_positional_ingest_stream,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 120)
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    idx = str(tmp_path / "stream_idx")
+    q = run_positional_ingest_stream(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_path=idx,
+        n_buckets=4,
+    )
+    q.awaitTermination(120)
+
+    a = sorted(map(tuple, phrase_search(docs, "order fast").collect()))
+    b = sorted(map(tuple, phrase_search_index(spark, idx, "order fast").collect()))
+    assert a == b and len(a) > 0
+    prox = proximity_search_index(spark, idx, "customer", "order", window=6).collect()
+    assert len(prox) > 0
+
+    # replay: re-run one batch through the same foreachBatch body — the
+    # dynamic partition overwrite must leave the stored rows unchanged
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/positions").drop("ingest_batch").collect())
+    )
+    positional_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, idx, n_buckets=4)
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/positions").drop("ingest_batch").collect())
+    )
+    assert before == after
