@@ -450,6 +450,12 @@ def retrieval_rank_metrics(
         (F.pow(F.lit(2.0), grade_col) - F.lit(1.0))
         / F.log2(rank_col.cast("double") + F.lit(1.0))
     )
+    # qrels feed TWO branches (the got join and the ideal ordering) and
+    # are often corpus-DERIVED even though they are judgment-sized;
+    # materialize once so neither branch recomputes the derivation
+    # (plan-audit finding r11: without this the metrics plan re-scanned
+    # the corpus per branch)
+    qrels = qrels.localCheckpoint(eager=False)
     got = (
         ranked.filter(F.col("rank") <= k)
         .join(qrels, ["query_id", id_col], "left")

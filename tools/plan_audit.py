@@ -83,6 +83,14 @@ AUDITED = [
     "doc_dsir_sample",
     "doc_temperature_resample",
     "doc_source_quality_gate",
+    # round-11 additions: the federated/persisted retrieval tier (no
+    # corpus scan in any persisted search; bucket-pruned postings /
+    # positions) and the evaluation pair
+    "doc_bm25_federated_topk",
+    "doc_phrase_search_persisted",
+    "doc_proximity_search",
+    "doc_retrieval_rank_metrics",
+    "doc_bm25_prf_search_persisted",
 ]
 
 
