@@ -232,12 +232,13 @@ def _oracle_times(
     # lose the Spark timings too, which are the primary artifact. On
     # budget exhaustion the remaining oracles are SKIPPED AND NAMED
     # (no silent caps).
-    # raised 240 -> 270 in round 9, back to 240 in round 10: the headline
-    # grew to 105 queries (idle wall 586.9 s at budget 270; the r9 driver
-    # run read 633.9 s) — the Spark timings are the primary artifact and
-    # must land inside the driver's bench window, so the oracle tail
-    # gives back its round-9 raise (skips are still named, never silent)
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "240"))
+    # raised 240 -> 270 in round 9, back to 240 in round 10, 240 -> 200
+    # in round 11: the headline grew again (105 -> 114 queries; idle wall
+    # hit 590 s at budget 240) — the Spark timings are the primary
+    # artifact and must land inside the driver's bench window, so the
+    # oracle tail funds the new queries (skips are still named, never
+    # silent)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "200"))
     started = time.time()
     skipped: list[str] = []
     for name in names:
@@ -349,7 +350,7 @@ def main() -> None:
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 first = min(first, time.time() - t1)
-            elif first < (5.0 if name in anchor else 2.5):
+            elif first < (5.0 if name in anchor else 1.5):
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 first = min(first, time.time() - t1)
@@ -364,13 +365,16 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # methodology flags: sub-2.5s queries record min-of-2 repo-wide,
-        # sub-5s min-of-2 for the 28-query anchor, and the anchor block
-        # runs first — cross-round per-query comparisons to earlier
-        # single-run series should expect ~10-20% lower readings on the
-        # cheap tier
+        # methodology flags: sub-1.5s queries record min-of-2 repo-wide
+        # (2.5 -> 1.5 in round 11: the headline reached 114 queries and
+        # the 1.5-2.5 s band's reruns cost ~41 s of wall the driver
+        # window can't spare; the anchor keeps its 5.0 s rerun cover —
+        # it is the series that must stay clean), sub-5s min-of-2 for
+        # the 28-query anchor, and the anchor block runs first —
+        # cross-round per-query comparisons on the 1.5-2.5 s tier should
+        # expect ~10-20% HIGHER readings than the r10 min-of-2 series
         "fast_query_min_of_2": True,
-        "min_of_2_threshold_sec": 2.5,
+        "min_of_2_threshold_sec": 1.5,
         "anchor_min_of_2_threshold_sec": 5.0,
         "anchor_first": True,
         # cross-round comparability: the headline GROWS as operator
