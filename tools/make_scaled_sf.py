@@ -73,14 +73,19 @@ def main() -> None:
                 c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" cpy{i}")))
                 c = c.withColumn("n_chars", F.length("text"))
             if t == "embeddings" and i > 0:
+                # rotate by i mod dims: a raw i >= 64 produced a negative
+                # slice length and killed the k=100 build (found r11 —
+                # rotations are cyclic, so the modulo loses nothing)
                 n = 64
-                c = c.withColumn(
-                    "embedding",
-                    F.concat(
-                        F.slice(F.col("embedding"), i + 1, n - i),
-                        F.slice(F.col("embedding"), 1, i),
-                    ),
-                )
+                r = i % n
+                if r:
+                    c = c.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice(F.col("embedding"), r + 1, n - r),
+                            F.slice(F.col("embedding"), 1, r),
+                        ),
+                    )
             parts.append(c)
         out = parts[0]
         for p in parts[1:]:
