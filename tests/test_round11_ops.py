@@ -742,3 +742,38 @@ def test_positional_ingest_stream_matches_batch_and_is_idempotent(spark, tmp_pat
         map(tuple, spark.read.parquet(f"{idx}/positions").drop("ingest_batch").collect())
     )
     assert before == after
+
+
+def test_bm25_federated_exactness_random_splits(spark, tmp_path):
+    """The federation-exactness claim quantified over arbitrary shardings:
+    for seeded random 2- and 3-way corpus partitions, the federated
+    search is bit-equal to the monolithic index — df/N/total_dl merge
+    losslessly regardless of HOW the corpus is split."""
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_federated_search,
+        bm25_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 150)
+    mono = str(tmp_path / "mono")
+    bm25_build_index(docs, mono, n_buckets=8)
+    qdf = spark.createDataFrame(
+        [(1, "spark"), (1, "data"), (2, "customer"), (2, "order"), (3, "fast")],
+        "query_id int, term string",
+    )
+    single = sorted(map(tuple, bm25_search_index(qdf, mono, k=5).collect()))
+    assert len(single) > 0
+    for trial, n_shards in ((0, 2), (1, 3), (2, 3)):
+        # deterministic pseudo-random assignment: md5 of (trial, doc_id)
+        assign = F.pmod(
+            F.xxhash64(F.lit(trial), F.col("doc_id")), F.lit(n_shards)
+        )
+        dirs = []
+        for i in range(n_shards):
+            d = str(tmp_path / f"t{trial}_s{i}")
+            bm25_build_index(docs.filter(assign == i), d, n_buckets=8)
+            dirs.append(d)
+        fed = sorted(map(tuple, bm25_federated_search(qdf, dirs, k=5).collect()))
+        assert fed == single, f"trial {trial} ({n_shards} shards) diverged"
