@@ -2270,6 +2270,71 @@ def _build_registries():
         )
         return bm25_search_index(qdf, idx, k=5, prune_buckets=buckets)
 
+    def doc_bm25_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-12 debut (VERDICT r11 #4): the BM25 index-MAINTENANCE
+        # stream — documents drained through a real availableNow
+        # Structured Streaming query whose every micro-batch lands in
+        # the index via the O(batch ∪ vocab) append algebra under
+        # EPOCHED global state (streaming/bm25_stream.
+        # run_bm25_maintenance_stream: a replayed batch re-derives
+        # df/N/total_dl/fingerprint from the epoch below it — bit-equal,
+        # never double-merged). df/N/total_dl merge exactly over the
+        # disjoint batches, so searching the maintained index is
+        # bit-equal to one monolithic build — doc_bm25_topk's oracle is
+        # reused verbatim.
+        import os
+        import re
+
+        from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            bm25_search_index,
+        )
+        from data_warehouse_punta_fina_spark.streaming.bm25_stream import (
+            run_bm25_maintenance_stream,
+        )
+
+        fp = _data_fingerprint(sf_dir, "documents")
+        idx = _index_cache_dir("bm25_maint", f"b16_{fp}")
+        if not os.path.exists(os.path.join(idx, "_MAINTAINED")):
+            docs = _spread(load_table(spark, sf_dir, "documents"))
+            src = os.path.join(idx, "_source")
+            # two files -> two micro-batches (maxFilesPerTrigger=1)
+            docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+            docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = run_bm25_maintenance_stream(
+                spark,
+                src,
+                spark.read.parquet(src).schema,
+                checkpoint_dir=os.path.join(idx, "_ckpt"),
+                index_dir=idx,
+                n_buckets=16,
+            )
+            q.awaitTermination(300)
+            with open(os.path.join(idx, "_MAINTAINED"), "w") as fh:
+                fh.write("ok")
+        qrows = [
+            (qid, t)
+            for qid, qtext in _BM25_QUERIES
+            for t in dict.fromkeys(
+                w for w in re.split(TOKEN_SPLIT_RE, qtext.lower()) if w
+            )
+        ]
+        qdf = spark.createDataFrame(qrows, "query_id int, term string")
+        buckets = sorted(
+            r["b"]
+            for r in qdf.select(
+                F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return bm25_search_index(qdf, idx, k=5, prune_buckets=buckets)
+
     def doc_bm25_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-11 debut: SHARDED lexical indexing — the BM25 twin of
         # ann_ivfpq_federated_topk, with the property the vector side
@@ -2714,7 +2779,7 @@ def _build_registries():
         )
 
         fp = _data_fingerprint(sf_dir, "documents")
-        idx = _index_cache_dir("positional", f"b16_{fp}")
+        idx = _index_cache_dir("positional", f"arr_b16_{fp}")
         if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
             positional_build_index(
                 _spread(load_table(spark, sf_dir, "documents")), idx, n_buckets=16
@@ -2738,12 +2803,42 @@ def _build_registries():
         )
 
         fp = _data_fingerprint(sf_dir, "documents")
-        idx = _index_cache_dir("positional", f"b16_{fp}")
+        idx = _index_cache_dir("positional", f"arr_b16_{fp}")
         if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
             positional_build_index(
                 _spread(load_table(spark, sf_dir, "documents")), idx, n_buckets=16
             )
         return proximity_search_index(spark, idx, "customer", "order", window=6)
+
+    def doc_phrase_slop_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-12 debut: SLOPPY phrase search over the persisted
+        # positional index (operators/retrieval.phrase_slop_search_index
+        # — VERDICT r11 #6): 'customer order fast' in order with at most
+        # 3 intervening tokens between consecutive terms — the middle
+        # ground between exact phrase and bag-of-words, and the natural
+        # consumer of the v2 array-postings layout (one static bucket
+        # filter, per-term tf-bounded array explodes, two chained range
+        # joins; per-doc fan-out bounded by the product of the terms'
+        # frequencies). Oracle: the same chained joins over DuckDB token
+        # lists (1-based positions cancel in the gap differences;
+        # first_pos adjusts by -1).
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            phrase_slop_search_index,
+            positional_build_index,
+        )
+
+        fp = _data_fingerprint(sf_dir, "documents")
+        idx = _index_cache_dir("positional", f"arr_b16_{fp}")
+        if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
+            positional_build_index(
+                _spread(load_table(spark, sf_dir, "documents")), idx, n_buckets=16
+            )
+        return phrase_slop_search_index(
+            spark, idx, "customer order fast", slop=3
+        )
 
     def doc_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two-pass distributed heavy hitters: per-partition Misra-Gries
@@ -4486,6 +4581,13 @@ def _build_registries():
         # round-11 debut (promoted in-round, wave 16b): proximity
         # retrieval over the persisted positional index
         "doc_proximity_search": doc_proximity_search,
+        # round-12 debut (promoted in-round, wave 17): sloppy phrase over
+        # the v2 array-postings positional layout (VERDICT r11 #1 + #6)
+        "doc_phrase_slop_search": doc_phrase_slop_search,
+        # round-12 debut (promoted in-round, wave 17): search over the
+        # STREAM-MAINTAINED inverted index (VERDICT r11 #4 — epoched
+        # global state, replay-idempotent stats merge)
+        "doc_bm25_maintained_topk": doc_bm25_maintained_topk,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -4978,6 +5080,26 @@ def _build_registries():
     for _n in _promote_r11b:
         reg[_n] = extra.pop(_n)
     for _n in _demote_r11b:
+        extra[_n] = reg.pop(_n)
+
+    # ---- round-12 rotation (wave 17) -----------------------------------
+    # doc_phrase_slop_search debuts in-window (the debut-round-driver-row
+    # rule); the four wave-16b debuts stay for their second driver
+    # exposure (VERDICT r11 #5). One 4x-green veteran demotes WITH
+    # in-window family carriers: ann_ivfpq_persisted_topk's persisted-ANN
+    # family remains covered by ann_ivfpq_incremental_topk +
+    # ann_ivfpq_federated_topk (+ the persisted hybrid's semantic side).
+    _promote_r12 = [
+        "doc_phrase_slop_search",    # r12 debut: sloppy phrase over the v2 array layout
+        "doc_bm25_maintained_topk",  # r12 debut: stream-maintained BM25 index search
+    ]
+    _demote_r12 = [
+        "ann_ivfpq_persisted_topk",  # 4x green; persisted-ANN family carried by ann_ivfpq_incremental_topk + ann_ivfpq_federated_topk
+        "revenue_incremental_merge", # 4x green; txlog/incremental family carried by files_provenance (txlog) + doc_bm25_incremental_topk + doc_incremental_dedup_persisted
+    ]
+    for _n in _promote_r12:
+        reg[_n] = extra.pop(_n)
+    for _n in _demote_r12:
         extra[_n] = reg.pop(_n)
     assert len(reg) == 50, f"post-rotation window must be 50, got {len(reg)}"
     return reg, extra
@@ -9602,6 +9724,10 @@ SELECT o_orderkey, o_orderdate, o_orderpriority FROM r WHERE (rn - 1) % 97 = 0
     # side is that same identity) — reuse both oracles verbatim
     o["doc_bm25_persisted_topk"] = o["doc_bm25_topk"]
     o["doc_bm25_incremental_topk"] = o["doc_bm25_topk"]
+    # round-12: the stream-MAINTAINED index merges df/N/total_dl exactly
+    # per micro-batch (epoched, replay-idempotent), so its search is
+    # bit-equal to one monolithic build — same oracle again
+    o["doc_bm25_maintained_topk"] = o["doc_bm25_topk"]
     o["doc_hybrid_rrf_search_persisted"] = o["doc_hybrid_rrf_search_pq"]
 
     # federated sharded ANN: one full IVF-PQ chain per shard (training
@@ -9757,6 +9883,40 @@ pairs AS (
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(MIN(d) AS BIGINT) AS min_dist
 FROM pairs GROUP BY doc_id
+"""
+
+    # round-12: sloppy phrase 'customer order fast' with slop=3 — terms
+    # in order, each consecutive gap in [1, 4]. The oracle replays the
+    # SAME chained range joins over 1-based token positions (gaps are
+    # differences, so the numbering cancels; first_pos adjusts by -1);
+    # n_matches counts distinct (p1, p2, p3) tuples exactly as the
+    # chained Spark joins enumerate them.
+    o["doc_phrase_slop_search"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+p1 AS (
+  SELECT doc_id,
+         unnest([j FOR j IN generate_series(1, len(t)) IF t[j] = 'customer']) AS p
+  FROM toks
+),
+p2 AS (
+  SELECT doc_id,
+         unnest([j FOR j IN generate_series(1, len(t)) IF t[j] = 'order']) AS p
+  FROM toks
+),
+p3 AS (
+  SELECT doc_id,
+         unnest([j FOR j IN generate_series(1, len(t)) IF t[j] = 'fast']) AS p
+  FROM toks
+),
+tuples AS (
+  SELECT p1.doc_id, p1.p AS a
+  FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
+  WHERE p2.p > p1.p AND p2.p - p1.p <= 4
+    AND p3.p > p2.p AND p3.p - p2.p <= 4
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(a) - 1 AS BIGINT) AS first_pos
+FROM tuples GROUP BY doc_id
 """
 
     # round-11: graded retrieval evaluation — nDCG@5 + MRR of the BM25

@@ -1036,8 +1036,58 @@ def phrase_search(
 
 
 #: versioned fingerprint of the positional-index layout + tokenizer —
-#: the BM25_SCHEME discipline for the (term, doc, pos) table
-POS_SCHEME = "pos-tokenv1"
+#: the BM25_SCHEME discipline. v2 (round-12, VERDICT r11 #1): positions
+#: are stored as DELTA-ENCODED ARRAYS per (term, doc) posting instead of
+#: one row per token occurrence — ~avgdl× fewer rows through the build
+#: shuffle and on disk (the classic positional-postings layout, Manning
+#: et al. IR book ch. 2/5 variable-gap encoding); a v1 row-per-token
+#: index is rejected at search time, not silently mis-read.
+POS_SCHEME = "pos-arr-tokenv2"
+
+
+def _pos_postings(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(term, id, tf, positions) — positions ascending, DELTA-encoded
+    (first element = absolute first position, subsequent = gap to the
+    previous occurrence). One tokenize + one (term, doc) shuffle; the
+    per-posting array is term-frequency-sized, so the sort/encode
+    lambdas run over tiny arrays, never doc- or corpus-sized ones."""
+    occ = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+    )
+    arr = F.sort_array(F.collect_list("pos"))
+    grouped = occ.groupBy("term", id_col).agg(arr.alias("_abs"))
+    deltas = F.zip_with(
+        F.col("_abs"),
+        F.concat(F.array(F.lit(0)), F.slice(F.col("_abs"), 1, F.size("_abs") - 1)),
+        lambda x, y: x - y,
+    )
+    return grouped.select(
+        "term",
+        id_col,
+        F.size("_abs").cast("int").alias("tf"),
+        deltas.alias("positions"),
+    )
+
+
+def _decode_positions(col):
+    """Absolute positions from a delta-encoded array — a running prefix
+    sum (higher-order ``F.aggregate``, JVM-side, no UDF). O(tf²) array
+    concat per posting, but tf is per-(term, doc) frequency: single
+    digits for almost every posting, never doc-length-sized."""
+    return F.aggregate(
+        col,
+        F.struct(
+            F.lit(0).cast("int").alias("prev"),
+            F.array().cast("array<int>").alias("acc"),
+        ),
+        lambda st, d: F.struct(
+            (st["prev"] + d).alias("prev"),
+            F.concat(st["acc"], F.array(st["prev"] + d)).alias("acc"),
+        ),
+        lambda st: st["acc"],
+    )
 
 
 def positional_build_index(
@@ -1051,31 +1101,37 @@ def positional_build_index(
     :func:`bm25_build_index` (that index stores (term, doc, tf): enough
     to rank, blind to WHERE terms sit; phrase search needs positions).
     Completes the persisted-artifact family: band index, NB model,
-    IVF-PQ, BM25 postings, and now positions.
+    IVF-PQ, BM25 postings, and positions.
 
-    Layout under ``index_dir``:
+    Layout under ``index_dir`` (v2, round-12 — VERDICT r11 #1):
 
-    - ``positions/`` — (term, ``id_col``, pos) one row per token
-      occurrence, partitioned by ``bucket = pmod(xxhash64(term),
-      n_buckets)`` — a phrase query's terms are driver-known literals,
-      so the search always gets a STATIC bucket filter (no DPP needed);
+    - ``positions/`` — (term, ``id_col``, tf, positions) ONE ROW PER
+      (term, doc) POSTING with the occurrence positions as an ascending
+      DELTA-ENCODED array (first element absolute, rest gaps — the
+      classic variable-gap positional layout), partitioned by ``bucket =
+      pmod(xxhash64(term), n_buckets)`` — a phrase query's terms are
+      driver-known literals, so the search always gets a STATIC bucket
+      filter (no DPP needed). vs the v1 row-per-token layout this sends
+      ~avgdl× fewer rows through the build shuffle (measured the
+      family's steepest build at 100×: 7.6× vs BM25's 2.5×) and stores
+      ~avgdl× fewer rows; searches explode the tf-bounded arrays AFTER
+      bucket+term pruning, so read-side work is still candidate-bounded;
     - ``stats/`` — 1 row: n_docs + the corpus content fingerprint
       (``operators/freshness.py``) so staleness is detectable and the
       refresh cycle applies to this index family too.
 
-    The scheme + n_buckets ride as column metadata on ``pos``; searches
-    validate them (a tokenizer change re-positions every term, which
-    would silently break adjacency matching). One corpus-sized job: the
-    posexplode shuffle-write into the bucketed layout. Storage is one
-    row per token — the standard positional-index price (Manning et al.
-    IR book ch. 2), ~2-4× the tf-only postings."""
+    The scheme + n_buckets ride as column metadata on ``tf`` (the BM25
+    discipline); searches validate them (a tokenizer OR layout change
+    silently breaks adjacency matching, so v1 indexes are rejected).
+    One corpus-sized job: the tokenize + (term, doc) group-by
+    shuffle-write into the bucketed layout."""
     meta = {"scheme": POS_SCHEME, "n_buckets": n_buckets}
-    occ = docs.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
-    )
+    postings = _pos_postings(docs, text_col, id_col)
     bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
     (
-        occ.select("term", id_col, F.col("pos").alias("pos", metadata=meta), bucket)
+        postings.select(
+            "term", id_col, F.col("tf").alias("tf", metadata=meta), "positions", bucket
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_dir}/positions")
@@ -1091,9 +1147,19 @@ def positional_index_is_fresh(
     id_col: str = "doc_id",
 ) -> bool:
     """Freshness of the positional index against the live corpus — the
-    :func:`bm25_index_is_fresh` contract (absent fingerprint = stale)."""
+    :func:`bm25_index_is_fresh` contract (absent fingerprint = stale).
+    A MISSING ``stats/`` table (no index at all, or a stream-built index
+    — ``streaming/positional_stream`` intentionally writes no stats: its
+    staleness discipline is the checkpoint) reports False rather than
+    surfacing a raw AnalysisException (ADVICE r11): unknowable freshness
+    is staleness for a refresh decision."""
+    from pyspark.errors import AnalysisException
+
     spark = docs.sparkSession
-    stored = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    try:
+        stored = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    except AnalysisException:
+        return False
     stored = Row(
         fp_n=stored["n_docs"],
         fp_xor=stored["fp_xor"] if "fp_xor" in stored.__fields__ else None,
@@ -1136,6 +1202,57 @@ def _pos_n_buckets(stored: dict, positions: DataFrame) -> int:
     return int(top) + 1
 
 
+def _pos_read_validated(
+    spark, index_dir: str, validate_index: bool
+) -> tuple[DataFrame, int]:
+    """Read + validate one positional index (array layout): returns the
+    positions table and the bucket modulus. Scheme metadata rides on
+    ``tf`` (the BM25 discipline); a v1 row-per-token or foreign index is
+    rejected — a layout/tokenizer mismatch silently breaks adjacency
+    matching. Shared by phrase / sloppy-phrase / proximity search."""
+    positions = spark.read.parquet(f"{index_dir}/positions")
+    stored = dict(
+        (positions.schema["tf"].metadata or {}) if "tf" in positions.columns else {}
+    )
+    if validate_index and stored.get("scheme") != POS_SCHEME:
+        raise ValueError(
+            "persisted positional index carries no/foreign scheme metadata "
+            f"(stored {stored.get('scheme')!r} != {POS_SCHEME!r}); a tokenizer or "
+            "layout mismatch (e.g. the v1 row-per-token layout) silently breaks "
+            "adjacency matching, so unverifiable indexes are rejected by default."
+        )
+    return positions, _pos_n_buckets(stored, positions)
+
+
+def _pos_term_occurrences(
+    spark, positions: DataFrame, terms: list[str], n_buckets: int, id_col: str
+) -> dict[str, DataFrame]:
+    """Per-term absolute (``id_col``, pos) occurrence lists from the
+    pruned array postings: ONE static bucket filter covering every query
+    term (driver-known literals → partition filter at planning), then a
+    per-term ``term == literal`` filter (pushed to the scan) and an
+    explode of the tf-bounded decoded array. Each returned DataFrame is
+    term-frequency-sized — never corpus-sized."""
+    distinct = sorted(set(terms))
+    term_df = spark.createDataFrame([(t,) for t in distinct], "term string")
+    keep = sorted(
+        r["b"]
+        for r in term_df.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    pruned = positions.filter(F.col("bucket").isin(keep))
+    return {
+        t: pruned.filter(F.col("term") == t).select(
+            F.col(id_col),
+            F.explode(_decode_positions(F.col("positions"))).alias("pos"),
+        )
+        for t in distinct
+    }
+
+
 def phrase_search_index(
     spark,
     index_dir: str,
@@ -1169,15 +1286,7 @@ def phrase_search_index(
     toks = [w for w in re.split(TOKEN_SPLIT_RE, phrase.lower()) if w]
     if not toks:
         raise ValueError("phrase contains no tokens under the corpus token rule")
-    positions = spark.read.parquet(f"{index_dir}/positions")
-    stored = dict(positions.schema["pos"].metadata or {})
-    if validate_index and stored.get("scheme") != POS_SCHEME:
-        raise ValueError(
-            "persisted positions carry no/foreign scheme metadata on pos "
-            f"(stored {stored.get('scheme')!r} != {POS_SCHEME!r}); a tokenizer "
-            "mismatch re-positions every term and silently breaks adjacency "
-            "matching, so unverifiable indexes are rejected by default."
-        )
+    positions, n_buckets = _pos_read_validated(spark, index_dir, validate_index)
     if verify_corpus is not None and not positional_index_is_fresh(
         verify_corpus, index_dir, verify_text_col, id_col
     ):
@@ -1185,29 +1294,84 @@ def phrase_search_index(
             f"persisted positional index at {index_dir!r} does not match the "
             "live corpus — rebuild with positional_refresh_index before searching."
         )
-    n_buckets = _pos_n_buckets(stored, positions)
-    # static bucket pruning: the phrase's distinct terms hash in the
-    # driver (plain python xxhash is unavailable; one jvm-side 1-row
-    # projection computes the buckets — metadata-sized collect)
-    term_df = spark.createDataFrame([(t,) for t in sorted(set(toks))], "term string")
-    keep = sorted(
-        r["b"]
-        for r in term_df.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    pruned = positions.filter(F.col("bucket").isin(keep))
-    anchors = pruned.filter(F.col("term") == toks[0]).select(id_col, "pos")
+    occ = _pos_term_occurrences(spark, positions, toks, n_buckets, id_col)
+    anchors = occ[toks[0]].select(id_col, "pos")
     for i, t in enumerate(toks[1:], start=1):
-        nxt = pruned.filter(F.col("term") == t).select(
-            F.col(id_col), (F.col("pos") - F.lit(i)).alias("pos")
-        )
+        nxt = occ[t].select(F.col(id_col), (F.col("pos") - F.lit(i)).alias("pos"))
         anchors = anchors.join(nxt, [id_col, "pos"])
     return anchors.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_matches"),
         F.min("pos").cast("bigint").alias("first_pos"),
+    )
+
+
+def phrase_slop_search_index(
+    spark,
+    index_dir: str,
+    phrase: str,
+    slop: int = 0,
+    id_col: str = "doc_id",
+    validate_index: bool = True,
+    verify_corpus: DataFrame | None = None,
+    verify_text_col: str = "text",
+) -> DataFrame:
+    """SLOPPY phrase search over the persisted positional index — the
+    standard middle ground between exact phrase match and bag-of-words
+    (VERDICT r11 #6): the phrase's terms must appear IN ORDER, with at
+    most ``slop`` intervening tokens between consecutive terms (gap
+    ``p[i+1] − p[i] ∈ [1, 1+slop]``; ``slop=0`` degenerates to the exact
+    phrase — bit-equal to :func:`phrase_search_index`, which a test
+    gates). This ordered-window semantics is deliberately simpler than
+    Lucene's edit-distance slop: it is exactly expressible as i range
+    joins, and a DuckDB oracle can replay it with the same joins.
+
+    Output: (``id_col``, n_matches, first_pos) — n_matches counts the
+    DISTINCT position tuples (p₁ < … < pₙ) satisfying the gap rule
+    (each chained join step picks a distinct next position, so tuples
+    are enumerated exactly once), first_pos the smallest p₁ of any
+    match, 0-based.
+
+    Scale shape: the natural consumer of the array layout — one static
+    bucket filter for all terms, per-term tf-bounded explodes, then
+    n−1 equi-joins on ``id_col`` with a gap range predicate; per-doc
+    fan-out is bounded by ∏tfᵢ over the matched terms, never
+    corpus-sized. The gap predicate keeps the intermediate tuple set
+    pruned at every step (a tuple dies as soon as one gap exceeds
+    1+slop)."""
+    import re
+
+    from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+
+    if slop < 0:
+        raise ValueError("slop must be >= 0 intervening tokens")
+    toks = [w for w in re.split(TOKEN_SPLIT_RE, phrase.lower()) if w]
+    if not toks:
+        raise ValueError("phrase contains no tokens under the corpus token rule")
+    positions, n_buckets = _pos_read_validated(spark, index_dir, validate_index)
+    if verify_corpus is not None and not positional_index_is_fresh(
+        verify_corpus, index_dir, verify_text_col, id_col
+    ):
+        raise StaleIndexError(
+            f"persisted positional index at {index_dir!r} does not match the "
+            "live corpus — rebuild with positional_refresh_index before searching."
+        )
+    occ = _pos_term_occurrences(spark, positions, toks, n_buckets, id_col)
+    chain = occ[toks[0]].select(
+        F.col(id_col), F.col("pos").alias("_first"), F.col("pos").alias("_prev")
+    )
+    for t in toks[1:]:
+        nxt = occ[t].select(F.col(id_col), F.col("pos").alias("_next"))
+        chain = (
+            chain.join(nxt, id_col)
+            .filter(
+                (F.col("_next") > F.col("_prev"))
+                & (F.col("_next") - F.col("_prev") <= 1 + slop)
+            )
+            .select(F.col(id_col), F.col("_first"), F.col("_next").alias("_prev"))
+        )
+    return chain.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.min("_first").cast("bigint").alias("first_pos"),
     )
 
 
@@ -1253,26 +1417,10 @@ def proximity_search_index(
                          "twice under the symmetric join) — use phrase_search_index")
     if window < 1:
         raise ValueError("window must be >= 1 token")
-    positions = spark.read.parquet(f"{index_dir}/positions")
-    stored = dict(positions.schema["pos"].metadata or {})
-    if validate_index and stored.get("scheme") != POS_SCHEME:
-        raise ValueError(
-            "persisted positions carry no/foreign scheme metadata on pos "
-            f"(stored {stored.get('scheme')!r} != {POS_SCHEME!r})."
-        )
-    n_buckets = _pos_n_buckets(stored, positions)
-    term_df = spark.createDataFrame([(ta,), (tb,)], "term string")
-    keep = sorted(
-        r["b"]
-        for r in term_df.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    pruned = positions.filter(F.col("bucket").isin(keep))
-    pa = pruned.filter(F.col("term") == ta).select(F.col(id_col), F.col("pos").alias("_pa"))
-    pb = pruned.filter(F.col("term") == tb).select(F.col(id_col), F.col("pos").alias("_pb"))
+    positions, n_buckets = _pos_read_validated(spark, index_dir, validate_index)
+    occ = _pos_term_occurrences(spark, positions, [ta, tb], n_buckets, id_col)
+    pa = occ[ta].select(F.col(id_col), F.col("pos").alias("_pa"))
+    pb = occ[tb].select(F.col(id_col), F.col("pos").alias("_pb"))
     pairs = (
         pa.join(pb, id_col)
         .withColumn("_d", F.abs(F.col("_pa") - F.col("_pb")))
@@ -1293,21 +1441,29 @@ def positional_append_index(
     """Append a document batch to a persisted positional index — O(batch)
     by construction: positions are PER-DOC (no global statistics at
     all, unlike BM25's df/avgdl), so ingestion is exactly one tokenize
-    of the new batch appended into the bucketed layout plus the O(1)
-    fingerprint merge (``operators/freshness.py``; disjoint-id append
-    contract). An appended index is trivially identical to a full
-    rebuild over the union — the same (term, doc, pos) rows land in the
-    same bucket partitions."""
+    + (term, doc) group-by of the new batch appended into the bucketed
+    layout plus the O(1) fingerprint merge (``operators/freshness.py``;
+    disjoint-id append contract). An appended index is trivially
+    identical to a full rebuild over the union — disjoint ids mean the
+    batch's (term, doc) postings are complete arrays landing in the
+    same bucket partitions a rebuild would put them in."""
+    from pyspark.errors import AnalysisException
+
     spark = new_docs.sparkSession
-    stored_positions = spark.read.parquet(f"{index_dir}/positions")
-    stored = dict(stored_positions.schema["pos"].metadata or {})
-    if stored.get("scheme") != POS_SCHEME:
+    positions, n_buckets = _pos_read_validated(spark, index_dir, True)
+    stored = dict(positions.schema["tf"].metadata or {})
+    try:
+        old = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    except AnalysisException as exc:
+        # ADVICE r11: a stream-built index (positional_stream writes no
+        # stats — its staleness discipline is the checkpoint) must fail
+        # loudly with the remedy, not a raw path error
         raise ValueError(
-            f"cannot append to a foreign/unversioned positional index (stored "
-            f"scheme {stored.get('scheme')!r} != {POS_SCHEME!r})"
-        )
-    n_buckets = int(stored.get("n_buckets", 16))
-    old = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+            f"positional index at {index_dir!r} has no stats/ table — a "
+            "stream-built index cannot take batch appends (its fingerprint "
+            "discipline is the stream checkpoint; keep feeding the stream), "
+            "and a missing index needs positional_build_index first."
+        ) from exc
     old_fp = Row(
         fp_n=old["n_docs"],
         fp_xor=old["fp_xor"] if "fp_xor" in old.__fields__ else None,
@@ -1315,12 +1471,12 @@ def positional_append_index(
     )
     batch_fp = fingerprint_row(new_docs, id_col, text_col)
     mn, mx, ms = merge_fingerprints(old_fp, batch_fp)
-    occ = new_docs.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
-    )
+    postings = _pos_postings(new_docs, text_col, id_col)
     bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
     (
-        occ.select("term", id_col, F.col("pos").alias("pos", metadata=stored), bucket)
+        postings.select(
+            "term", id_col, F.col("tf").alias("tf", metadata=stored), "positions", bucket
+        )
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(f"{index_dir}/positions")

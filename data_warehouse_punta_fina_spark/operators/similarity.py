@@ -1181,6 +1181,8 @@ def ivfpq_federated_search(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compensate: bool = False,
+    verify_corpora: list[DataFrame] | None = None,
     **search_kwargs,
 ) -> DataFrame:
     """Federated top-k over PER-SHARD persisted IVF-PQ indexes — how a
@@ -1197,11 +1199,52 @@ def ivfpq_federated_search(
     candidate sets — the property the unrolled two-shard oracle checks.
     Shards must partition the corpus (disjoint ids).
 
+    RECALL, however, is NOT free under federation (measured —
+    RECALL.json federated tiers, docs/BENCH_NOTES.md r11): each shard's
+    quantizer trained on 1/shards of the data, so a fixed per-shard
+    ``probes`` scans a smaller corpus fraction per probe-quality unit
+    and recall DROPS as shards grow (0.906 → 0.675 at 2 shards → 0.544
+    at 4, sf0.1). The measured recovery law is *probe budget scales
+    with shard count*: ``compensate=True`` (VERDICT r11 #2) multiplies
+    the caller's ``probes`` by ``len(index_dirs)`` before fanning out,
+    restoring (and then beating) the single-index recall at the cost of
+    a proportionally wider per-shard codes scan. Left False by default
+    so callers that already tuned per-shard probes (and the pinned
+    naive-tier floors) keep their exact semantics.
+
+    Per-shard freshness (VERDICT r11 #7): pass ``verify_corpora`` — one
+    live corpus DataFrame per shard, parallel to ``index_dirs`` — and
+    every shard's stored fingerprint is checked BEFORE any search work;
+    a mutated shard raises :class:`~.freshness.StaleIndexError` naming
+    the stale shard directory (refresh just that shard —
+    ``ivfpq_refresh_index`` — the others are untouched).
+
     Scale shape: each shard search is the usual DPP-pruned codes scan +
     rerank; the merge input is shards × queries × k rows — candidate-
     bounded, never corpus-sized."""
     if not index_dirs:
         raise ValueError("ivfpq_federated_search needs at least one shard index")
+    if verify_corpora is not None:
+        from data_warehouse_punta_fina_spark.operators.freshness import (
+            StaleIndexError,
+        )
+
+        if len(verify_corpora) != len(index_dirs):
+            raise ValueError(
+                f"verify_corpora must parallel index_dirs "
+                f"({len(verify_corpora)} != {len(index_dirs)})"
+            )
+        for d, shard_corpus in zip(index_dirs, verify_corpora):
+            if not ivfpq_index_is_fresh(shard_corpus, d, id_col, vec_col):
+                raise StaleIndexError(
+                    f"federated shard index at {d!r} does not match its live "
+                    "corpus (content fingerprint mismatch or absent) — refresh "
+                    "that shard with ivfpq_refresh_index; fresh shards need no "
+                    "rebuild."
+                )
+    if compensate:
+        base = int(search_kwargs.get("probes", 4))
+        search_kwargs = {**search_kwargs, "probes": base * len(index_dirs)}
     parts = [
         ivfpq_search_index(
             queries, corpus, d, k=k, id_col=id_col, vec_col=vec_col, **search_kwargs

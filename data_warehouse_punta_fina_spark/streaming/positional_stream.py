@@ -7,8 +7,8 @@ jobs. The positional index is the one artifact whose append is O(batch)
 with NO global state (``retrieval.positional_append_index``: positions
 are per-doc; no df/avgdl/quantizer to refresh), which makes it the
 family's safe candidate for CONTINUOUS maintenance: documents arrive as
-a stream and every micro-batch lands its (term, doc, pos) rows in the
-index directly.
+a stream and every micro-batch lands its (term, doc, positions-array)
+postings (the v2 delta-encoded layout) in the index directly.
 
 Exactly-once discipline (the dedup_stream ingest pattern): each batch's
 rows are written with dynamic partition overwrite under
@@ -40,8 +40,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from data_warehouse_punta_fina_spark.functions.text import tokens
-from data_warehouse_punta_fina_spark.operators.retrieval import POS_SCHEME
+from data_warehouse_punta_fina_spark.operators.retrieval import (
+    POS_SCHEME,
+    _pos_postings,
+)
 
 BATCH_COL = "ingest_batch"
 
@@ -54,18 +56,20 @@ def positional_ingest_batch(
     id_col: str = "doc_id",
     n_buckets: int = 16,
 ) -> None:
-    """Tokenize ONE micro-batch and land its position rows in the
+    """Tokenize ONE micro-batch and land its (term, doc) ARRAY postings
+    (the v2 delta-encoded layout — ``retrieval._pos_postings``) in the
     bucketed index under the batch's own partition — idempotent under
-    replay (dynamic overwrite of ``ingest_batch=<id>``). Callable
-    directly for batch-mode replay parity tests."""
+    replay (dynamic overwrite of ``ingest_batch=<id>``). A document's
+    positions all arrive in its own batch (documents stream whole), so
+    per-batch arrays are COMPLETE postings — the same rows a batch
+    rebuild would produce. Callable directly for batch-mode replay
+    parity tests."""
     meta = {"scheme": POS_SCHEME, "n_buckets": n_buckets}
-    occ = batch.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
-    )
+    postings = _pos_postings(batch, text_col, id_col)
     bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
     (
-        occ.select(
-            "term", id_col, F.col("pos").alias("pos", metadata=meta), bucket
+        postings.select(
+            "term", id_col, F.col("tf").alias("tf", metadata=meta), "positions", bucket
         )
         .withColumn(BATCH_COL, F.lit(int(batch_id)))
         .write.mode("overwrite")
