@@ -2314,7 +2314,13 @@ def _build_registries():
                 index_dir=idx,
                 n_buckets=16,
             )
-            q.awaitTermination(300)
+            # the marker must only exist for a FULLY drained stream — a
+            # timed-out drain would cache a partial index as complete
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "bm25 maintenance drain did not finish within 300s"
+                )
             with open(os.path.join(idx, "_MAINTAINED"), "w") as fh:
                 fh.write("ok")
         qrows = [

@@ -186,6 +186,33 @@ HEADLINE = [
     "doc_retrieval_rank_metrics",
     "doc_phrase_search_persisted",
     "doc_proximity_search",
+    # round-12 additions: sloppy phrase over the v2 array-postings
+    # positional layout; search over the STREAM-MAINTAINED inverted index
+    "doc_phrase_slop_search",
+    "doc_bm25_maintained_topk",
+]
+
+# Entries that lazily build persisted artifacts (index caches) on first
+# call. They run ONCE, untimed, before the timed section (round-12,
+# VERDICT r11 #3a): a cold cache otherwise charges index construction to
+# the query — the r11 driver run read ann_ivfpq_federated_topk at 13.2 s
+# vs 2.3 s idle purely from first-build cost, splitting the driver and
+# idle series by 18%. Pre-warming gives every persisted entry the same
+# steady-state amortization, so both series measure the SEARCH path.
+PREWARM = [
+    # one entry per DISTINCT cache family — entries that reuse an
+    # artifact built here (hybrids, PRF, proximity/slop over the same
+    # positional index) inherit the warm cache without their own pass,
+    # keeping the prewarm's wall cost at builds + 9 warm searches
+    "ann_ivfpq_persisted_topk",      # ivfpq/
+    "ann_ivfpq_federated_topk",      # ivfpq_fed/ shards (also the hybrid's)
+    "doc_bm25_persisted_topk",       # bm25/ (also PRF's + hybrids')
+    "doc_bm25_incremental_topk",     # bm25_inc/
+    "doc_bm25_federated_topk",       # bm25_fed/ shards
+    "doc_bm25_maintained_topk",      # bm25_maint/ (stream drain)
+    "doc_phrase_search_persisted",   # positional/ (also proximity + slop)
+    "doc_nb_persisted_classifier",   # nb_model/
+    "doc_incremental_dedup_persisted",  # lsh_bands/
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
@@ -312,6 +339,21 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — warm-up must not kill the bench
             print(f"bench: warm-up {name} failed: {exc}", file=sys.stderr)
 
+    # pre-build the persisted-index caches OUTSIDE the timed window
+    # (VERDICT r11 #3a): first call after a testdata refresh trains/
+    # writes the artifact; the timed pass below then measures the pure
+    # stored-index search for every persisted entry — driver (cold
+    # container) and idle (warm cache) runs measure the same thing.
+    prewarm0 = time.time()
+    for name in PREWARM:
+        if name not in qs:
+            continue
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — warm-up must not kill the bench
+            print(f"bench: prewarm {name} failed: {exc}", file=sys.stderr)
+    prewarm_sec = round(time.time() - prewarm0, 1)
+
     # per-query fault isolation: one broken query must never zero the whole
     # artifact — record its error, keep timing the rest, always print JSON.
     # Noise control (round-9, VERDICT r8 #2 — the driver's r8 run read
@@ -330,6 +372,10 @@ def main() -> None:
     # true rebuild, not a cache read.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # per-query run count (ADVICE r11): 2 = min-of-2, 1 = single run —
+    # machine-visible in BENCH_DETAIL so cross-round diffs can weight
+    # the single-run band's ~10-20% extra noise instead of guessing
+    min_of: dict[str, int] = {}
     anchor = set(R4_HEADLINE)
     ordered = R4_HEADLINE + [n for n in HEADLINE if n not in R4_HEADLINE]
     for name in ordered:
@@ -338,6 +384,7 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             first = time.time() - t0
+            min_of[name] = 1
             if name == "fact_ventas":
                 # the flagship is session-memoized, so ANY second timing
                 # must reset the memo first or it reads the persisted
@@ -350,10 +397,12 @@ def main() -> None:
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 first = min(first, time.time() - t1)
+                min_of[name] = 2
             elif first < (5.0 if name in anchor else 1.5):
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 first = min(first, time.time() - t1)
+                min_of[name] = 2
             times[name] = round(first, 3)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -377,6 +426,13 @@ def main() -> None:
         "min_of_2_threshold_sec": 1.5,
         "anchor_min_of_2_threshold_sec": 5.0,
         "anchor_first": True,
+        # per-query run counts (ADVICE r11: the 1.5-2.5 s band went
+        # single-run in the r11 surgery; this makes the tier change
+        # machine-visible per query instead of comment-only) + the
+        # untimed persisted-artifact prewarm (VERDICT r11 #3a)
+        "min_of": min_of,
+        "prewarm_sec": prewarm_sec,
+        "prewarmed": [n for n in PREWARM if n in qs],
         # cross-round comparability: the headline GROWS as operator
         # families land (28 queries in r4 → 50 now), so the wall total is
         # NOT a like-for-like series. This is the sum over exactly the
@@ -468,6 +524,10 @@ def main() -> None:
         # shows up here first — round-9 diagnostic for the bench-timeout
         # and run-context questions
         "wall_sec": round(time.time() - wall0, 1),
+        "prewarm_sec": prewarm_sec,
+        # how many timed readings are single-run (no min-of-2 cover) —
+        # the noise-weighting signal for cross-round per-query diffs
+        "n_single_run": sum(1 for v in min_of.values() if v == 1),
         "detail": detail_name,
     }
     # also persist the compact object (VERDICT r7 #7) so the driver's

@@ -14,8 +14,12 @@ and compared against the live corpus on demand:
   (row count, bit-XOR of per-row xxhash64, exact decimal SUM of the same
   hashes). XOR alone is blind to even-multiplicity swaps (two rows
   duplicated in one snapshot, two different rows duplicated in another:
-  same count, XOR cancels both), so the decimal sum — exact, commutative,
-  overflow-free below ~1e18 rows — makes the triple multiset-exact.
+  same count, XOR cancels both); the decimal sum — exact, commutative,
+  overflow-free below ~1e18 rows — closes that class. The triple is
+  collision-RESISTANT, not exact (ADVICE r11): distinct hash multisets
+  can agree on all three components (e.g. {0,3} vs {1,2} share count=2,
+  xor=3, sum=3), and xxhash64 itself can collide — ~2^-64-scale
+  accidental odds, negligible operationally but not a guarantee.
   Order- and partitioning-independent by construction.
 - ``*_index_is_fresh`` / ``*_refresh_index`` live next to their index
   (``operators/retrieval.py`` for BM25, ``operators/similarity.py`` for
@@ -52,11 +56,13 @@ FP_COLS = ("fp_n", "fp_xor", "fp_sum")
 
 def content_fingerprint(df: DataFrame, *cols: str) -> DataFrame:
     """1-row (fp_n, fp_xor, fp_sum) content fingerprint of ``df``
-    projected to ``cols`` — multiset-exact, order/partitioning
-    independent (count/XOR/sum are all commutative + associative), and
-    mergeable under DISJOINT union (counts and sums add, XORs xor),
-    which is what lets an append update the stored fingerprint in
-    O(batch) without rescanning the indexed corpus."""
+    projected to ``cols`` — collision-resistant in practice (~2^-64-scale
+    accidental-collision odds; see module docstring — NOT a multiset
+    identity), order/partitioning independent (count/XOR/sum are all
+    commutative + associative), and mergeable under DISJOINT union
+    (counts and sums add, XORs xor), which is what lets an append update
+    the stored fingerprint in O(batch) without rescanning the indexed
+    corpus."""
     h = F.xxhash64(*[F.col(c) for c in cols])
     return df.agg(
         F.count("*").cast("long").alias("fp_n"),

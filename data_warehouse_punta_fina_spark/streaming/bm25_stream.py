@@ -251,6 +251,45 @@ def bm25_maintenance_batch(
         .parquet(f"{index_dir}/stats")
     )
 
+    # ---- bound the epoch history ----------------------------------------
+    # keep the TWO newest epochs (the current one + its merge source):
+    # the only batch that can ever replay is the one whose checkpoint has
+    # not committed yet — i.e. THIS one — and its re-derivation needs the
+    # newest epoch strictly below it. Deleting anything older is safe at
+    # any crash point; deleting the merge source would let a replay merge
+    # from empty and silently halve the statistics, so never prune to 1.
+    _prune_epochs(spark, index_dir, keep=2)
+
+
+def _prune_epochs(spark: SparkSession, index_dir: str, keep: int = 2) -> None:
+    """Best-effort deletion of all but the ``keep`` newest epoch
+    directories under dfstats_epochs/ + stats_epochs/ (Hadoop FS API —
+    scheme-agnostic). ``keep`` is clamped to ≥ 2: the newest epoch's
+    merge SOURCE must survive until the next batch's checkpoint commits
+    (see the invariant note at the call site). Failures are swallowed —
+    pruning is hygiene, not correctness (a later batch re-prunes)."""
+    keep = max(int(keep), 2)
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for sub in ("dfstats_epochs", "stats_epochs"):
+            path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}")
+            fs = path.getFileSystem(conf)
+            if not fs.exists(path):
+                continue
+            epochs = []
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if name.startswith("epoch="):
+                    try:
+                        epochs.append((int(name.split("=", 1)[1]), st.getPath()))
+                    except ValueError:
+                        continue
+            for _e, p in sorted(epochs)[:-keep]:
+                fs.delete(p, True)
+    except Exception:  # noqa: BLE001 — hygiene must never fail the batch
+        pass
+
 
 def run_bm25_maintenance_stream(
     spark: SparkSession,

@@ -209,8 +209,10 @@ def test_bm25_maintenance_stream_matches_monolithic_and_replay_safe(spark, tmp_p
 
     docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 120)
     src = str(tmp_path / "src")
-    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
-    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    # three files -> three micro-batches: epochs 0,1,2 with pruning live
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
     idx = str(tmp_path / "maintained")
     q = run_bm25_maintenance_stream(
         spark,
@@ -220,7 +222,7 @@ def test_bm25_maintenance_stream_matches_monolithic_and_replay_safe(spark, tmp_p
         index_dir=idx,
         n_buckets=8,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180)
 
     qdf = spark.createDataFrame(
         [(1, "spark"), (1, "data"), (2, "customer"), (2, "order")],
@@ -250,9 +252,127 @@ def test_bm25_maintenance_stream_matches_monolithic_and_replay_safe(spark, tmp_p
         )
         return dfstats, stats, postings
 
+    # epoch hygiene: only the 2 newest epochs survive (2 = the current
+    # batch + its merge source — the replay invariant's minimum)
+    import os
+
+    for sub in ("dfstats_epochs", "stats_epochs"):
+        epochs = sorted(
+            e for e in os.listdir(os.path.join(idx, sub)) if e.startswith("epoch=")
+        )
+        assert epochs == ["epoch=1", "epoch=2"], (sub, epochs)
+
     before = _state()
     bm25_maintenance_batch(
-        docs.filter(F.col("doc_id") % 2 == 1), 1, idx, n_buckets=8
+        docs.filter(F.col("doc_id") % 3 == 2), 2, idx, n_buckets=8
     )
     assert _state() == before
     assert bm25_index_is_fresh(docs, idx) is True
+
+
+def test_ivfpq_federated_compensate_scales_probes(spark, monkeypatch):
+    """VERDICT r11 #2: the probes-scale-with-shards recovery law is now
+    an encoded knob — compensate=True multiplies the caller's per-shard
+    probes by the shard count before fanning out (each shard's quantizer
+    trained on 1/shards of the corpus, so the probe budget must scale to
+    hold recall; measured 0.544 -> 0.919 at 4 shards in RECALL.json)."""
+    from data_warehouse_punta_fina_spark.operators import similarity as sim
+
+    seen: list[int] = []
+
+    def _spy(queries, corpus, d, **kw):
+        seen.append(int(kw.get("probes")))
+        # candidate-shaped empty frame — the merge window tolerates it
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+
+    monkeypatch.setattr(sim, "ivfpq_search_index", _spy)
+    dirs = ["/tmp/sA", "/tmp/sB", "/tmp/sC", "/tmp/sD"]
+    emb = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<double>")
+    sim.ivfpq_federated_search(emb, emb, dirs, k=3, probes=4).count()
+    assert seen == [4, 4, 4, 4]
+    seen.clear()
+    sim.ivfpq_federated_search(emb, emb, dirs, k=3, probes=4, compensate=True).count()
+    assert seen == [16, 16, 16, 16]
+
+
+def test_federated_freshness_raises_naming_stale_shard(spark, tmp_path):
+    """VERDICT r11 #7: a stale shard inside a federated search is
+    refusable in ONE call — verify_corpora checks every shard's stored
+    fingerprint and the error names the stale shard's directory (so the
+    refresh touches only that shard). Both the lexical and vector
+    federations."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.freshness import StaleIndexError
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_federated_search,
+    )
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_federated_search,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 100)
+    s0 = docs.filter(F.col("doc_id") % 2 == 0)
+    s1 = docs.filter(F.col("doc_id") % 2 == 1)
+    d0, d1 = str(tmp_path / "lex0"), str(tmp_path / "lex1")
+    bm25_build_index(s0, d0, n_buckets=8)
+    bm25_build_index(s1, d1, n_buckets=8)
+    qdf = spark.createDataFrame([(1, "spark"), (1, "data")], "query_id int, term string")
+
+    # fresh corpora: the verified federated search returns results
+    assert (
+        bm25_federated_search(qdf, [d0, d1], k=3, verify_corpora=[s0, s1]).count() > 0
+    )
+    # mutate shard 1's corpus -> ONE call refuses, naming shard 1
+    s1_mut = s1.limit(10)
+    with pytest.raises(StaleIndexError, match="lex1"):
+        bm25_federated_search(qdf, [d0, d1], k=3, verify_corpora=[s0, s1_mut])
+    with pytest.raises(ValueError, match="parallel"):
+        bm25_federated_search(qdf, [d0, d1], k=3, verify_corpora=[s0])
+
+    # vector twin
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 80)
+    e0 = emb.filter(F.col("vec_id") % 2 == 0)
+    e1 = emb.filter(F.col("vec_id") % 2 == 1)
+    v0, v1 = str(tmp_path / "vec0"), str(tmp_path / "vec1")
+    params = dict(n_cells=8, m=8, n_centroids=8, iters=1)
+    ivfpq_build_index(e0, v0, **params)
+    ivfpq_build_index(e1, v1, **params)
+    queries = emb.filter(F.col("vec_id") < 2)
+    ok = ivfpq_federated_search(
+        queries, emb, [v0, v1], k=3, probes=2, rerank=10, dims=64,
+        verify_corpora=[e0, e1], **params,
+    )
+    assert ok.count() > 0
+    with pytest.raises(StaleIndexError, match="vec0"):
+        ivfpq_federated_search(
+            queries, emb, [v0, v1], k=3, probes=2, rerank=10, dims=64,
+            verify_corpora=[e0.limit(5), e1], **params,
+        )
+
+
+def test_bm25_prf_search_index_threads_verify_corpus(spark, tmp_path):
+    """VERDICT r11 #7 (composition case): the PRF composition exposes
+    the freshness check end-to-end — one verify_corpus= on the call
+    covers both passes and the mining (they read the same artifacts)."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.freshness import StaleIndexError
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_prf_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 100)
+    idx = str(tmp_path / "prf")
+    bm25_build_index(docs, idx, n_buckets=8)
+    qdf = spark.createDataFrame([(1, "spark"), (1, "data")], "query_id int, term string")
+    assert bm25_prf_search_index(qdf, idx, k=3, verify_corpus=docs).count() > 0
+    with pytest.raises(StaleIndexError):
+        bm25_prf_search_index(qdf, idx, k=3, verify_corpus=docs.limit(10))

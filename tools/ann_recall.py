@@ -68,6 +68,13 @@ PANEL_FLOORS = {
         "ivfpq_persisted_c32_p4_m8k32_r100": 0.80,
         "ivfpq_federated2_c32_p4_m8k32_r100": 0.66,
         "ivfpq_federated2_c32_p8_m8k32_r100": 0.75,
+        # round-12 (VERDICT r11 #2): the 4-shard axis pinned — measured
+        # r11 (docs/BENCH_NOTES.md addendum): naive p4 0.725/0.544,
+        # compensated p16 (probes × shards via compensate=True)
+        # 0.969/0.919 — minus the usual ~0.05 guard band. A per-shard-
+        # training regression at higher shard counts now breaches.
+        "ivfpq_federated4_c32_p4_m8k32_r100": 0.67,
+        "ivfpq_federated4_c32_p16_m8k32_r100": 0.91,
     },
     "sf0.1": {
         "sq8_rerank20": 0.95,
@@ -79,6 +86,8 @@ PANEL_FLOORS = {
         "ivfpq_persisted_c32_p4_m8k32_r100": 0.85,
         "ivfpq_federated2_c32_p4_m8k32_r100": 0.62,
         "ivfpq_federated2_c32_p8_m8k32_r100": 0.72,
+        "ivfpq_federated4_c32_p4_m8k32_r100": 0.49,
+        "ivfpq_federated4_c32_p16_m8k32_r100": 0.86,
     },
 }
 
@@ -230,6 +239,7 @@ def _panel_block(spark, sf_dir: str, k: int) -> dict:
     panel_tiers = list(PANEL_FLOORS["sf0.01"])  # tier names are SF-independent
     idx_dir = tempfile.mkdtemp(prefix="recall_ivfpq_")
     shard_dirs = [tempfile.mkdtemp(prefix=f"recall_fed{i}_") for i in range(2)]
+    shard4_dirs = [tempfile.mkdtemp(prefix=f"recall_fed4_{i}_") for i in range(4)]
     try:
         ivfpq_build_index(emb, idx_dir, n_cells=32, m=8, n_centroids=32, iters=3)
         tiers["ivfpq_persisted_c32_p4_m8k32_r100"] = ivfpq_search_index(
@@ -240,11 +250,14 @@ def _panel_block(spark, sf_dir: str, k: int) -> dict:
         # federated tier (round-11, VERDICT r10 #4): the corpus split into
         # two disjoint shards, each with its OWN persisted IVF-PQ index
         # trained on its half alone; queries fan out and the global top-k
-        # is the rank-merge. Each shard's top-k is exact-cosine reranked,
-        # so the merged recall should sit AT OR ABOVE the single-index row
-        # (the merged candidate pool is the union of two exact-reranked
-        # lists) — a floor breach here means per-shard training quality
-        # degraded, which nothing else in the panel can see.
+        # is the rank-merge. The merge is exact over the shards' candidate
+        # pools, but the POOLS are worse: each shard's quantizers train on
+        # half the corpus, so at identical per-shard probes the federated
+        # recall sits measurably BELOW the single-index row (0.71 vs 0.85
+        # at sf0.01, 0.68 vs 0.91 at sf0.1 — the header calibration block;
+        # the r10 verdict's contrary prior is falsified and pytest-pinned
+        # as federated < single). A naive-floor breach means per-shard
+        # training degraded FURTHER than that measured penalty.
         for i, d in enumerate(shard_dirs):
             shard = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == i)
             ivfpq_build_index(shard, d, n_cells=32, m=8, n_centroids=32, iters=3)
@@ -268,6 +281,26 @@ def _panel_block(spark, sf_dir: str, k: int) -> dict:
             n_cells=32, m=8, n_centroids=32, iters=3,
         )
         scan_fraction["ivfpq_federated2_c32_p8_m8k32_r100"] = 8 / 32
+        # 4-shard axis (round-12, VERDICT r11 #2): quarter-corpus
+        # training degrades the naive row further (0.725/0.544 measured
+        # r11), and the COMPENSATED row exercises the encoded recovery
+        # law — compensate=True scales the caller's probes by the shard
+        # count (4 × 4 = 16/shard, 50% per-shard scan), which measured
+        # 0.969/0.919: ABOVE the single index, because four exact-
+        # reranked quarter-corpus lists union a wider candidate pool.
+        for i, d in enumerate(shard4_dirs):
+            shard = emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) == i)
+            ivfpq_build_index(shard, d, n_cells=32, m=8, n_centroids=32, iters=3)
+        tiers["ivfpq_federated4_c32_p4_m8k32_r100"] = ivfpq_federated_search(
+            queries, emb, shard4_dirs, k=k, probes=4, rerank=100,
+            n_cells=32, m=8, n_centroids=32, iters=3,
+        )
+        scan_fraction["ivfpq_federated4_c32_p4_m8k32_r100"] = 4 / 32
+        tiers["ivfpq_federated4_c32_p16_m8k32_r100"] = ivfpq_federated_search(
+            queries, emb, shard4_dirs, k=k, probes=4, rerank=100,
+            n_cells=32, m=8, n_centroids=32, iters=3, compensate=True,
+        )
+        scan_fraction["ivfpq_federated4_c32_p16_m8k32_r100"] = 16 / 32
         out = {
             "sf_dir": sf_dir,
             "corpus": n_corpus,
@@ -297,7 +330,7 @@ def _panel_block(spark, sf_dir: str, k: int) -> dict:
         return out
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
-        for d in shard_dirs:
+        for d in shard_dirs + shard4_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
 

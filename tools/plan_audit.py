@@ -91,6 +91,11 @@ AUDITED = [
     "doc_proximity_search",
     "doc_retrieval_rank_metrics",
     "doc_bm25_prf_search_persisted",
+    # round-12 additions: sloppy phrase over the v2 array layout and the
+    # stream-maintained inverted index (search plan must look exactly
+    # like any persisted BM25 search: bucket-pruned, no corpus scan)
+    "doc_phrase_slop_search",
+    "doc_bm25_maintained_topk",
 ]
 
 
