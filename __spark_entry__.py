@@ -2846,6 +2846,34 @@ def _build_registries():
             spark, idx, "customer order fast", slop=3
         )
 
+    def doc_cooccurrence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-12 debut: n-term WITHIN-WINDOW co-occurrence over the
+        # persisted positional index (operators/retrieval.
+        # cooccurrence_search_index) — 'spark', 'vector', 'join' in any
+        # order within 6 tokens: the unordered complement of the sloppy
+        # phrase (order-free "concepts in the same context" curation
+        # predicate). Chained equi-joins carry the running (min, max)
+        # span so tuples die as soon as the span exceeds the window;
+        # min_span is numbering-invariant (differences only). Oracle:
+        # the same 3-way join with GREATEST/LEAST span arithmetic.
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.dedup import _spread
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            cooccurrence_search_index,
+            positional_build_index,
+        )
+
+        fp = _data_fingerprint(sf_dir, "documents")
+        idx = _index_cache_dir("positional", f"arr_b16_{fp}")
+        if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
+            positional_build_index(
+                _spread(load_table(spark, sf_dir, "documents")), idx, n_buckets=16
+            )
+        return cooccurrence_search_index(
+            spark, idx, ["spark", "vector", "join"], window=6
+        )
+
     def doc_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two-pass distributed heavy hitters: per-partition Misra-Gries
         # candidates (provable superset), exact JVM recount, integer
@@ -4594,6 +4622,9 @@ def _build_registries():
         # STREAM-MAINTAINED inverted index (VERDICT r11 #4 — epoched
         # global state, replay-idempotent stats merge)
         "doc_bm25_maintained_topk": doc_bm25_maintained_topk,
+        # round-12 debut (promoted in-round, wave 17): unordered n-term
+        # within-window co-occurrence over the positional index
+        "doc_cooccurrence_search": doc_cooccurrence_search,
     }
 
     # same-family variants + individual catalog dims: outside the driver's
@@ -5098,10 +5129,12 @@ def _build_registries():
     _promote_r12 = [
         "doc_phrase_slop_search",    # r12 debut: sloppy phrase over the v2 array layout
         "doc_bm25_maintained_topk",  # r12 debut: stream-maintained BM25 index search
+        "doc_cooccurrence_search",   # r12 debut: n-term window co-occurrence (positional)
     ]
     _demote_r12 = [
         "ann_ivfpq_persisted_topk",  # 4x green; persisted-ANN family carried by ann_ivfpq_incremental_topk + ann_ivfpq_federated_topk
         "revenue_incremental_merge", # 4x green; txlog/incremental family carried by files_provenance (txlog) + doc_bm25_incremental_topk + doc_incremental_dedup_persisted
+        "doc_hybrid_rrf_search",     # 3x green; FOUR hybrid variants stay in-window (ivf/pq/persisted/federated)
     ]
     for _n in _promote_r12:
         reg[_n] = extra.pop(_n)
@@ -9922,6 +9955,37 @@ tuples AS (
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
        CAST(MIN(a) - 1 AS BIGINT) AS first_pos
+FROM tuples GROUP BY doc_id
+"""
+
+    # round-12: unordered 3-term co-occurrence within 6 tokens — the
+    # same chained joins with GREATEST/LEAST span arithmetic; spans are
+    # position differences, so 1- vs 0-based numbering cancels.
+    o["doc_cooccurrence_search"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+p0 AS (
+  SELECT doc_id,
+         unnest([j FOR j IN generate_series(1, len(t)) IF t[j] = 'spark']) AS p
+  FROM toks
+),
+p1 AS (
+  SELECT doc_id,
+         unnest([j FOR j IN generate_series(1, len(t)) IF t[j] = 'vector']) AS p
+  FROM toks
+),
+p2 AS (
+  SELECT doc_id,
+         unnest([j FOR j IN generate_series(1, len(t)) IF t[j] = 'join']) AS p
+  FROM toks
+),
+tuples AS (
+  SELECT p0.doc_id,
+         GREATEST(p0.p, p1.p, p2.p) - LEAST(p0.p, p1.p, p2.p) AS span
+  FROM p0 JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
+  WHERE GREATEST(p0.p, p1.p, p2.p) - LEAST(p0.p, p1.p, p2.p) <= 6
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(span) AS BIGINT) AS min_span
 FROM tuples GROUP BY doc_id
 """
 

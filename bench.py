@@ -190,6 +190,7 @@ HEADLINE = [
     # positional layout; search over the STREAM-MAINTAINED inverted index
     "doc_phrase_slop_search",
     "doc_bm25_maintained_topk",
+    "doc_cooccurrence_search",
 ]
 
 # Entries that lazily build persisted artifacts (index caches) on first

@@ -1467,6 +1467,85 @@ def proximity_search_index(
     )
 
 
+def cooccurrence_search_index(
+    spark,
+    index_dir: str,
+    terms: list[str],
+    window: int = 12,
+    id_col: str = "doc_id",
+    validate_index: bool = True,
+    verify_corpus: DataFrame | None = None,
+    verify_text_col: str = "text",
+) -> DataFrame:
+    """N-term within-window co-occurrence over the persisted positional
+    index: documents where ALL ``terms`` appear (in ANY order) within a
+    span of ``window`` tokens — the unordered complement of
+    :func:`phrase_slop_search_index` (which requires order), and the
+    standard "these concepts in the same context" predicate for topical
+    curation when term order is irrelevant.
+
+    A match is a distinct position tuple (p₁ … pₙ), one position per
+    term, with ``max(p) − min(p) ≤ window``. Output: (``id_col``,
+    n_matches, min_span) — n_matches counts distinct tuples, min_span
+    the tightest span of any match (identical under 0-/1-based
+    numbering: only differences reach the output, the proximity-oracle
+    property).
+
+    Scale shape: one static bucket filter covering all terms; per-term
+    tf-bounded explodes; n−1 equi-joins on ``id_col``, each carrying
+    the span predicate against the RUNNING min/max so a tuple dies as
+    soon as its span exceeds the window (the intermediate set never
+    exceeds the final fan-out by more than one term's tf factor).
+    Duplicate terms are rejected (a repeated term's tuples would pair a
+    position with itself; phrase/slop handle repeats positionally)."""
+    import re
+
+    from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
+
+    norm: list[str] = []
+    for t in terms:
+        ws = [w for w in re.split(TOKEN_SPLIT_RE, t.lower()) if w]
+        if len(ws) != 1:
+            raise ValueError(
+                f"co-occurrence terms must each be a single corpus token, got {t!r}"
+            )
+        norm.append(ws[0])
+    if len(norm) < 2:
+        raise ValueError("co-occurrence needs at least two terms")
+    if len(set(norm)) != len(norm):
+        raise ValueError(
+            "duplicate co-occurrence terms are ill-defined (a tuple would pair "
+            "a position with itself) — use phrase/slop search for repeats"
+        )
+    if window < 1:
+        raise ValueError("window must be >= 1 token")
+    positions, n_buckets = _pos_read_validated(spark, index_dir, validate_index)
+    if verify_corpus is not None and not positional_index_is_fresh(
+        verify_corpus, index_dir, verify_text_col, id_col
+    ):
+        raise StaleIndexError(
+            f"persisted positional index at {index_dir!r} does not match the "
+            "live corpus — rebuild with positional_refresh_index before searching."
+        )
+    occ = _pos_term_occurrences(spark, positions, norm, n_buckets, id_col)
+    chain = occ[norm[0]].select(
+        F.col(id_col), F.col("pos").alias("_lo"), F.col("pos").alias("_hi")
+    )
+    for t in norm[1:]:
+        nxt = occ[t].select(F.col(id_col), F.col("pos").alias("_p"))
+        chain = (
+            chain.join(nxt, id_col)
+            .withColumn("_lo", F.least(F.col("_lo"), F.col("_p")))
+            .withColumn("_hi", F.greatest(F.col("_hi"), F.col("_p")))
+            .filter(F.col("_hi") - F.col("_lo") <= window)
+            .select(F.col(id_col), "_lo", "_hi")
+        )
+    return chain.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.min(F.col("_hi") - F.col("_lo")).cast("bigint").alias("min_span"),
+    )
+
+
 def positional_append_index(
     new_docs: DataFrame,
     index_dir: str,

@@ -376,3 +376,60 @@ def test_bm25_prf_search_index_threads_verify_corpus(spark, tmp_path):
     assert bm25_prf_search_index(qdf, idx, k=3, verify_corpus=docs).count() > 0
     with pytest.raises(StaleIndexError):
         bm25_prf_search_index(qdf, idx, k=3, verify_corpus=docs.limit(10))
+
+
+def test_cooccurrence_search_semantics_and_guards(spark, tmp_path):
+    """Unordered n-term within-window co-occurrence: distinct tuple
+    counts and tightest span on a hand corpus; symmetric in term order;
+    duplicate/multi-token/short inputs rejected; no corpus scan."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        cooccurrence_search_index,
+        positional_build_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x b y c"),        # tuple (0,2,4) span 4
+            (2, "c a b"),            # (1,2,0) span 2 — order-free
+            (3, "a b"),              # missing c: never
+            (4, "a x x x x b x c"),  # (0,5,7) span 7
+            (5, "a b c a"),          # (0,1,2) span 2 and (3,1,2) span 2
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "cooc")
+    positional_build_index(docs, idx, n_buckets=4)
+    got = lambda w: sorted(
+        map(
+            tuple,
+            cooccurrence_search_index(spark, idx, ["a", "b", "c"], window=w).collect(),
+        )
+    )
+    assert got(4) == [(1, 1, 4), (2, 1, 2), (5, 2, 2)]
+    assert got(7) == [(1, 1, 4), (2, 1, 2), (4, 1, 7), (5, 2, 2)]
+    # term order in the CALL must not matter (unordered semantics)
+    alt = sorted(
+        map(
+            tuple,
+            cooccurrence_search_index(spark, idx, ["c", "a", "b"], window=4).collect(),
+        )
+    )
+    assert alt == got(4)
+
+    with pytest.raises(ValueError, match="duplicate"):
+        cooccurrence_search_index(spark, idx, ["a", "a", "b"])
+    with pytest.raises(ValueError, match="single corpus token"):
+        cooccurrence_search_index(spark, idx, ["a b", "c"])
+    with pytest.raises(ValueError, match="at least two"):
+        cooccurrence_search_index(spark, idx, ["a"])
+    with pytest.raises(ValueError, match="window"):
+        cooccurrence_search_index(spark, idx, ["a", "b"], window=0)
+    plan = (
+        cooccurrence_search_index(spark, idx, ["a", "b"], window=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "documents.parquet" not in plan

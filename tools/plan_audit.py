@@ -96,6 +96,7 @@ AUDITED = [
     # like any persisted BM25 search: bucket-pruned, no corpus scan)
     "doc_phrase_slop_search",
     "doc_bm25_maintained_topk",
+    "doc_cooccurrence_search",
 ]
 
 
