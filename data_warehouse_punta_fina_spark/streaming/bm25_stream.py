@@ -136,22 +136,6 @@ def run_bm25_stream(
     return writer.start()
 
 
-def _max_epoch_below(spark: SparkSession, path: str, below: int) -> int | None:
-    """Newest committed epoch strictly below ``below`` (None if the tree
-    is empty/absent). Partition-column-only aggregate — resolved from
-    directory names, no data scan."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(path)
-    except AnalysisException:
-        return None
-    top = (
-        df.filter(F.col("epoch") < below).agg(F.max("epoch").alias("e")).collect()[0]["e"]
-    )
-    return None if top is None else int(top)
-
-
 def bm25_maintenance_batch(
     batch: DataFrame,
     batch_id: int,
@@ -188,7 +172,12 @@ def bm25_maintenance_batch(
     )
 
     # ---- merged vocabulary: source epoch ∪ batch df deltas ------------
-    src = _max_epoch_below(spark, f"{index_dir}/dfstats_epochs", int(batch_id))
+    from data_warehouse_punta_fina_spark.streaming.epochs import (
+        max_epoch_below,
+        prune_epochs,
+    )
+
+    src = max_epoch_below(spark, f"{index_dir}/dfstats_epochs", int(batch_id))
     if src is None:
         old_df = None
         old_n, old_total_dl, old_xor, old_sum = 0, 0, 0, 0
@@ -251,44 +240,8 @@ def bm25_maintenance_batch(
         .parquet(f"{index_dir}/stats")
     )
 
-    # ---- bound the epoch history ----------------------------------------
-    # keep the TWO newest epochs (the current one + its merge source):
-    # the only batch that can ever replay is the one whose checkpoint has
-    # not committed yet — i.e. THIS one — and its re-derivation needs the
-    # newest epoch strictly below it. Deleting anything older is safe at
-    # any crash point; deleting the merge source would let a replay merge
-    # from empty and silently halve the statistics, so never prune to 1.
-    _prune_epochs(spark, index_dir, keep=2)
-
-
-def _prune_epochs(spark: SparkSession, index_dir: str, keep: int = 2) -> None:
-    """Best-effort deletion of all but the ``keep`` newest epoch
-    directories under dfstats_epochs/ + stats_epochs/ (Hadoop FS API —
-    scheme-agnostic). ``keep`` is clamped to ≥ 2: the newest epoch's
-    merge SOURCE must survive until the next batch's checkpoint commits
-    (see the invariant note at the call site). Failures are swallowed —
-    pruning is hygiene, not correctness (a later batch re-prunes)."""
-    keep = max(int(keep), 2)
-    try:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        for sub in ("dfstats_epochs", "stats_epochs"):
-            path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}")
-            fs = path.getFileSystem(conf)
-            if not fs.exists(path):
-                continue
-            epochs = []
-            for st in fs.listStatus(path):
-                name = st.getPath().getName()
-                if name.startswith("epoch="):
-                    try:
-                        epochs.append((int(name.split("=", 1)[1]), st.getPath()))
-                    except ValueError:
-                        continue
-            for _e, p in sorted(epochs)[:-keep]:
-                fs.delete(p, True)
-    except Exception:  # noqa: BLE001 — hygiene must never fail the batch
-        pass
+    # ---- bound the epoch history (streaming/epochs.py invariant) --------
+    prune_epochs(spark, index_dir, ("dfstats_epochs", "stats_epochs"), keep=2)
 
 
 def run_bm25_maintenance_stream(

@@ -117,3 +117,132 @@ def run_classify_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def nb_maintenance_batch(
+    batch: DataFrame,
+    batch_id: int,
+    model_dir: str,
+    text_col: str = "text",
+    label_col: str = "label",
+) -> None:
+    """Round-12: CONTINUOUS NB-model maintenance — labeled documents
+    arrive as a stream and every micro-batch updates the persisted
+    model under the epoch discipline (``streaming/epochs.py``). The NB
+    model is ENTIRELY global state, all of it exactly mergeable over
+    disjoint batches: (class, term) occurrence counts add, per-class
+    doc counts add, and the derived tables (priors from doc counts,
+    vocabulary size from the merged cond) re-derive deterministically —
+    so the maintained model is bit-equal to one monolithic
+    ``nb_train`` over everything streamed, which is what the pytest
+    asserts through ``nb_score_model`` on both.
+
+    Epoch state under ``model_dir``:
+
+    - ``cond_epochs/epoch=<id>`` — merged (_y, term, _c) counts;
+    - ``classdocs_epochs/epoch=<id>`` — merged (_y, _nd) doc counts
+      (the RAW integers the published priors derive from — the flat
+      ``classes`` table stores only the derived ln-ratio, which does
+      not merge);
+    - flat ``cond/ classes/ consts/`` (the ``nb_save_model`` layout
+      ``nb_score_model`` reads) published from the new epoch LAST.
+
+    Replay-idempotent end to end: merges read the newest epoch strictly
+    below ``batch_id``; a replayed batch re-derives identical counts and
+    re-publishes identical tables. NULL-labeled rows are dropped (the
+    ``nb_train`` discipline — a NULL class would poison the argmax)."""
+    from data_warehouse_punta_fina_spark.operators.classify import NB_SCHEME, nb_train
+    from data_warehouse_punta_fina_spark.streaming.epochs import (
+        max_epoch_below,
+        prune_epochs,
+        read_epoch,
+        write_epoch,
+    )
+    from data_warehouse_punta_fina_spark.functions.money import pround
+
+    spark = batch.sparkSession
+    labeled = batch.filter(F.col(label_col).isNotNull())
+
+    # batch-sized counts: one tokenize of the batch (nb_train on the
+    # batch alone — its cond/priors are exactly the batch's deltas; its
+    # derived classes/consts are discarded, the merge re-derives them)
+    cond_b, _classes_b, _consts_b = nb_train(labeled, text_col, label_col)
+    docs_b = labeled.groupBy(F.col(label_col).alias("_y")).agg(
+        F.count("*").alias("_nd")
+    )
+
+    src = max_epoch_below(spark, f"{model_dir}/cond_epochs", int(batch_id))
+    cond_m = cond_b.select("_y", "term", "_c")
+    docs_m = docs_b
+    if src is not None:
+        cond_m = read_epoch(spark, f"{model_dir}/cond_epochs", src).unionByName(cond_m)
+        docs_m = read_epoch(spark, f"{model_dir}/classdocs_epochs", src).unionByName(
+            docs_m
+        )
+    cond_m = cond_m.groupBy("_y", "term").agg(F.sum("_c").cast("long").alias("_c"))
+    docs_m = docs_m.groupBy("_y").agg(F.sum("_nd").cast("long").alias("_nd"))
+    write_epoch(cond_m, f"{model_dir}/cond_epochs", int(batch_id))
+    write_epoch(docs_m, f"{model_dir}/classdocs_epochs", int(batch_id))
+
+    # ---- publish the nb_save_model layout LAST --------------------------
+    meta = {"scheme": NB_SCHEME, "logprob_scale": 6}
+    cond_new = read_epoch(spark, f"{model_dir}/cond_epochs", int(batch_id))
+    docs_new = read_epoch(spark, f"{model_dir}/classdocs_epochs", int(batch_id))
+    cond_new.select(
+        "_y", "term", F.col("_c").alias("_c", metadata=meta)
+    ).write.mode("overwrite").parquet(f"{model_dir}/cond")
+    tots = cond_new.groupBy("_y").agg(F.sum("_c").alias("_tot"))
+    n_row = docs_new.agg(F.sum("_nd").alias("_n"))
+    classes = (
+        docs_new.join(tots, "_y", "left")
+        .na.fill({"_tot": 0})
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "_y",
+            F.col("_tot").cast("long").alias("_tot"),
+            pround(
+                F.log(F.col("_nd").cast("double") / F.col("_n").cast("double")), 6, 12
+            ).alias("_prior"),
+        )
+    )
+    classes.write.mode("overwrite").parquet(f"{model_dir}/classes")
+    cond_new.agg(F.countDistinct("term").cast("long").alias("_v")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{model_dir}/consts")
+    prune_epochs(spark, model_dir, ("cond_epochs", "classdocs_epochs"), keep=2)
+
+
+def run_nb_maintenance_stream(
+    spark: SparkSession,
+    input_path: str | None,
+    schema: T.StructType | None,
+    checkpoint_dir: str,
+    model_dir: str,
+    text_col: str = "text",
+    label_col: str = "label",
+    max_files_per_trigger: int = 1,
+    stream: DataFrame | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Drain a labeled-document stream through the NB-model maintenance
+    loop (epoched global state — see :func:`nb_maintenance_batch`).
+    Resume-safe: an uncommitted batch replays and re-derives identical
+    model tables from pre-batch epochs."""
+    from data_warehouse_punta_fina_spark.streaming.file_stream import read_file_stream
+
+    if stream is None:
+        if input_path is None or schema is None:
+            raise ValueError("provide either stream= or (input_path, schema)")
+        stream = read_file_stream(
+            spark, input_path, schema, max_files_per_trigger=max_files_per_trigger
+        )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        nb_maintenance_batch(batch, batch_id, model_dir, text_col, label_col)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

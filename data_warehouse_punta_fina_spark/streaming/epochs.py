@@ -1,0 +1,95 @@
+"""Epoched global state for streaming ARTIFACT MAINTENANCE (round-12).
+
+Persisted artifacts with per-row/per-doc state only (positions, band
+index) take idempotent maintenance for free: each micro-batch overwrites
+its own ``ingest_batch=<id>`` partition, and batches never interact.
+Artifacts with GLOBAL state (BM25's df/N/total_dl, an NB model's class/
+term counts, any content fingerprint) need more: a replayed batch must
+not double-merge the statistics. The discipline, shared by every
+maintenance stream here:
+
+1. per-batch rows land under ``ingest_batch=<id>`` with dynamic
+   partition overwrite (idempotent by construction);
+2. each global-state table is written as EPOCHS — ``<name>_epochs/
+   epoch=<batch_id>`` — derived from the newest epoch STRICTLY BELOW
+   the batch id (:func:`max_epoch_below`), so a replay re-derives
+   bit-identical state from the identical pre-batch source, and a
+   half-written epoch from a failed attempt is overwritten, never read;
+3. the flat read layout the batch searches/scorers expect is PUBLISHED
+   from the new epoch's committed copy LAST — a crash anywhere replays
+   the batch, which re-merges and re-publishes;
+4. epoch history is pruned to the ``keep`` newest (:func:`prune_epochs`,
+   clamped ≥ 2: the only batch that can replay is the one whose
+   checkpoint has not committed — i.e. the current one — and its
+   re-derivation needs its merge source alive. Deleting anything older
+   is safe at any crash point; pruning to 1 would let a replay merge
+   from empty and silently halve the statistics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def max_epoch_below(spark: SparkSession, path: str, below: int) -> int | None:
+    """Newest committed epoch strictly below ``below`` (None if the tree
+    is empty/absent). Partition-column-only aggregate — resolved from
+    directory names, no data scan."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return None
+    top = (
+        df.filter(F.col("epoch") < below).agg(F.max("epoch").alias("e")).collect()[0]["e"]
+    )
+    return None if top is None else int(top)
+
+
+def read_epoch(spark: SparkSession, path: str, epoch: int) -> DataFrame:
+    """One epoch's committed copy of a global-state table."""
+    return spark.read.parquet(f"{path}/epoch={int(epoch)}")
+
+
+def write_epoch(df: DataFrame, path: str, epoch: int, partition_by: list[str] | None = None) -> None:
+    """Write one epoch by FULL OVERWRITE of its own directory — a replay
+    of the same batch id lands on the same directory, so a half-written
+    prior attempt can never be read (merges only ever read epochs
+    strictly below the running batch)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{path}/epoch={int(epoch)}")
+
+
+def prune_epochs(
+    spark: SparkSession, index_dir: str, subdirs: tuple[str, ...], keep: int = 2
+) -> None:
+    """Best-effort deletion of all but the ``keep`` newest epoch
+    directories under each of ``subdirs`` (Hadoop FS API — scheme-
+    agnostic). ``keep`` is clamped to ≥ 2 (module docstring invariant).
+    Failures are swallowed — pruning is hygiene, not correctness (a
+    later batch re-prunes)."""
+    keep = max(int(keep), 2)
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for sub in subdirs:
+            path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}")
+            fs = path.getFileSystem(conf)
+            if not fs.exists(path):
+                continue
+            epochs = []
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if name.startswith("epoch="):
+                    try:
+                        epochs.append((int(name.split("=", 1)[1]), st.getPath()))
+                    except ValueError:
+                        continue
+            for _e, p in sorted(epochs)[:-keep]:
+                fs.delete(p, True)
+    except Exception:  # noqa: BLE001 — hygiene must never fail the batch
+        pass

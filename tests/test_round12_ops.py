@@ -1,9 +1,11 @@
 """Round-12 gates: the array-postings positional layout (VERDICT r11
 #1 — delta-encoded position arrays per (term, doc), v1 row-per-token
-rejected), sloppy phrase search (#6), the BM25 maintenance stream's
-idempotent global-stats replay (#4), federated probe compensation (#2),
-federated freshness threading (#7), and the ADVICE r11 hardenings
-(missing-stats behavior of the positional freshness/append paths)."""
+rejected), sloppy phrase search (#6) and its unordered n-term
+co-occurrence complement, the BM25 maintenance stream's idempotent
+global-stats replay + epoch pruning (#4), federated probe compensation
+(#2), federated freshness threading (#7), and the ADVICE r11
+hardenings (missing-stats behavior of the positional freshness/append
+paths)."""
 
 from __future__ import annotations
 
@@ -433,3 +435,142 @@ def test_cooccurrence_search_semantics_and_guards(spark, tmp_path):
         .toString()
     )
     assert "documents.parquet" not in plan
+
+
+def test_nb_maintenance_stream_equals_monolithic_and_replay_safe(spark, tmp_path):
+    """The NB-model maintenance stream (the classifier twin of the BM25
+    maintenance stream — the model is ENTIRELY mergeable global state):
+    after draining labeled batches, nb_score_model over the maintained
+    model is bit-equal to scoring a monolithic nb_save_model; a replayed
+    batch leaves cond/classes/consts byte-identical; epoch history is
+    pruned to 2."""
+    import os
+
+    from data_warehouse_punta_fina_spark.operators.classify import (
+        nb_save_model,
+        nb_score_model,
+    )
+    from data_warehouse_punta_fina_spark.streaming.classify_stream import (
+        nb_maintenance_batch,
+        run_nb_maintenance_stream,
+    )
+
+    rows = [
+        (1, "gato perro gato casa", "es"),
+        (2, "perro casa gato", "es"),
+        (3, "cat dog cat house", "en"),
+        (4, "dog house cat the", "en"),
+        (5, "the cat sat", "en"),
+        (6, "la casa del gato", "es"),
+        (7, "a dog in the house", "en"),
+        (8, "el perro y el gato", "es"),
+        (9, "the house cat dog mat", "en"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id bigint, text string, label string")
+    src = str(tmp_path / "src")
+    # three files -> three micro-batches (epochs 0,1,2 — pruning live)
+    for i in range(3):
+        train.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    mdl = str(tmp_path / "maintained_model")
+    q = run_nb_maintenance_stream(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        model_dir=mdl,
+    )
+    assert q.awaitTermination(180)
+
+    mono = str(tmp_path / "mono_model")
+    nb_save_model(train, mono)
+    test = spark.createDataFrame(
+        [(10, "gato casa perro", "es"), (11, "the cat dog", "en"), (12, "zzz", "en")],
+        "doc_id bigint, text string, label string",
+    )
+    a = sorted(map(tuple, nb_score_model(test, mono).collect()))
+    b = sorted(map(tuple, nb_score_model(test, mdl).collect()))
+    assert a == b and len(a) == 3
+
+    # model tables bit-identical to the monolithic train
+    for sub in ("cond", "classes", "consts"):
+        m = sorted(map(tuple, spark.read.parquet(f"{mono}/{sub}").collect()))
+        s = sorted(map(tuple, spark.read.parquet(f"{mdl}/{sub}").collect()))
+        assert m == s, sub
+
+    # epoch hygiene
+    for sub in ("cond_epochs", "classdocs_epochs"):
+        epochs = sorted(
+            e for e in os.listdir(os.path.join(mdl, sub)) if e.startswith("epoch=")
+        )
+        assert epochs == ["epoch=1", "epoch=2"], (sub, epochs)
+
+    # replayed last batch: every published table unchanged
+    def _state():
+        return [
+            sorted(map(tuple, spark.read.parquet(f"{mdl}/{sub}").collect()))
+            for sub in ("cond", "classes", "consts")
+        ]
+
+    before = _state()
+    nb_maintenance_batch(train.filter(F.col("doc_id") % 3 == 2), 2, mdl)
+    assert _state() == before
+
+
+def test_phrase_search_federated_exact_union_and_freshness(spark, tmp_path):
+    """Positional federation is exact by construction (zero global
+    state): the union of per-shard phrase/slop searches equals the
+    monolithic index's results for random corpus splits; a stale shard
+    is refused naming its directory."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.freshness import StaleIndexError
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        phrase_search_federated,
+        phrase_search_index,
+        phrase_slop_search_index,
+        positional_build_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 150)
+    mono = str(tmp_path / "mono")
+    positional_build_index(docs, mono, n_buckets=8)
+    single = sorted(map(tuple, phrase_search_index(spark, mono, "order fast").collect()))
+    single_slop = sorted(
+        map(tuple, phrase_slop_search_index(spark, mono, "order fast", slop=2).collect())
+    )
+    assert len(single) > 0
+
+    shards, dirs = [], []
+    for i in range(3):
+        s = docs.filter(F.pmod(F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(3)) == i)
+        d = str(tmp_path / f"pshard{i}")
+        positional_build_index(s, d, n_buckets=8)
+        shards.append(s)
+        dirs.append(d)
+    fed = sorted(
+        map(tuple, phrase_search_federated(spark, dirs, "order fast").collect())
+    )
+    assert fed == single
+    fed_slop = sorted(
+        map(
+            tuple,
+            phrase_search_federated(spark, dirs, "order fast", slop=2).collect(),
+        )
+    )
+    assert fed_slop == single_slop
+
+    # freshness threading: fresh passes, a mutated shard is named
+    ok = phrase_search_federated(
+        spark, dirs, "order fast", verify_corpora=shards
+    ).collect()
+    assert sorted(map(tuple, ok)) == single
+    with pytest.raises(StaleIndexError, match="pshard1"):
+        phrase_search_federated(
+            spark,
+            dirs,
+            "order fast",
+            verify_corpora=[shards[0], shards[1].limit(3), shards[2]],
+        )
