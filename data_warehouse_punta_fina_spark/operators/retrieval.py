@@ -480,10 +480,11 @@ def _bm25_read_validated(
     """Read one persisted index's three tables and resolve its bucket
     modulus (stored metadata → explicit argument → partition-value
     inference, in that order — ADVICE r10). Shared by the single-index
-    and federated searches."""
+    and federated searches AND the append path (VERDICT r11 #8). The
+    scheme is validated from the postings footer BEFORE the sibling
+    tables are touched, so a foreign/stripped index fails with the
+    scheme rejection, not a missing-path error."""
     postings = spark.read.parquet(f"{index_dir}/postings")
-    df_stats = spark.read.parquet(f"{index_dir}/dfstats")
-    stats = spark.read.parquet(f"{index_dir}/stats")
     stored = dict(postings.schema["tf"].metadata or {})
     if validate_index and stored.get("scheme") != BM25_SCHEME:
         raise ValueError(
@@ -492,6 +493,8 @@ def _bm25_read_validated(
             "layout mismatch silently skews every score, so unverifiable indexes "
             "are rejected by default."
         )
+    df_stats = spark.read.parquet(f"{index_dir}/dfstats")
+    stats = spark.read.parquet(f"{index_dir}/stats")
     if "n_buckets" in stored:
         n_buckets = int(stored["n_buckets"])
     elif n_buckets is None:
