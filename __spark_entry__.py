@@ -2297,6 +2297,14 @@ def _build_registries():
         fp = _data_fingerprint(sf_dir, "documents")
         idx = _index_cache_dir("bm25_maint", f"b16_{fp}")
         if not os.path.exists(os.path.join(idx, "_MAINTAINED")):
+            # clean slate: a PARTIAL prior attempt leaves a checkpoint
+            # whose offsets reference source files the overwrite below
+            # replaces (new part-file names) — resuming would re-ingest
+            # and corrupt the index, so rebuild from scratch instead
+            import shutil
+
+            for sub in os.listdir(idx) if os.path.isdir(idx) else []:
+                shutil.rmtree(os.path.join(idx, sub), ignore_errors=True)
             docs = _spread(load_table(spark, sf_dir, "documents"))
             src = os.path.join(idx, "_source")
             # two files -> two micro-batches (maxFilesPerTrigger=1)
