@@ -325,6 +325,19 @@ def _bm25_append_plans(
     stored_postings, _dfs, _stats, n_buckets = _bm25_read_validated(
         spark, index_dir, validate_index=True
     )
+    if "ingest_batch" in stored_postings.columns:
+        # a STREAM-MAINTAINED index partitions postings under
+        # ingest_batch=<id>/bucket=<b>; a batch append would write
+        # root-level bucket=* directories next to them — a mixed
+        # partition layout Spark cannot read back. Refuse with the
+        # remedy instead of corrupting the index.
+        raise ValueError(
+            f"BM25 index at {index_dir!r} is stream-maintained (postings are "
+            "partitioned by ingest_batch) — batch appends would corrupt its "
+            "layout; keep feeding the maintenance stream "
+            "(streaming/bm25_stream.run_bm25_maintenance_stream), or rebuild "
+            "a batch-shaped index with bm25_build_index."
+        )
     stored = dict(stored_postings.schema["tf"].metadata or {})
     old = spark.read.parquet(f"{index_dir}/stats").collect()[0]
     old_n, old_total_dl = int(old["n_docs"]), int(old["total_dl"])

@@ -574,3 +574,32 @@ def test_phrase_search_federated_exact_union_and_freshness(spark, tmp_path):
             "order fast",
             verify_corpora=[shards[0], shards[1].limit(3), shards[2]],
         )
+
+
+def test_bm25_batch_append_refuses_stream_maintained_index(spark, tmp_path):
+    """Layout-safety guard: bm25_append_index on a STREAM-MAINTAINED
+    index (ingest_batch-partitioned postings) would write a mixed
+    partition layout Spark cannot read back — it must refuse with the
+    remedy, leaving the index untouched and searchable."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_search_index,
+    )
+    from data_warehouse_punta_fina_spark.streaming.bm25_stream import (
+        bm25_maintenance_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark data table"), (2, "spark join fast")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "maint")
+    bm25_maintenance_batch(docs, 0, idx, n_buckets=4)
+    more = spark.createDataFrame([(3, "data join")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stream-maintained"):
+        bm25_append_index(more, idx)
+    qdf = spark.createDataFrame([(1, "spark")], "query_id int, term string")
+    hits = bm25_search_index(qdf, idx, k=5).collect()
+    assert len(hits) == 2  # untouched and searchable

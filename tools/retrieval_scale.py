@@ -18,10 +18,12 @@ tools/make_scaled_sf.py):
 - ``federated_search`` — per-shard DPP-pruned codes scan + rerank +
   shards×queries×k merge; expected ~flat-to-sublinear (probed cells
   grow with corpus, but only the probed fraction is read).
-- ``positional_build`` / ``phrase_search`` (round-11) — the positional
-  index's posexplode shuffle (one row per token — the widest build of
-  the family) and the static-bucket-pruned positional intersection;
-  build ~linear, search ~flat.
+- ``positional_build`` / ``phrase_search`` (round-11; v2 array layout
+  since round-12) — the positional index's tokenize + (term, doc)
+  group-by into delta-encoded position arrays (one row per POSTING —
+  the round-12 re-lay that halved the family's steepest 100× build)
+  and the static-bucket-pruned positional intersection; build ~linear,
+  search ~flat.
 
 Searches are timed WARM (second run) — the steady-state number is the
 deployment claim; the first run pays one-time file-listing/footer costs.
