@@ -436,6 +436,72 @@ def bm25_append_index(
     stats_df.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
 
 
+def bm25_compact_index(
+    spark,
+    src_index_dir: str,
+    dst_index_dir: str,
+    validate_index: bool = True,
+) -> None:
+    """Compact a STREAM-MAINTAINED BM25 index into the batch shape —
+    the operational closer of the maintenance loop (round-12): a
+    maintenance stream running for months accumulates one
+    ``ingest_batch=<id>`` partition per micro-batch, and thousands of
+    small files degrade every bucket-pruned search. Compaction rewrites
+    the postings into the batch layout (``bucket=<b>`` only — one
+    coalesced file set per bucket), copies the published
+    dfstats/stats verbatim (they are already merged and flat — nothing
+    to recompute, including the maintained corpus fingerprint, which
+    stays valid because compaction changes LAYOUT, not content), and
+    drops the epoch history. The result is bit-equal under search and
+    is a first-class batch index again: ``bm25_append_index`` accepts
+    it (the stream-layout guard no longer fires) and the freshness
+    cycle carries over.
+
+    Runs src → dst (no in-place rewrite: an overwrite of a live index
+    is not atomic on object stores; cut over by path swap at the
+    caller, the lakehouse convention). Also accepts a batch-shaped
+    source (plain re-coalesce — the small-files OPTIMIZE for an index
+    that took many batch appends).
+
+    One index-sized job: a read + one repartition-by-bucket shuffle so
+    every bucket lands as ONE file. At 100 TB this is the weekly
+    hygiene job, not a per-batch cost."""
+    postings, df_stats, stats, n_buckets = _bm25_read_validated(
+        spark, src_index_dir, validate_index
+    )
+    stored = dict(postings.schema["tf"].metadata or {})
+    if not stored:
+        stored = {"scheme": BM25_SCHEME, "n_buckets": n_buckets}
+    id_cols = [
+        c for c in postings.columns if c not in ("term", "tf", "dl", "bucket", "ingest_batch")
+    ]
+    if len(id_cols) != 1:
+        raise ValueError(
+            f"cannot identify the doc-id column in postings schema {postings.columns}"
+        )
+    id_col = id_cols[0]
+    (
+        # repartition BY bucket so each write task holds whole buckets —
+        # ONE file per bucket partition (true compaction), instead of
+        # tasks × buckets small files from a layout-preserving write
+        postings.select(
+            "term", id_col, F.col("tf").alias("tf", metadata=stored), "dl", "bucket"
+        )
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{dst_index_dir}/postings")
+    )
+    (
+        df_stats.select("term", F.col("df").alias("df", metadata=stored), "bucket")
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{dst_index_dir}/dfstats")
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{dst_index_dir}/stats")
+
+
 def bm25_index_is_fresh(
     docs: DataFrame,
     index_dir: str,
@@ -1189,6 +1255,58 @@ def positional_build_index(
     )
     fp = content_fingerprint(docs, id_col, text_col).withColumnRenamed("fp_n", "n_docs")
     fp.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def positional_compact_index(
+    spark,
+    src_index_dir: str,
+    dst_index_dir: str,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    validate_index: bool = True,
+) -> None:
+    """Compact a STREAM-BUILT positional index into the batch shape —
+    the positional twin of :func:`bm25_compact_index`: the maintenance
+    stream leaves one ``ingest_batch=<id>`` partition per micro-batch
+    (small files), and the stream writes no ``stats/`` (its staleness
+    discipline is the checkpoint). Compaction rewrites the array
+    postings bucket-only (one file per bucket) and — positions having
+    NO global state — needs zero merging. Pass ``corpus`` (the indexed
+    documents) to ESTABLISH the content fingerprint on the compacted
+    copy, graduating the stream-built index into the freshness cycle
+    (`positional_index_is_fresh` / batch appends); omit it and the
+    compacted index stays searchable but fingerprint-less (stats/
+    absent — is_fresh False, appends refused, exactly as for the
+    stream-built source)."""
+    positions, n_buckets = _pos_read_validated(spark, src_index_dir, validate_index)
+    stored = dict(positions.schema["tf"].metadata or {})
+    if not stored:
+        stored = {"scheme": POS_SCHEME, "n_buckets": n_buckets}
+    id_cols = [
+        c
+        for c in positions.columns
+        if c not in ("term", "tf", "positions", "bucket", "ingest_batch")
+    ]
+    if len(id_cols) != 1:
+        raise ValueError(
+            f"cannot identify the doc-id column in positions schema {positions.columns}"
+        )
+    src_id = id_cols[0]
+    (
+        positions.select(
+            "term", src_id, F.col("tf").alias("tf", metadata=stored), "positions", "bucket"
+        )
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{dst_index_dir}/positions")
+    )
+    if corpus is not None:
+        fp = content_fingerprint(corpus, id_col, text_col).withColumnRenamed(
+            "fp_n", "n_docs"
+        )
+        fp.coalesce(1).write.mode("overwrite").parquet(f"{dst_index_dir}/stats")
 
 
 def positional_index_is_fresh(

@@ -603,3 +603,112 @@ def test_bm25_batch_append_refuses_stream_maintained_index(spark, tmp_path):
     qdf = spark.createDataFrame([(1, "spark")], "query_id int, term string")
     hits = bm25_search_index(qdf, idx, k=5).collect()
     assert len(hits) == 2  # untouched and searchable
+
+
+def test_bm25_compact_maintained_index_roundtrip(spark, tmp_path):
+    """Compaction closes the maintenance loop: a stream-maintained index
+    (ingest_batch partitions — the small-files shape after months of
+    micro-batches) compacts into the batch layout with ONE file per
+    bucket; searches are bit-equal; the compacted index accepts batch
+    appends again (the stream-layout guard no longer fires); the
+    maintained fingerprint carries over (compaction changes layout, not
+    content)."""
+    import os
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_compact_index,
+        bm25_index_is_fresh,
+        bm25_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.bm25_stream import (
+        bm25_maintenance_batch,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 90)
+    maint = str(tmp_path / "maint")
+    for i in range(3):
+        bm25_maintenance_batch(
+            docs.filter(F.col("doc_id") % 3 == i), i, maint, n_buckets=4
+        )
+    qdf = spark.createDataFrame(
+        [(1, "spark"), (1, "data"), (2, "order")], "query_id int, term string"
+    )
+    before = sorted(map(tuple, bm25_search_index(qdf, maint, k=5).collect()))
+    assert len(before) > 0
+
+    compacted = str(tmp_path / "compacted")
+    bm25_compact_index(spark, maint, compacted)
+    after = sorted(map(tuple, bm25_search_index(qdf, compacted, k=5).collect()))
+    assert after == before
+
+    # batch shape: bucket-only partitions, ONE data file per bucket
+    pdir = os.path.join(compacted, "postings")
+    buckets = [d for d in os.listdir(pdir) if d.startswith("bucket=")]
+    assert buckets and not any(d.startswith("ingest_batch=") for d in os.listdir(pdir))
+    for b in buckets:
+        files = [f for f in os.listdir(os.path.join(pdir, b)) if f.endswith(".parquet")]
+        assert len(files) == 1, (b, files)
+
+    # fingerprint carried over: fresh for the streamed corpus
+    assert bm25_index_is_fresh(docs, compacted) is True
+    # and the compacted index is batch-shaped: appends are accepted and
+    # keep it consistent (fresh for the union)
+    extra = load_table(spark, SF, "documents").filter(
+        (F.col("doc_id") >= 90) & (F.col("doc_id") < 120)
+    )
+    bm25_append_index(extra, compacted)
+    assert bm25_index_is_fresh(docs.unionByName(extra), compacted) is True
+    assert bm25_search_index(qdf, compacted, k=5).count() > 0
+
+
+def test_positional_compact_graduates_stream_index(spark, tmp_path):
+    """Positional compaction: a stream-built index (batch partitions, no
+    stats/) compacts bucket-only with searches bit-equal; passing the
+    corpus ESTABLISHES the fingerprint, graduating it into the
+    freshness cycle — is_fresh True and batch appends accepted."""
+    import os
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        phrase_search_index,
+        positional_append_index,
+        positional_compact_index,
+        positional_index_is_fresh,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.positional_stream import (
+        positional_ingest_batch,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 90)
+    src = str(tmp_path / "streamy")
+    for i in range(3):
+        positional_ingest_batch(
+            docs.filter(F.col("doc_id") % 3 == i), i, src, n_buckets=4
+        )
+    before = sorted(map(tuple, phrase_search_index(spark, src, "order fast").collect()))
+    assert len(before) > 0
+
+    dst = str(tmp_path / "graduated")
+    positional_compact_index(spark, src, dst, corpus=docs)
+    after = sorted(map(tuple, phrase_search_index(spark, dst, "order fast").collect()))
+    assert after == before
+    pdir = os.path.join(dst, "positions")
+    assert not any(d.startswith("ingest_batch=") for d in os.listdir(pdir))
+    assert positional_index_is_fresh(docs, dst) is True
+
+    extra = load_table(spark, SF, "documents").filter(
+        (F.col("doc_id") >= 90) & (F.col("doc_id") < 110)
+    )
+    positional_append_index(extra, dst)
+    assert positional_index_is_fresh(docs.unionByName(extra), dst) is True
+
+    # without a corpus: searchable but fingerprint-less (stays outside
+    # the freshness cycle, like its stream-built source)
+    dst2 = str(tmp_path / "nofp")
+    positional_compact_index(spark, src, dst2)
+    assert sorted(
+        map(tuple, phrase_search_index(spark, dst2, "order fast").collect())
+    ) == before
+    assert positional_index_is_fresh(docs, dst2) is False
