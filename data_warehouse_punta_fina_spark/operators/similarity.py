@@ -1019,6 +1019,64 @@ def ivfpq_append_index(
     return spark.read.parquet(f"{index_dir}/codes")
 
 
+def ivfpq_compact_index(
+    spark,
+    src_index_dir: str,
+    dst_index_dir: str,
+    validate_index: bool = True,
+) -> None:
+    """Compact an IVF-PQ index that has taken many encode-only appends —
+    the vector member of the compaction triptych (round-12; see
+    ``retrieval.bm25_compact_index``): every :func:`ivfpq_append_index`
+    adds one file set per append into each touched ``cid`` partition,
+    so a long-lived index accumulates small files that degrade every
+    probed-cell scan. Compaction rewrites ``codes`` with ONE file per
+    cell (one repartition-by-cid shuffle) and copies the quantizers and
+    the content fingerprint verbatim — appends never touch them, and
+    compaction changes layout, not content, so searches are bit-equal
+    and the freshness cycle carries over unchanged. src → dst (no
+    in-place rewrite; cut over by path swap, the lakehouse convention)."""
+    codes = spark.read.parquet(f"{src_index_dir}/codes")
+    stored = dict(codes.schema["scid"].metadata or {})
+    if validate_index and stored.get("scheme") != IVFPQ_SCHEME:
+        raise ValueError(
+            "persisted codes carry no (or an incompatible) parameter fingerprint "
+            f"(stored scheme {stored.get('scheme')!r} != {IVFPQ_SCHEME!r}); "
+            "compacting an unverifiable index would bless a corrupt layout."
+        )
+    n_cells = int(stored.get("n_cells", 32))
+    id_cols = [c for c in codes.columns if c not in ("sub", "scid", "cid")]
+    if len(id_cols) != 1:
+        raise ValueError(
+            f"cannot identify the vector-id column in codes schema {codes.columns}"
+        )
+    id_col = id_cols[0]
+    (
+        codes.select(
+            id_col, "sub", F.col("scid").alias("scid", metadata=stored), "cid"
+        )
+        .repartition(n_cells, "cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{dst_index_dir}/codes")
+    )
+    for sub in ("centroids", "codebook"):
+        spark.read.parquet(f"{src_index_dir}/{sub}").write.mode("overwrite").parquet(
+            f"{dst_index_dir}/{sub}"
+        )
+    from pyspark.errors import AnalysisException
+
+    try:
+        (
+            spark.read.parquet(f"{src_index_dir}/fingerprint")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{dst_index_dir}/fingerprint")
+        )
+    except AnalysisException:
+        pass  # a pre-fingerprint index compacts fingerprint-less (stays stale)
+
+
 def ivfpq_index_is_fresh(
     corpus: DataFrame,
     index_dir: str,

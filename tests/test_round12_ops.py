@@ -712,3 +712,58 @@ def test_positional_compact_graduates_stream_index(spark, tmp_path):
         map(tuple, phrase_search_index(spark, dst2, "order fast").collect())
     ) == before
     assert positional_index_is_fresh(docs, dst2) is False
+
+
+def test_ivfpq_compact_index_bit_equal_and_one_file_per_cell(spark, tmp_path):
+    """The vector member of the compaction triptych: after appends
+    fragment the cid partitions, compaction rewrites one file per cell;
+    searches bit-equal; quantizers + fingerprint copy verbatim, so
+    is_fresh carries over for the appended union."""
+    import os
+
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_build_index,
+        ivfpq_compact_index,
+        ivfpq_index_is_fresh,
+        ivfpq_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 120)
+    base = emb.filter(F.col("vec_id") < 80)
+    batch = emb.filter(F.col("vec_id") >= 80)
+    params = dict(n_cells=8, m=8, n_centroids=8, iters=1)
+    src = str(tmp_path / "src")
+    ivfpq_build_index(base, src, **params)
+    ivfpq_append_index(batch, src)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    kw = dict(k=3, probes=3, rerank=20, dims=64, **params)
+    before = sorted(map(tuple, ivfpq_search_index(queries, emb, src, **kw).collect()))
+    assert len(before) == 9
+
+    dst = str(tmp_path / "dst")
+    ivfpq_compact_index(spark, src, dst)
+    after = sorted(map(tuple, ivfpq_search_index(queries, emb, dst, **kw).collect()))
+    assert after == before
+
+    cdir = os.path.join(dst, "codes")
+    cells = [d for d in os.listdir(cdir) if d.startswith("cid=")]
+    assert cells
+    for c in cells:
+        files = [f for f in os.listdir(os.path.join(cdir, c)) if f.endswith(".parquet")]
+        assert len(files) == 1, (c, files)
+    # the appended-union fingerprint carried over
+    assert ivfpq_index_is_fresh(emb, dst) is True
+    assert ivfpq_index_is_fresh(base, dst) is False
+
+    # a scheme-stripped index is refused, not blessed
+    stripped = str(tmp_path / "stripped")
+    spark.read.parquet(f"{src}/codes").select(
+        "vec_id", "sub", F.col("scid").alias("scid", metadata={}), "cid"
+    ).write.partitionBy("cid").parquet(f"{stripped}/codes")
+    with pytest.raises(ValueError, match="scheme"):
+        ivfpq_compact_index(spark, stripped, str(tmp_path / "never"))
