@@ -1308,7 +1308,13 @@ def positional_compact_index(
     (`positional_index_is_fresh` / batch appends); omit it and the
     compacted index stays searchable but fingerprint-less (stats/
     absent — is_fresh False, appends refused, exactly as for the
-    stream-built source)."""
+    stream-built source).
+
+    ADVICE r12: ``corpus`` is cross-checked against the index before
+    the fingerprint is stamped — its doc count must equal the distinct
+    doc count in the compacted positions. Without this, a WRONG corpus
+    would graduate a mismatched index to ``is_fresh=True`` and admit
+    batch appends onto it."""
     positions, n_buckets = _pos_read_validated(spark, src_index_dir, validate_index)
     stored = dict(positions.schema["tf"].metadata or {})
     if not stored:
@@ -1333,6 +1339,24 @@ def positional_compact_index(
         .parquet(f"{dst_index_dir}/positions")
     )
     if corpus is not None:
+        # cheap sanity gate before blessing the fingerprint (ADVICE
+        # r12): corpus doc count must equal the index's distinct doc
+        # count — reads the just-compacted postings (one aggregate),
+        # never re-tokenizes anything
+        n_indexed = (
+            spark.read.parquet(f"{dst_index_dir}/positions")
+            .agg(F.countDistinct(src_id).alias("n"))
+            .collect()[0]["n"]
+        )
+        n_corpus = corpus.count()
+        if int(n_indexed) != int(n_corpus):
+            raise ValueError(
+                f"corpus passed to positional_compact_index has {n_corpus} docs "
+                f"but the compacted index holds {n_indexed} distinct {src_id!r} "
+                "values — stamping this fingerprint would graduate a MISMATCHED "
+                "index to is_fresh=True and admit batch appends onto it. Pass "
+                "the exact documents the index was built from."
+            )
         fp = content_fingerprint(corpus, id_col, text_col).withColumnRenamed(
             "fp_n", "n_docs"
         )

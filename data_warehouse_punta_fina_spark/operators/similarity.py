@@ -872,6 +872,12 @@ def _adc_rerank(
 #: operators/dedup.MINHASH_SCHEME).
 IVFPQ_SCHEME = "ivfpq-md5seed-v1"
 
+#: default per-query probe count shared by ivfpq_search_index and the
+#: federated compensation rule (ADVICE r12: compensation must scale the
+#: SAME base the single-index search defaults to — a duplicated literal
+#: would silently drift apart)
+IVFPQ_DEFAULT_PROBES = 4
+
 
 def ivfpq_build_index(
     corpus: DataFrame,
@@ -1128,7 +1134,7 @@ def ivfpq_search_index(
     corpus: DataFrame,
     index_dir: str,
     k: int = 5,
-    probes: int = 4,
+    probes: int = IVFPQ_DEFAULT_PROBES,
     rerank: int = 50,
     n_cells: int = 32,
     m: int = 8,
@@ -1301,7 +1307,10 @@ def ivfpq_federated_search(
                     "rebuild."
                 )
     if compensate:
-        base = int(search_kwargs.get("probes", 4))
+        # the fallback base is the SHARED module constant, not a literal
+        # copy of ivfpq_search_index's default (ADVICE r12: a duplicated
+        # literal would silently scale the wrong base if the default drifts)
+        base = int(search_kwargs.get("probes", IVFPQ_DEFAULT_PROBES))
         search_kwargs = {**search_kwargs, "probes": base * len(index_dirs)}
     parts = [
         ivfpq_search_index(

@@ -154,8 +154,26 @@ def bm25_maintenance_batch(
     double-merging it. Callable directly for replay parity tests.
 
     Caller contract: batch doc ids are disjoint from everything already
-    streamed (the universal single-writer append posture)."""
+    streamed (the universal single-writer append posture).
+
+    Batch-id regression (ADVICE r12): a NEW/RESET checkpoint pointed at
+    an existing maintained index restarts at batch 0 — global stats
+    would silently re-bootstrap from empty while old ``ingest_batch``
+    partitions remain. Guarded loudly up front
+    (:func:`~.epochs.guard_batch_regression`; equality stays allowed —
+    it is the sanctioned same-batch replay path the replay tests pin)."""
+    from data_warehouse_punta_fina_spark.streaming.epochs import (
+        guard_batch_regression,
+    )
+
     spark = batch.sparkSession
+    guard_batch_regression(
+        spark,
+        index_dir,
+        int(batch_id),
+        epoch_subdirs=("dfstats_epochs", "stats_epochs"),
+        batch_subdirs=("postings",),
+    )
     meta = {"scheme": BM25_SCHEME, "n_buckets": n_buckets}
     bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
 

@@ -153,6 +153,7 @@ def nb_maintenance_batch(
     ``nb_train`` discipline — a NULL class would poison the argmax)."""
     from data_warehouse_punta_fina_spark.operators.classify import NB_SCHEME, nb_train
     from data_warehouse_punta_fina_spark.streaming.epochs import (
+        guard_batch_regression,
         max_epoch_below,
         prune_epochs,
         read_epoch,
@@ -161,6 +162,15 @@ def nb_maintenance_batch(
     from data_warehouse_punta_fina_spark.functions.money import pround
 
     spark = batch.sparkSession
+    # ADVICE r12: a reset checkpoint against an existing model would
+    # silently re-bootstrap the counts from empty — fail loudly instead
+    # (equality allowed: the sanctioned same-batch replay path)
+    guard_batch_regression(
+        spark,
+        model_dir,
+        int(batch_id),
+        epoch_subdirs=("cond_epochs", "classdocs_epochs"),
+    )
     labeled = batch.filter(F.col(label_col).isNotNull())
 
     # batch-sized counts: one tokenize of the batch (nb_train on the

@@ -28,8 +28,88 @@ maintenance stream here:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+
+class BatchRegressionError(ValueError):
+    """A maintenance batch id is BELOW state already in the artifact —
+    the fresh/reset-checkpoint failure mode (ADVICE r12): a checkpoint
+    reset restarts batch ids at 0 against an index whose epochs/batch
+    partitions are numbered higher, so ``max_epoch_below(…, 0)`` is
+    None and the global stats silently re-bootstrap from empty while
+    older per-batch partitions remain — published stats no longer
+    describe the stored rows, and every score skews silently. Caught
+    loudly instead, with the remedy in the message."""
+
+
+def _list_partition_ids(spark: SparkSession, path: str, prefix: str) -> list[int]:
+    """Integer partition values under ``path`` whose directories are
+    named ``{prefix}=<int>`` — resolved from directory names via the
+    Hadoop FS API (scheme-agnostic, no data scan). Empty when the path
+    is absent."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    out: list[int] = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith(f"{prefix}="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
+
+
+def guard_batch_regression(
+    spark: SparkSession,
+    artifact_dir: str,
+    batch_id: int,
+    epoch_subdirs: tuple[str, ...] = (),
+    batch_subdirs: tuple[str, ...] = (),
+    batch_col: str = "ingest_batch",
+) -> None:
+    """Fail loudly when ``batch_id`` regresses below existing state
+    (ADVICE r12 medium): raises :class:`BatchRegressionError` if any
+    epoch directory or per-batch partition carries an id STRICTLY
+    GREATER than the running batch's. Equality is deliberately allowed
+    — it is the sanctioned replay path (a crash between write and
+    checkpoint commit re-runs the SAME batch id, whose dynamic
+    partition overwrite and strictly-below epoch derivation are exactly
+    the idempotence the replay tests pin); only a LOWER fresh id means
+    the caller pointed a new/reset checkpoint at an existing artifact.
+    Directory-name listing only — no data scan."""
+    offenders: list[str] = []
+    for sub in epoch_subdirs:
+        ids = _list_partition_ids(spark, f"{artifact_dir}/{sub}", "epoch")
+        bad = [i for i in ids if i > batch_id]
+        if bad:
+            offenders.append(f"{sub}/epoch={max(bad)}")
+    for sub in batch_subdirs:
+        ids = _list_partition_ids(spark, f"{artifact_dir}/{sub}", batch_col)
+        bad = [i for i in ids if i > batch_id]
+        if bad:
+            offenders.append(f"{sub}/{batch_col}={max(bad)}")
+    if offenders:
+        raise BatchRegressionError(
+            f"maintenance batch id {batch_id} is below existing state in "
+            f"{artifact_dir!r} ({', '.join(offenders)}) — this happens when a "
+            "NEW or RESET streaming checkpoint is pointed at an existing "
+            "maintained artifact: batch ids restart at 0, global stats "
+            "re-bootstrap from empty while older partitions remain, and "
+            "published statistics silently stop describing the stored rows. "
+            "Remedy: resume with the ORIGINAL checkpoint directory, or "
+            "rebuild the artifact from scratch (empty directory) under the "
+            "new checkpoint."
+        )
 
 
 def max_epoch_below(spark: SparkSession, path: str, below: int) -> int | None:
@@ -91,5 +171,8 @@ def prune_epochs(
                         continue
             for _e, p in sorted(epochs)[:-keep]:
                 fs.delete(p, True)
-    except Exception:  # noqa: BLE001 — hygiene must never fail the batch
-        pass
+    except Exception as exc:  # noqa: BLE001 — hygiene must never fail the batch
+        # correctness never reads pruned epochs and a later batch
+        # re-prunes, but an FS permission problem should at least be
+        # visible when someone turns debug logging on (VERDICT r12 #8)
+        _log.debug("prune_epochs: best-effort prune under %s failed: %s", index_dir, exc)

@@ -63,7 +63,23 @@ def positional_ingest_batch(
     positions all arrive in its own batch (documents stream whole), so
     per-batch arrays are COMPLETE postings — the same rows a batch
     rebuild would produce. Callable directly for batch-mode replay
-    parity tests."""
+    parity tests.
+
+    No global state here, but the batch-id regression guard still
+    applies (ADVICE r12, shared with the BM25/NB maintenance streams):
+    a reset checkpoint restarting at 0 would leave older
+    ``ingest_batch`` partitions in place while re-ingesting the same
+    documents under new ids — duplicate postings, silently."""
+    from data_warehouse_punta_fina_spark.streaming.epochs import (
+        guard_batch_regression,
+    )
+
+    guard_batch_regression(
+        batch.sparkSession,
+        index_path,
+        int(batch_id),
+        batch_subdirs=("positions",),
+    )
     meta = {"scheme": POS_SCHEME, "n_buckets": n_buckets}
     postings = _pos_postings(batch, text_col, id_col)
     bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")

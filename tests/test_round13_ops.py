@@ -127,3 +127,119 @@ def test_explode_positions_matches_reference_decode(spark, tmp_path):
             )
         )
         assert linear == reference and linear, term
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r12 (medium) — maintenance batch-id regression guard
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, lo: int, hi: int):
+    return spark.createDataFrame(
+        [(i, f"term{i % 5} data merge value row {i}") for i in range(lo, hi)],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_maintenance_batch_id_regression_guarded(spark, tmp_path):
+    """A fresh/reset checkpoint pointed at an existing maintained index
+    restarts at batch 0: max_epoch_below(…, 0) is None, global stats
+    would re-bootstrap from empty while old ingest_batch partitions
+    remain — silent score skew. The guard raises loudly and NAMES the
+    remedy; a true same-id replay (the crash-recovery path) still
+    passes and stays bit-identical (the r12 replay gates)."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.streaming.bm25_stream import (
+        bm25_maintenance_batch,
+    )
+    from data_warehouse_punta_fina_spark.streaming.epochs import (
+        BatchRegressionError,
+    )
+
+    idx = str(tmp_path / "bm25m")
+    bm25_maintenance_batch(_docs(spark, 0, 20), 0, idx, n_buckets=4)
+    bm25_maintenance_batch(_docs(spark, 20, 40), 1, idx, n_buckets=4)
+
+    # regression: a reset checkpoint's batch 0 against epochs {0, 1}
+    with pytest.raises(BatchRegressionError, match="checkpoint"):
+        bm25_maintenance_batch(_docs(spark, 40, 60), 0, idx, n_buckets=4)
+
+    # true replay of the CURRENT batch id is the sanctioned path
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/dfstats").collect())
+    )
+    bm25_maintenance_batch(_docs(spark, 20, 40), 1, idx, n_buckets=4)
+    after = sorted(map(tuple, spark.read.parquet(f"{idx}/dfstats").collect()))
+    assert before == after
+
+
+def test_nb_maintenance_batch_id_regression_guarded(spark, tmp_path):
+    import pytest
+
+    from data_warehouse_punta_fina_spark.streaming.classify_stream import (
+        nb_maintenance_batch,
+    )
+    from data_warehouse_punta_fina_spark.streaming.epochs import (
+        BatchRegressionError,
+    )
+
+    labeled = spark.createDataFrame(
+        [(i, f"alpha beta {i}", "en" if i % 2 else "es") for i in range(30)],
+        "doc_id long, text string, label string",
+    )
+    mdl = str(tmp_path / "nbm")
+    nb_maintenance_batch(labeled.filter(F.col("doc_id") < 15), 0, mdl)
+    nb_maintenance_batch(labeled.filter(F.col("doc_id") >= 15), 1, mdl)
+    with pytest.raises(BatchRegressionError, match="rebuild"):
+        nb_maintenance_batch(labeled, 0, mdl)
+    # same-id replay still allowed
+    nb_maintenance_batch(labeled.filter(F.col("doc_id") >= 15), 1, mdl)
+
+
+def test_positional_ingest_batch_id_regression_guarded(spark, tmp_path):
+    import pytest
+
+    from data_warehouse_punta_fina_spark.streaming.epochs import (
+        BatchRegressionError,
+    )
+    from data_warehouse_punta_fina_spark.streaming.positional_stream import (
+        positional_ingest_batch,
+    )
+
+    idx = str(tmp_path / "posm")
+    positional_ingest_batch(_docs(spark, 0, 10), 0, idx, n_buckets=4)
+    positional_ingest_batch(_docs(spark, 10, 20), 1, idx, n_buckets=4)
+    with pytest.raises(BatchRegressionError, match="ingest_batch"):
+        positional_ingest_batch(_docs(spark, 20, 30), 0, idx, n_buckets=4)
+    positional_ingest_batch(_docs(spark, 10, 20), 1, idx, n_buckets=4)
+
+
+def test_positional_compact_rejects_mismatched_corpus(spark, tmp_path):
+    """ADVICE r12: compaction stamps the freshness fingerprint from the
+    caller-passed corpus — a WRONG corpus must be caught before the
+    stamp (else a mismatched index graduates to is_fresh=True and
+    admits batch appends). The cheap gate: corpus doc count must equal
+    the index's distinct doc count."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        positional_compact_index,
+        positional_index_is_fresh,
+    )
+    from data_warehouse_punta_fina_spark.streaming.positional_stream import (
+        positional_ingest_batch,
+    )
+
+    docs = _docs(spark, 0, 30)
+    src = str(tmp_path / "possrc")
+    positional_ingest_batch(docs.filter(F.col("doc_id") < 15), 0, src, n_buckets=4)
+    positional_ingest_batch(docs.filter(F.col("doc_id") >= 15), 1, src, n_buckets=4)
+
+    wrong = _docs(spark, 0, 10)  # not the indexed corpus
+    with pytest.raises(ValueError, match="distinct"):
+        positional_compact_index(spark, src, str(tmp_path / "bad"), corpus=wrong)
+
+    dst = str(tmp_path / "posdst")
+    positional_compact_index(spark, src, dst, corpus=docs)
+    assert positional_index_is_fresh(docs, dst)
