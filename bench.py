@@ -191,6 +191,13 @@ HEADLINE = [
     "doc_phrase_slop_search",
     "doc_bm25_maintained_topk",
     "doc_cooccurrence_search",
+    # round-13 additions: the compaction triptych searched through the
+    # driver gate (build→append→compact→search, bit-equal by layout-only
+    # rewrite) and the NB maintenance stream's scoring twin
+    "doc_bm25_compacted_topk",
+    "doc_phrase_search_compacted",
+    "ann_ivfpq_compacted_topk",
+    "doc_nb_maintained_classifier",
 ]
 
 # Entries that lazily build persisted artifacts (index caches) on first
@@ -214,6 +221,12 @@ PREWARM = [
     "doc_phrase_search_persisted",   # positional/ (also proximity + slop)
     "doc_nb_persisted_classifier",   # nb_model/
     "doc_incremental_dedup_persisted",  # lsh_bands/
+    # round-13 compaction/maintenance cache families (each entry builds
+    # src index + compacts, or drains a stream, on first call)
+    "doc_bm25_compacted_topk",       # bm25_comp/
+    "doc_phrase_search_compacted",   # positional_comp/
+    "ann_ivfpq_compacted_topk",      # ivfpq_comp/
+    "doc_nb_maintained_classifier",  # nb_maint/ (stream drain)
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
