@@ -467,11 +467,31 @@ def main() -> None:
             # cheapest Spark queries first: their oracles are cheap too,
             # so the wall budget buys per-query coverage for the MANY
             # instead of exhausting on a few expensive ones
-            osec, oskipped = _oracle_times(
-                entrymod,
-                sf_dir,
-                sorted((n for n in HEADLINE if n in times), key=lambda n: times[n]),
-            )
+            order = sorted((n for n in HEADLINE if n in times), key=lambda n: times[n])
+            # round-robin the skip list (round-13, VERDICT r12 #4): the
+            # cheapest-first order made the ~27-query skip tail STABLE —
+            # the heaviest queries (fact_ventas, part_triangles,
+            # ann_ivfpq_topk) never got a vs_oracle reading again. Any
+            # query skipped in the last committed run now goes FIRST
+            # (cheapest-first among themselves), so every query gets an
+            # oracle reading at least every other round; the alternation
+            # is recorded in the artifact as oracle_rotation.
+            prev_skipped: set[str] = set()
+            try:
+                with open(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DETAIL.json",
+                    )
+                ) as fh:
+                    prev_skipped = set(json.load(fh).get("oracle_skipped") or [])
+            except Exception:  # noqa: BLE001 — first round has no artifact
+                pass
+            if prev_skipped:
+                pri = [n for n in order if n in prev_skipped]
+                order = pri + [n for n in order if n not in prev_skipped]
+                out["oracle_rotation"] = {"prioritized_prev_skipped": pri}
+            osec, oskipped = _oracle_times(entrymod, sf_dir, order)
             # budget-skipped oracles go in the ARTIFACT, not just stderr
             # (VERDICT r6 #6 — the driver doesn't keep stderr)
             if oskipped:
@@ -533,6 +553,11 @@ def main() -> None:
         "value_r4_subset_28q": out["value_r4_subset_28q"],
         "vs_oracle_median": out.get("vs_oracle_median"),
         "n_oracle_skipped": len(out.get("oracle_skipped", [])),
+        # how many previously-skipped oracles ran first this round
+        # (VERDICT r12 #4 round-robin; 0 = no prior skip list)
+        "n_oracle_rotated": len(
+            out.get("oracle_rotation", {}).get("prioritized_prev_skipped", [])
+        ),
         # total process wall (warmup + timed passes + reruns + oracle):
         # `value` is the min-of-runs SUM, so a driver-context slowdown
         # shows up here first — round-9 diagnostic for the bench-timeout

@@ -243,3 +243,64 @@ def test_positional_compact_rejects_mismatched_corpus(spark, tmp_path):
     dst = str(tmp_path / "posdst")
     positional_compact_index(spark, src, dst, corpus=docs)
     assert positional_index_is_fresh(docs, dst)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #3 — IVF-PQ appended-index drift probe
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_recall_probe_flags_drifted_append_while_fresh(spark, tmp_path):
+    """Appends encode with FROZEN quantizers, so a distribution shift
+    degrades recall while the content fingerprint stays 'fresh' (it
+    tracks corpus identity, not quantizer fit). The probe is the drift
+    signal: on a deliberately drifted index (append a far-off cluster
+    that keeps the original variance — exact ranking stays rich, the
+    frozen PQ sub-codebooks saturate to one code) the sampled recall
+    reads FAR below the trained floor while ivfpq_index_is_fresh still
+    returns True. Measured at authoring: trained 0.7375, drifted
+    0.0625."""
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_build_index,
+        ivfpq_index_is_fresh,
+        ivfpq_recall_probe,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+    idx = str(tmp_path / "drift")
+
+    ivfpq_build_index(emb, idx, **params)
+    base_queries = emb.filter(F.col("vec_id") < 16)
+    trained = ivfpq_recall_probe(
+        base_queries, emb, idx, k=5, probes=4, rerank=30, **params
+    )
+    assert trained > 0.6, trained  # the trained index probes healthy
+
+    # drifted append: +10 per coordinate (original variance kept; float
+    # element type preserved so the fingerprint merge stays exact)
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"),
+        F.transform("embedding", lambda x: (F.lit(10.0) + x).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    ivfpq_append_index(shifted, idx)
+    union = emb.unionByName(shifted)
+
+    # the fingerprint CANNOT see the drift — the index is "fresh"...
+    assert ivfpq_index_is_fresh(union, idx)
+    # ...but the probe reads catastrophically below the trained floor
+    drifted = ivfpq_recall_probe(
+        shifted.filter(F.col("vec_id") < n + 16),
+        union,
+        idx,
+        k=5,
+        probes=4,
+        rerank=30,
+        **params,
+    )
+    assert drifted < trained - 0.3, (drifted, trained)

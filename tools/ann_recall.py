@@ -75,6 +75,14 @@ PANEL_FLOORS = {
         # training regression at higher shard counts now breaches.
         "ivfpq_federated4_c32_p4_m8k32_r100": 0.67,
         "ivfpq_federated4_c32_p16_m8k32_r100": 0.91,
+        # round-13 (VERDICT r12 #3): train-on-half + encode-only append
+        # of the other half, searched globally — measured 0.600/0.5625
+        # at pinning (the half-corpus-training penalty, the appended
+        # sibling of the federated-naive row) minus the ~0.05 band. A
+        # breach means frozen-quantizer appends degraded beyond the
+        # structural penalty; DISTRIBUTION drift is the recall probe's
+        # job (ivfpq_recall_probe + tests/test_round13_ops.py).
+        "ivfpq_appended_c32_p4_m8k32_r100": 0.55,
     },
     "sf0.1": {
         "sq8_rerank20": 0.95,
@@ -88,6 +96,7 @@ PANEL_FLOORS = {
         "ivfpq_federated2_c32_p8_m8k32_r100": 0.72,
         "ivfpq_federated4_c32_p4_m8k32_r100": 0.49,
         "ivfpq_federated4_c32_p16_m8k32_r100": 0.86,
+        "ivfpq_appended_c32_p4_m8k32_r100": 0.51,
     },
 }
 
@@ -228,6 +237,7 @@ def _panel_block(spark, sf_dir: str, k: int) -> dict:
     from pyspark.sql import functions as F
 
     from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_append_index,
         ivfpq_build_index,
         ivfpq_federated_search,
         ivfpq_search_index,
@@ -238,6 +248,7 @@ def _panel_block(spark, sf_dir: str, k: int) -> dict:
     floors = PANEL_FLOORS.get(label)
     panel_tiers = list(PANEL_FLOORS["sf0.01"])  # tier names are SF-independent
     idx_dir = tempfile.mkdtemp(prefix="recall_ivfpq_")
+    app_dir = tempfile.mkdtemp(prefix="recall_app_")
     shard_dirs = [tempfile.mkdtemp(prefix=f"recall_fed{i}_") for i in range(2)]
     shard4_dirs = [tempfile.mkdtemp(prefix=f"recall_fed4_{i}_") for i in range(4)]
     try:
@@ -247,6 +258,27 @@ def _panel_block(spark, sf_dir: str, k: int) -> dict:
             n_cells=32, m=8, n_centroids=32, iters=3,
         )
         scan_fraction["ivfpq_persisted_c32_p4_m8k32_r100"] = 4 / 32
+        # appended tier (round-13, VERDICT r12 #3): quantizers train on
+        # the EVEN half only, the odd half arrives encode-only with
+        # FROZEN quantizers (ivfpq_append_index — the production
+        # ingestion path). Same-distribution appends cost a modest
+        # half-corpus-training penalty; this floor pins that an
+        # append-shaped index keeps recalling. DISTRIBUTION-SHIFTED
+        # appends are the probe's job, not a fixed panel floor
+        # (tests/test_round13_ops.py pins the drifted case:
+        # is_fresh=True while ivfpq_recall_probe reads ~0.06).
+        ivfpq_build_index(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+            app_dir, n_cells=32, m=8, n_centroids=32, iters=3,
+        )
+        ivfpq_append_index(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1), app_dir
+        )
+        tiers["ivfpq_appended_c32_p4_m8k32_r100"] = ivfpq_search_index(
+            queries, emb, app_dir, k=k, probes=4, rerank=100,
+            n_cells=32, m=8, n_centroids=32, iters=3,
+        )
+        scan_fraction["ivfpq_appended_c32_p4_m8k32_r100"] = 4 / 32
         # federated tier (round-11, VERDICT r10 #4): the corpus split into
         # two disjoint shards, each with its OWN persisted IVF-PQ index
         # trained on its half alone; queries fan out and the global top-k
@@ -330,6 +362,7 @@ def _panel_block(spark, sf_dir: str, k: int) -> dict:
         return out
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(app_dir, ignore_errors=True)
         for d in shard_dirs + shard4_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
