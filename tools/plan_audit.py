@@ -97,6 +97,14 @@ AUDITED = [
     "doc_phrase_slop_search",
     "doc_bm25_maintained_topk",
     "doc_cooccurrence_search",
+    # round-13 additions: the compacted-index searches (must carry
+    # exactly their family's persisted-search shape — compaction changes
+    # layout, not plan) and the maintained-NB scorer (no training job,
+    # no epoch machinery in the read path)
+    "doc_bm25_compacted_topk",
+    "doc_phrase_search_compacted",
+    "ann_ivfpq_compacted_topk",
+    "doc_nb_maintained_classifier",
 ]
 
 
