@@ -192,6 +192,7 @@ _DEC_COLS: dict[str, list[str]] = {
     "ann_ivfpq_persisted_topk": ["cosine"],
     "ann_ivfpq_incremental_topk": ["cosine"],
     "ann_ivfpq_compacted_topk": ["cosine"],
+    "ann_ivfpq_maintained_topk": ["cosine"],
     "ann_ivfpq_federated_topk": ["cosine"],
     "emb_mmr_diverse": ["relevance"],
     "events_type_hour_mi": ["mi_term"],
@@ -3830,6 +3831,77 @@ def _build_registries():
             **params,
         )
 
+    def ann_ivfpq_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # round-13 debut: the IVF-PQ index-MAINTENANCE stream — the
+        # vector member of the maintenance family (band index, NB, BM25,
+        # positional all stream; this was the one persisted index
+        # without a continuous-ingest path). Quantizers train ONCE on
+        # the even-id snapshot (streaming/ann_stream.ivfpq_stream_init);
+        # a real availableNow stream then drains the WHOLE corpus
+        # through encode-only micro-batches (codes land under
+        # ingest_batch=<id>/cid=<c> with dynamic overwrite — replay-
+        # idempotent, unlike the batch append's mode('append'); the
+        # content fingerprint merges as epochs, published last; the
+        # batch-id regression guard refuses a reset checkpoint).
+        # Content == quantizers-from-even + codes-for-all — exactly
+        # what build(even)+append(odd) produces — so
+        # ann_ivfpq_incremental_topk's oracle is reused verbatim.
+        import os
+
+        from data_warehouse_punta_fina_spark.operators.similarity import (
+            ivfpq_search_index,
+        )
+        from data_warehouse_punta_fina_spark.streaming.ann_stream import (
+            ivfpq_stream_init,
+            run_ivfpq_maintenance_stream,
+        )
+
+        params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+        fp = _data_fingerprint(sf_dir, "embeddings")
+        idx = _index_cache_dir("ivfpq_maint", f"c16_m8_k8_i2_{fp}")
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        if not os.path.exists(os.path.join(idx, "_MAINTAINED")):
+            # clean slate (the doc_bm25_maintained_topk discipline)
+            import shutil
+
+            for sub in os.listdir(idx) if os.path.isdir(idx) else []:
+                shutil.rmtree(os.path.join(idx, sub), ignore_errors=True)
+            src = os.path.join(idx, "_source")
+            # two files -> two micro-batches (maxFilesPerTrigger=1)
+            emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+            emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            ivfpq_stream_init(
+                emb.filter(F.col("vec_id") % 2 == 0), idx, **params
+            )
+            q = run_ivfpq_maintenance_stream(
+                spark,
+                src,
+                spark.read.parquet(src).schema,
+                checkpoint_dir=os.path.join(idx, "_ckpt"),
+                index_dir=idx,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "ivfpq maintenance drain did not finish within 300s"
+                )
+            with open(os.path.join(idx, "_MAINTAINED"), "w") as fh:
+                fh.write("ok")
+        full = load_table(spark, sf_dir, "embeddings")
+        return ivfpq_search_index(
+            full.filter(F.col("vec_id") < 8),
+            full,
+            idx,
+            k=5,
+            probes=4,
+            rerank=30,
+            **params,
+        )
+
     def ann_ivfpq_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-10 extra (r11 promotion candidate): SHARDED indexing —
         # at 100 TB no single training job sees the corpus; each shard
@@ -4864,6 +4936,7 @@ def _build_registries():
         "doc_bm25_compacted_topk": doc_bm25_compacted_topk,
         "doc_phrase_search_compacted": doc_phrase_search_compacted,
         "ann_ivfpq_compacted_topk": ann_ivfpq_compacted_topk,
+        "ann_ivfpq_maintained_topk": ann_ivfpq_maintained_topk,
         "doc_nb_maintained_classifier": doc_nb_maintained_classifier,
         "doc_uncertainty_sample": doc_uncertainty_sample,
         "dedup_lineitem": dedup_lineitem,
@@ -5368,12 +5441,14 @@ def _build_registries():
         "doc_phrase_search_compacted",   # r13 debut: stream→compacted positional
         "ann_ivfpq_compacted_topk",      # r13 debut: compacted IVF-PQ search
         "doc_nb_maintained_classifier",  # r13 debut: NB maintenance stream scoring
+        "ann_ivfpq_maintained_topk",     # r13 debut: IVF-PQ maintenance stream search
     ]
     _demote_r13 = [
         "ann_ivfpq_incremental_topk",    # 5x green; persisted-ANN family carried by ann_ivfpq_compacted_topk (same oracle) + ann_ivfpq_federated_topk
         "doc_nb_persisted_classifier",   # 4x green; NB family carried by doc_nb_maintained_classifier (same oracle) + doc_nb_lang_classifier + doc_uncertainty_sample
         "doc_bm25_persisted_topk",       # 3x green; persisted-BM25 family carried by doc_bm25_compacted_topk (same oracle) + maintained/incremental/federated/PRF-persisted
         "doc_phrase_search_persisted",   # 2x green; positional family carried by doc_phrase_search_compacted (same oracle) + proximity + slop + co-occurrence
+        "doc_winnow_overlap",            # 4x green; overlap/near-dup family carried by doc_incremental_dedup_persisted + doc_leakage_safe_split + doc_contamination_safe_split (all in-window)
     ]
     for _n in _promote_r13:
         reg[_n] = extra.pop(_n)
@@ -7796,6 +7871,10 @@ FROM orders LEFT JOIN m ON o_orderkey = l_orderkey
     # bit-equal to the appended source, so the incremental oracle is
     # reused verbatim (VERDICT r12 #2)
     o["ann_ivfpq_compacted_topk"] = o["ann_ivfpq_incremental_topk"]
+    # the MAINTAINED index (round-13): quantizers init-trained on the
+    # even half, every vector stream-encoded with them — content-equal
+    # to build(even)+append(odd), so the same oracle again
+    o["ann_ivfpq_maintained_topk"] = o["ann_ivfpq_incremental_topk"]
     o["emb_mmr_diverse"] = _mmr_sql(k=5, pool=20, lam_num=1, lam_den=2)
     o["ann_ivf_trained_topk"] = _kmeans_ivf_sql(n_centroids=16, iters=2, k=5)
     o["ann_ivf_trained_probe3"] = _kmeans_ivf_sql(n_centroids=16, iters=2, k=5, probes=3)

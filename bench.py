@@ -198,6 +198,7 @@ HEADLINE = [
     "doc_phrase_search_compacted",
     "ann_ivfpq_compacted_topk",
     "doc_nb_maintained_classifier",
+    "ann_ivfpq_maintained_topk",
 ]
 
 # Entries that lazily build persisted artifacts (index caches) on first
@@ -227,6 +228,7 @@ PREWARM = [
     "doc_phrase_search_compacted",   # positional_comp/
     "ann_ivfpq_compacted_topk",      # ivfpq_comp/
     "doc_nb_maintained_classifier",  # nb_maint/ (stream drain)
+    "ann_ivfpq_maintained_topk",     # ivfpq_maint/ (stream drain)
 ]
 
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later

@@ -980,6 +980,19 @@ def ivfpq_append_index(
     coarse = spark.read.parquet(f"{index_dir}/centroids")
     cb = spark.read.parquet(f"{index_dir}/codebook")
     codes0 = spark.read.parquet(f"{index_dir}/codes")
+    if "ingest_batch" in codes0.columns:
+        # a STREAM-MAINTAINED index partitions codes under
+        # ingest_batch=<id>/cid=<c>; a batch append would write
+        # root-level cid=* directories next to them — a mixed partition
+        # layout Spark cannot read back (the bm25_append_index guard,
+        # round-13). Refuse with the remedy instead of corrupting.
+        raise ValueError(
+            f"IVF-PQ index at {index_dir!r} is stream-maintained (codes are "
+            "partitioned by ingest_batch) — batch appends would corrupt its "
+            "layout; keep feeding the maintenance stream (streaming/"
+            "ann_stream.run_ivfpq_maintenance_stream), or graduate it to the "
+            "batch shape with ivfpq_compact_index first."
+        )
     stored = dict(codes0.schema["scid"].metadata or {})
     if validate_index and stored.get("scheme") != IVFPQ_SCHEME:
         raise ValueError(
@@ -1051,7 +1064,12 @@ def ivfpq_compact_index(
             "compacting an unverifiable index would bless a corrupt layout."
         )
     n_cells = int(stored.get("n_cells", 32))
-    id_cols = [c for c in codes.columns if c not in ("sub", "scid", "cid")]
+    # a stream-maintained source carries ingest_batch partitions; the
+    # compacted output drops them — the "graduation" to batch shape
+    # (round-13; the bm25/positional compaction discipline)
+    id_cols = [
+        c for c in codes.columns if c not in ("sub", "scid", "cid", "ingest_batch")
+    ]
     if len(id_cols) != 1:
         raise ValueError(
             f"cannot identify the vector-id column in codes schema {codes.columns}"

