@@ -732,16 +732,27 @@ def test_positional_ingest_stream_matches_batch_and_is_idempotent(spark, tmp_pat
     prox = proximity_search_index(spark, idx, "customer", "order", window=6).collect()
     assert len(prox) > 0
 
-    # replay: re-run one batch through the same foreachBatch body — the
-    # dynamic partition overwrite must leave the stored rows unchanged
+    # replay: re-run the CURRENT batch through the same foreachBatch
+    # body — the dynamic partition overwrite must leave the stored rows
+    # unchanged. (Round-13: only the newest batch can legitimately
+    # replay — its checkpoint is the one that may not have committed;
+    # an OLDER id is the reset-checkpoint regression the guard refuses.)
+    import pytest
+
+    from data_warehouse_punta_fina_spark.streaming.epochs import (
+        BatchRegressionError,
+    )
+
     before = sorted(
         map(tuple, spark.read.parquet(f"{idx}/positions").drop("ingest_batch").collect())
     )
-    positional_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, idx, n_buckets=4)
+    positional_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, idx, n_buckets=4)
     after = sorted(
         map(tuple, spark.read.parquet(f"{idx}/positions").drop("ingest_batch").collect())
     )
     assert before == after
+    with pytest.raises(BatchRegressionError, match="checkpoint"):
+        positional_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, idx, n_buckets=4)
 
 
 def test_bm25_federated_exactness_random_splits(spark, tmp_path):
