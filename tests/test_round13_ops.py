@@ -530,3 +530,50 @@ def test_ivfpq_refresh_if_drifted_rebuilds_and_recovers(spark, tmp_path):
         queries, union, idx, k=5, probes=4, rerank=30, **params
     )
     assert r2 > 0.5, r2
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: delta-encode → linear decode roundtrip (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def test_explode_positions_roundtrip_property(spark):
+    """For arbitrary ascending position lists (including singletons,
+    dense runs, and wide gaps), delta-encoding then the linear decode
+    reproduces the absolute positions exactly — the algebraic claim all
+    five read paths rest on, fuzzed rather than fixtured."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        _explode_positions,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=200_000),
+                min_size=1,
+                max_size=300,
+                unique=True,
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(batches):
+        rows = []
+        expected = []
+        for i, positions in enumerate(batches):
+            positions = sorted(positions)
+            deltas = [positions[0]] + [
+                b - a for a, b in zip(positions, positions[1:])
+            ]
+            rows.append((i, deltas))
+            expected += [(i, p) for p in positions]
+        df = spark.createDataFrame(rows, "doc_id long, positions array<int>")
+        got = sorted(map(tuple, _explode_positions(df, "doc_id").collect()))
+        assert got == sorted(expected)
+
+    check()
