@@ -208,11 +208,15 @@ def ivfpq_maintenance_batch(
     from data_warehouse_punta_fina_spark.functions.vectors import quantize
     from data_warehouse_punta_fina_spark.streaming.epochs import (
         guard_batch_regression,
+        guard_stream_ownership,
         max_epoch_below,
         prune_epochs,
     )
 
     spark = batch.sparkSession
+    # round-13 inverse guard: a batch-built index (root-level cid=*
+    # codes) cannot be adopted in place
+    guard_stream_ownership(spark, f"{index_dir}/codes")
     guard_batch_regression(
         spark,
         index_dir,

@@ -164,9 +164,14 @@ def bm25_maintenance_batch(
     it is the sanctioned same-batch replay path the replay tests pin)."""
     from data_warehouse_punta_fina_spark.streaming.epochs import (
         guard_batch_regression,
+        guard_stream_ownership,
     )
 
     spark = batch.sparkSession
+    # round-13 inverse guard: a BATCH-built index (root-level bucket=*
+    # postings) must not be adopted in place — mixed layouts are
+    # unreadable; compaction graduates stream→batch, never the reverse
+    guard_stream_ownership(spark, f"{index_dir}/postings")
     guard_batch_regression(
         spark,
         index_dir,

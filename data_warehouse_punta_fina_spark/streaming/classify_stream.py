@@ -162,6 +162,29 @@ def nb_maintenance_batch(
     from data_warehouse_punta_fina_spark.functions.money import pround
 
     spark = batch.sparkSession
+    # round-13 inverse guard: a BATCH-trained model (nb_save_model's
+    # flat cond/ present, but no epoch history — any maintenance batch
+    # leaves keep>=2 epochs behind) cannot be adopted in place: the
+    # first stream batch would re-bootstrap from empty and OVERWRITE
+    # the published tables, silently discarding the trained counts.
+    from data_warehouse_punta_fina_spark.streaming.epochs import (
+        _list_partition_ids,
+    )
+
+    jvm = spark._jvm
+    _conf = spark._jsc.hadoopConfiguration()
+    _cond = jvm.org.apache.hadoop.fs.Path(f"{model_dir}/cond")
+    if _cond.getFileSystem(_conf).exists(_cond) and not _list_partition_ids(
+        spark, f"{model_dir}/cond_epochs", "epoch"
+    ):
+        raise ValueError(
+            f"NB model at {model_dir!r} is batch-trained (published cond/ "
+            "with no epoch history) — the maintenance stream would "
+            "re-bootstrap from empty and overwrite it, silently discarding "
+            "the trained counts. Keep training it with nb_save_model, or "
+            "rebuild it THROUGH the maintenance stream from an empty "
+            "directory."
+        )
     # ADVICE r12: a reset checkpoint against an existing model would
     # silently re-bootstrap the counts from empty — fail loudly instead
     # (equality allowed: the sanctioned same-batch replay path)

@@ -112,6 +112,46 @@ def guard_batch_regression(
         )
 
 
+def guard_stream_ownership(
+    spark: SparkSession,
+    table_path: str,
+    batch_col: str = "ingest_batch",
+) -> None:
+    """Refuse to maintain a table the stream does not OWN (round-13,
+    the inverse of the batch-side guards): a maintenance batch writes
+    ``{batch_col}=<id>/...`` partitions, so pointing it at a
+    BATCH-built table (root-level ``bucket=*`` / ``cid=*`` partitions,
+    or unpartitioned files) would create a mixed partition layout Spark
+    cannot read back — the exact corruption ``bm25_append_index`` /
+    ``ivfpq_append_index`` refuse in the other direction. An absent
+    path is fine (first batch); a path whose first-level directories
+    are all ``{batch_col}=`` is fine (ours); anything else raises with
+    the remedy."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return
+    foreign: list[str] = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith(f"{batch_col}=") or name.startswith(("_", ".")):
+            continue
+        foreign.append(name)
+    if foreign:
+        raise ValueError(
+            f"table at {table_path!r} is not stream-maintained (found "
+            f"{sorted(foreign)[:3]} instead of {batch_col}= partitions) — "
+            "writing micro-batch partitions next to a batch-built layout "
+            "would corrupt it into an unreadable mix. Either keep using the "
+            "batch append path on this artifact, or rebuild it THROUGH the "
+            "maintenance stream from an empty directory (compaction "
+            "graduates stream → batch; there is deliberately no in-place "
+            "adoption in the other direction)."
+        )
+
+
 def max_epoch_below(spark: SparkSession, path: str, below: int) -> int | None:
     """Newest committed epoch strictly below ``below`` (None if the tree
     is empty/absent). Partition-column-only aggregate — resolved from

@@ -72,8 +72,10 @@ def positional_ingest_batch(
     documents under new ids — duplicate postings, silently."""
     from data_warehouse_punta_fina_spark.streaming.epochs import (
         guard_batch_regression,
+        guard_stream_ownership,
     )
 
+    guard_stream_ownership(batch.sparkSession, f"{index_path}/positions")
     guard_batch_regression(
         batch.sparkSession,
         index_path,

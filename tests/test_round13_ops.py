@@ -577,3 +577,74 @@ def test_explode_positions_roundtrip_property(spark):
         assert got == sorted(expected)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Round-13 inverse guard: maintenance refuses batch-built artifacts
+# ---------------------------------------------------------------------------
+
+
+def test_maintenance_refuses_batch_built_artifacts(spark, tmp_path):
+    """The inverse of the append-side guards: a maintenance batch
+    pointed at a BATCH-built artifact would write ingest_batch=*
+    partitions next to root-level bucket=*/cid=* directories (an
+    unreadable mixed layout), or — for the NB model — re-bootstrap from
+    empty and overwrite the trained tables. All four maintenance
+    surfaces refuse with the remedy; compaction remains the ONLY
+    stream→batch door, and there is deliberately no in-place adoption
+    in the other direction."""
+    import pytest
+
+    from data_warehouse_punta_fina_spark.operators.classify import nb_save_model
+    from data_warehouse_punta_fina_spark.operators.retrieval import (
+        bm25_build_index,
+        positional_build_index,
+    )
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_build_index,
+    )
+    from data_warehouse_punta_fina_spark.sources.readers import load_table
+    from data_warehouse_punta_fina_spark.streaming.ann_stream import (
+        ivfpq_maintenance_batch,
+        ivfpq_stream_init,
+    )
+    from data_warehouse_punta_fina_spark.streaming.bm25_stream import (
+        bm25_maintenance_batch,
+    )
+    from data_warehouse_punta_fina_spark.streaming.classify_stream import (
+        nb_maintenance_batch,
+    )
+    from data_warehouse_punta_fina_spark.streaming.positional_stream import (
+        positional_ingest_batch,
+    )
+
+    docs = _docs(spark, 0, 30)
+
+    b = str(tmp_path / "bm25batch")
+    bm25_build_index(docs, b, n_buckets=4)
+    with pytest.raises(ValueError, match="not stream-maintained"):
+        bm25_maintenance_batch(_docs(spark, 30, 40), 0, b, n_buckets=4)
+
+    p = str(tmp_path / "posbatch")
+    positional_build_index(docs, p, n_buckets=4)
+    with pytest.raises(ValueError, match="not stream-maintained"):
+        positional_ingest_batch(_docs(spark, 30, 40), 0, p, n_buckets=4)
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    params = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+    v = str(tmp_path / "ivfbatch")
+    ivfpq_build_index(emb, v, **params)
+    # give it stream-init metadata so the failure is the LAYOUT, not the
+    # missing codebook params
+    ivfpq_stream_init(emb, str(tmp_path / "unused"), **params)
+    with pytest.raises(ValueError, match="not stream-maintained"):
+        ivfpq_maintenance_batch(emb.limit(10), 0, v)
+
+    labeled = spark.createDataFrame(
+        [(i, f"alpha beta {i}", "en" if i % 2 else "es") for i in range(20)],
+        "doc_id long, text string, label string",
+    )
+    m = str(tmp_path / "nbbatch")
+    nb_save_model(labeled, m, "text", "label")
+    with pytest.raises(ValueError, match="batch-trained"):
+        nb_maintenance_batch(labeled, 0, m, label_col="label")
