@@ -1188,6 +1188,68 @@ def ivfpq_refresh_index(
     return True
 
 
+def ivfpq_capacity_probe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index_dir: str,
+    target_recall: float,
+    k: int = 5,
+    rerank_ladder: tuple[int, ...] = (30, 120, 600),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **search_kwargs,
+) -> dict:
+    """Diagnose WHY a persisted IVF-PQ index under-recalls — the
+    advisor between :func:`ivfpq_recall_probe` (detects) and the fix
+    (retrain? deepen rerank? widen probes?). Runs the recall probe at
+    increasing exact-rerank depths against ONE shared brute-force
+    truth; the shape of the curve separates the two failure modes:
+
+    - ``code_tied``: recall recovers as rerank deepens — the true
+      neighbors ARE in the probed cells, but the PQ codes cannot rank
+      them (ties: a tight cluster quantizes to one code under any
+      training). Retraining will NOT help; the knobs are rerank depth
+      or codebook richness (``m`` / ``n_centroids``). Measured on the
+      drifted-append fixture: 0.06 → 0.30 → 1.00 up the (30, 120, 600)
+      ladder.
+    - ``assignment_miss``: recall stays low at every depth — the true
+      neighbors are not in the probed cells at all. The knobs are
+      ``probes`` or a coarse-quantizer retrain
+      (:func:`ivfpq_refresh_if_drifted`).
+    - ``healthy``: the shallowest reading already meets
+      ``target_recall`` (pin it from RECALL.json's trained tier).
+
+    Cost: len(ladder) index searches + ONE sample-sized brute pass
+    (the truth set is shared across depths). Returns ``{"readings":
+    {rerank: recall}, "diagnosis": str}``."""
+    if not rerank_ladder or list(rerank_ladder) != sorted(set(rerank_ladder)):
+        raise ValueError("rerank_ladder must be strictly increasing and non-empty")
+    truth = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    truth = truth.localCheckpoint()  # one brute pass, reused per depth
+    n_truth = truth.count()
+    if n_truth == 0:
+        raise ValueError("capacity probe needs a non-empty query sample")
+    readings: dict[int, float] = {}
+    for rr in rerank_ladder:
+        got = ivfpq_search_index(
+            queries, corpus, index_dir, k=k, rerank=rr,
+            id_col=id_col, vec_col=vec_col, **search_kwargs,
+        ).select("query_id", "neighbor_id")
+        readings[int(rr)] = (
+            truth.join(got, ["query_id", "neighbor_id"]).count() / n_truth
+        )
+    first, deepest = readings[rerank_ladder[0]], readings[rerank_ladder[-1]]
+    if first >= target_recall:
+        diagnosis = "healthy"
+    elif deepest >= target_recall:
+        diagnosis = "code_tied"
+    else:
+        diagnosis = "assignment_miss"
+    return {"readings": readings, "diagnosis": diagnosis}
+
+
 def ivfpq_refresh_if_drifted(
     corpus: DataFrame,
     index_dir: str,
