@@ -490,7 +490,17 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — first round has no artifact
                 pass
             if prev_skipped:
-                pri = [n for n in order if n in prev_skipped]
+                # within the make-up set, EXPENSIVE-first (descending
+                # Spark time): the cheap members get covered by next
+                # round's alternation anyway, but the heaviest queries
+                # (fact_ventas, part_triangles, ann_ivfpq_topk) sort
+                # last under cheapest-first and starved TWICE before
+                # this flip — they are exactly the vs_oracle readings
+                # the verdict called most informative
+                pri = sorted(
+                    (n for n in order if n in prev_skipped),
+                    key=lambda n: -times[n],
+                )
                 order = pri + [n for n in order if n not in prev_skipped]
                 out["oracle_rotation"] = {"prioritized_prev_skipped": pri}
             osec, oskipped = _oracle_times(entrymod, sf_dir, order)
@@ -504,6 +514,11 @@ def main() -> None:
                 out["vs_oracle"] = ratios
                 rs = sorted(ratios.values())
                 out["vs_oracle_median"] = rs[len(rs) // 2]
+                # the rotation (r13) changes WHICH queries get oracle
+                # readings each round, so the median's population swings
+                # (heavy-oracle rounds read higher) — record the
+                # population size so cross-round comparisons can weight it
+                out["vs_oracle_n"] = len(rs)
                 # the queries where distribution actually matters: Spark
                 # vs the single-node floor on the > 2 s (heavy) queries
                 heavy = [r for n, r in ratios.items() if times[n] > 2.0]
@@ -554,6 +569,7 @@ def main() -> None:
         "n_errors": len(errors),
         "value_r4_subset_28q": out["value_r4_subset_28q"],
         "vs_oracle_median": out.get("vs_oracle_median"),
+        "vs_oracle_n": out.get("vs_oracle_n"),
         "n_oracle_skipped": len(out.get("oracle_skipped", [])),
         # how many previously-skipped oracles ran first this round
         # (VERDICT r12 #4 round-robin; 0 = no prior skip list)
