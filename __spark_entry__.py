@@ -5455,6 +5455,17 @@ def _build_registries():
     for _n in _demote_r13:
         extra[_n] = reg.pop(_n)
     assert len(reg) == 50, f"post-rotation window must be 50, got {len(reg)}"
+
+    # ---- round-14 rotation (wave 19): deliberate HOLD ------------------
+    # VERDICT r13 #1: the six r13 debuts are 1×-green and the safe
+    # demotion pool is thin (most in-window veterans are themselves only
+    # 1-3× green). No new oracle-backed query families landed this round
+    # (the round-14 surfaces — retire_index_dir, ivfpq_remediate_drift,
+    # PNG palette/interlace — are admin/orchestration/codec code with
+    # pytest gates, not query shapes), so the window holds steady and
+    # the r14 driver run SECOND-greens the entire wave-18 cohort in
+    # place. The never-driver-checked ledger stays empty by construction
+    # (tests/test_round11_ops.py::test_rotation_ledger_never_checked_all_in_window).
     return reg, extra
 
 

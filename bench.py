@@ -231,6 +231,13 @@ PREWARM = [
     "ann_ivfpq_maintained_topk",     # ivfpq_maint/ (stream drain)
 ]
 
+# oracle readings that must NEVER rotate out (round-14, VERDICT r13 #2):
+# the three heaviest Spark queries sort last under cheapest-first and
+# starved twice before the r13 expensive-first flip; the verdict calls
+# their vs_oracle readings the most informative in the artifact, so they
+# are pinned FIRST in every round's oracle pass (~30 s of the budget).
+PINNED_ORACLES = ["fact_ventas", "part_triangles", "ann_ivfpq_topk"]
+
 # the round-4 headline (BENCH_r04.json) — kept verbatim so every later
 # bench can report a like-for-like subtotal next to the growing total
 R4_HEADLINE = [
@@ -246,8 +253,26 @@ R4_HEADLINE = [
 ]
 
 
+def _oracle_costs_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ORACLE_COSTS.json")
+
+
+def _load_oracle_costs() -> dict:
+    """The accumulated per-oracle DuckDB wall-time ledger (round-14):
+    every bench run merges its oracle_sec readings in, so ordering and
+    budget decisions can use KNOWN costs instead of Spark-time proxies —
+    the r14 dry run showed why: basket_frequent_triples runs 2.5 s in
+    Spark but its recursive DuckDB oracle took 217 s and single-handedly
+    ate the 200 s budget, starving 100+ cheap readings."""
+    try:
+        with open(_oracle_costs_path()) as fh:
+            return {k: float(v) for k, v in json.load(fh).items()}
+    except Exception:  # noqa: BLE001 — first run has no ledger
+        return {}
+
+
 def _oracle_times(
-    entrymod, sf_dir: str, names: list[str]
+    entrymod, sf_dir: str, names: list[str], known: dict | None = None
 ) -> tuple[dict[str, float], list[str]]:
     """Per-query DuckDB oracle wall times over the same parquet tables —
     the engine-relative floor that catches single-query regressions the
@@ -284,11 +309,20 @@ def _oracle_times(
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "200"))
     started = time.time()
     skipped: list[str] = []
+    known = known or {}
     for name in names:
         sql = oracles.get(name)
         if not sql:
             continue
-        if time.time() - started > budget:
+        elapsed = time.time() - started
+        if elapsed > budget:
+            skipped.append(name)
+            continue
+        # known-cost guard (round-14): an oracle whose LEDGER cost
+        # exceeds the remaining budget is skipped up front instead of
+        # overrunning the whole pass (an unknown monster overruns once,
+        # lands in the ledger, and sorts/skips correctly forever after)
+        if known.get(name, 0.0) > budget - elapsed:
             skipped.append(name)
             continue
         try:
@@ -354,6 +388,28 @@ def main() -> None:
             qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — warm-up must not kill the bench
             print(f"bench: warm-up {name} failed: {exc}", file=sys.stderr)
+
+    # host calibration probe (round-14, VERDICT r13 #3): a fixed
+    # CPU-bound job (80M xxhash64∘md5 rows, zero IO, zero shuffle beyond
+    # the final 1-row exchange) timed 3× AFTER the JVM warm. Its reading
+    # is a pure host-contention gauge — the r13 committed run read +12%
+    # uniformly vs the idle run of identical code, and without this
+    # field a consumer cannot separate plan regressions from the
+    # afternoon host band. Idle-host reference on the build machine:
+    # median ≈ 2.7 s (docs/BENCH_NOTES.md round-14); normalize any
+    # cross-round per-query diff by (host_cal_median / 2.7) before
+    # reading it as a regression. Median (not min) on purpose: the
+    # MEDIAN tracks the contention the timed readings actually suffer,
+    # while a min would hide exactly what the probe exists to expose.
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(80_000_000).select(
+            F.expr("bit_xor(xxhash64(md5(cast(id as string))))")
+        ).collect()
+        cal_runs.append(round(time.time() - t0, 3))
+    host_cal = {"runs": cal_runs, "median": sorted(cal_runs)[1], "min": min(cal_runs)}
+    print(f"bench: host_cal {host_cal}", file=sys.stderr)
 
     # pre-build the persisted-index caches OUTSIDE the timed window
     # (VERDICT r11 #3a): first call after a testdata refresh trains/
@@ -458,6 +514,8 @@ def main() -> None:
             sum(times[n] for n in R4_HEADLINE if n in times), 3
         ),
         "r4_subset_queries": sorted(n for n in R4_HEADLINE if n in times),
+        # the host-contention gauge (see the probe comment above)
+        "host_cal": host_cal,
     }
     if errors:
         out["errors"] = errors
@@ -466,16 +524,20 @@ def main() -> None:
     # slower than the single-node columnar floor at this SF)
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
         try:
-            # cheapest Spark queries first: their oracles are cheap too,
-            # so the wall budget buys per-query coverage for the MANY
-            # instead of exhausting on a few expensive ones
-            order = sorted((n for n in HEADLINE if n in times), key=lambda n: times[n])
-            # round-robin the skip list (round-13, VERDICT r12 #4): the
-            # cheapest-first order made the ~27-query skip tail STABLE —
-            # the heaviest queries (fact_ventas, part_triangles,
-            # ann_ivfpq_topk) never got a vs_oracle reading again. Any
-            # query skipped in the last committed run now goes FIRST
-            # (cheapest-first among themselves), so every query gets an
+            # ordering (round-14 rework): by KNOWN oracle cost from the
+            # accumulated ledger, ascending — the Spark-time proxy used
+            # through r13 misorders badly (a 2.5 s Spark query can carry
+            # a 217 s recursive DuckDB oracle, and r14's dry run watched
+            # exactly that one eat the whole budget). Unknown-cost
+            # oracles assume ~1 s so they get explored early and enter
+            # the ledger; a monster overruns once, then sorts last and
+            # is budget-guard-skipped forever after.
+            known = _load_oracle_costs()
+            est = lambda n: known.get(n, 1.0)  # noqa: E731
+            order = sorted((n for n in HEADLINE if n in times), key=est)
+            # round-robin the skip list (round-13, VERDICT r12 #4): any
+            # query skipped in the last committed run goes FIRST (cheap
+            # est-cost first among themselves), so every query gets an
             # oracle reading at least every other round; the alternation
             # is recorded in the artifact as oracle_rotation.
             prev_skipped: set[str] = set()
@@ -490,20 +552,24 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — first round has no artifact
                 pass
             if prev_skipped:
-                # within the make-up set, EXPENSIVE-first (descending
-                # Spark time): the cheap members get covered by next
-                # round's alternation anyway, but the heaviest queries
-                # (fact_ventas, part_triangles, ann_ivfpq_topk) sort
-                # last under cheapest-first and starved TWICE before
-                # this flip — they are exactly the vs_oracle readings
-                # the verdict called most informative
-                pri = sorted(
-                    (n for n in order if n in prev_skipped),
-                    key=lambda n: -times[n],
-                )
+                pri = [n for n in order if n in prev_skipped]
                 order = pri + [n for n in order if n not in prev_skipped]
                 out["oracle_rotation"] = {"prioritized_prev_skipped": pri}
-            osec, oskipped = _oracle_times(entrymod, sf_dir, order)
+            # the three heaviest Spark readings never rotate out
+            # (round-14, VERDICT r13 #2): pinned ahead of the make-up set
+            pinned = [n for n in PINNED_ORACLES if n in times]
+            order = pinned + [n for n in order if n not in pinned]
+            out.setdefault("oracle_rotation", {})["pinned_first"] = pinned
+            osec, oskipped = _oracle_times(entrymod, sf_dir, order, known)
+            # merge this run's readings into the cost ledger (committed
+            # alongside the bench artifacts so a fresh checkout orders
+            # correctly from round 1 of its history)
+            try:
+                known.update(osec)
+                with open(_oracle_costs_path(), "w") as fh:
+                    json.dump({k: known[k] for k in sorted(known)}, fh, indent=1)
+            except OSError as exc:
+                print(f"bench: could not persist oracle cost ledger: {exc}", file=sys.stderr)
             # budget-skipped oracles go in the ARTIFACT, not just stderr
             # (VERDICT r6 #6 — the driver doesn't keep stderr)
             if oskipped:
@@ -519,11 +585,23 @@ def main() -> None:
                 # (heavy-oracle rounds read higher) — record the
                 # population size so cross-round comparisons can weight it
                 out["vs_oracle_n"] = len(rs)
-                # the queries where distribution actually matters: Spark
-                # vs the single-node floor on the > 2 s (heavy) queries
-                heavy = [r for n, r in ratios.items() if times[n] > 2.0]
+                # per-population medians (round-14, VERDICT r13 #2): the
+                # single median swung 8.0 → 11.6 r12→r13 purely because
+                # the rotation changed WHICH population got readings —
+                # heavy queries (Spark > 2 s) amortize fixed job overhead
+                # and read ~1-2×; sub-2 s queries carry a ~4 s Spark
+                # floor against millisecond DuckDB runs and read 5-100×
+                # regardless of plan quality (docs/BENCH_NOTES.md).
+                # Compare medians only within a population.
+                heavy = sorted(r for n, r in ratios.items() if times[n] > 2.0)
+                cheap = sorted(r for n, r in ratios.items() if times[n] <= 2.0)
                 if heavy:
                     out["vs_oracle_heavy_max"] = max(heavy)
+                    out["vs_oracle_median_heavy"] = heavy[len(heavy) // 2]
+                    out["vs_oracle_n_heavy"] = len(heavy)
+                if cheap:
+                    out["vs_oracle_median_cheap"] = cheap[len(cheap) // 2]
+                    out["vs_oracle_n_cheap"] = len(cheap)
         except Exception as exc:  # noqa: BLE001 — oracle floor is advisory
             print(f"bench: oracle comparison skipped: {exc}", file=sys.stderr)
     # per-query regression tracking: ratio vs the round-1 floor (>1 slower)
@@ -570,6 +648,14 @@ def main() -> None:
         "value_r4_subset_28q": out["value_r4_subset_28q"],
         "vs_oracle_median": out.get("vs_oracle_median"),
         "vs_oracle_n": out.get("vs_oracle_n"),
+        # split medians (round-14): compare ONLY within a population
+        "vs_oracle_median_heavy": out.get("vs_oracle_median_heavy"),
+        "vs_oracle_n_heavy": out.get("vs_oracle_n_heavy"),
+        "vs_oracle_median_cheap": out.get("vs_oracle_median_cheap"),
+        "vs_oracle_n_cheap": out.get("vs_oracle_n_cheap"),
+        # host-contention gauge: idle reference ≈ 2.7 s on the build
+        # machine; normalize cross-round diffs by (this / 2.7)
+        "host_cal_median": host_cal["median"],
         "n_oracle_skipped": len(out.get("oracle_skipped", [])),
         # how many previously-skipped oracles ran first this round
         # (VERDICT r12 #4 round-robin; 0 = no prior skip list)

@@ -60,6 +60,10 @@ from data_warehouse_punta_fina_spark.operators.incremental import (  # noqa: F40
     aggregate_delta,
     incremental_agg_merge,
 )
+from data_warehouse_punta_fina_spark.operators.index_admin import (  # noqa: F401
+    read_tombstone,
+    retire_index_dir,
+)
 from data_warehouse_punta_fina_spark.operators.journal import explode_journal_entries  # noqa: F401
 from data_warehouse_punta_fina_spark.operators.pivots import (  # noqa: F401
     conditional_sum,

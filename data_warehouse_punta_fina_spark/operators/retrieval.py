@@ -465,7 +465,10 @@ def bm25_compact_index(
 
     One index-sized job: a read + one repartition-by-bucket shuffle so
     every bucket lands as ONE file. At 100 TB this is the weekly
-    hygiene job, not a per-batch cost."""
+    hygiene job, not a per-batch cost. After the path swap, retire the
+    superseded fragmented layout (and its epoch history) with
+    ``operators.index_admin.retire_index_dir`` — compaction creates the
+    successor; retirement owns deleting the predecessor."""
     postings, df_stats, stats, n_buckets = _bm25_read_validated(
         spark, src_index_dir, validate_index
     )
@@ -1314,7 +1317,8 @@ def positional_compact_index(
     the fingerprint is stamped — its doc count must equal the distinct
     doc count in the compacted positions. Without this, a WRONG corpus
     would graduate a mismatched index to ``is_fresh=True`` and admit
-    batch appends onto it."""
+    batch appends onto it. After the path swap, retire the superseded
+    stream layout with ``operators.index_admin.retire_index_dir``."""
     positions, n_buckets = _pos_read_validated(spark, src_index_dir, validate_index)
     stored = dict(positions.schema["tf"].metadata or {})
     if not stored:

