@@ -30,6 +30,15 @@ own (the newest epoch must stay alive while the stream lives; once the
 index is superseded, no batch can ever replay into it, so the whole
 chain is dead weight).
 
+Family scope: exactly the three COMPACTION families (bm25 / positional /
+ivfpq), because retirement's supersede precondition — "dst is
+content-identical to src" — is what compaction guarantees. The other two
+persisted artifacts need no retirement owner: the NB model's maintenance
+stream publishes flat vocabulary-sized tables in place (no per-batch
+fragmentation; its epoch history is bounded by ``prune_epochs``), and
+the MinHash band index is a single bucketed table rebuilt/overwritten in
+place by ``minhash_band_keys`` writes.
+
 Reference parity note: the reference warehouse has no persisted-index
 subsystem at all (it is a PG-backed ETL — see SURVEY.md §3.1); this
 module administers the engine's own extension-tier artifacts, modeled on
