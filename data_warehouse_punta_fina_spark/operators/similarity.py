@@ -1456,12 +1456,121 @@ def ivfpq_remediate_drift(
         }
     # nothing on the ladder clears the floor even retrained: the floor
     # is beyond this parameterization's capacity — the remaining knobs
-    # are codebook richness (m / n_centroids / n_cells), reported as-is
+    # are codebook richness, and whether they HELP is measurable:
+    # run :func:`ivfpq_reparameterize_probe` next (it builds candidate
+    # parameterizations in scratch and reports which, if any, clears
+    # the floor at the caller's settings — or an honest None when the
+    # data is near-tied beyond any code resolution)
     return {
         **out,
         "diagnosis": "assignment_miss",
         "action": "reparameterize",
         "post": max(cap2["readings"].values()),
+    }
+
+
+def ivfpq_reparameterize_probe(
+    corpus: DataFrame,
+    index_dir: str,
+    sample_queries: DataFrame,
+    recall_floor: float,
+    scratch_dir: str,
+    k: int = 5,
+    probes: int = IVFPQ_DEFAULT_PROBES,
+    rerank: int = 50,
+    candidates: tuple[dict, ...] | None = None,
+    apply: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> dict:
+    """The tool :func:`ivfpq_remediate_drift`'s ``reparameterize``
+    terminal verdict points at (round-14): when no (probes, rerank)
+    setting clears the floor even after a retrain, the remaining knobs
+    are CODEBOOK RICHNESS — and whether richer codes actually help is
+    an empirical question this probe answers instead of guessing.
+    Measured on sf0.001 at fixed (probes=16, rerank=50): m=8/nc=8 reads
+    0.70, nc=32 reads 0.85, m=16 reads 0.78, m=16+nc=32 reads 1.00 —
+    monotone and decisive. But on the adversarial near-tie fixture
+    (a +10-shifted cluster whose TRUE cosine neighbors differ only at
+    the 4th decimal) EVERY parameterization reads 0.075: no codebook
+    can resolve what the exact metric barely resolves, and the honest
+    answer is ``recommended: None`` (deepen rerank instead).
+
+    Protocol: reads the stored parameters from the index metadata,
+    builds each candidate parameterization in its own subdirectory of
+    ``scratch_dir`` (training jobs — this is the admin cost class, run
+    it offline), and measures recall at the CALLER'S (probes, rerank)
+    against ONE shared brute-force truth. The default candidate ladder
+    doubles the knobs cheapest-storage-first: richer codebooks
+    (``n_centroids``×4 — same code rows, a 4× LUT) before more
+    subspaces (``m``×2 — DOUBLES the codes-table rows) before both.
+    First candidate to clear ``recall_floor`` wins; ``apply=True``
+    rebuilds ``index_dir`` itself at the winning parameters (one more
+    training job + fingerprint re-stamp via :func:`ivfpq_build_index`).
+
+    Returns ``{"baseline", "readings", "recommended", "applied"}``."""
+    spark = corpus.sparkSession
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    stored = dict(codes.schema["scid"].metadata or {})
+    if stored.get("scheme") != IVFPQ_SCHEME:
+        raise ValueError(
+            "cannot reparameterize an index without a valid parameter "
+            f"fingerprint (stored scheme {stored.get('scheme')!r})"
+        )
+    base = {
+        "n_cells": int(stored["n_cells"]),
+        "m": int(stored["m"]),
+        "n_centroids": int(stored["n_centroids"]),
+        "iters": int(stored["iters"]),
+    }
+    if candidates is None:
+        candidates = (
+            {**base, "n_centroids": base["n_centroids"] * 4},
+            {**base, "m": base["m"] * 2},
+            {**base, "m": base["m"] * 2, "n_centroids": base["n_centroids"] * 4},
+        )
+    truth = brute_force_topk(
+        corpus, sample_queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    truth = truth.localCheckpoint()  # ONE brute pass shared by every reading
+    n_truth = truth.count()
+    if n_truth == 0:
+        raise ValueError("reparameterize probe needs a non-empty query sample")
+
+    def _recall(idx_dir: str, params: dict) -> float:
+        got = ivfpq_search_index(
+            sample_queries, corpus, idx_dir, k=k, probes=probes, rerank=rerank,
+            id_col=id_col, vec_col=vec_col, dims=dims, **params,
+        ).select("query_id", "neighbor_id")
+        return truth.join(got, ["query_id", "neighbor_id"]).count() / n_truth
+
+    baseline = _recall(index_dir, base)
+    readings: dict[str, float] = {}
+    recommended: dict | None = None
+    for i, cand in enumerate(candidates):
+        label = ",".join(f"{k_}={cand[k_]}" for k_ in ("n_cells", "m", "n_centroids"))
+        d = f"{scratch_dir.rstrip('/')}/cand{i}"
+        ivfpq_build_index(
+            corpus, d, cand["n_cells"], cand["m"], cand["n_centroids"],
+            cand["iters"], id_col, vec_col, dims,
+        )
+        readings[label] = _recall(d, cand)
+        if readings[label] >= recall_floor:
+            recommended = dict(cand)
+            break  # ladder is cost-ascending — the first clear is the pick
+    applied = False
+    if apply and recommended is not None:
+        ivfpq_build_index(
+            corpus, index_dir, recommended["n_cells"], recommended["m"],
+            recommended["n_centroids"], recommended["iters"], id_col, vec_col, dims,
+        )
+        applied = True
+    return {
+        "baseline": baseline,
+        "readings": readings,
+        "recommended": recommended,
+        "applied": applied,
     }
 
 

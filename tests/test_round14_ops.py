@@ -428,3 +428,88 @@ def test_png_palette_and_interlaced_decode():
         ihdr_end = 8 + 12 + 13
         plte_len = int.from_bytes(raw[ihdr_end : ihdr_end + 4], "big")
         decode_png(raw[:ihdr_end] + raw[ihdr_end + 12 + plte_len :])
+
+
+# ---------------------------------------------------------------------------
+# Round-14 extension: the reparameterize probe behind the remediation's
+# terminal verdict — richer codes measured, not guessed
+# ---------------------------------------------------------------------------
+
+
+def test_reparameterize_probe_recommends_richer_codes(spark, tmp_path):
+    """On the base corpus at fixed (probes=16, rerank=50) the m=8/nc=8
+    index reads ~0.70; the cost-ascending candidate ladder measures
+    nc=32 (~0.85), m=16 (~0.78), then m=16+nc=32 (1.00) — the first to
+    clear the 0.95 floor wins, and apply=True rebuilds the index at the
+    winning parameters with the metadata re-stamped."""
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_reparameterize_probe,
+        ivfpq_search_index,
+    )
+
+    emb = _emb(spark)
+    base = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+    idx = str(tmp_path / "base")
+    ivfpq_build_index(emb, idx, **base)
+    q = emb.filter(F.col("vec_id") < 16)
+
+    res = ivfpq_reparameterize_probe(
+        emb, idx, q, recall_floor=0.95, scratch_dir=str(tmp_path / "scratch"),
+        probes=16, rerank=50, apply=True,
+    )
+    assert res["baseline"] < 0.95, res
+    assert res["recommended"] == dict(base, m=16, n_centroids=32), res
+    assert res["applied"] is True
+    # the cheaper rungs were measured and recorded (miss), the winner
+    # clears the floor
+    assert len(res["readings"]) == 3, res
+    assert res["readings"]["n_cells=16,m=16,n_centroids=32"] >= 0.95
+    assert all(
+        v < 0.95 for k_, v in res["readings"].items() if "m=16,n_centroids=32" not in k_
+    ), res
+    # applied: the index now validates (and searches) under the NEW
+    # parameters, and refuses the old ones
+    got = ivfpq_search_index(q, emb, idx, k=5, probes=16, rerank=50,
+                             **res["recommended"])
+    assert got.count() > 0
+    with pytest.raises(ValueError, match="different parameters"):
+        ivfpq_search_index(q, emb, idx, k=5, **base).collect()
+
+
+def test_reparameterize_probe_honest_none_on_near_ties(spark, tmp_path):
+    """The adversarial near-tie fixture (+10-shifted cluster: true
+    cosine neighbors differ at the 4th decimal) defeats EVERY
+    parameterization — the probe must say so (recommended None, nothing
+    applied) instead of recommending a rebuild that cannot help; the
+    remedy there is rerank depth (ivfpq_remediate_drift's code_tied
+    lane)."""
+    from data_warehouse_punta_fina_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_build_index,
+        ivfpq_reparameterize_probe,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    base = dict(n_cells=16, m=8, n_centroids=8, iters=2)
+    idx = str(tmp_path / "ties")
+    ivfpq_build_index(emb, idx, **base)
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"),
+        F.transform("embedding", lambda x: (F.lit(10.0) + x).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    ivfpq_append_index(shifted, idx)
+    union = emb.unionByName(shifted)
+    drift_q = shifted.filter(F.col("vec_id") < n + 16)
+
+    res = ivfpq_reparameterize_probe(
+        union, idx, drift_q, recall_floor=0.7, scratch_dir=str(tmp_path / "scratch"),
+        probes=4, rerank=50, apply=True,
+        candidates=(dict(base, n_centroids=32),),
+    )
+    assert res["recommended"] is None and res["applied"] is False, res
+    assert res["baseline"] < 0.2, res
+    assert all(v < 0.2 for v in res["readings"].values()), res
