@@ -561,15 +561,19 @@ def main() -> None:
             order = pinned + [n for n in order if n not in pinned]
             out.setdefault("oracle_rotation", {})["pinned_first"] = pinned
             osec, oskipped = _oracle_times(entrymod, sf_dir, order, known)
-            # merge this run's readings into the cost ledger (committed
-            # alongside the bench artifacts so a fresh checkout orders
-            # correctly from round 1 of its history)
-            try:
-                known.update(osec)
-                with open(_oracle_costs_path(), "w") as fh:
-                    json.dump({k: known[k] for k in sorted(known)}, fh, indent=1)
-            except OSError as exc:
-                print(f"bench: could not persist oracle cost ledger: {exc}", file=sys.stderr)
+            # merge this run's readings into the cost ledger — COMMIT
+            # runs only (the ledger is a committed artifact; a driver/
+            # ad-hoc run writing it would dirty the working tree, the
+            # exact provenance leak the *_driver.json split exists to
+            # prevent). Driver runs still READ the committed ledger for
+            # ordering, which is what coverage depends on.
+            if os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1":
+                try:
+                    known.update(osec)
+                    with open(_oracle_costs_path(), "w") as fh:
+                        json.dump({k: known[k] for k in sorted(known)}, fh, indent=1)
+                except OSError as exc:
+                    print(f"bench: could not persist oracle cost ledger: {exc}", file=sys.stderr)
             # budget-skipped oracles go in the ARTIFACT, not just stderr
             # (VERDICT r6 #6 — the driver doesn't keep stderr)
             if oskipped:
