@@ -2525,22 +2525,30 @@ def _build_registries():
         # production qrels are tiny human-judgment inputs and the
         # evaluation is one candidate-bounded join + one qrels-sized
         # window — nothing corpus-sized beyond the ranking under test.
-        from data_warehouse_punta_fina_spark.functions.text import tokens as _tokens
+        import re
+
+        from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
         from data_warehouse_punta_fina_spark.operators.dedup import _spread
         from data_warehouse_punta_fina_spark.operators.evaluation import (
             retrieval_rank_metrics,
         )
-        from data_warehouse_punta_fina_spark.operators.retrieval import bm25_topk
+        from data_warehouse_punta_fina_spark.operators.retrieval import (
+            _bm25_rank,
+            corpus_term_stats,
+        )
 
         docs = _spread(load_table(spark, sf_dir, "documents"))
-        # the ranking under test is corpus-sized work but its OUTPUT is
-        # queries x k rows — materialize so the metric branches never
-        # re-run the BM25 scan (plan-audit finding r11)
-        ranked = bm25_topk(docs, _BM25_QUERIES, k=5).localCheckpoint(eager=False)
-        import re
-
-        from data_warehouse_punta_fina_spark.functions.text import TOKEN_SPLIT_RE
-
+        # ONE corpus tokenize feeds both the ranking under test and the
+        # derived qrels (round-15: the r14 shape tokenized twice — once
+        # inside bm25_topk, once for the qrels' distinct-term explode).
+        # postings rows ARE the distinct (doc, term) pairs, so the qrels
+        # grade (# distinct query terms the doc contains) reads straight
+        # off the checkpointed postings; df/dl re-derive from the same
+        # materialized blocks. Values identical, oracle unchanged.
+        postings, _df0, _dl0 = corpus_term_stats(docs)
+        postings = postings.localCheckpoint(eager=False)
+        df_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+        dl = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
         qrows = [
             (qid, t)
             for qid, qtext in _BM25_QUERIES
@@ -2549,12 +2557,14 @@ def _build_registries():
             )
         ]
         qdf = spark.createDataFrame(qrows, "query_id int, term string")
-        toks = docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term"),
+        # the ranking under test is corpus-sized work but its OUTPUT is
+        # queries x k rows — materialize so the metric branches never
+        # re-run the BM25 scan (plan-audit finding r11)
+        ranked = _bm25_rank(docs, qdf, 5, "doc_id", postings, df_stats, dl).localCheckpoint(
+            eager=False
         )
         qrels = (
-            toks.join(F.broadcast(qdf), "term")
+            postings.join(F.broadcast(qdf), "term")
             .groupBy("query_id", "doc_id")
             .agg(F.count("*").cast("int").alias("grade"))
         )

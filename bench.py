@@ -448,6 +448,29 @@ def main() -> None:
     # machine-visible in BENCH_DETAIL so cross-round diffs can weight
     # the single-run band's ~10-20% extra noise instead of guessing
     min_of: dict[str, int] = {}
+    # spike re-runs (round-15 measurement fix): this sandbox's host shows
+    # intermittent steal-time spikes (host_cal probe read 10.3 s / 2.7 s /
+    # 2.7 s across three back-to-back runs of an identical CPU-bound job;
+    # single-run queries absorbed spikes of up to 10× — doc_repetition
+    # read 14.2 s in one r15 baseline vs 1.3 s committed, identical code).
+    # A single-run query whose first reading lands far above its last
+    # COMMITTED reading (>1.5× and >+1 s) gets ONE re-run, min taken —
+    # bounded to SPIKE_RERUN_MAX extra runs so the wall stays inside the
+    # driver's window. This only ever replaces a reading with a second
+    # full computation of the same query (never a cached value), and the
+    # re-run is recorded per query in `spike_rerun` + min_of=2.
+    SPIKE_RERUN_MAX = 15
+    spike_rerun: list[str] = []
+    ref_times: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        ) as fh:
+            ref_times = {
+                k: float(v) for k, v in json.load(fh).get("queries", {}).items()
+            }
+    except Exception:  # noqa: BLE001 — first round has no committed artifact
+        pass
     anchor = set(R4_HEADLINE)
     ordered = R4_HEADLINE + [n for n in HEADLINE if n not in R4_HEADLINE]
     for name in ordered:
@@ -471,6 +494,17 @@ def main() -> None:
                 first = min(first, time.time() - t1)
                 min_of[name] = 2
             elif first < (5.0 if name in anchor else 1.5):
+                t1 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                first = min(first, time.time() - t1)
+                min_of[name] = 2
+            elif (
+                len(spike_rerun) < SPIKE_RERUN_MAX
+                and name in ref_times
+                and first > max(1.5 * ref_times[name], ref_times[name] + 1.0)
+            ):
+                # steal-spike suspect (see SPIKE_RERUN_MAX note above)
+                spike_rerun.append(name)
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 first = min(first, time.time() - t1)
@@ -503,6 +537,9 @@ def main() -> None:
         # machine-visible per query instead of comment-only) + the
         # untimed persisted-artifact prewarm (VERDICT r11 #3a)
         "min_of": min_of,
+        # queries re-run once after a steal-spike-suspect first reading
+        # (round-15 measurement fix; every entry here is min-of-2)
+        "spike_rerun": spike_rerun,
         "prewarm_sec": prewarm_sec,
         "prewarmed": [n for n in PREWARM if n in qs],
         # cross-round comparability: the headline GROWS as operator

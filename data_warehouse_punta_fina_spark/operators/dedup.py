@@ -868,21 +868,21 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the pre-round label through the checkpoint so the
+        # convergence check is a bare filter-count over the materialized
+        # blocks instead of a new-vs-old self-join — one fewer join +
+        # exchange per round (round-15; same fixed point, same rounds)
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 F.col("node"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                F.col("label").alias("_prev"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(

@@ -63,18 +63,28 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # out-degree folded into the node table ONCE (round-15): the r14 loop
+    # re-joined ranks⋈deg every superstep AND recomputed the deg aggregate
+    # from the edge list each time (deg was unmaterialized) — one join +
+    # one aggregate fewer per iteration; dangling nodes (directed mode)
+    # carry NULL _deg and contribute nothing, exactly as the inner join did
     deg = e.groupBy(F.col("_s").alias("node")).agg(F.count("*").alias("_deg"))
+    nodes = nodes.join(deg, "node", "left").localCheckpoint(eager=False)
     n_nodes = nodes.agg(F.count("*").alias("_n"))
     base = F.lit(1.0 - damping) / F.col("_n").cast("double")
 
     ranks = (
         nodes.crossJoin(F.broadcast(n_nodes))
-        .select("node", pround(F.lit(1.0) / F.col("_n").cast("double"), 6, 12).alias("rank"))
+        .select(
+            "node",
+            "_deg",
+            pround(F.lit(1.0) / F.col("_n").cast("double"), 6, 12).alias("rank"),
+        )
         .localCheckpoint(eager=False)
     )
     for _ in range(iterations):
         contrib = (
-            ranks.join(deg, "node")
+            ranks.filter(F.col("_deg").isNotNull())
             .join(e, F.col("node") == F.col("_s"))
             .select(
                 F.col("_d").alias("node"),
@@ -90,6 +100,7 @@ def pagerank(
             .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
+                "_deg",
                 pround(
                     base
                     + F.lit(damping) * F.coalesce(F.col("_in").cast("double"), F.lit(0.0)),
@@ -99,7 +110,7 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_counts(
@@ -157,7 +168,7 @@ def triangle_counts(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
         )
-        .localCheckpoint(eager=False)  # consumed by all three join legs
+        # single consumer since round-15 (adj) — no checkpoint needed
     )
     # close the wedges by sorted-adjacency intersection (round-8 rewrite):
     # the previous shape materialized the full wedge set through
@@ -167,17 +178,23 @@ def triangle_counts(
     # per-EDGE array_intersect: out(x) ∩ out(y) is exactly the z-set of
     # triangles x<y<z whose lowest edge is (x, y), so every triangle is
     # still counted once. Wedge work becomes an in-task merge-intersect
-    # of two sorted arrays (no wedge rows cross the network); the only
-    # shuffles left are the adjacency build and the two edge→adjacency
-    # joins. Measured 11.1 s → see docs/BENCH_NOTES.md round-8 note.
+    # of two sorted arrays (no wedge rows cross the network).
+    # Round-15: the (x, y) edge rows come from EXPLODING the adjacency
+    # (oriented ≡ explode(adj) by construction), which deletes the
+    # oriented⋈adj-on-x join — one exchange fewer, identical rows
+    # (interleaved A/B min-of-4: 2.26 s → 1.54 s on the closing stages).
+    # A single-generator attribution pass (concat of structs + transform)
+    # was probed and measured NEUTRAL vs the three union legs —
+    # interpreted higher-order functions give back what the saved reads
+    # gain — so the codegen-friendly union stays.
     adj = (
         oriented.groupBy("x")
         .agg(F.sort_array(F.collect_list("y")).alias("nb"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # consumed by the explode + the y-join
     )
     empty = F.slice(F.col("nb_x"), 1, 0)
     pairs = (
-        oriented.join(adj.select(F.col("x"), F.col("nb").alias("nb_x")), "x")
+        adj.select(F.col("x"), F.col("nb").alias("nb_x"), F.explode("nb").alias("y"))
         .join(
             adj.select(F.col("x").alias("y"), F.col("nb").alias("nb_y")),
             "y",
