@@ -28,6 +28,15 @@ def get_spark(app_name: str = "punta_fina_spark", master: str | None = None) -> 
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # floor for AQE's post-shuffle coalescing (Spark default 1m).
+        # Compute-dense small-byte stages (quantized-vector training
+        # aggregates, token stats) are k·dims-row tables at ANY corpus
+        # size, so the floor is a scale-independent knob — overridable to
+        # probe the coalesce-vs-parallelism trade without code changes.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
