@@ -1325,6 +1325,25 @@ def _build_registries():
         sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
             eager=False
         )
+        # the ≥3-shared-shingle detector computed ONCE as an unordered pair
+        # table (round-15): the r14 shape re-ran the full shingle self-join
+        # PER SCHEME (test×train each time); the split assignment only
+        # decides which pairs count as cross-boundary, so the detector is
+        # split-independent — id_a < id_b halves the join output and both
+        # schemes read the same checkpointed pair set. A cross-boundary
+        # pair has exactly one test endpoint, so the unordered pair count
+        # equals the old (test_id, train_id) count; n_shared multiplicity
+        # semantics are unchanged (same Σ count_a·count_b per shingle).
+        shared3 = (
+            sh.select(F.col("doc_id").alias("id_a"), "shingle")
+            .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= 3)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=False)
+        )
 
         def _scheme_counts(split_df: DataFrame, scheme: str) -> DataFrame:
             sa = split_df.select(
@@ -1339,18 +1358,10 @@ def _build_registries():
                 .filter(F.col("train_a") != F.col("train_b"))
                 .agg(F.count("*").alias("n_cross_lsh_pairs"))
             )
-            tagged = sh.join(split_df, "doc_id")
-            test_sh = tagged.filter(~F.col("is_train")).select(
-                F.col("doc_id").alias("test_id"), "shingle"
-            )
-            train_sh = tagged.filter(F.col("is_train")).select(
-                F.col("doc_id").alias("train_id"), "shingle"
-            )
             contam = (
-                test_sh.join(train_sh, "shingle")
-                .groupBy("test_id", "train_id")
-                .agg(F.count("*").alias("n_shared"))
-                .filter(F.col("n_shared") >= 3)
+                shared3.join(sa, "id_a")
+                .join(sb, "id_b")
+                .filter(F.col("train_a") != F.col("train_b"))
                 .agg(F.count("*").alias("n_contam_pairs"))
             )
             return lsh_cross.crossJoin(F.broadcast(contam)).select(
