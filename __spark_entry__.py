@@ -729,12 +729,17 @@ def _build_registries():
         # loop, no driver state), argmax-scored on the held-out split via
         # a broadcast vocabulary-model join. Scores are exact decimal sums
         # of round-6 log-probs → engine-portable (operators/classify.py)
-        from data_warehouse_punta_fina_spark.operators.classify import nb_classify
+        # Round-16 (guide §6): the split runs through nb_classify_split —
+        # ONE text scan / ONE fingerprint evaluation feeding a shared
+        # postings checkpoint instead of the filter-pair shape's three
+        # scans; values identical by construction (oracle re-verified).
+        from data_warehouse_punta_fina_spark.operators.classify import (
+            nb_classify_split,
+        )
 
         docs = load_table(spark, sf_dir, "documents")
-        b = fingerprint("text") % 10
-        return nb_classify(
-            docs.filter(b < 8), docs.filter(b >= 8), "text", "doc_id", "lang"
+        return nb_classify_split(
+            docs, fingerprint("text") % 10, "text", "doc_id", "lang", train_buckets=8
         )
 
     def doc_nb_persisted_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,12 +837,16 @@ def _build_registries():
         # criterion — i.e. the annotation queue that improves the filter
         # fastest. TakeOrderedAndProject: per-partition top-k, no global
         # sort; ties deterministic on doc_id.
-        from data_warehouse_punta_fina_spark.operators.classify import nb_classify
+        # round-16: same one-scan split trainer as doc_nb_lang_classifier
+        # (guide §6 — the scored frame is value-identical; only the
+        # selection below differs)
+        from data_warehouse_punta_fina_spark.operators.classify import (
+            nb_classify_split,
+        )
 
         docs = load_table(spark, sf_dir, "documents")
-        b = fingerprint("text") % 10
-        scored = nb_classify(
-            docs.filter(b < 8), docs.filter(b >= 8), "text", "doc_id", "lang"
+        scored = nb_classify_split(
+            docs, fingerprint("text") % 10, "text", "doc_id", "lang", train_buckets=8
         )
         return (
             scored.orderBy(F.abs(F.col("margin")).asc(), F.asc("doc_id"))
@@ -1105,14 +1114,36 @@ def _build_registries():
         # into flags + a precedence verdict. Each stage is the
         # already-verified operator; this query proves they COMPOSE
         from data_warehouse_punta_fina_spark.operators.dedup import (
-            exact_dedup,
+            _spread,
             lsh_verified_pairs,
         )
 
         docs = load_table(spark, sf_dir, "documents")
-        canon = exact_dedup(docs)  # (content_hash, canonical_id, n_copies)
-        hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
-        exact_flag = hashed.join(canon, "content_hash").select(
+        # round-16 (guide §6 read-once): one projected scan computes every
+        # per-doc signal — content hash + the three text functions — and
+        # is checkpointed for all consumers; the r15 shape read the text
+        # column in FOUR scans (exact_dedup's md5+groupBy, the per-doc md5
+        # flag scan, the base signal scan, the LSH tokenize). The canon
+        # aggregation below IS exact_dedup's body verbatim over the shared
+        # projection (md5 → groupBy → min id + count), so flags and values
+        # are identical; only the LSH leg keeps its own (tokenize) scan.
+        proj = (
+            _spread(docs.select("doc_id", "text"))  # raw rows below, heavy exprs above
+            .select(
+                "doc_id",
+                F.md5("text").alias("content_hash"),
+                token_count("text").cast("int").alias("n_tokens"),
+                quality_score("text").alias("quality"),
+                lang_id("text").alias("lang_pred"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        canon = proj.groupBy("content_hash").agg(
+            F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+        )
+        exact_flag = proj.select("doc_id", "content_hash").join(
+            canon, "content_hash"
+        ).select(
             "doc_id", (F.col("doc_id") != F.col("canonical_id")).alias("is_exact_dup")
         )
         near_ids = (
@@ -1121,12 +1152,7 @@ def _build_registries():
             .distinct()
             .withColumn("_near", F.lit(True))
         )
-        base = docs.select(
-            "doc_id",
-            token_count("text").cast("int").alias("n_tokens"),
-            quality_score("text").alias("quality"),
-            lang_id("text").alias("lang_pred"),
-        )
+        base = proj.select("doc_id", "n_tokens", "quality", "lang_pred")
         out = (
             base.join(exact_flag, "doc_id")
             .join(near_ids, "doc_id", "left")
@@ -2117,17 +2143,41 @@ def _build_registries():
             )
             .distinct()
         )
-        lex = bm25_topk_terms(
-            _spread(docs), qterms, k=20, exclude_query_doc=True
-        ).select("query_id", "doc_id", "rank")
-        sem = ivf_trained_topk(
-            emb,
-            emb.filter(F.col("vec_id").isin(qids)),
-            k=20,
-            n_centroids=16,
-            iters=2,
-            probes=3,
-        ).select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rank"))
+        # round-16 (guide §2.6, VERDICT r15 #4): the lexical and semantic
+        # legs are independent until the fuse, but the IVF leg's k-means
+        # training executes synchronously at construction (AQE compiles
+        # its localCheckpoint), serializing it BEFORE the lexical leg's
+        # tokenize ran in the final action. Build both legs in parallel
+        # driver threads, each ending in a lazy checkpoint so its stage
+        # chain runs inside its thread; results are unchanged (the legs'
+        # plans are identical, only the wall-clock interleaving moves).
+        from data_warehouse_punta_fina_spark.operators.materialize import (
+            build_concurrently,
+        )
+
+        lex, sem = build_concurrently(
+            [
+                lambda: bm25_topk_terms(
+                    _spread(docs), qterms, k=20, exclude_query_doc=True
+                )
+                .select("query_id", "doc_id", "rank")
+                .localCheckpoint(eager=False),
+                lambda: ivf_trained_topk(
+                    emb,
+                    emb.filter(F.col("vec_id").isin(qids)),
+                    k=20,
+                    n_centroids=16,
+                    iters=2,
+                    probes=3,
+                )
+                .select(
+                    F.col("query_id"),
+                    F.col("neighbor_id").alias("doc_id"),
+                    F.col("rank"),
+                )
+                .localCheckpoint(eager=False),
+            ]
+        )
         return rrf_fuse({"lex": lex, "sem": sem}, k=5, rrf_k=60)
 
     def doc_hybrid_rrf_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,10 +4,18 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
 detailed JSON line ({"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., per-query oracle ratios, ...}) and
-then a compact summary JSON line LAST — the detailed line outgrew the
-driver's 2000-char tail capture at 67 queries (BENCH_r05 parsed=null),
-so the final line is guaranteed short; full detail also lands in
-BENCH_DETAIL.json.
+then a compact summary JSON line LAST. Round-16 (VERDICT r15 #2): the
+final line carries the "queries": {name: sec} map again — the driver's
+PERF per-query/scaling comparison reads the FINAL one-line JSON, and
+two rounds of totals-only final lines left PERF.per_query empty
+(n_common: 0), making per-query regressions invisible. The headline
+scalars lead the line; the map is the last key. The r05-era concern
+(a >2000-char line outgrowing a tail capture, BENCH_r05 parsed=null)
+is covered by the BENCH_SUMMARY*.json artifact twins, persisted since
+round 7 precisely so no stdout tail window is load-bearing. Full
+detail also lands in BENCH_DETAIL*.json (plus cpu-suffixed
+*_driver_c{N}.json twins, so the driver's 8-core scaling run can no
+longer overwrite the 32-core run's per-query detail).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). Session startup is excluded — the reference baseline
@@ -461,6 +469,13 @@ def main() -> None:
     # re-run is recorded per query in `spike_rerun` + min_of=2.
     SPIKE_RERUN_MAX = 15
     spike_rerun: list[str] = []
+    # first-reading record (round-16, VERDICT r15 #3): the spike guard is
+    # one-sided (only upward outliers get a retry), so cross-round totals
+    # under the old first-reading methodology must stay reconstructible.
+    # Every query that gets a second run records its FIRST reading here —
+    # old-methodology total = sum(first_run.get(n, times[n])). Zero extra
+    # wall; purely additive to the artifact.
+    first_run: dict[str, float] = {}
     ref_times: dict[str, float] = {}
     try:
         with open(
@@ -489,11 +504,13 @@ def main() -> None:
                 # read and corrupt the cross-round anchor series). The
                 # rerun also repopulates the memo for the star queries.
                 entrymod.reset_session_memo()
+                first_run[name] = round(first, 3)
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 first = min(first, time.time() - t1)
                 min_of[name] = 2
             elif first < (5.0 if name in anchor else 1.5):
+                first_run[name] = round(first, 3)
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 first = min(first, time.time() - t1)
@@ -505,6 +522,7 @@ def main() -> None:
             ):
                 # steal-spike suspect (see SPIKE_RERUN_MAX note above)
                 spike_rerun.append(name)
+                first_run[name] = round(first, 3)
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 first = min(first, time.time() - t1)
@@ -540,6 +558,15 @@ def main() -> None:
         # queries re-run once after a steal-spike-suspect first reading
         # (round-15 measurement fix; every entry here is min-of-2)
         "spike_rerun": spike_rerun,
+        # FIRST reading of every min-of-2 query (round-16, VERDICT r15
+        # #3): the spike guard only retries upward outliers, so this
+        # keeps the old first-reading methodology reconstructible —
+        # old_total = sum(first_run.get(n, queries[n]) for n) — making
+        # the one-sided-retry bias measurable instead of invisible
+        "first_run": first_run,
+        "first_run_total": round(
+            sum(first_run.get(n, t) for n, t in times.items()), 3
+        ),
         "prewarm_sec": prewarm_sec,
         "prewarmed": [n for n in PREWARM if n in qs],
         # cross-round comparability: the headline GROWS as operator
@@ -671,14 +698,23 @@ def main() -> None:
     _suffix = "" if _commit_run else "_driver"
     detail_name = f"BENCH_DETAIL{_suffix}.json"
     summary_name = f"BENCH_SUMMARY{_suffix}.json"
+    # cpu-count provenance (round-16, VERDICT r15 #2): the driver runs the
+    # bench at TWO core counts and both wrote the same *_driver.json
+    # filenames, so the 8-core run overwrote the 32-core run's per-query
+    # detail and the scaling comparison lost its data. Non-commit runs
+    # additionally write cpu-suffixed twins that can never collide.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    extra_details = [] if _commit_run else [f"BENCH_DETAIL_driver_c{cpus}.json"]
+    extra_summaries = [] if _commit_run else [f"BENCH_SUMMARY_driver_c{cpus}.json"]
     print(json.dumps(out))
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name), "w"
-        ) as fh:
-            json.dump(out, fh, indent=1)
-    except OSError as exc:
-        print(f"bench: could not persist {detail_name}: {exc}", file=sys.stderr)
+    for dn in [detail_name] + extra_details:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), dn), "w"
+            ) as fh:
+                json.dump(out, fh, indent=1)
+        except OSError as exc:
+            print(f"bench: could not persist {dn}: {exc}", file=sys.stderr)
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -712,19 +748,27 @@ def main() -> None:
         # how many timed readings are single-run (no min-of-2 cover) —
         # the noise-weighting signal for cross-round per-query diffs
         "n_single_run": sum(1 for v in min_of.values() if v == 1),
-        "detail": detail_name,
+        "detail": (extra_details or [detail_name])[0],
+        # the per-query map IN the final line (round-16, VERDICT r15 #2
+        # + the original driver contract): PERF per-query/scaling
+        # comparisons read the final one-line JSON, which carried only
+        # totals for two rounds (n_common: 0) — per-query regressions
+        # were invisible to the driver. Placed LAST in the object so the
+        # headline scalars stay at the front of the line for humans.
+        "queries": times,
     }
     # also persist the compact object (VERDICT r7 #7) so the driver's
     # stdout tail capture is not load-bearing at all — it can parse
     # either the last stdout line or this artifact
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), summary_name),
-            "w",
-        ) as fh:
-            json.dump(compact, fh, indent=1)
-    except OSError as exc:
-        print(f"bench: could not persist {summary_name}: {exc}", file=sys.stderr)
+    for sn in [summary_name] + extra_summaries:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), sn),
+                "w",
+            ) as fh:
+                json.dump(compact, fh, indent=1)
+        except OSError as exc:
+            print(f"bench: could not persist {sn}: {exc}", file=sys.stderr)
     print(json.dumps(compact))
     spark.stop()
     # exit 0 iff at least one query produced a timing; the JSON lines above

@@ -143,6 +143,92 @@ def nb_classify(
     )
 
 
+def nb_classify_split(
+    docs: DataFrame,
+    bucket: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    train_buckets: int = 8,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """:func:`nb_classify` over a deterministic bucket split of ONE corpus,
+    with exactly ONE scan of the text column.
+
+    Equivalent by construction to ``nb_classify(docs.filter(bucket <
+    train_buckets), docs.filter(bucket >= train_buckets), ...)`` — same
+    counts, same decimal log-probs, same argmax — but where that shape
+    evaluates the split expression (typically an interpreted char-level
+    ``fingerprint(text)`` hash) and re-reads the text column in THREE
+    separate scans (train tokenize, test tokenize, test label base), this
+    one builds a single checkpointed postings table ``(id, label, bucket,
+    term, tf)`` via ``explode_outer`` (zero-token docs keep a NULL-term
+    row, so the doc roster and per-class doc counts survive) and derives
+    every branch from it:
+
+    - ``cond``  = train-side ``(class, term)`` occurrence sums
+      (≡ count over exploded train tokens);
+    - ``priors``= train-side distinct-doc counts per class (ids are
+      unique per the corpus contract, so ≡ ``count(*)`` of train docs);
+    - ``te_all``= test-side postings, fed to the shared scoring tail.
+
+    Guide §6 (read once) + §4 (the split hash is the expensive per-row
+    function — evaluate it once, not three times). NULL-bucket docs
+    (NULL text) fall in neither split, exactly like the filter pair.
+    """
+    from data_warehouse_punta_fina_spark.operators.dedup import _spread
+
+    posting = (
+        _spread(
+            docs.select(
+                F.col(id_col), F.col(label_col).alias("_actual"), F.col(text_col)
+            )
+        )
+        .select(
+            F.col(id_col),
+            "_actual",
+            bucket.alias("_bkt"),
+            F.explode_outer(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "_actual", "_bkt", "term")
+        .agg(F.count("*").alias("_tf"))
+        .localCheckpoint(eager=False)
+    )
+    tr = posting.filter(
+        (F.col("_bkt") < train_buckets) & F.col("_actual").isNotNull()
+    )
+    cond = (
+        tr.filter(F.col("term").isNotNull())
+        .groupBy(F.col("_actual").alias("_y"), "term")
+        .agg(F.sum("_tf").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    tots = cond.groupBy("_y").agg(F.sum("_c").alias("_tot"))
+    priors = (
+        tr.groupBy(F.col("_actual").alias("_y"))
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .localCheckpoint(eager=False)
+    )
+    n_row = priors.agg(F.sum("_nd").alias("_n"))
+    classes = (
+        priors.join(tots, "_y", "left")
+        .na.fill({"_tot": 0})
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "_y",
+            "_tot",
+            pround(
+                F.log(F.col("_nd").cast("double") / F.col("_n").cast("double")), 6, 12
+            ).alias("_prior"),
+        )
+    )
+    consts = cond.agg(F.countDistinct("term").alias("_v"))
+    te_all = posting.filter(F.col("_bkt") >= train_buckets).select(
+        id_col, "_actual", "term", "_tf"
+    )
+    return _nb_score_postings(cond, classes, consts, te_all, id_col, broadcast_model)
+
+
 def nb_save_model(
     train: DataFrame,
     model_dir: str,
@@ -227,14 +313,51 @@ def _nb_score(
     label_col: str,
     broadcast_model: bool,
 ) -> DataFrame:
+    """Build the test-side postings in ONE scan and delegate.
+
+    Round-16 (guide §6 read-once): the r15 shape scanned ``test`` twice —
+    once for the tokenize (``te_post``) and once for the (id, label) base
+    frame — and every caller passes a ``test`` whose split filter is an
+    interpreted char-level ``fingerprint(text)`` HOF, so each extra scan
+    re-hashed every document. ``explode_outer`` keeps zero-token docs as
+    a NULL-term row, so the single checkpointed postings table carries
+    both the term frequencies AND the complete (id, label) doc roster.
+    """
     from data_warehouse_punta_fina_spark.operators.dedup import _spread
 
-    te_post = (
-        _spread(test.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-        .groupBy(id_col, "term")
+    te_all = (
+        _spread(
+            test.select(
+                F.col(id_col), F.col(label_col).alias("_actual"), F.col(text_col)
+            )
+        )
+        .select(
+            F.col(id_col),
+            "_actual",
+            F.explode_outer(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "_actual", "term")
         .agg(F.count("*").alias("_tf"))
+        .localCheckpoint(eager=False)
     )
+    return _nb_score_postings(cond, classes, consts, te_all, id_col, broadcast_model)
+
+
+def _nb_score_postings(
+    cond: DataFrame,
+    classes: DataFrame,
+    consts: DataFrame,
+    te_all: DataFrame,
+    id_col: str,
+    broadcast_model: bool,
+) -> DataFrame:
+    """Scoring tail over prebuilt test postings ``te_all`` — one row per
+    (doc, term) with ``_tf``, plus a NULL-term row for zero-token docs so
+    every document is present (``explode_outer`` upstream). ``_actual``
+    rides the postings; the doc roster is ``te_all.select(id, _actual)
+    .distinct()`` (ids are unique per the engine's corpus contract — the
+    argmax window deduplicates to one output row per id either way)."""
+    te_post = te_all.filter(F.col("term").isNotNull()).select(id_col, "term", "_tf")
     expanded = te_post.crossJoin(F.broadcast(classes.select("_y", "_tot")))
     model = F.broadcast(cond) if broadcast_model else cond
     joined = (
@@ -258,7 +381,7 @@ def _nb_score(
     )
 
     full = (
-        test.select(F.col(id_col), F.col(label_col).alias("_actual"))
+        te_all.select(F.col(id_col), F.col("_actual")).distinct()
         .crossJoin(F.broadcast(classes.select("_y", "_prior")))
         .join(persc, [id_col, "_y"], "left")
         .withColumn("_score", F.col("_prior") + F.coalesce(F.col("_s"), F.lit(0)))

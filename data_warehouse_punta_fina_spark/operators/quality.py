@@ -352,23 +352,51 @@ def fd_violations(
 
     Output per violating determinant value: ``n_rows``, ``n_variants``
     (distinct dependent tuples), and the lexicographically first/last
-    variant rendered as strings for inspection. One hash aggregation on
-    the determinant key; dependent tuples compare as concatenated
-    strings with a NUL separator (NULL → the literal '<null>'), so the
-    distinct-count never builds a struct shuffle."""
+    variant rendered as strings for inspection. Dependent tuples compare
+    as concatenated strings with a NUL separator (NULL → the literal
+    '<null>'), so the distinct-count never builds a struct shuffle.
+
+    Shape (round-16, guide §2.3/§1.2): the r15 form put ``min/max`` of
+    the rendered STRING in the big aggregation — string min/max has no
+    mutable fixed-width buffer, so Spark planned the WHOLE table through
+    SortAggregate (a full sort with the rendered tuple in the sort key,
+    on both sides of the exchange — the dominant cost in the profile).
+    Violations are by definition the rare slice, so now:
+
+    1. counts run as pure HASH aggregation — level 1 groups by
+       (determinants, rendered) (strings are fine as *keys*; no Expand,
+       no sort anywhere), level 2 reduces to per-key ``n_rows`` /
+       ``n_variants`` and keeps only violators;
+    2. the first/last variant strings are fetched by re-joining the
+       (broadcast, violator-only) keys against the level-1 groups — the
+       string min/max SortAggregate now runs over the violating handful
+       of rows instead of the full table.
+
+    Same rows, same values: level-1/level-2 counts are exactly the old
+    ``count(*)`` / ``count_distinct``; min/max over a violating key's
+    distinct rendered values equal min/max over its raw rows.
+    """
     rendered = F.concat_ws(
         "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in dependents]
     )
-    per = df.groupBy(*[F.col(c) for c in determinants]).agg(
-        F.count("*").alias("n_rows"),
-        F.count_distinct(rendered).alias("n_variants"),
-        F.min(rendered).alias("first_variant"),
-        F.max(rendered).alias("last_variant"),
+    det = [F.col(c) for c in determinants]
+    groups = df.groupBy(*det, rendered.alias("_r")).agg(
+        F.count("*").alias("_n")
+    ).localCheckpoint(eager=False)  # two consumers: counts + variant fetch
+    per = (
+        groups.groupBy(*det)
+        .agg(F.sum("_n").alias("n_rows"), F.count("*").alias("n_variants"))
+        .filter(F.col("n_variants") > 1)
     )
-    return per.filter(F.col("n_variants") > 1).select(
+    variants = (
+        groups.join(F.broadcast(per.select(*determinants)), determinants)
+        .groupBy(*det)
+        .agg(F.min("_r").alias("first_variant"), F.max("_r").alias("last_variant"))
+    )
+    return per.join(variants, determinants).select(
         *determinants,
-        "n_rows",
-        "n_variants",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_variants").cast("long").alias("n_variants"),
         F.regexp_replace("first_variant", "\x00", " | ").alias("first_variant"),
         F.regexp_replace("last_variant", "\x00", " | ").alias("last_variant"),
     )

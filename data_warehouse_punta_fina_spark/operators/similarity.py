@@ -744,11 +744,29 @@ def ivfpq_topk(
     tools/ann_recall.py + docs/SCALE.md.
     """
     from data_warehouse_punta_fina_spark.functions.money import pround6
-    from data_warehouse_punta_fina_spark.operators.materialize import materialize
+    from data_warehouse_punta_fina_spark.operators.materialize import (
+        build_concurrently,
+        materialize,
+    )
 
-    coarse = materialize(
-        kmeans_fit(corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col),
-        centroids_path,
+    # round-16 (guide §2.6, VERDICT r15 #3): the coarse quantizer and the
+    # PQ codebook train on the same corpus but are INDEPENDENT — built
+    # sequentially, their per-iteration stage chains serialize into the
+    # ~33 tiny 1-task AQE jobs the r15 profiler measured. Two driver
+    # threads overlap the chains; plans and results are unchanged.
+    coarse, cb = build_concurrently(
+        [
+            lambda: materialize(
+                kmeans_fit(
+                    corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+                ),
+                centroids_path,
+            ),
+            lambda: materialize(
+                pq_fit(corpus, m, n_centroids, iters, id_col, vec_col, dims),
+                codebook_path,
+            ),
+        ]
     )
     cv = corpus.select(F.col(id_col), quantize(vec_col).alias("qvec"))
     c_cells = _assign(cv, coarse, id_col).select(id_col, "cid")
@@ -761,10 +779,6 @@ def ivfpq_topk(
         )
         .withColumnRenamed(id_col, "query_id")
         .select("query_id", "cid")
-    )
-
-    cb = materialize(
-        pq_fit(corpus, m, n_centroids, iters, id_col, vec_col, dims), codebook_path
     )
     codes = _assign_sub(_subvectors(corpus, id_col, vec_col, m, dims), cb, id_col).select(
         id_col, "sub", F.col("cid").alias("scid")

@@ -36,6 +36,12 @@ def main() -> None:
                     help="dump per-stage task-time via the UI REST API (set SPARK_GRAFT_UI=true)")
     ap.add_argument("--sql", action="store_true",
                     help="dump top SQL-plan operators by time via the UI REST API")
+    ap.add_argument("--no-checkpoint", action="store_true",
+                    help="neutralize DataFrame.localCheckpoint while building the "
+                    "query so --explain captures the FULL pre-checkpoint lineage "
+                    "(VERDICT r15 #8: checkpoint tails hid the deleted operators). "
+                    "Plan-evidence mode only — timings under this flag re-execute "
+                    "shared subtrees and must not be quoted as readings.")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -60,6 +66,17 @@ def main() -> None:
         .withColumn("e", F.explode(F.array(F.lit(1), F.lit(2))))
         .write.format("noop").mode("overwrite").save()
     )
+
+    if args.no_checkpoint:
+        from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+        try:  # Spark 4: the concrete classic DataFrame overrides the base
+            from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+            _CDF.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+        except ImportError:
+            pass
 
     for name in args.queries:
         fn = qs.get(name)
