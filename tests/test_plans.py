@@ -299,9 +299,20 @@ def test_hybrid_rrf_plan_broadcasts_queries_and_reuses_tokenize(spark):
             assert "Generate explode" in line, line.strip()[:200]
 
     # the scale-path twin: semantic candidates come from the trained-IVF
-    # cell join (equi-join on cid), never a corpus-wide cosine crossJoin
-    df2 = qs["doc_hybrid_rrf_search_ivf"](spark, "/root/testdata/sf0.001")
-    df2.collect()
+    # cell join (equi-join on cid), never a corpus-wide cosine crossJoin.
+    # Round-16: the two legs are built concurrently and land behind lazy
+    # checkpoints (guide §2.6), so the FUSE's executed plan only shows
+    # ExistingRDD tails — neutralize localCheckpoint for this build so the
+    # executed plan exposes the leg internals the assertions guard.
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    _orig_ckpt = _CDF.localCheckpoint
+    try:
+        _CDF.localCheckpoint = lambda self, eager=True: self
+        df2 = qs["doc_hybrid_rrf_search_ivf"](spark, "/root/testdata/sf0.001")
+        df2.collect()
+    finally:
+        _CDF.localCheckpoint = _orig_ckpt
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan2
     assert "CartesianProduct" not in plan2
