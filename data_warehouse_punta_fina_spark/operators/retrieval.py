@@ -47,21 +47,39 @@ B = 0.75
 
 
 def corpus_term_stats(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(postings, df_stats, dl): per-(doc, term) frequency + doc length,
     per-term document frequency, and the per-doc length table. All derive
-    from ONE explode — every branch reads the same (doc, term) shuffle, so
-    ReuseExchange/AQE materializes the tokenize exactly once per action
-    (consumers must not add a second ``tokens()`` scan for corpus-level
-    stats; aggregate ``dl`` instead — see :func:`bm25_topk`'s avgdl)."""
+    from ONE explode.
+
+    Round-16 correction to the r5-r15 assumption: the branches do NOT
+    reliably share the tokenize exchange at runtime. ``df_stats`` and the
+    doc-count/avgdl aggregates are consumed inside BROADCAST subtrees
+    (``_bm25_rank``), and AQE compiles those as separate query stages
+    whose exchanges are not deduped against the main plan's — stage
+    profiles of doc_bm25_topk showed the (doc, term) aggregation and the
+    spread exchange each executing TWICE per run (and 2× again per PRF
+    pass). The base (doc, term) count is therefore localCheckpoint-ed by
+    default, guaranteeing exactly one tokenize per query; every branch
+    reads materialized blocks. Every current caller — queries, index
+    builders/appenders, the maintenance stream's foreachBatch (a batch
+    frame, so checkpointing is legal) — has ≥2 downstream consumers and
+    keeps the default; ``materialize=False`` restores the purely lazy
+    shape for a future strictly-single-consumer caller.
+    """
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    postings = postings.join(dl, id_col)
-    df_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    base = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    if materialize:
+        base = base.localCheckpoint(eager=False)
+    dl = base.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    postings = base.join(dl, id_col)
+    df_stats = base.groupBy("term").agg(F.count("*").alias("df"))
     return postings, df_stats, dl
 
 

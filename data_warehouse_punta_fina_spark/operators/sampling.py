@@ -239,11 +239,20 @@ def systematic_sample(
     (no global window); a row is kept iff ``(pos − 1) % k == offset``.
     ``order_by`` must be a total order (append the key), or positions —
     and therefore the sample — would be tie-ambiguous."""
+    from data_warehouse_punta_fina_spark.operators.dedup import _spread
     from data_warehouse_punta_fina_spark.operators.windows import ranked_sequential_id
 
     if every_k < 1:
         raise ValueError(f"every_k must be >= 1, got {every_k}")
     if not 0 <= offset < every_k:
         raise ValueError(f"offset must be in [0, {every_k}), got {offset}")
-    ranked = ranked_sequential_id(df, order_by, out="_pos")
+    # round-16 (guide §2.4 share one exchange): the rank re-derives its
+    # sample/offsets/rank branches from lineage by design; on an
+    # under-partitioned input (one parquet split at bench SF) each branch
+    # re-ran the whole scan on ONE core, serially (profiled: two 1.1 s
+    # single-task scan stages). _spread inserts one narrow exchange that
+    # ReuseExchange shares across all three branches — scan once, branches
+    # read shuffle blocks in parallel. No-op at scale (inputs already wide)
+    # and rank values are partition-independent by construction.
+    ranked = ranked_sequential_id(_spread(df), order_by, out="_pos")
     return ranked.filter((F.col("_pos") - 1) % every_k == offset).drop("_pos")

@@ -249,11 +249,19 @@ def test_parquet_pushdown_and_column_pruning(spark):
 
 
 def test_bm25_tokenizes_corpus_once(spark):
-    """bm25_topk must not pay a second tokenize pass for avgdl: the only
-    documents scans that read the text column belong to the postings
-    exchange (shared via ReuseExchange), so the final adaptive plan
-    carries exactly ONE text-reading scan. At 100 TB tokenization is the
-    dominant map cost — a second scan doubles it (round-4 VERDICT #2)."""
+    """bm25_topk must not pay a second tokenize pass for avgdl/df/idf.
+
+    Round-16 mechanism change: the r5-r15 shape leaned on ReuseExchange,
+    and this test's old `ReusedExchange >= 1` assert stayed green while
+    stage profiles showed the tokenize exchange executing TWICE at
+    runtime (the df/n_docs consumers sit in broadcast subtrees whose AQE
+    stages don't dedupe against the main plan). corpus_term_stats now
+    localCheckpoints the base (doc, term) counts, so the guarantee is
+    structural: the final plan reads the postings from a materialized
+    ExistingRDD, and NO corpus tokenize appears in it at all (the
+    checkpoint build — the only tokenize — runs once by construction).
+    At 100 TB tokenization is the dominant map cost (round-4 VERDICT #2).
+    """
     import __spark_entry__ as entrymod
 
     qs = entrymod.all_queries()
@@ -262,18 +270,14 @@ def test_bm25_tokenizes_corpus_once(spark):
     # spawn a separate QueryExecution and leave this one un-finalized)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    # 1) the only tokenization in the plan is the posting-list explode —
-    #    the old avgdl path tokenized via a scalar size(split(...)) agg,
-    #    which appears OUTSIDE a Generate node
-    for line in plan.splitlines():
-        if "split(lower(" in line:
-            assert "Generate explode" in line, (
-                "found a tokenize outside the postings explode (second "
-                f"tokenize pass is back): {line.strip()[:200]}"
-            )
-    # 2) the identical (doc_id, term) exchanges are runtime-reused, not
-    #    recomputed per branch
-    assert plan.count("ReusedExchange") >= 1, "postings exchange was not reused"
+    # the postings feed every branch from materialized blocks
+    assert "Scan ExistingRDD" in plan, "postings are no longer materialized"
+    # and no tokenize survives in the final plan (queries are literal;
+    # the corpus tokenize lives only inside the one checkpoint build)
+    assert "split(lower(" not in plan, (
+        "found a tokenize outside the checkpointed postings build: "
+        + next(l for l in plan.splitlines() if "split(lower(" in l).strip()[:200]
+    )
 
 
 def test_hybrid_rrf_plan_broadcasts_queries_and_reuses_tokenize(spark):
@@ -292,8 +296,12 @@ def test_hybrid_rrf_plan_broadcasts_queries_and_reuses_tokenize(spark):
     assert "isFinalPlan=true" in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan[:600]
     assert "CartesianProduct" not in plan
-    assert plan.count("ReusedExchange") >= 1, "postings exchange was not reused"
-    # every tokenize sits inside the postings/query-terms explode
+    # round-16: the corpus postings are checkpoint-materialized inside
+    # corpus_term_stats (the old ReusedExchange assert held while the
+    # tokenize still ran twice at runtime — see test_bm25_tokenizes_
+    # corpus_once); the only tokenize left in the final plan is the
+    # 4-query-doc terms explode
+    assert "Scan ExistingRDD" in plan, "postings are no longer materialized"
     for line in plan.splitlines():
         if "split(lower(" in line:
             assert "Generate explode" in line, line.strip()[:200]
