@@ -1319,9 +1319,14 @@ def _build_registries():
         )
 
         docs = _spread(load_table(spark, sf_dir, "documents"))
-        pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4).localCheckpoint(
-            eager=False
-        )
+        # round-16 (guide §6): ONE checkpointed shingle table feeds both the
+        # LSH banding AND the ≥3-shared-shingle detector below — the r15
+        # shape shingled the corpus twice (stage profile: two identical
+        # 3.3 MB shingle aggregations per run). Same rows, same results.
+        sh0 = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
+        pairs = minhash_lsh_pairs(
+            docs, num_hashes=12, bands=4, shingles=sh0
+        ).localCheckpoint(eager=False)
         clusters = dedup_clusters(docs.select("doc_id"), pairs, max_iter=30).select(
             "doc_id", "cluster_id"
         )
@@ -1341,7 +1346,6 @@ def _build_registries():
             "doc_id", (F.pmod(digits, F.lit(10)) < 8).alias("is_train")
         )
 
-        sh0 = shingle_rows(docs, "text", "doc_id").localCheckpoint(eager=False)
         hot = (
             sh0.groupBy("shingle")
             .agg(F.count("*").alias("_df"))

@@ -145,6 +145,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 12,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature columns h0..h{k-1} (int64).
 
@@ -156,8 +157,16 @@ def minhash_signatures(
     step (hex slice → int64, multiply-add, mod) is exactly reproducible
     in an external SQL oracle. Shape: explode shingles (map) → groupBy
     doc (shuffle on doc id with map-side combine).
+
+    ``shingles`` (round-16, guide §6 read-once): a prebuilt (id, shingle)
+    table — normally a checkpointed ``shingle_rows`` output a caller
+    shares across the LSH side and an exact-verify/detector side, so the
+    corpus is shingled once per query instead of once per consumer. MUST
+    be the same rows ``shingle_rows(df, text_col, id_col, shingle_n)``
+    would produce (same ``shingle_n``!); the parameter only changes where
+    the rows come from, never their values.
     """
-    sh = shingle_rows(df, text_col, id_col, shingle_n)
+    sh = shingle_rows(df, text_col, id_col, shingle_n) if shingles is None else shingles
     md = F.md5(F.col("shingle"))
     hashed = sh.select(
         F.col(id_col),
@@ -181,6 +190,7 @@ def minhash_band_keys(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, band_key) — the LSH index rows for a corpus. The
     reusable half of :func:`minhash_lsh_pairs`: at warehouse scale this
@@ -193,7 +203,7 @@ def minhash_band_keys(
             "trailing hash columns would be silently dropped"
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingles)
     # parameter fingerprint rides on the band_key column's metadata: it
     # survives a parquet round-trip (Spark persists field metadata in the
     # footer; band_key is a DATA column, unlike band, which is typically the
@@ -238,6 +248,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     bands_path: str | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + banded LSH.
 
@@ -251,7 +262,7 @@ def minhash_lsh_pairs(
     the self-join (cluster posture: survives executor loss, reusable as a
     persisted index); default is an ephemeral local checkpoint.
     """
-    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, shingle_n)
+    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, shingle_n, shingles)
     # a DataFrame self-join re-executes the whole subplan per branch —
     # materialize the band table once and both sides read it
     banded = _materialize(banded, bands_path)
@@ -350,10 +361,18 @@ def lsh_verified_pairs(
     threshold (LSH false positives are filtered; false negatives are the
     documented recall trade of banding).
     """
-    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n, bands_path)
+    # round-16 (guide §6): ONE shingle table feeds both stages — the r15
+    # shape shingled the corpus twice (once inside minhash_signatures,
+    # once for the exact verify); stage profiles showed the two identical
+    # shingle aggregations back to back. Same rows, same results.
+    sh = _materialize(shingle_rows(df, text_col, id_col, shingle_n), shingles_path)
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n, bands_path, shingles=sh
+    )
     return jaccard_on_candidates(
         df, cand, text_col, id_col, shingle_n, threshold, shingles_path,
         assume_distinct=True,  # band-join output is already .distinct()
+        shingles=sh,
     )
 
 
@@ -366,6 +385,7 @@ def jaccard_on_candidates(
     threshold: float = 0.0,
     shingles_path: str | None = None,
     assume_distinct: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY for the given (id_a, id_b) candidate
     pairs — the verify stage any blocking scheme (LSH bands, SimHash
@@ -381,7 +401,14 @@ def jaccard_on_candidates(
         cand = candidates.select("id_a", "id_b")
     else:
         cand = candidates.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
-    sh = _materialize(shingle_rows(df, text_col, id_col, shingle_n), shingles_path)
+    # ``shingles``: caller-shared prebuilt (id, shingle) table (already
+    # materialized by the caller; shingles_path is then the caller's
+    # concern) — see minhash_signatures for the value contract
+    sh = (
+        shingles
+        if shingles is not None
+        else _materialize(shingle_rows(df, text_col, id_col, shingle_n), shingles_path)
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("_shb"))
